@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation plus an optional ANSI-SQL
+  * oracle (run by the driver in DuckDB over the same parquet tables).
+  *
+  * Contract notes (driver compare hashes values after sorting columns by
+  * name):
+  *  - every computed/aggregate column is aliased identically on both sides;
+  *  - doubles are rounded explicitly on both sides (sum→2dp, ratios→6dp)
+  *    so cross-engine summation-order noise cannot flip the hash;
+  *  - timestamps are emitted as formatted strings (events.ts is
+  *    nanosecond-precision parquet; Spark truncates to micros while DuckDB
+  *    keeps ns — strings at second precision are stable on both);
+  *  - each result has a deterministic ORDER BY.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** A group of related QueryDefs (one per operator family). */
+trait QueryPack {
+  def queries: Seq[QueryDef]
+}
+
+/** Parquet table loader for the driver-generated testdata layout. */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
