@@ -1,0 +1,301 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, TimestampType}
+
+import graft.meta.HeaderMeta
+
+/** The SURVEY.md §2 operator inventory as composable DataFrame → DataFrame
+  * transforms. Every op stays a declarative plan (filters/projections reach
+  * the parquet scan; no collect in the data path) so the same code runs on
+  * a laptop slice or a 1000-executor cluster. Only device lists and restart
+  * metadata (≤ #devices / #reboots rows) ever reach the driver.
+  */
+object SarOps {
+
+  // ---- P1/P2/P3: header slicing -------------------------------------
+
+  /** Slice the long frame to one section; `data` is renamed to the header
+    * string (reference pl_helpers2.py:238-247). */
+  def selectHeader(df: DataFrame, header: String): DataFrame =
+    df.filter(col("header") === header)
+      .select(col("date"), col("data").as(header))
+
+  /** Multi-header slice via contains-regex (reference pl_helpers2.py:250-254). */
+  def headerContains(df: DataFrame, headers: Seq[String]): DataFrame =
+    df.filter(col("header").rlike(headers.mkString("|")))
+
+  /** Anti-filter of unwanted sections (reference pl_helpers2.py:85-105). */
+  def excludeHeaders(df: DataFrame, unwanted: Seq[String]): DataFrame =
+    excludeHeadersBy(df, "header", unwanted)
+
+  /** Generic membership anti-filter on any column. */
+  def excludeHeadersBy(df: DataFrame, column: String,
+      unwanted: Seq[String]): DataFrame =
+    df.filter(!col(column).isin(unwanted: _*))
+
+  /** Distinct headers present in a file (reference pl_helpers2.py:212-213). */
+  def headers(df: DataFrame): Seq[String] =
+    df.select("header").distinct().collect().map(_.getString(0)).toSeq
+
+  // ---- P4/P5: time ranges -------------------------------------------
+
+  /** Closed-interval time filter (reference pl_helpers2.py:206-209). */
+  def timeRange(df: DataFrame, column: String, start: Timestamp,
+      end: Timestamp): DataFrame =
+    df.filter(col(column) >= lit(start) && col(column) <= lit(end))
+
+  /** One-sided range filter (reference pl_helpers2.py:256-263). */
+  def filterByRange(df: DataFrame, column: String, cval: Timestamp,
+      check: String = "lt"): DataFrame =
+    if (check == "gt") df.filter(col(column) >= lit(cval))
+    else df.filter(col(column) <= lit(cval))
+
+  // ---- A1-A3: data string → typed array -----------------------------
+
+  /** Split the section's data string into a Float32 array; device-scoped
+    * sections pop element 0 into `sub_device`
+    * (reference pl_helpers2.py:143-162 get_metrics_from_df). Non-numeric
+    * tokens cast to null and are dropped, values round to 2dp. */
+  def toMetrics(df: DataFrame, header: String,
+      subDevice: Option[Boolean] = None): DataFrame = {
+    val scoped = subDevice.getOrElse(HeaderMeta.isDeviceScoped(
+      HeaderMeta.headerFromAlias(HeaderMeta.alias(header)).getOrElse(header)))
+    val arr = split(col(header), " ")
+    val base =
+      if (scoped)
+        df.withColumn("sub_device", element_at(arr, 1))
+          .withColumn(header, slice(arr, lit(2), size(arr) - 1))
+      else df.withColumn(header, arr)
+    base.withColumn(header,
+      filter(
+        transform(col(header), x => round(x.cast(FloatType), 2)),
+        _.isNotNull))
+  }
+
+  // ---- P6/G4/O2: devices --------------------------------------------
+
+  /** Distinct sub-devices (reference pl_helpers2.py:165-169). */
+  def subDevices(df: DataFrame): Seq[String] =
+    if (df.columns.contains("sub_device"))
+      df.select("sub_device").distinct().collect().map(_.getString(0)).toSeq
+    else Seq.empty
+
+  /** Numeric-aware device ordering with 'all' pinned first (reference
+    * helpers_pl.py:42-60 merge_headers). Driver-side: cardinality is
+    * #CPUs/#disks. */
+  def sortDevices(devices: Seq[String]): Seq[String] = {
+    val arr = devices.sorted
+    if (arr.contains("all")) {
+      val rest = arr.filterNot(_ == "all")
+      val nums = rest.filter(_.forall(_.isDigit)).map(_.toInt).sorted
+      val sortedRest = if (nums.nonEmpty) nums.map(_.toString) else rest
+      "all" +: sortedRest
+    } else arr
+  }
+
+  /** Devices/headers common to all files (reference helpers_pl.py:42-60). */
+  def mergeHeaders(fields: Seq[Seq[String]]): Seq[String] =
+    sortDevices(fields.map(_.toSet).reduce(_ intersect _).toSeq)
+
+  /** Single-device slice (reference pl_helpers2.py:172-175). */
+  def forDevice(df: DataFrame, device: String): DataFrame =
+    df.filter(col("sub_device") === device)
+
+  // ---- A4/A5: array → columns ---------------------------------------
+
+  /** Unpack the metric array into one Float32 column per header token
+    * (reference pl_helpers2.py:178-185 create_metrics_df). */
+  def createMetricsDf(df: DataFrame, header: String): DataFrame = {
+    val toks = header.split("\\s+")
+    val cols = toks.zipWithIndex.map { case (t, i) =>
+      element_at(col(header), i + 1).as(t)
+    }
+    df.select(col("date") +: cols.toSeq: _*)
+  }
+
+  /** Single metric by name; index = position of the token in the header
+    * (reference pl_helpers2.py:188-203 create_metric_df). */
+  def metricColumn(df: DataFrame, header: String, metric: String,
+      keepDevice: Boolean = true): DataFrame = {
+    val idx = header.split("\\s+").indexOf(metric)
+    require(idx >= 0, s"metric $metric not in header $header")
+    val value = element_at(col(header), idx + 1).as(metric)
+    if (keepDevice && df.columns.contains("sub_device"))
+      df.select(col("date"), col("sub_device").as("device"), value)
+    else df.select(col("date"), value)
+  }
+
+  // ---- P7/A6: threshold band on an array element --------------------
+
+  /** "All devices where metric i is within [min,max]" (reference
+    * display_multi.py:132-135). */
+  def thresholdBand(df: DataFrame, header: String, metricIdx: Int,
+      lo: Double, hi: Double): DataFrame =
+    df.filter(element_at(col(header), metricIdx + 1).between(lo, hi))
+
+  // ---- P8/P9: probes ------------------------------------------------
+
+  def osDetails(df: DataFrame): String =
+    df.filter(col("os_details").contains("Linux"))
+      .select("os_details").head().getString(0)
+
+  /** Restart strings, schema-safe (reference pl_helpers2.py:227-235). */
+  def restartHeaders(df: DataFrame): Seq[String] =
+    if (df.columns.contains("restart"))
+      df.filter(col("restart").contains("RESTART"))
+        .select("restart").collect().map(_.getString(0)).toSeq
+    else Seq.empty
+
+  // ---- G3: arg-extrema ----------------------------------------------
+
+  /** Timestamps of the min/max of a metric (reference
+    * single_file_pl.py:219-224 idxmin/idxmax). */
+  def argExtrema(df: DataFrame, metric: String,
+      dateCol: String = "date"): DataFrame =
+    df.agg(
+      min_by(col(dateCol), col(metric)).as("argmin"),
+      max_by(col(dateCol), col(metric)).as("argmax"),
+      min(col(metric)).as("min"),
+      max(col(metric)).as("max"))
+
+  // ---- G5: keep-first dedup -----------------------------------------
+
+  /** Deterministic keep-first dedup: first row per key in `orderCol` order
+    * (reference pandas index.duplicated / polars drop_duplicates). */
+  def dropDuplicatesKeepFirst(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- G6: min/max markers ------------------------------------------
+
+  /** Flag per-column min/max rows (reference helpers_pl.py:304-334).
+    * One extra agg pass broadcast back — no window over the whole frame. */
+  def minMaxMarkers(df: DataFrame, valueCols: Seq[String]): DataFrame = {
+    val aggs = valueCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val extrema = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(extrema))
+    val flagged = valueCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"is_min_$c", col(c) === col(s"__min_$c"))
+        .withColumn(s"is_max_$c", col(c) === col(s"__max_$c"))
+    }
+    flagged.drop(valueCols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  // ---- R1: melt -----------------------------------------------------
+
+  /** Wide → long (reference single_file_pl.py:228 pandas melt). */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+      varName: String = "metrics", valueName: String = "y"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      varName, valueName)
+
+  // ---- R3: per-hour tick list ---------------------------------------
+
+  /** First sample of each hour, bounded by first/last sample (reference
+    * dataframe_funcs_pl.py:39-48 translate_dates_into_list). */
+  def hourTicks(df: DataFrame, dateCol: String = "date"): DataFrame = {
+    val bounds = df.agg(min(col(dateCol)).as("mn"), max(col(dateCol)).as("mx"))
+    val firstMinute = minute(col("mn"))
+    val inner = df.crossJoin(broadcast(bounds))
+      .filter(minute(col(dateCol)) <= firstMinute - 1)
+      .select(col(dateCol))
+    val first = bounds.select(col("mn").as(dateCol))
+    val last = bounds.select(col("mx").as(dateCol))
+    first.unionByName(inner).unionByName(last)
+  }
+
+  // ---- R4: hour grid ------------------------------------------------
+
+  /** Hourly timestamp grid between start and end inclusive (reference
+    * helpers_pl.py:424-447 pd.date_range(freq='h')). */
+  def hourGrid(df: DataFrame, dateCol: String = "date"): DataFrame =
+    df.agg(min(col(dateCol)).as("mn"), max(col(dateCol)).as("mx"))
+      .select(explode(sequence(
+        date_trunc("HOUR", col("mn")),
+        col("mx"),
+        expr("interval 1 hour"))).as("hour"))
+
+  // ---- E2: restart zero-row insertion -------------------------------
+
+  /** For each restart time insert a row of 0.0 for every metric column
+    * (+1s when colliding with an existing sample), then re-sort — chart
+    * lines drop to zero at reboots (reference dataframe_funcs_pl.py:50-78).
+    * Restart metadata is tiny (≤ reboots/file); the collision probe is one
+    * semi-join collect, the insert a literal unionByName. */
+  def insertRestartZeros(df: DataFrame, dateCol: String,
+      restartTimes: Seq[Timestamp]): DataFrame = {
+    if (restartTimes.isEmpty) return df
+    val spark = df.sparkSession
+    val existing = df
+      .filter(col(dateCol).isin(restartTimes.map(lit(_)): _*))
+      .select(col(dateCol)).distinct()
+      .collect().map(_.getTimestamp(0)).toSet
+    val adjusted = restartTimes.map { t =>
+      if (existing.contains(t)) new Timestamp(t.getTime + 1000L) else t
+    }
+    val metricCols = df.columns.filterNot(_ == dateCol)
+    import spark.implicits._
+    val zeroRows = adjusted.toDF(dateCol)
+      .select(col(dateCol).cast(TimestampType).as(dateCol) +:
+        metricCols.map(c => lit(0.0).cast(df.schema(c).dataType).as(c)).toSeq: _*)
+    df.unionByName(zeroRows).orderBy(col(dateCol))
+  }
+
+  // ---- F10: day-overlay alignment -----------------------------------
+
+  /** Map every day onto one 24h axis: base_day + (ts - floor_day(ts))
+    * (reference bokeh_charts.py:1146-1151). */
+  def dayOverlayAlign(df: DataFrame, dateCol: String, baseDay: String,
+      outCol: String = "aligned"): DataFrame =
+    df.withColumn(outCol, timestamp_micros(
+      unix_micros(to_timestamp(lit(baseDay))) +
+        (unix_micros(col(dateCol)) -
+          unix_micros(date_trunc("DAY", col(dateCol))))))
+
+  // ---- O4/O5: downsampling ------------------------------------------
+
+  /** Every step-th row in `orderCol` order (reference bokeh_charts.py:
+    * 77-111 stride downsample). Distributed: sortWithinPartitions after a
+    * range-partitioned sort + zipWithIndex keeps the global order without
+    * a single-partition window. */
+  def downsampleStride(df: DataFrame, orderCol: String, step: Int): DataFrame = {
+    require(step >= 1)
+    if (step == 1) return df
+    val spark = df.sparkSession
+    val sorted = df.orderBy(col(orderCol))
+    val schema = sorted.schema
+    val rdd = sorted.rdd.zipWithIndex()
+      .filter { case (_, i) => i % step == 0 }
+      .map(_._1)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Adaptive chart budget: stride step for a point budget per series
+    * (reference bokeh_charts.py:88-111: 30k points, [200,1000]/series). */
+  def adaptiveStep(totalRows: Long, seriesCount: Int,
+      budget: Int = 30000): Int = {
+    val perSeries = math.max(200, math.min(1000,
+      budget / math.max(1, seriesCount)))
+    math.max(1, math.ceil(totalRows.toDouble / perSeries).toInt)
+  }
+
+  /** Seeded sample with the reference's size-tiered caps
+    * (reference alt.py:42-73: >100k→2000, >50k→3000, else 5000, seed 42). */
+  def sampleTiered(df: DataFrame, totalRows: Long, seed: Long = 42): DataFrame = {
+    val cap = if (totalRows > 100000) 2000 else if (totalRows > 50000) 3000 else 5000
+    if (totalRows <= cap) df
+    else df.sample(withReplacement = false,
+      math.min(1.0, cap.toDouble * 1.1 / totalRows), seed)
+      .limit(cap)
+  }
+}

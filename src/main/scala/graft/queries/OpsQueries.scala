@@ -1,0 +1,506 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.SarOps
+import graft.stats.DescribeStats
+
+/** SURVEY.md §2 operator inventory exercised on the driver's testdata
+  * tables, each with a DuckDB oracle. Query bodies call the graft.ops /
+  * graft.stats library so the correctness gate covers the library itself.
+  */
+object OpsQueries extends QueryPack {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // ---- P1/P6 equality filter + projection -------------------------
+    QueryDef("q_filter_project", (s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") === 7)
+        .select(col("event_id"), date_format(col("ts"), tsFmt).as("ts_s"),
+          round(col("value"), 2).as("value"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         round(value, 2) AS value
+         FROM events WHERE event_type = 'purchase' AND user_id = 7
+         ORDER BY event_id""")),
+
+    // ---- P2 regex filter --------------------------------------------
+    QueryDef("q_rlike_filter", (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("text").rlike("window (join|merge)"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    }, Some(
+      """SELECT source, count(*) AS n FROM documents
+         WHERE regexp_matches(text, 'window (join|merge)')
+         GROUP BY source ORDER BY source""")),
+
+    // ---- P3 anti-filter (NOT IN) ------------------------------------
+    QueryDef("q_anti_filter", (s, dir) => {
+      SarOps
+        .excludeHeadersBy(Tables.load(s, dir, "events"), "event_type",
+          Seq("view", "click"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("total"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events WHERE event_type NOT IN ('view', 'click')
+         GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- P4 closed-interval time range ------------------------------
+    QueryDef("q_time_range", (s, dir) => {
+      val df = Tables.load(s, dir, "events")
+      SarOps.timeRange(df, "ts",
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-12 23:59:59"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+          date_format(min("ts"), tsFmt).as("first_s"),
+          date_format(max("ts"), tsFmt).as("last_s"))
+    }, Some(
+      """SELECT count(*) AS n, round(sum(value), 2) AS total,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_s,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_s
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-12 23:59:59'""")),
+
+    // ---- P7/A6 threshold band on array element ----------------------
+    QueryDef("q_band_filter", (s, dir) => {
+      Tables.load(s, dir, "embeddings")
+        .filter(element_at(col("embedding"), 1).between(-0.01, 0.01))
+        .select(col("vec_id"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
+        .orderBy("vec_id")
+    }, Some(
+      """SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS e0
+         FROM embeddings
+         WHERE embedding[1] BETWEEN -0.01 AND 0.01
+         ORDER BY vec_id""")),
+
+    // ---- P11 exact-value lookup -------------------------------------
+    QueryDef("q_lookup_exact", (s, dir) => {
+      Tables.load(s, dir, "part")
+        .filter(col("p_partkey") === 42)
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+    }, Some(
+      """SELECT p_partkey, p_name, p_brand, p_type
+         FROM part WHERE p_partkey = 42""")),
+
+    // ---- F1/F2/F4/F11 string functions ------------------------------
+    QueryDef("q_string_funcs", (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+          regexp_replace(regexp_replace(substring(col("text"), 1, 30),
+            " ", "_"), "_+", "_").as("sanitized"),
+          length(col("text")).as("n_chars2"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS first_word,
+         regexp_replace(replace(substring(text, 1, 30), ' ', '_'),
+                        '_+', '_', 'g') AS sanitized,
+         length(text) AS n_chars2
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""")),
+
+    // ---- F5 multi-format timestamp parsing --------------------------
+    QueryDef("q_multi_format_dates", (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val asStr = o.withColumn("fmt", pmod(col("o_orderkey"), lit(3)))
+        .withColumn("date_str",
+          when(col("fmt") === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+            .when(col("fmt") === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+            .otherwise(date_format(col("o_orderdate"), "dd.MM.yyyy")))
+      asStr.withColumn("parsed", coalesce(
+          try_to_timestamp(col("date_str"), lit("yyyy-MM-dd")),
+          try_to_timestamp(col("date_str"), lit("MM/dd/yyyy")),
+          try_to_timestamp(col("date_str"), lit("dd.MM.yyyy"))))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("parsed") === col("o_orderdate"), 1).otherwise(0))
+            .as("n_roundtrip"))
+        .orderBy("fmt")
+    }, Some(
+      """WITH x AS (
+           SELECT o_orderkey % 3 AS fmt, o_orderdate,
+             CASE o_orderkey % 3
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+               ELSE strftime(o_orderdate, '%d.%m.%Y') END AS date_str
+           FROM orders)
+         SELECT fmt, count(*) AS n,
+           CAST(sum(CASE WHEN coalesce(
+                 try_strptime(date_str, '%Y-%m-%d'),
+                 try_strptime(date_str, '%m/%d/%Y'),
+                 try_strptime(date_str, '%d.%m.%Y')) = o_orderdate
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
+         FROM x GROUP BY fmt ORDER BY fmt""")),
+
+    // ---- F9 day floor -----------------------------------------------
+    QueryDef("q_daily_counts", (s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+          round(sum("value"), 2).as("total"))
+        .orderBy("day")
+    }, Some(
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         round(sum(value), 2) AS total
+         FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- F10 day-overlay alignment ----------------------------------
+    QueryDef("q_day_overlay", (s, dir) => {
+      val aligned = SarOps.dayOverlayAlign(
+        Tables.load(s, dir, "events"), "ts", "2000-01-01")
+      aligned.groupBy(hour(col("aligned")).as("hour_of_day"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("hour_of_day")
+    }, Some(
+      """SELECT hour(ts) AS hour_of_day, count(*) AS n,
+         round(avg(value), 4) AS avg_value
+         FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- R3 per-hour tick list --------------------------------------
+    QueryDef("q_hour_ticks", (s, dir) => {
+      SarOps.hourTicks(Tables.load(s, dir, "events").select("ts"), "ts")
+        .select(date_format(col("ts"), tsFmt).as("tick"))
+        .orderBy("tick")
+    }, Some(
+      """WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx,
+                    minute(min(ts)) AS fm FROM events)
+         SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS tick FROM (
+           SELECT mn AS t FROM b
+           UNION ALL SELECT ts FROM events, b WHERE minute(ts) <= fm - 1
+           UNION ALL SELECT mx FROM b)
+         ORDER BY tick""")),
+
+    // ---- R4 hour grid (sequence + explode) --------------------------
+    QueryDef("q_hour_grid", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val grid = SarOps.hourGrid(ev, "ts")
+      val counts = ev.groupBy(date_trunc("HOUR", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      grid.join(counts, Seq("hour"), "left")
+        .select(date_format(col("hour"), tsFmt).as("hour_s"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hour_s")
+    }, Some(
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, max(ts) AS mx
+                    FROM events),
+         grid AS (SELECT unnest(generate_series(mn, mx,
+                    INTERVAL 1 HOUR)) AS hour FROM b),
+         c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+               FROM events GROUP BY 1)
+         SELECT strftime(grid.hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+                coalesce(c.n, 0) AS n
+         FROM grid LEFT JOIN c ON grid.hour = c.hour
+         ORDER BY hour_s""")),
+
+    // ---- R1 melt (wide → long) --------------------------------------
+    QueryDef("q_melt_daily", (s, dir) => {
+      val wide = Tables.load(s, dir, "events")
+        .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 2).as("purchase"),
+          round(sum(when(col("event_type") === "error", col("value"))
+            .otherwise(0.0)), 2).as("error"))
+      SarOps.melt(wide, Seq("day"), Seq("purchase", "error"))
+        .orderBy("day", "metrics")
+    }, Some(
+      """WITH wide AS (
+           SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0.0 END), 2) AS purchase,
+             round(sum(CASE WHEN event_type = 'error' THEN value
+                            ELSE 0.0 END), 2) AS error
+           FROM events GROUP BY 1)
+         SELECT day, 'purchase' AS metrics, purchase AS y FROM wide
+         UNION ALL
+         SELECT day, 'error' AS metrics, error AS y FROM wide
+         ORDER BY day, metrics""")),
+
+    // ---- G3 arg-extrema (deterministic via row_number) --------------
+    QueryDef("q_argminmax", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val wMin = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      val wMax = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      val mins = ev.withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id").as("min_event_id"),
+          round(col("value"), 2).as("min_value"))
+      val maxs = ev.withColumn("rn", row_number().over(wMax))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id").as("max_event_id"),
+          round(col("value"), 2).as("max_value"))
+      mins.join(maxs, Seq("event_type")).orderBy("event_type")
+    }, Some(
+      """WITH mins AS (
+           SELECT event_type, event_id AS min_event_id,
+                  round(value, 2) AS min_value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value ASC, event_id ASC) AS rn
+           FROM events),
+         maxs AS (
+           SELECT event_type, event_id AS max_event_id,
+                  round(value, 2) AS max_value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id ASC) AS rn
+           FROM events)
+         SELECT m.event_type, m.min_event_id, m.min_value,
+                x.max_event_id, x.max_value
+         FROM mins m JOIN maxs x ON m.event_type = x.event_type
+         WHERE m.rn = 1 AND x.rn = 1
+         ORDER BY m.event_type""")),
+
+    // ---- G4 distinct values -----------------------------------------
+    QueryDef("q_distinct_types", (s, dir) => {
+      Tables.load(s, dir, "events").select("event_type").distinct()
+        .orderBy("event_type")
+    }, Some(
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type")),
+
+    // ---- G5 keep-first dedup ----------------------------------------
+    QueryDef("q_dedup_first", (s, dir) => {
+      SarOps.dropDuplicatesKeepFirst(Tables.load(s, dir, "events"),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), tsFmt).as("ts_s"))
+        .orderBy("user_id", "event_type")
+    }, Some(
+      """SELECT user_id, event_type, event_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // ---- G6 min/max markers -----------------------------------------
+    QueryDef("q_minmax_markers", (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(round(sum("value"), 2).as("v"))
+      SarOps.minMaxMarkers(daily, Seq("v"))
+        .filter(col("is_min_v") || col("is_max_v"))
+        .orderBy("day")
+    }, Some(
+      """WITH daily AS (
+           SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  round(sum(value), 2) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         ext AS (SELECT min(v) AS mn, max(v) AS mx FROM daily)
+         SELECT day, v, v = mn AS is_min_v, v = mx AS is_max_v
+         FROM daily, ext WHERE v = mn OR v = mx ORDER BY day""")),
+
+    // ---- G7 pooled stats over a union -------------------------------
+    QueryDef("q_pooled_stats", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val a = ev.filter(col("event_type") === "purchase").select("value")
+      val b = ev.filter(col("event_type") === "click").select("value")
+      val st = DescribeStats.pooledStats(Seq(a, b), Seq("value"))
+      st.select(col("metric"), col("count"), col("null_count"),
+        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
+        round(col("min"), 4).as("min"), round(col("p25"), 4).as("p25"),
+        round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"),
+        round(col("max"), 4).as("max"))
+    }, Some(
+      """WITH x AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+                    WHERE event_type IN ('purchase', 'click'))
+         SELECT 'value' AS metric, CAST(count(v) AS DOUBLE) AS count,
+           0.0 AS null_count,
+           round(avg(v), 4) AS mean, round(stddev_samp(v), 4) AS std,
+           round(min(v), 4) AS min,
+           round(quantile_cont(v, 0.25), 4) AS p25,
+           round(quantile_cont(v, 0.50), 4) AS p50,
+           round(quantile_cont(v, 0.75), 4) AS p75,
+           round(max(v), 4) AS max
+         FROM x""")),
+
+    // ---- G1 describe on lineitem ------------------------------------
+    QueryDef("q_describe_lineitem", (s, dir) => {
+      val st = DescribeStats.describe(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      st.select(col("metric"), col("count"), col("null_count"),
+        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
+        round(col("min"), 4).as("min"), round(col("p25"), 4).as("p25"),
+        round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"),
+        round(col("max"), 4).as("max")).orderBy("metric")
+    }, Some(
+      """SELECT metric, CAST(count AS DOUBLE) AS count, 0.0 AS null_count,
+           round(mean, 4) AS mean, round(std, 4) AS std,
+           round(mn, 4) AS min, round(p25, 4) AS p25, round(p50, 4) AS p50,
+           round(p75, 4) AS p75, round(mx, 4) AS max
+         FROM (
+           SELECT 'l_quantity' AS metric, count(l_quantity) AS count,
+             avg(CAST(l_quantity AS DOUBLE)) AS mean,
+             stddev_samp(CAST(l_quantity AS DOUBLE)) AS std,
+             min(CAST(l_quantity AS DOUBLE)) AS mn,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS p50,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75,
+             max(CAST(l_quantity AS DOUBLE)) AS mx
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', count(l_extendedprice),
+             avg(CAST(l_extendedprice AS DOUBLE)),
+             stddev_samp(CAST(l_extendedprice AS DOUBLE)),
+             min(CAST(l_extendedprice AS DOUBLE)),
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25),
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50),
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75),
+             max(CAST(l_extendedprice AS DOUBLE))
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', count(l_discount),
+             avg(CAST(l_discount AS DOUBLE)),
+             stddev_samp(CAST(l_discount AS DOUBLE)),
+             min(CAST(l_discount AS DOUBLE)),
+             quantile_cont(CAST(l_discount AS DOUBLE), 0.25),
+             quantile_cont(CAST(l_discount AS DOUBLE), 0.50),
+             quantile_cont(CAST(l_discount AS DOUBLE), 0.75),
+             max(CAST(l_discount AS DOUBLE))
+           FROM lineitem)
+         ORDER BY metric""")),
+
+    // ---- O1/O3 top-k ------------------------------------------------
+    QueryDef("q_topk_orders", (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+    }, Some(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ---- O4 stride downsample ---------------------------------------
+    QueryDef("q_stride_sample", (s, dir) => {
+      val strided = SarOps.downsampleStride(
+        Tables.load(s, dir, "events").select("event_id", "value"),
+        "event_id", 97)
+      strided.agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+        round(sum("value"), 2).as("value_sum"))
+    }, Some(
+      """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum,
+         round(sum(value), 2) AS value_sum
+         FROM (SELECT *, row_number() OVER (ORDER BY event_id) AS rn
+               FROM events)
+         WHERE (rn - 1) % 97 = 0""")),
+
+    // ---- J4 intersection of distinct token sets ---------------------
+    QueryDef("q_intersect_tokens", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def toks(src: String) = docs.filter(col("source") === src)
+        .select(explode(split(col("text"), " ")).as("token")).distinct()
+      toks("src0").intersect(toks("src1")).orderBy("token")
+    }, Some(
+      """SELECT DISTINCT token FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents
+           WHERE source = 'src0')
+         INTERSECT
+         SELECT DISTINCT token FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents
+           WHERE source = 'src1')
+         ORDER BY token""")),
+
+    // ---- J6 horizontal align-by-date (full outer join) --------------
+    QueryDef("q_outer_join_days", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def daily(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as(s"n_$t"))
+      daily("signup").join(daily("error"), Seq("day"), "full_outer")
+        .select(col("day"), coalesce(col("n_signup"), lit(0L)).as("n_signup"),
+          coalesce(col("n_error"), lit(0L)).as("n_error"))
+        .orderBy("day")
+    }, Some(
+      """WITH s AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                    count(*) AS n_signup FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+         e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS n_error FROM events
+               WHERE event_type = 'error' GROUP BY 1)
+         SELECT coalesce(s.day, e.day) AS day,
+           coalesce(n_signup, 0) AS n_signup,
+           coalesce(n_error, 0) AS n_error
+         FROM s FULL JOIN e ON s.day = e.day
+         ORDER BY day""")),
+
+    // ---- window: lag gap --------------------------------------------
+    QueryDef("q_window_gap", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      ev.withColumn("prev_s", lag(col("ts").cast("long"), 1).over(w))
+        .withColumn("gap", col("ts").cast("long") - col("prev_s"))
+        .groupBy("user_id")
+        .agg(count(col("gap")).as("n_gaps"),
+          round(avg(col("gap")), 2).as("avg_gap_s"),
+          max(col("gap")).as("max_gap_s"))
+        .orderBy("user_id")
+    }, Some(
+      """SELECT user_id, count(gap) AS n_gaps,
+         round(avg(gap), 2) AS avg_gap_s, max(gap) AS max_gap_s
+         FROM (SELECT user_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
+                 lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               FROM events)
+         GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- window: rolling average ------------------------------------
+    QueryDef("q_rolling_avg", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, 0)
+      ev.withColumn("mv", avg(col("value")).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(avg("mv"), 4).as("avg_mv"))
+        .orderBy("user_id")
+    }, Some(
+      """SELECT user_id, count(*) AS n, round(avg(mv), 4) AS avg_mv
+         FROM (SELECT user_id, avg(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv
+               FROM events)
+         GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- sessionization ---------------------------------------------
+    QueryDef("q_sessionize", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      ev.withColumn("sec", col("ts").cast("long"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }, Some(
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+         FROM (SELECT user_id,
+                 CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+               FROM (SELECT user_id,
+                       CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
+                       lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT), 1)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                     FROM events))
+         GROUP BY user_id ORDER BY user_id"""))
+  )
+}

@@ -27,9 +27,24 @@ trait QueryPack {
 
 /** Parquet table loader for the driver-generated testdata layout. */
 object Tables {
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.LongType
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
+    * default: read nanos as long and truncate to micros with integral
+    * division (ns epoch values exceed double's 2^53, so `div`, never `/`).
+    * Same floor-truncation DuckDB applies when comparing at µs/second
+    * granularity. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == LongType)
+        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else d
+    }
+  }
 }
