@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * groupBy), MinHash+LSH banding, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design (100 TB): every method is shuffle-bounded by design —
+  * exact dedup shuffles one digest per doc; MinHash shuffles one row per
+  * (doc, shingle) for the signature pass and one row per (doc, band) for
+  * the candidate join, never the full text twice; the LSH band join only
+  * pairs docs sharing a band bucket (vs the O(n²) cross join a naive
+  * similarity pass would need). Hashes are md5-derived so results are
+  * engine-portable and stable across runs/partitionings.
+  */
+object Dedup {
+
+  /** Exact duplicate groups on md5 of a key column: one row per digest
+    * with the member count and the keeper (min id). */
+  def exactDupGroups(df: DataFrame, keyCol: String, idCol: String,
+      minGroupSize: Int = 2): DataFrame =
+    df.groupBy(md5(col(keyCol)).as("digest"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"),
+        array_join(transform(array_sort(collect_list(col(idCol))),
+          _.cast("string")), ",").as("ids"))
+      .filter(col("n") >= minGroupSize)
+
+  /** (doc, shingle) pairs, distinct per doc. */
+  def docShingles(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"))
+
+  /** MinHash signature: k portable hash functions h_i(sh) = md5(i ++ sh),
+    * signature component = min over the doc's shingles. */
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, n: Int = 3): DataFrame = {
+    val sh = docShingles(df, textCol, idCol, n)
+    val aggs = (0 until k).map(i =>
+      min(md5(concat_ws(":", lit(i), col("sh")))).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a minhash signature: bands of `rowsPerBand`
+    * components; docs sharing any band key are candidate pairs. */
+  def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    val sig = minhashSignature(df, textCol, idCol, k, n)
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("key"))
+    }
+    val banded = sig.select(col(idCol),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.toDF(Seq("a", "band", "key"): _*)
+    val b = banded.toDF(Seq("b", "band", "key"): _*)
+    a.join(b, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity join: candidate pairs from shared
+    * shingles, sim = |∩| / |∪|. */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docShingles(df, textCol, idCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("a", "sh")
+    val b = sh.toDF("b", "sh")
+    val common = a.join(b, "sh").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("a", "sza"), "a")
+      .join(sizes.toDF("b", "szb"), "b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** 16-bit SimHash over distinct whitespace tokens; bit j comes from the
+    * high bit of hex digit j of md5(token) (portable across engines). */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val withHash = toks.withColumn("h", md5(col("tok")))
+    val bitAggs = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(highHex: _*), 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val grouped = withHash.groupBy(col(idCol)).agg(bitAggs.head, bitAggs.tail: _*)
+    val hash = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col(idCol), hash.as("simhash"))
+  }
+}

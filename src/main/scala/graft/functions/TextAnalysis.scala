@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. All are
+  * pure Column expressions (codegen'd, no UDFs) so they run inside
+  * whole-stage codegen at 100 TB scan scale, and all hashing is md5-based
+  * so a DuckDB oracle can reproduce results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  def wsTokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: letter runs, single digits, single symbols. */
+  val tokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit(tokenPattern))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column,
+      stopwords: Seq[String] = defaultStopwords): Column = {
+    val w = words(text)
+    val hits = size(filter(w, t => array_contains(typedlit(stopwords), t)))
+    hits.cast("double") / size(w).cast("double")
+  }
+
+  /** Mean token length. */
+  def avgWordLen(text: Column): Column = {
+    val w = words(text)
+    aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(w).cast("double")
+  }
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1]: long-enough docs with normal word
+    * length, few symbols, and some (but not only) stopwords score high. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val wordScore = lit(1.0) -
+      least(abs(avgWordLen(text) - lit(5.0)) / lit(5.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
+    round((lenScore + wordScore + punctScore) / 3.0, 4)
+  }
+
+  /** Stopword profiles for the n-gram/stopword-heuristic language ID. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Deterministic language ID: argmax of per-language stopword hits with
+    * fixed tie-break priority = profile order. */
+  def langId(text: Column): Column = {
+    val w = words(text)
+    val scores = langProfiles.map { case (lang, stops) =>
+      lang -> size(filter(w, t => array_contains(typedlit(stops), t)))
+    }
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, score), i), elseCol) =>
+        val restMax = scores.drop(i + 1).map(_._2)
+          .reduceLeft((x, y) => greatest(x, y))
+        when(score >= restMax, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Word n-gram shingles ("a b c" windows); empty array below n words. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array())
+  }
+
+  /** k-min-style document fingerprint: the lexicographic min md5 over the
+    * doc's distinct shingles (portable rolling-hash stand-in — md5 exists
+    * identically in every engine). */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(array_distinct(shingles(text, n)), sh => md5(sh)))
+}

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing) on the documents/embeddings tables, each
+  * with a DuckDB oracle. All hashing is md5-based so both engines produce
+  * identical signatures/buckets (portable across engines AND across
+  * partitionings — a cluster rerun gives the same dedup decisions).
+  */
+object LlmQueries extends QueryPack {
+
+  private val dim = 64 // embeddings dimension (TESTDATA)
+
+  // shared DuckDB fragments -------------------------------------------
+  private val shingleCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(len(w) - 2),
+                  i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+              FROM w WHERE len(w) >= 3)"""
+
+  private def cosSqlD(a: String, b: String): String = {
+    def d(v: String, i: String) = s"CAST($v[$i] AS DOUBLE)"
+    s"""(list_sum(list_transform(range(1, ${dim + 1}), i -> ${d(a, "i")} * ${d(b, "i")})) /
+        (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> ${d(a, "i")} * ${d(a, "i")}))) *
+         sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> ${d(b, "i")} * ${d(b, "i")})))))"""
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // ---- token counting ---------------------------------------------
+    QueryDef("q_text_tokens", (s, dir) => {
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.regexTokenCount(col("text")).as("re_tokens"),
+          length(col("text")).as("n_chars2"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenPattern}')) AS INT) AS re_tokens,
+          CAST(length(text) AS INT) AS n_chars2
+          FROM documents WHERE doc_id < 100 ORDER BY doc_id""")),
+
+    // ---- quality scoring --------------------------------------------
+    QueryDef("q_text_quality", (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.stopwordRatio(col("text")).as("swr"),
+          TextAnalysis.avgWordLen(col("text")).as("awl"),
+          TextAnalysis.punctRatio(col("text")).as("pr"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("swr"), 4).as("stopword_ratio"),
+          round(avg("awl"), 4).as("avg_word_len"),
+          round(avg("pr"), 4).as("punct_ratio"))
+        .orderBy("source")
+    }, Some {
+      val stops = TextAnalysis.defaultStopwords
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH t AS (SELECT source, text, string_split(text, ' ') AS w
+                     FROM documents),
+          d AS (SELECT source,
+            CAST(len(list_filter(w, x -> list_contains($stops, x))) AS DOUBLE)
+              / len(w) AS swr,
+            CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+              / len(w) AS awl,
+            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+              / length(text) AS pr
+          FROM t)
+          SELECT source, count(*) AS n_docs,
+            round(avg(swr), 4) AS stopword_ratio,
+            round(avg(awl), 4) AS avg_word_len,
+            round(avg(pr), 4) AS punct_ratio
+          FROM d GROUP BY source ORDER BY source"""
+    }),
+
+    // ---- language ID ------------------------------------------------
+    QueryDef("q_lang_id", (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }, Some {
+      val scores = TextAnalysis.langProfiles.map { case (lang, stops) =>
+        val lst = stops.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(w, x -> list_contains($lst, x))) AS c_$lang"
+      }.mkString(",\n            ")
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+          s AS (SELECT lang,
+            $scores
+          FROM t)
+          SELECT lang,
+            CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+                 WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+                 WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+                 WHEN c_fr >= c_zh THEN 'fr'
+                 ELSE 'zh' END AS pred,
+            count(*) AS n
+          FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+    }),
+
+    // ---- exact dedup on a normalized key ----------------------------
+    QueryDef("q_dedup_exact", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("prefix_key",
+          array_join(slice(TextAnalysis.words(col("text")), 1, 8), " "))
+      Dedup.exactDupGroups(docs, "prefix_key", "doc_id")
+        .orderBy("digest")
+    }, Some(
+      """SELECT md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS digest,
+         count(*) AS n, min(doc_id) AS keep_id,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+         FROM documents
+         GROUP BY 1 HAVING count(*) >= 2 ORDER BY digest""")),
+
+    // ---- exact n-gram Jaccard near-dup join -------------------------
+    QueryDef("q_ngram_jaccard", (s, dir) => {
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", n = 3, threshold = 0.8)
+        .orderBy("a", "b")
+    }, Some(
+      s"""WITH $shingleCte,
+          sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          c AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+          SELECT a, b,
+            round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+          FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+          WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) >= 0.8
+          ORDER BY a, b""")),
+
+    // ---- MinHash + LSH banding --------------------------------------
+    QueryDef("q_minhash_lsh", (s, dir) => {
+      Dedup.lshCandidatePairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", k = 8, rowsPerBand = 2, n = 3)
+        .orderBy("a", "b")
+    }, Some {
+      val mins = (0 until 8).map(i =>
+        s"min(md5('$i:' || sh)) AS mh$i").mkString(",\n            ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS key FROM sig")
+        .mkString("\n          UNION ALL ")
+      s"""WITH $shingleCte,
+          sig AS (SELECT doc_id,
+            $mins
+          FROM sh GROUP BY doc_id),
+          bands AS (
+          $bands)
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          ORDER BY a, b"""
+    }),
+
+    // ---- SimHash ----------------------------------------------------
+    QueryDef("q_simhash", (s, dir) => {
+      Dedup.simhash16(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 100),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }, Some {
+      val sums = (0 until 16).map(j =>
+        s"""CAST(sum(CASE WHEN substring(md5(tok), ${j + 1}, 1)
+            IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s$j""")
+        .mkString(",\n            ")
+      val hash = (0 until 16).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT DISTINCT doc_id,
+            unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 100),
+          g AS (SELECT doc_id,
+            $sums
+          FROM toks GROUP BY doc_id)
+          SELECT doc_id, CAST($hash AS BIGINT) AS simhash
+          FROM g ORDER BY doc_id"""
+    }),
+
+    // ---- k-min fingerprint ------------------------------------------
+    QueryDef("q_fingerprint", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 100 &&
+          TextAnalysis.wsTokenCount(col("text")) >= 3)
+      docs.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          size(array_distinct(TextAnalysis.shingles(col("text"))))
+            .as("n_shingles"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH $shingleCte
+          SELECT doc_id, min(md5(sh)) AS fp,
+            CAST(count(*) AS INT) AS n_shingles
+          FROM sh WHERE doc_id < 100
+          GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- brute-force cosine top-k -----------------------------------
+    QueryDef("q_knn_cosine", (s, dir) => {
+      Similarity.topKCosine(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 10)
+    }, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, round(${cosSqlD("embedding", "qv")}, 4) AS cos
+          FROM embeddings, q
+          ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
+
+    // ---- centroid assignment (IVF routing step) ---------------------
+    QueryDef("q_centroid_assign", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.centroids(emb, "label", "embedding")
+      Similarity.assignNearest(emb, cents, "vec_id", "embedding")
+        .groupBy(col("label"), col("assigned"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "assigned")
+    }, Some(
+      s"""WITH c AS (SELECT label AS clabel, i,
+            avg(CAST(embedding[i] AS DOUBLE)) AS cv
+            FROM embeddings, range(1, ${dim + 1}) t(i) GROUP BY 1, 2),
+          cl AS (SELECT clabel, array_agg(cv ORDER BY i) AS cvec
+                 FROM c GROUP BY 1),
+          sc AS (SELECT e.vec_id, e.label, cl.clabel,
+            round(${cosSqlD("e.embedding", "cvec")}, 6) AS cos
+            FROM embeddings e, cl),
+          r AS (SELECT vec_id, label, clabel,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, clabel ASC) AS rn
+            FROM sc)
+          SELECT label, clabel AS assigned, count(*) AS n
+          FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- multimodal binary plumbing ---------------------------------
+    QueryDef("q_multimodal_meta", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+      val media = Multimodal.asMedia(docs, "doc_id", "text")
+      val feats = Multimodal.extractFeatures(media)
+      feats.join(docs, feats("media_id") === docs("doc_id"))
+        .select(col("media_id"), col("n_bytes"),
+          md5(col("text")).as("digest"),
+          hex(substring(col("text"), 1, 4)).as("head_hex"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 8).cast("double"), 4).as("f7"))
+        .orderBy("media_id")
+    }, Some(
+      """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes,
+         md5(text) AS digest, hex(substring(text, 1, 4)) AS head_hex,
+         round(CAST(CAST(list_sum(list_transform(range(1, length(text) + 1, 8),
+           i -> ord(substr(text, i, 1)))) AS FLOAT) / CAST(255.0 AS FLOAT)
+           AS DOUBLE), 4) AS f0,
+         round(CAST(CAST(coalesce(list_sum(list_transform(range(8, length(text) + 1, 8),
+           i -> ord(substr(text, i, 1)))), 0) AS FLOAT) / CAST(255.0 AS FLOAT)
+           AS DOUBLE), 4) AS f7
+         FROM documents WHERE doc_id < 100 ORDER BY media_id"""))
+  )
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+import graft.queries.Tables
+
+class LlmFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = Tables.load(spark, dir, "documents").cache()
+
+  test("jaccard pairs find the planted near-duplicates") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8).collect()
+    assert(pairs.length > 10)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("minhash LSH candidates cover the high-jaccard pairs") {
+    val jac = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.lshCandidatePairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banding (4 bands × 2 rows) catches ~all >0.9 pairs
+    val recall = jac.count(cand.contains).toDouble / math.max(1, jac.size)
+    assert(recall >= 0.9, s"LSH recall $recall over ${jac.size} pairs")
+  }
+
+  test("simhash of near-duplicates is close in hamming distance") {
+    val pair = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.95)
+      .collect().head
+    val sh = Dedup.simhash16(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ham = java.lang.Long.bitCount(sh(pair.getLong(0)) ^ sh(pair.getLong(1)))
+    assert(ham <= 4, s"hamming $ham for a >0.95-jaccard pair")
+  }
+
+  test("text analysis columns are sane") {
+    val row = docs.filter(col("doc_id") === 0).select(
+      TextAnalysis.wsTokenCount(col("text")),
+      TextAnalysis.stopwordRatio(col("text")),
+      TextAnalysis.qualityScore(col("text")),
+      TextAnalysis.langId(col("text"))).collect().head
+    assert(row.getInt(0) > 0)
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
+    assert(TextAnalysis.langProfiles.map(_._1).contains(row.getString(3)))
+  }
+
+  test("topK cosine: query vector is its own best match") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val top = Similarity.topKCosine(emb, "vec_id", "embedding", 0L, 5).collect()
+    assert(top.length == 5)
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("centroid assignment maps most vectors to their own label") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.centroids(emb, "label", "embedding")
+    assert(cents.count() == 10)
+    val assigned = Similarity.assignNearest(emb, cents, "vec_id", "embedding")
+    val agree = assigned.filter(col("label") === col("assigned")).count()
+    val total = assigned.count()
+    assert(total == emb.count())
+    // synthetic labels are only weakly clustered: require clearly better
+    // than the 1/10 random baseline rather than majority agreement
+    assert(agree.toDouble / total > 0.25, s"$agree/$total label agreement")
+  }
+
+  test("multimodal plumbing: media schema, batch features, frame sampling") {
+    val media = Multimodal.asMedia(docs.limit(20), "doc_id", "text")
+    assert(media.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
+    val feats = Multimodal.extractFeatures(media)
+    val r = feats.orderBy("media_id").collect().head
+    assert(r.getInt(1) > 0)
+    assert(r.getSeq[Float](2).length == 8)
+    assert(r.getSeq[Float](2).forall(_ >= 0.0f))
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() > 0)
+  }
+}
