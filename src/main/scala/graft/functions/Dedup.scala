@@ -32,14 +32,23 @@ object Dedup {
     df.select(col(idCol),
         explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"))
 
-  /** MinHash signature: k portable hash functions h_i(sh) = md5(i ++ sh),
-    * signature component = min over the doc's shingles. */
+  /** MinHash signature: k portable hash functions, signature component =
+    * min over the doc's shingles. Hash family: four 32-bit (8-hex-char)
+    * windows per md5, so k hashes cost ceil(k/4) md5 calls per shingle —
+    * h_i(sh) = md5(⌊i/4⌋ ++ ":" ++ sh)[8(i%4) .. 8(i%4)+8). Fixed-width
+    * hex keeps string-min == numeric-min, and md5 keeps the family
+    * engine-portable (a DuckDB oracle reproduces the exact signature). */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, n: Int = 3): DataFrame = {
     val sh = docShingles(df, textCol, idCol, n)
-    val aggs = (0 until k).map(i =>
-      min(md5(concat_ws(":", lit(i), col("sh")))).as(s"mh$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val nSeeds = (k + 3) / 4
+    val seeded = (0 until nSeeds).foldLeft(sh) { (d, s) =>
+      d.withColumn(s"__h$s", md5(concat_ws(":", lit(s), col("sh"))))
+    }
+    val aggs = (0 until k).map { i =>
+      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh$i")
+    }
+    seeded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over a minhash signature: bands of `rowsPerBand`
@@ -54,7 +63,10 @@ object Dedup {
     }
     val banded = sig.select(col(idCol),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col(idCol), col("bk.band").as("band"),
+        // md5 defines the buckets (engine-portable); the join itself runs
+        // on a 64-bit hash of it so the shuffle/probe handles longs
+        xxhash64(col("bk.key")).as("key"))
     val a = banded.toDF(Seq("a", "band", "key"): _*)
     val b = banded.toDF(Seq("b", "band", "key"): _*)
     a.join(b, Seq("band", "key"))
@@ -66,7 +78,11 @@ object Dedup {
     * shingles, sim = |∩| / |∪|. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docShingles(df, textCol, idCol, n).cache()
+    // join on a 64-bit hash of the shingle, not the string: the shuffle
+    // moves 8-byte keys instead of full n-grams and the hash join probes
+    // longs (collision odds ~|shingles|²/2⁶⁴ — immaterial to the counts)
+    val sh = docShingles(df, textCol, idCol, n)
+      .select(col(idCol), xxhash64(col("sh")).as("sh")).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.toDF("a", "sh")
     val b = sh.toDF("b", "sh")

@@ -143,7 +143,8 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }, Some {
       val mins = (0 until 8).map(i =>
-        s"min(md5('$i:' || sh)) AS mh$i").mkString(",\n            ")
+        s"min(substring(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+        .mkString(",\n            ")
       val bands = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS key FROM sig")
         .mkString("\n          UNION ALL ")
