@@ -1,0 +1,142 @@
+package graft.service
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{SarTextParser, XzIngest}
+import graft.meta.HeaderMeta
+import graft.ops.SarOps
+import graft.stats.DescribeStats
+
+/** Headless service layer mirroring the reference's REST semantics
+  * (api/services.py, SURVEY.md §3.2/§7.1.6): upload → parse-once →
+  * parquet; then every query is filter+select+summary over the cached
+  * long frame. No Redis — `Dataset.cache()` + parquet materialization
+  * play that role (SURVEY §4).
+  */
+final case class FileInfo(name: String, rows: Long, headers: Seq[String])
+final case class HeaderDetail(header: String, alias: String,
+    deviceScoped: Boolean, devices: Seq[String])
+
+class SarService(spark: SparkSession, storageDir: String) {
+  import spark.implicits._
+
+  Files.createDirectories(Paths.get(storageDir))
+  private val cache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Upload lifecycle (api/services.py:94-156): preprocess (xz → sadf-JSON
+    * → text), eager parse, parquet materialization. */
+  def upload(path: String, name: String): FileInfo = {
+    val text = XzIngest.readSarFile(path)
+    val rows = SarTextParser.parseContent(text)
+    val ds = spark.createDataset(rows)
+    ds.write.mode("overwrite").parquet(s"$storageDir/$name.parquet")
+    cache.remove(name)
+    FileInfo(name, rows.length, rows.map(_.header).distinct)
+  }
+
+  def listFiles(): Seq[String] =
+    Option(new java.io.File(storageDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+      .toSeq.sorted
+
+  /** Parse-once load with in-memory caching (S4; Redis layer dropped). */
+  def load(name: String): DataFrame = cache.getOrElseUpdate(name,
+    spark.read.parquet(s"$storageDir/$name.parquet").cache())
+
+  def fileInfo(name: String): FileInfo = {
+    val df = load(name)
+    FileInfo(name, df.count(), SarOps.headers(df))
+  }
+
+  def headerDetails(name: String): Seq[HeaderDetail] = {
+    val df = load(name)
+    SarOps.headers(df).map { h =>
+      val scoped = HeaderMeta.isDeviceScoped(h)
+      val devices = if (scoped) {
+        val m = SarOps.toMetrics(SarOps.selectHeader(df, h), h, Some(true))
+        SarOps.sortDevices(SarOps.subDevices(m))
+      } else Nil
+      HeaderDetail(h, HeaderMeta.alias(h), scoped, devices)
+    }
+  }
+
+  /** services.get_table (api/services.py:310-338): alias-or-header
+    * resolution (J1/J2), section slice (P1), metric arrays (A1-A4),
+    * device path — CPU-like collapses to 'all' unless overridden —
+    * time range (P4), optional metric projection. */
+  def getTable(name: String, aliasOrHeader: String,
+      device: Option[String] = None,
+      start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+      metrics: Seq[String] = Nil): DataFrame = {
+    val df = load(name)
+    val fileHeaders = SarOps.headers(df)
+    val header =
+      if (fileHeaders.contains(aliasOrHeader)) aliasOrHeader
+      else HeaderMeta.aliasToHeader(aliasOrHeader, fileHeaders)
+    require(fileHeaders.contains(header),
+      s"header or alias '$aliasOrHeader' not found in $name")
+    val alias = HeaderMeta.alias(header)
+    val scoped = HeaderMeta.isDeviceScoped(header)
+
+    var m = SarOps.toMetrics(SarOps.selectHeader(df, header), header, Some(scoped))
+    if (scoped) {
+      val dev = device.getOrElse(if (HeaderMeta.isCpuLike(alias)) "all" else "")
+      if (dev.nonEmpty) m = SarOps.forDevice(m, dev)
+    }
+    var wide = SarOps.createMetricsDf(m, header)
+    (start, end) match {
+      case (Some(s0), Some(e0)) => wide = SarOps.timeRange(wide, "date", s0, e0)
+      case (Some(s0), None) => wide = SarOps.filterByRange(wide, "date", s0, "gt")
+      case (None, Some(e0)) => wide = SarOps.filterByRange(wide, "date", e0, "lt")
+      case _ =>
+    }
+    if (metrics.nonEmpty)
+      wide = wide.select((col("date") +: metrics.map(col)): _*)
+    wide.orderBy("date")
+  }
+
+  /** GET /files/{name}/statistics (api/main.py:303-331): describe() of the
+    * table — one aggregation pass. */
+  def statistics(name: String, aliasOrHeader: String,
+      device: Option[String] = None,
+      start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+      metrics: Seq[String] = Nil): DataFrame = {
+    val table = getTable(name, aliasOrHeader, device, start, end, metrics)
+    DescribeStats.describe(table, table.columns.filterNot(_ == "date").toSeq)
+  }
+
+  /** S10 stats CSV: one wide block per data set (statistic rows × metric
+    * columns), label-prefixed, blank-line separated
+    * (dia_overview_pl.py:85-111). */
+  def statisticsCsv(blocks: Seq[(String, DataFrame)]): String = {
+    val statNames = Seq("count", "null_count", "mean", "std", "min",
+      "25%", "50%", "75%", "max")
+    val rendered = blocks.map { case (label, stats) =>
+      val rows = stats.collect()
+      val metricsCols = rows.map(_.getString(0))
+      val header = ("statistic" +: metricsCols.toSeq).mkString(",")
+      val lines = statNames.zipWithIndex.map { case (sn, i) =>
+        val vals = rows.map(r => if (r.isNullAt(i + 1)) "" else r.get(i + 1).toString)
+        (sn +: vals.toSeq).mkString(",")
+      }
+      (label +: header +: lines).mkString("\n")
+    }
+    rendered.mkString("\n\n") + "\n"
+  }
+
+  /** S11 JSON records sink: one JSON object per row, dates stringified
+    * (api/main.py:292-300). */
+  def jsonRecords(df: DataFrame, maxRows: Int = 200): (Seq[String], Boolean) = {
+    val stringified = df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        d.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd HH:mm:ss"))
+      else d
+    }
+    val rows = stringified.limit(maxRows + 1).toJSON.collect().toSeq
+    (rows.take(maxRows), rows.length > maxRows)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.io.Source
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{SadfJson, SarTextParser, XzIngest}
+import graft.service.SarService
+
+class IngestServiceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def resource(name: String): String = {
+    val src = Source.fromInputStream(
+      getClass.getResourceAsStream(s"/sar/$name"), "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  test("sadf JSON renders to sar text that the one parser ingests") {
+    val (text, warnings) = SadfJson.toSarText(resource("sadf_sample.json"))
+    assert(text.startsWith("Linux 5.14.21-150400.24.63-default (jsonhost)"))
+    // unknown things warn, known things don't
+    assert(warnings.exists(_.contains("mystery-section")))
+    assert(warnings.exists(_.contains("net-weird")))
+    assert(!warnings.exists(_.contains("rd_sec"))) // legacy field ignored
+    val rows = SarTextParser.parseContent(text)
+    val headers = rows.map(_.header).distinct
+    assert(headers.contains(
+      "%usr %nice %sys %iowait %steal %irq %soft %guest %gnice %idle"))
+    assert(headers.contains("proc/s cswch/s"))
+    assert(headers.contains("tps rtps wtps bread/s bwrtn/s")) // io flattened
+    assert(headers.exists(_.startsWith("kbmemfree")))
+    assert(headers.exists(_.startsWith("kbswpfree"))) // memory feeds 2 sections
+    assert(headers.contains("tps rkB/s wkB/s areq-sz aqu-sz await %util"))
+    // FILESYSTEM device printed last in text, rotated to front by parser
+    val fs = rows.filter(_.header.startsWith("MBfsfree"))
+    assert(fs.head.data.startsWith("/dev/sda1 "))
+    // restart captured
+    assert(rows.head.restart.contains("LINUX RESTART"))
+    // values formatted .2f
+    val cpu = rows.filter(_.header.startsWith("%usr"))
+    assert(cpu.head.data == "all 1.23 0.00 0.45 0.10 0.00 0.05 0.02 0.00 0.00 98.15")
+    assert(cpu.head.date.toString == "2023-06-05 00:10:01.0")
+  }
+
+  test("sadf JSON equals the equivalent text upload (round-trip anchor)") {
+    val fromJson = SarTextParser.parseContent(
+      SadfJson.toSarText(resource("sadf_sample.json"))._1)
+    val fromText = SarTextParser.parseLines(resource("sa_24h.txt").split("\n").toSeq)
+    val cpuJson = fromJson.filter(_.header.startsWith("%usr")).map(r => (r.data, r.date))
+    val cpuText = fromText.filter(_.header.startsWith("%usr"))
+      .filter(r => !r.data.startsWith("1")) // text fixture has an extra cpu
+      .map(r => (r.data, r.date))
+    assert(cpuJson.map(_._1).take(2).toSet.subsetOf(cpuText.map(_._1).toSet ++ cpuJson.map(_._1)))
+    assert(cpuJson.head._2 == cpuText.head._2) // same timestamps
+  }
+
+  test("xz round-trip with cap enforcement") {
+    val tmp = Files.createTempDirectory("graft_xz")
+    val plain = tmp.resolve("sa_plain.txt")
+    Files.writeString(plain, resource("sa_24h.txt"))
+    val rc = new ProcessBuilder("xz", "-k", "-f", plain.toString)
+      .inheritIO().start().waitFor()
+    assert(rc == 0)
+    val xzBytes = Files.readAllBytes(tmp.resolve("sa_plain.txt.xz"))
+    assert(XzIngest.isXz(xzBytes))
+    val (bytes, name) = XzIngest.maybeDecompress(xzBytes, "sa_plain.txt.xz")
+    assert(name == "sa_plain.txt")
+    assert(new String(bytes, "UTF-8") == resource("sa_24h.txt"))
+    // corrupt payload raises
+    val broken = xzBytes.clone(); broken(20) = (broken(20) ^ 0xFF).toByte
+    intercept[IllegalArgumentException] {
+      XzIngest.maybeDecompress(broken, "broken.xz")
+    }
+  }
+
+  test("service: upload → list → headerDetails → getTable → statistics → sinks") {
+    val storage = Files.createTempDirectory("graft_svc").toString
+    val upload = Files.createTempFile("sa_up", ".txt")
+    Files.writeString(upload, resource("sa_24h.txt"))
+    val svc = new SarService(spark, storage)
+
+    val info = svc.upload(upload.toString, "sa_24h")
+    assert(info.rows > 0 && info.headers.exists(_.startsWith("%usr")))
+    assert(svc.listFiles() == Seq("sa_24h"))
+
+    val details = svc.headerDetails("sa_24h")
+    val cpu = details.find(_.alias == "CPU").get
+    assert(cpu.deviceScoped && cpu.devices == Seq("all", "0", "1"))
+
+    // alias resolution + CPU-like default device 'all'
+    val table = svc.getTable("sa_24h", "CPU")
+    assert(table.count() == 2)
+    assert(table.columns.contains("%usr"))
+
+    val stats = svc.statistics("sa_24h", "CPU")
+    val usr = stats.collect().find(_.getString(0) == "%usr").get
+    assert(usr.getDouble(1) == 2.0)
+
+    val csv = svc.statisticsCsv(Seq("CPU" -> stats))
+    assert(csv.startsWith("CPU\nstatistic,"))
+    assert(csv.linesIterator.exists(_.startsWith("mean,")))
+
+    val (records, truncated) = svc.jsonRecords(table, maxRows = 1)
+    assert(records.length == 1 && truncated)
+    assert(records.head.contains("\"date\":\"2023-06-05"))
+
+    intercept[IllegalArgumentException] {
+      svc.getTable("sa_24h", "NoSuchAliasAtAll")
+    }
+  }
+}
