@@ -480,6 +480,41 @@ object OpsQueries extends QueryPack {
                FROM events)
          GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- F12 numeric formatting -------------------------------------
+    QueryDef("q_format_values", (s, dir) => {
+      Tables.load(s, dir, "events").filter(col("event_id") < 200)
+        .select(col("event_id"),
+          format_string("%.2f", col("value")).as("value_s"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT event_id, printf('%.2f', value) AS value_s
+         FROM events WHERE event_id < 200 ORDER BY event_id""")),
+
+    // ---- F6 date-component rebasing (replace_ymt) -------------------
+    QueryDef("q_replace_ymd", (s, dir) => {
+      // rebase a UI-chosen chart bound (10:30:00 on an arbitrary day) onto
+      // each day actually present in the frame (dataframe_funcs_pl.py:81-108)
+      val days = Tables.load(s, dir, "events")
+        .select(date_trunc("DAY", col("ts")).as("day")).distinct()
+      days.select(date_format(
+          col("day") + expr("INTERVAL '10:30' HOUR TO MINUTE"),
+          "yyyy-MM-dd HH:mm:ss").as("rebased"))
+        .orderBy("rebased")
+    }, Some(
+      """SELECT strftime(day + INTERVAL 10 HOUR + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS rebased
+         FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+         ORDER BY rebased""")),
+
+    // ---- O5 seeded tiered sample (no SQL oracle: engine RNG differs;
+    // driver records the weaker rows-only check) ----------------------
+    QueryDef("q_sample_tiered", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val n = ev.count()
+      val sampled = SarOps.sampleTiered(ev.select("event_id", "value"), n)
+      sampled.agg(count(lit(1)).as("n_sampled"))
+    }, None),
+
     // ---- sessionization ---------------------------------------------
     QueryDef("q_sessionize", (s, dir) => {
       val ev = Tables.load(s, dir, "events")
