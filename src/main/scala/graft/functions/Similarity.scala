@@ -22,18 +22,27 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Built-in-composed cosine (interpreted HOFs — reference baseline). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — native codegen'd Catalyst expression (identical
+    * semantics to `cosineHof`: double accumulation in element order; see
+    * graft.expressions.CosineSimilarity for why it exists). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.CosineSimilarity.cosine_native(a, b)
 
   /** Exact top-k by cosine against one query vector (taken from the row
-    * with `queryId`). Deterministic: ordered by rounded similarity with id
+    * with `queryId`). The query vector is a literal, not a broadcast join:
+    * a cross join compiles to BroadcastNestedLoopJoin which blocks
+    * whole-stage codegen, while a literal keeps scan→project→top-k in one
+    * codegen stage. Deterministic: ordered by rounded similarity with id
     * tie-break. */
   def topKCosine(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
-    val q = df.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qv"))
-    df.crossJoin(broadcast(q))
-      .select(col(idCol),
-        round(cosine(col(vecCol), col("__qv")), 4).as("cos"))
+    val qv = df.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0)
+    df.select(col(idCol),
+        round(cosine(col(vecCol), typedlit(qv)), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -49,17 +58,30 @@ object Similarity {
         transform(col("pc"), _.getField("cv")).as("cvec"))
 
   /** Assign every vector to its nearest centroid by cosine (deterministic
-    * tie-break on centroid label). Centroids are broadcast. */
+    * tie-break on centroid label). The codebook is k×dim — metadata scale
+    * by definition — so it ships as a literal array (an IVF routing table
+    * in the task binary) rather than a codegen-blocking nested-loop join;
+    * the argmin itself is a sequential fold, so no per-vector window
+    * shuffle either. */
   def assignNearest(df: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val scored = df.crossJoin(broadcast(cents))
-      .withColumn("__cos", round(cosine(col(vecCol), col("cvec")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("__cos").desc, col("centroid_label").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .withColumnRenamed("centroid_label", "assigned")
-      .drop("__rn", "cvec")
+    val codebook = cents.collect().map { r =>
+      (r.get(0), r.getSeq[Double](1))
+    }.sortBy(_._1.toString)
+    val centArr = array(codebook.map { case (label, vec) =>
+      struct(lit(label).as("l"), typedlit(vec).as("v"))
+    }.toSeq: _*)
+    // argmax over the literal codebook: best = fold keeping (cos, label);
+    // ties resolve to the lower label because entries are label-sorted and
+    // strictly-greater is required to replace
+    val scored = df.withColumn("__scored",
+      transform(centArr, c =>
+        struct(round(cosine(col(vecCol), c.getField("v")), 6).as("cos"),
+          c.getField("l").as("l"))))
+    val best = aggregate(col("__scored"),
+      element_at(col("__scored"), 1),
+      (acc, x) => when(x.getField("cos") > acc.getField("cos"), x)
+        .otherwise(acc))
+    scored.withColumn("assigned", best.getField("l")).drop("__scored")
   }
 }

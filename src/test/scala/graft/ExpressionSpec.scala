@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.CosineSimilarity
+import graft.functions.Similarity
+import graft.queries.Tables
+
+class ExpressionSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder(cores = 4).getOrCreate()
+
+  test("native cosine expression == HOF composition, bit for bit") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      CosineSimilarity.cosine_native(col("embedding"), col("qv")).as("native"),
+      Similarity.cosineHof(col("embedding"), col("qv")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+  }
+
+  test("cosine_similarity is registered for SQL via GraftExtensions") {
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark) // suite order may reuse a session
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT cosine_similarity(a.embedding, b.embedding) AS cos
+         FROM emb_sql a JOIN emb_sql b ON b.vec_id = 0 AND a.vec_id = 0""")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k plan runs inside whole-stage codegen (no join)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = Similarity.topKCosine(emb, "vec_id", "embedding", 0L, 10)
+      .queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark WholeStageCodegen stages in the compact form
+    assert(plan.contains("*(1) Project"), s"project not codegen'd:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("null and zero-vector handling") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 0.0f)), Some(Seq(1.0f, 0.0f))),
+      (Some(Seq(0.0f, 0.0f)), Some(Seq(1.0f, 2.0f))),   // zero norm → null
+      (None, Some(Seq(1.0f, 2.0f))))                    // null input → null
+      .toDF("a", "b")
+    val out = df.select(CosineSimilarity.cosine_native(col("a"), col("b")))
+      .collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+  }
+}
