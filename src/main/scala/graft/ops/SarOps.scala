@@ -151,6 +151,22 @@ object SarOps {
         .select("restart").collect().map(_.getString(0)).toSeq
     else Seq.empty
 
+  /** E3: restart strings → timestamps. Each restart string carries its
+    * HH:MM:SS as the last token (appended at parse); the day comes from
+    * the file's os_details (reference bokeh_charts.py:114-147). */
+  def restartTimestamps(df: DataFrame): Seq[Timestamp] = {
+    val restarts = restartHeaders(df)
+    if (restarts.isEmpty) return Seq.empty
+    val (dateStr, fmt) =
+      graft.ingest.SarTextParser.formatDate(osDetails(df))
+    val fmtr = java.time.format.DateTimeFormatter
+      .ofPattern(s"$fmt HH:mm:ss", java.util.Locale.US)
+    restarts.map { r =>
+      val t = r.trim.split("\\s+").last
+      Timestamp.valueOf(java.time.LocalDateTime.parse(s"$dateStr $t", fmtr))
+    }
+  }
+
   // ---- G3: arg-extrema ----------------------------------------------
 
   /** Timestamps of the min/max of a metric (reference

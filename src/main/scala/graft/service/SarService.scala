@@ -99,6 +99,18 @@ class SarService(spark: SparkSession, storageDir: String) {
     wide.orderBy("date")
   }
 
+  /** Restart (reboot) timestamps of a file — the engine-side data E4's
+    * chart markers consume. */
+  def restarts(name: String): Seq[Timestamp] =
+    SarOps.restartTimestamps(load(name))
+
+  /** getTable with restart zero-rows inserted (E2) — the "Data tab"
+    * variant whose stats include the inserted zeros (SURVEY §7.4.6). */
+  def getTableWithRestarts(name: String, aliasOrHeader: String,
+      device: Option[String] = None): DataFrame =
+    SarOps.insertRestartZeros(
+      getTable(name, aliasOrHeader, device), "date", restarts(name))
+
   /** GET /files/{name}/statistics (api/main.py:303-331): describe() of the
     * table — one aggregation pass. */
   def statistics(name: String, aliasOrHeader: String,

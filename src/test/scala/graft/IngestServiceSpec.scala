@@ -114,5 +114,14 @@ class IngestServiceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       svc.getTable("sa_24h", "NoSuchAliasAtAll")
     }
+
+    // E3: restart timestamps resolved from restart strings + file date
+    val rs = svc.restarts("sa_24h")
+    assert(rs.map(_.toString) == Seq("2023-06-05 00:15:30.0"))
+    // E2 through the service: zero row lands at the restart time
+    val withZeros = svc.getTableWithRestarts("sa_24h", "CPU")
+    assert(withZeros.count() == 3)
+    assert(withZeros.filter("date = timestamp'2023-06-05 00:15:30'")
+      .collect().head.getFloat(1) == 0.0f)
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.SarTextParser
+import graft.ops.SarOps
+import graft.queries.Tables
+import graft.sources.SarFrameStore
+
+/** Scale-path evidence: distributed multi-file parsing and shuffle-free
+  * bucketed joins (the two mechanisms SURVEY §4/§7.4.7 call out for the
+  * 100 TB target). */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = GraftSession.builder(cores = 8).getOrCreate()
+    // runtime confs (getOrCreate may reuse a suite-shared session):
+    // force SMJ so bucketing, not a broadcast, eliminates the exchanges
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val whDir = Files.createTempDirectory("graft_wh").toString
+
+  test("distributed parse: a corpus of SAR files parses per-file in parallel") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/sar/sa_24h.txt"), "UTF-8")
+    val base = try src.mkString finally src.close()
+    val dir = Files.createTempDirectory("graft_corpus")
+    // 40 files with distinct hostnames/dates
+    (0 until 40).foreach { i =>
+      val content = base
+        .replace("testhost", f"host$i%03d")
+        .replace("2023-06-05", f"2023-06-${(i % 28) + 1}%02d")
+      Files.writeString(dir.resolve(f"sa_$i%03d.txt"), content)
+    }
+    val t0 = System.nanoTime()
+    val ds = SarTextParser.parse(spark, s"$dir/*.txt").cache()
+    val n = ds.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n == 40L * 16)                         // 16 rows per file
+    assert(ds.rdd.getNumPartitions > 1)           // actually distributed
+    val hosts = ds.toDF().filter(col("os_details") =!= "")
+      .select("os_details").distinct().count()
+    assert(hosts == 40)                           // per-file os_details kept
+    // per-file restart rows survive the fan-out
+    assert(SarOps.restartHeaders(ds.toDF()).length == 40)
+    info(f"parsed 40 files in $secs%.2f s across ${ds.rdd.getNumPartitions} partitions")
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val ord = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    SarFrameStore.writeBucketed(
+      li.select("l_orderkey", "l_extendedprice"), "li_b", "l_orderkey", 8,
+      Some(s"$whDir/li_b"))
+    SarFrameStore.writeBucketed(
+      ord.select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "ord_b", "l_orderkey", 8, Some(s"$whDir/ord_b"))
+    val joined = SarFrameStore.colocatedJoin(spark, "li_b", "ord_b", "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle present:\n$plan")
+    assert(joined.count() == li.count())
+    // the same join on raw (unbucketed) frames shuffles both sides
+    val raw = li.select("l_orderkey", "l_extendedprice")
+      .join(ord.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+    assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
