@@ -84,8 +84,20 @@ class SarService(spark: SparkSession, storageDir: String) {
 
     var m = SarOps.toMetrics(SarOps.selectHeader(df, header), header, Some(scoped))
     if (scoped) {
-      val dev = device.getOrElse(if (HeaderMeta.isCpuLike(alias)) "all" else "")
-      if (dev.nonEmpty) m = SarOps.forDevice(m, dev)
+      // reference get_table uses frames[0]: CPU-like collapse to 'all',
+      // other device sections default to the first device in plain sort
+      // order; an explicit unknown device is an error
+      // (api/services.py:283-307)
+      val devices = SarOps.subDevices(m).sorted
+      val dev = device match {
+        case Some(d) =>
+          require(devices.contains(d),
+            s"Device '$d' not found for header '$alias'")
+          d
+        case None =>
+          if (HeaderMeta.isCpuLike(alias)) "all" else devices.head
+      }
+      m = SarOps.forDevice(m, dev)
     }
     var wide = SarOps.createMetricsDf(m, header)
     (start, end) match {
@@ -119,6 +131,40 @@ class SarService(spark: SparkSession, storageDir: String) {
       metrics: Seq[String] = Nil): DataFrame = {
     val table = getTable(name, aliasOrHeader, device, start, end, metrics)
     DescribeStats.describe(table, table.columns.filterNot(_ == "date").toSeq)
+  }
+
+  /** Headers common to all selected files (J4, helpers_pl.merge_headers
+    * semantics via set intersection). */
+  def commonHeaders(files: Seq[String]): Seq[String] =
+    files.map(f => SarOps.headers(load(f)).toSet).reduce(_ intersect _)
+      .toSeq.sorted
+
+  /** Multi-file compare frame (§2.11 / multi_files_pl + api/charts
+    * mode=overlay|sequential): one wide table per file union'd with a
+    * `file` identity column. `overlay` additionally rebases every row
+    * onto one 24h axis (F10) so files with different dates share an
+    * x-axis; `sequential` keeps real timestamps. */
+  def compareTable(files: Seq[String], aliasOrHeader: String,
+      device: Option[String] = None,
+      mode: String = "sequential"): DataFrame = {
+    require(files.nonEmpty, "no files selected")
+    require(mode == "sequential" || mode == "overlay", s"bad mode $mode")
+    val frames = files.map { f =>
+      getTable(f, aliasOrHeader, device).withColumn("file", lit(f))
+    }
+    val union = frames.reduce(_ unionByName _)
+    if (mode == "overlay")
+      SarOps.dayOverlayAlign(union, "date", "2000-01-01")
+        .orderBy("file", "aligned")
+    else union.orderBy("file", "date")
+  }
+
+  /** Pooled cross-file statistics for one section (G7). */
+  def pooledStatistics(files: Seq[String], aliasOrHeader: String,
+      device: Option[String] = None): DataFrame = {
+    val t = compareTable(files, aliasOrHeader, device)
+    DescribeStats.describe(t,
+      t.columns.filterNot(Set("date", "file").contains).toSeq)
   }
 
   /** S10 stats CSV: one wide block per data set (statistic rows × metric

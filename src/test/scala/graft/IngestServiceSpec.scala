@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import scala.io.Source
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, date_format}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ingest.{SadfJson, SarTextParser, XzIngest}
 import graft.service.SarService
@@ -114,6 +115,33 @@ class IngestServiceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       svc.getTable("sa_24h", "NoSuchAliasAtAll")
     }
+    // scoped non-CPU section without device → first device frame
+    val dev0 = svc.getTable("sa_24h", "Block Devices")
+    assert(dev0.count() == 2) // dev8-0 rows only
+    // explicit unknown device → clean error
+    intercept[IllegalArgumentException] {
+      svc.getTable("sa_24h", "Block Devices", device = Some("nvme9"))
+    }
+    // explicit device works
+    assert(svc.getTable("sa_24h", "Block Devices",
+      device = Some("dev8-1")).count() == 2)
+
+    // multi-file compare: upload a second host's file, intersect headers,
+    // union with file identity, overlay rebases to one 24h axis
+    val up2 = Files.createTempFile("sa_up2", ".txt")
+    Files.writeString(up2, resource("sa_24h.txt")
+      .replace("testhost", "otherhost").replace("2023-06-05", "2023-07-01"))
+    svc.upload(up2.toString, "sa_24h_b")
+    val common = svc.commonHeaders(Seq("sa_24h", "sa_24h_b"))
+    assert(common.exists(_.startsWith("%usr")))
+    val seqT = svc.compareTable(Seq("sa_24h", "sa_24h_b"), "CPU")
+    assert(seqT.count() == 4 &&
+      seqT.select("file").distinct().count() == 2)
+    val ovl = svc.compareTable(Seq("sa_24h", "sa_24h_b"), "CPU", mode = "overlay")
+    assert(ovl.select(date_format(col("aligned"), "yyyy-MM-dd")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("2000-01-01"))
+    val pooled = svc.pooledStatistics(Seq("sa_24h", "sa_24h_b"), "CPU")
+    assert(pooled.collect().find(_.getString(0) == "%usr").get.getDouble(1) == 4.0)
 
     // E3: restart timestamps resolved from restart strings + file date
     val rs = svc.restarts("sa_24h")
