@@ -184,22 +184,44 @@ object SarTextParser {
       h1
     }
 
+    // SAR files repeat the same HH:MM:SS across every section — memoize
+    // the (expensive) DateTimeFormatter parse per distinct time string
+    val timeCache = mutable.HashMap.empty[String, Timestamp]
+    def parseTime(t: String): Timestamp = timeCache.getOrElseUpdate(t,
+      Timestamp.valueOf(LocalDateTime.parse(s"$dateStr $t", fmtr)))
+
+    val headerCache = mutable.HashMap.empty[String, String]
+
     val out = rows.zipWithIndex.map { case ((h, d), i) =>
       val m = timeRe.matcher(d)
       val ts: Timestamp =
-        if (m.find()) {
-          val t = m.group(1).replaceAll("\\s+", " ")
-          Timestamp.valueOf(LocalDateTime.parse(s"$dateStr $t", fmtr))
-        } else null
-      val dataNoTime = d.replaceFirst(stripRe, "")
-        .replaceAll("\\s+", " ").trim
+        if (m.find()) parseTime(squeezeSpaces(m.group(1))) else null
+      val dataNoTime = squeezeSpaces(d.replaceFirst(stripRe, ""))
       SarLine(
-        header = headerClean(h),
+        header = headerCache.getOrElseUpdate(h, headerClean(h)),
         data = dataNoTime,
         os_details = if (i == 0) osDetails else "",
         restart = if (i < restarts.length) restarts(i) else "",
         date = ts)
     }
     out
+  }
+
+  /** Hand-rolled `\s+`→single-space squeeze + trim (a per-row regex
+    * replaceAll dominates parse time otherwise). */
+  private def squeezeSpaces(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { pendingSpace = sb.length() > 0 }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
   }
 }

@@ -57,11 +57,18 @@ object XzIngest {
   }
 
   /** Read a possibly-xz, possibly-sadf-JSON SAR file into parser-ready
-    * text (the full preprocessing chain: S6 → S7 → S1). */
+    * text (the full preprocessing chain: S6 → S8 sniff → S7 → S1). */
   def readSarFile(path: String): String = {
     val raw = Files.readAllBytes(Paths.get(path))
-    val (bytes, _) = maybeDecompress(raw, path)
+    val (bytes, name) = maybeDecompress(raw, path)
     val text = new String(bytes, "UTF-8")
-    if (SadfJson.isSadfJson(text)) SadfJson.toSarText(text)._1 else text
+    if (SadfJson.isSadfJson(text)) SadfJson.toSarText(text)._1
+    else if (BinarySarDetector.isBinarySar(bytes,
+        Paths.get(name).getFileName.toString) &&
+        !text.linesIterator.exists(_.matches("^\\d{2}:\\d{2}:\\d{2}.*")))
+      throw new IllegalArgumentException(
+        s"$path looks like a binary SAR data file — convert with " +
+          "'sar -A -t -f <file>' (sysstat) before upload")
+    else text
   }
 }

@@ -81,6 +81,27 @@ class IngestServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("binary SAR sniff: binary data flagged, text never flagged") {
+    import graft.ingest.BinarySarDetector
+    val rnd = new scala.util.Random(7)
+    val binary = Array.fill[Byte](400)(0) ++
+      "SYSSTAT".getBytes ++ Array.fill[Byte](100)(rnd.nextInt(256).toByte)
+    assert(BinarySarDetector.isBinarySar(binary, "sa20230605"))
+    val text = resource("sa_24h.txt").getBytes("UTF-8")
+    assert(!BinarySarDetector.isBinarySar(text, "sa_24h.txt"))
+    // binary upload through the service raises with conversion guidance
+    val tmp = Files.createTempFile("sa_bin", "")
+    Files.write(tmp, binary)
+    val e = intercept[IllegalArgumentException] {
+      graft.ingest.XzIngest.readSarFile(tmp.toString)
+    }
+    assert(e.getMessage.contains("sar -A -t -f"))
+    // a TEXT file with a binary-looking name still parses (guard works)
+    val tmp2 = Files.createTempFile("sa20230605", "")
+    Files.writeString(tmp2, resource("sa_24h.txt"))
+    assert(graft.ingest.XzIngest.readSarFile(tmp2.toString).contains("Linux"))
+  }
+
   test("service: upload → list → headerDetails → getTable → statistics → sinks") {
     val storage = Files.createTempDirectory("graft_svc").toString
     val upload = Files.createTempFile("sa_up", ".txt")
