@@ -26,4 +26,20 @@ object SarFrameStore {
   def colocatedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Skew-salted equi-join: replicate the (small-ish) right side
+    * `salt`-fold and scatter the skewed left side across the replicas, so
+    * one hot key spreads over `salt` tasks instead of one straggler.
+    * Complements AQE's skew-join (which only splits post-shuffle
+    * partitions of sort-merge joins); use this when a single key is so
+    * hot that even a split partition is one reducer's worth of work. */
+  def saltedJoin(bigSide: DataFrame, smallSide: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val saltedLeft = bigSide.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val saltedRight = smallSide.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
 }

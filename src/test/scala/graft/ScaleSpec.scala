@@ -51,6 +51,19 @@ class ScaleSpec extends AnyFunSuite {
     info(f"parsed 40 files in $secs%.2f s across ${ds.rdd.getNumPartitions} partitions")
   }
 
+  test("salted join spreads a hot key and preserves join results") {
+    import spark.implicits._
+    // heavily skewed left side: 90% of rows share key 1
+    val left = (1 to 10000).map(i => (if (i % 10 == 0) i else 1, i))
+      .toDF("k", "payload")
+    val right = Seq((1, "hot"), (20, "cold"), (30, "cold")).toDF("k", "v")
+    val plain = left.join(right, "k")
+    val salted = SarFrameStore.saltedJoin(left, right, "k", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("payload")).collect().head.getLong(0) ==
+      plain.agg(sum("payload")).collect().head.getLong(0))
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val ord = Tables.load(spark, "/root/testdata/sf0.001", "orders")
