@@ -97,6 +97,23 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a<b) pairs with cosine
+    * similarity ≥ threshold. This is the exact O(n²) baseline — correct
+    * at any scale but quadratic; the scale path blocks candidates first
+    * (route both vectors through Similarity.assignNearest and only pair
+    * within a centroid bucket), turning n² into Σ bucket². The cosine
+    * kernel is the codegen'd native expression. */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("b"), col(vecCol).as("__vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos",
+        round(Similarity.cosine(col("__va"), col("__vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
   /** 16-bit SimHash over distinct whitespace tokens; bit j comes from the
     * high bit of hex digit j of md5(token) (portable across engines). */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -278,6 +278,54 @@ object SarOps {
         (unix_micros(col(dateCol)) -
           unix_micros(date_trunc("DAY", col(dateCol))))))
 
+  // ---- as-of join (operator Spark lacks; composed per SURVEY §7.3(a)) --
+
+  /** As-of join: for every left row, attach the latest right row with
+    * `rightTime <= leftTime` within the same `partitionCols` key (align
+    * metric samples to the most recent preceding event — DuckDB/kdb
+    * ASOF JOIN semantics, inner flavor: unmatched left rows drop).
+    *
+    * Composed Spark-first instead of a custom SparkPlan: union both
+    * sides tagged, one window pass carries the last right payload
+    * forward in time order. One shuffle on the join key — the same cost
+    * a dedicated sort-merge as-of implementation would pay — and the
+    * window never holds more than the carry-forward struct per row. */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      partitionCols: Seq[String], leftTime: String, rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isL", lit(1))
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payloadCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            right.schema(c).dataType)))))
+    val rTagged = right
+      .select(partitionCols.map(col) :+
+        col(rightTime).as("__t") :+
+        lit(0).as("__isL") :+
+        struct(payloadCols.map(col): _*).as("__p"): _*)
+    val lAligned = lTagged.select(rTagged.columns.map(col) ++
+      left.columns.filterNot(c =>
+        partitionCols.contains(c)).map(col): _*)
+    val unioned = lAligned.unionByName(
+      rTagged.select(rTagged.columns.map(col) ++
+        left.columns.filterNot(c => partitionCols.contains(c))
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*))
+    // right rows sort before left rows at the same instant (isL asc) so
+    // an event AT the sample time is visible to it
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__isL").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = unioned.withColumn("__last",
+      last(col("__p"), ignoreNulls = true).over(w))
+    val out = carried.filter(col("__isL") === 1 && col("__last").isNotNull)
+      .select(partitionCols.map(col) ++
+        left.columns.filterNot(partitionCols.contains).map(col) ++
+        payloadCols.map(c => col("__last").getField(c).as(c)): _*)
+    out
+  }
+
   // ---- O4/O5: downsampling ------------------------------------------
 
   /** Every step-th row in `orderCol` order (reference bokeh_charts.py:

@@ -200,6 +200,55 @@ object LlmQueries extends QueryPack {
           FROM sh WHERE doc_id < 100
           GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- embedding-cosine near-dup pairs ----------------------------
+    QueryDef("q_dedup_cosine", (s, dir) => {
+      Dedup.cosineDupPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45)
+        .orderBy("a", "b")
+    }, Some(
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+          SELECT a.vec_id AS a, b.vec_id AS b,
+            round(${cosSqlD("a.embedding", "b.embedding")}, 4) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE round(${cosSqlD("a.embedding", "b.embedding")}, 4) >= 0.45
+          ORDER BY a, b""")),
+
+    // ---- as-of join (align samples to latest preceding marker) ------
+    QueryDef("q_asof_join", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("SECOND", col("ts")).as("ts_sec"),
+          round(col("value"), 2).as("value"))
+      val markers = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), date_trunc("SECOND", col("ts")).as("ts_sec"))
+        .agg(round(max("value"), 2).as("marker"))
+        .withColumn("m_ts_s",
+          date_format(col("ts_sec"), "yyyy-MM-dd HH:mm:ss"))
+      graft.ops.SarOps.asOfJoin(purchases, markers,
+          partitionCols = Seq("user_id"),
+          leftTime = "ts_sec", rightTime = "ts_sec",
+          payloadCols = Seq("marker", "m_ts_s"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts_sec"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("value"), col("marker"), col("m_ts_s"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH p AS (SELECT user_id, event_id,
+                    date_trunc('second', ts) AS tsec, round(value, 2) AS value
+                    FROM events WHERE event_type = 'purchase'),
+          e AS (SELECT user_id, date_trunc('second', ts) AS tsec,
+                round(max(value), 2) AS marker
+                FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+          e2 AS (SELECT user_id, tsec, marker,
+                 strftime(tsec, '%Y-%m-%d %H:%M:%S') AS m_ts_s FROM e)
+          SELECT p.user_id, p.event_id,
+            strftime(p.tsec, '%Y-%m-%d %H:%M:%S') AS ts_s,
+            p.value, e2.marker, e2.m_ts_s
+          FROM p ASOF JOIN e2
+            ON p.user_id = e2.user_id AND p.tsec >= e2.tsec
+          ORDER BY p.event_id""")),
+
     // ---- brute-force cosine top-k -----------------------------------
     QueryDef("q_knn_cosine", (s, dir) => {
       Similarity.topKCosine(Tables.load(s, dir, "embeddings"),

@@ -60,6 +60,15 @@ object SarStreaming {
       }
   }
 
+  /** Streaming exact deduplication: drop repeats of `keyCols` arriving
+    * within the watermark delay — the streaming face of the batch
+    * hash-groupBy dedup, with state bounded by the watermark (a landing
+    * directory re-delivering files cannot double-count). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String, delay: String = "1 hour"): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Drive a stream to completion against a memory sink and return the
     * result table (test/local harness; production uses a real sink). */
   def runToMemory(df: DataFrame, name: String,

@@ -33,6 +33,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamTotal == events.count())
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(200)
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    // simulate a source that re-delivers the same batch twice
+    events.write.mode("overwrite").parquet(s"$dir/batch1")
+    events.write.mode("overwrite").parquet(s"$dir/batch2")
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(s"$dir/batch1").schema, s"$dir/*")
+    val deduped = SarStreaming.dedupStream(stream,
+      Seq("event_id"), "ts", "2 hours")
+    val result = SarStreaming.runToMemory(deduped, "dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(spark.read.parquet(s"$dir/*").count() == 400)
+    assert(result.count() == 200)
+  }
+
   test("stateful sessionization matches the batch window query") {
     import spark.implicits._
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
