@@ -26,6 +26,14 @@ class LlmFunctionsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("prefix-filtered jaccard equals the direct self-join exactly") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = key(Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8))
+    val prefix = key(Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8))
+    assert(direct == prefix && direct.nonEmpty)
+  }
+
   test("minhash LSH candidates cover the high-jaccard pairs") {
     val jac = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
