@@ -90,6 +90,18 @@ class SarOpsSpec extends AnyFunSuite {
     assert(strided.count() == 1)
   }
 
+  test("describeSorted matches percentile-agg describe") {
+    val li = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (1 to 9).map(r.getDouble).toSeq).toMap
+    val a = asMap(graft.stats.DescribeStats.describe(li, cols))
+    val b = asMap(graft.stats.DescribeStats.describeSorted(li, cols))
+    for (c <- cols; (x, y) <- a(c).zip(b(c)))
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+        s"$c: $x vs $y")
+  }
+
   test("dedup keep-first + argExtrema + minMaxMarkers") {
     val section = SarOps.selectHeader(sar.toDF(), cpuHeader)
     val metrics = SarOps.toMetrics(section, cpuHeader)
