@@ -278,6 +278,25 @@ object SarOps {
         (unix_micros(col(dateCol)) -
           unix_micros(date_trunc("DAY", col(dateCol))))))
 
+  // ---- chart-layer data contracts (SURVEY §2.11) ---------------------
+
+  /** Padded y-range from full-data min/max (reference bokeh_charts.py:
+    * 336-376): one agg pass over every series column, bounds widened by
+    * `pad` of the spread (spread 0 ⇒ ±pad·|value| fallback). */
+  def yRange(df: DataFrame, valueCols: Seq[String],
+      pad: Double = 0.05): (Double, Double) = {
+    val aggs = valueCols.map(c => min(col(c).cast("double"))) ++
+      valueCols.map(c => max(col(c).cast("double")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val mins = valueCols.indices.map(r.getDouble)
+    val maxs = valueCols.indices.map(i => r.getDouble(valueCols.length + i))
+    val (lo, hi) = (mins.min, maxs.max)
+    val spread = hi - lo
+    if (spread > 0) (lo - pad * spread, hi + pad * spread)
+    else (lo - pad * math.max(1.0, math.abs(lo)),
+      hi + pad * math.max(1.0, math.abs(hi)))
+  }
+
   // ---- as-of join (operator Spark lacks; composed per SURVEY §7.3(a)) --
 
   /** As-of join: for every left row, attach the latest right row with

@@ -133,6 +133,17 @@ class SarService(spark: SparkSession, storageDir: String) {
     DescribeStats.describe(table, table.columns.filterNot(_ == "date").toSeq)
   }
 
+  /** Metric documentation from the sar.1-derived dimension (S12). */
+  def metricDescription(metric: String): String =
+    HeaderMeta.metricDescription(metric)
+
+  /** Chart y-range for a table's series columns (§2.11). */
+  def yRange(name: String, aliasOrHeader: String,
+      device: Option[String] = None): (Double, Double) = {
+    val t = getTable(name, aliasOrHeader, device)
+    SarOps.yRange(t, t.columns.filterNot(_ == "date").toSeq)
+  }
+
   /** Headers common to all selected files (J4, helpers_pl.merge_headers
     * semantics via set intersection). */
   def commonHeaders(files: Seq[String]): Seq[String] =

@@ -164,6 +164,12 @@ class IngestServiceSpec extends AnyFunSuite {
     val pooled = svc.pooledStatistics(Seq("sa_24h", "sa_24h_b"), "CPU")
     assert(pooled.collect().find(_.getString(0) == "%usr").get.getDouble(1) == 4.0)
 
+    // §2.11 y-range + S12 metric docs
+    val (lo, hi) = svc.yRange("sa_24h", "CPU")
+    assert(lo < 0.0 && hi > 98.15)  // padded beyond data extremes
+    assert(svc.metricDescription("%idle").toLowerCase.contains("idle"))
+    assert(svc.metricDescription("zzz") == "no description found for zzz")
+
     // E3: restart timestamps resolved from restart strings + file date
     val rs = svc.restarts("sa_24h")
     assert(rs.map(_.toString) == Seq("2023-06-05 00:15:30.0"))

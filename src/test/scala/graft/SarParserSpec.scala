@@ -57,6 +57,22 @@ class SarParserSpec extends AnyFunSuite {
     assert(rows.head.data == "all 1.23 98.77")
   }
 
+  test("edge fixture: AM/PM + restart + FCHOST + FILESYSTEM + 2-digit year") {
+    val rows = SarTextParser.parseLines(fixture("sa_edge.txt"))
+    val headers = rows.map(_.header).distinct
+    assert(headers == Seq("%usr %idle", "fch_rxf/s fch_txf/s",
+      "MBfsfree MBfsused %fsused"))
+    // 06/05/23 os-details → slashes dashed → MM-dd-yy format
+    assert(rows.head.date.toString == "2023-06-05 00:10:01.0")
+    // AM/PM restart captured with its time token
+    assert(rows.head.restart.endsWith("12:15:30"))
+    // device rotated to front in both FCHOST and FILESYSTEM data (AM mode)
+    assert(rows.filter(_.header.startsWith("fch_")).head.data ==
+      "hostA 10.00 20.00")
+    assert(rows.filter(_.header.startsWith("MBfsfree")).head.data ==
+      "/dev/sda1 1000 500 33.33")
+  }
+
   test("os-details date formats") {
     assert(SarTextParser.formatDate("Linux (h) 2023-06-05 _x86_64_") ==
       ("2023-06-05", "yyyy-MM-dd"))
