@@ -281,20 +281,33 @@ object SarOps {
   // ---- chart-layer data contracts (SURVEY §2.11) ---------------------
 
   /** Padded y-range from full-data min/max (reference bokeh_charts.py:
-    * 336-376): one agg pass over every series column, bounds widened by
-    * `pad` of the spread (spread 0 ⇒ ±pad·|value| fallback). */
+    * 336-376): one skipna agg pass over every series column; pad =
+    * span·0.1 (span 0 ⇒ max(|max|·pad, 1.0)); non-negative data clamps
+    * the lower bound to 0. None when there is no numeric data at all
+    * (reference leaves the chart on auto-range). NaN values are ignored
+    * like the reference's to_numeric/skipna coercion. */
   def yRange(df: DataFrame, valueCols: Seq[String],
-      pad: Double = 0.05): (Double, Double) = {
-    val aggs = valueCols.map(c => min(col(c).cast("double"))) ++
-      valueCols.map(c => max(col(c).cast("double")))
+      pad: Double = 0.1): Option[(Double, Double)] = {
+    require(valueCols.nonEmpty, "yRange needs at least one series column")
+    def numeric(c: String): Column = {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null)).otherwise(d)
+    }
+    val aggs = valueCols.map(c => min(numeric(c))) ++
+      valueCols.map(c => max(numeric(c)))
     val r = df.agg(aggs.head, aggs.tail: _*).collect().head
-    val mins = valueCols.indices.map(r.getDouble)
-    val maxs = valueCols.indices.map(i => r.getDouble(valueCols.length + i))
+    val mins = valueCols.indices.flatMap(i =>
+      if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+    val maxs = valueCols.indices.flatMap { i =>
+      val j = valueCols.length + i
+      if (r.isNullAt(j)) None else Some(r.getDouble(j))
+    }
+    if (mins.isEmpty || maxs.isEmpty) return None
     val (lo, hi) = (mins.min, maxs.max)
-    val spread = hi - lo
-    if (spread > 0) (lo - pad * spread, hi + pad * spread)
-    else (lo - pad * math.max(1.0, math.abs(lo)),
-      hi + pad * math.max(1.0, math.abs(hi)))
+    val span = hi - lo
+    val p = if (span == 0.0) math.max(math.abs(hi) * pad, 1.0) else span * pad
+    val start = if (lo >= 0.0) math.max(0.0, lo - p) else lo - p
+    Some((start, hi + p))
   }
 
   // ---- as-of join (operator Spark lacks; composed per SURVEY §7.3(a)) --

@@ -137,9 +137,10 @@ class SarService(spark: SparkSession, storageDir: String) {
   def metricDescription(metric: String): String =
     HeaderMeta.metricDescription(metric)
 
-  /** Chart y-range for a table's series columns (§2.11). */
+  /** Chart y-range for a table's series columns (§2.11); None means the
+    * chart should auto-range (no numeric data). */
   def yRange(name: String, aliasOrHeader: String,
-      device: Option[String] = None): (Double, Double) = {
+      device: Option[String] = None): Option[(Double, Double)] = {
     val t = getTable(name, aliasOrHeader, device)
     SarOps.yRange(t, t.columns.filterNot(_ == "date").toSeq)
   }

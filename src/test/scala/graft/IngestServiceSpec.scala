@@ -165,8 +165,15 @@ class IngestServiceSpec extends AnyFunSuite {
     assert(pooled.collect().find(_.getString(0) == "%usr").get.getDouble(1) == 4.0)
 
     // §2.11 y-range + S12 metric docs
-    val (lo, hi) = svc.yRange("sa_24h", "CPU")
-    assert(lo < 0.0 && hi > 98.15)  // padded beyond data extremes
+    val Some((lo, hi)) = svc.yRange("sa_24h", "CPU")
+    assert(lo == 0.0 && hi > 98.15) // non-negative data clamps lo to 0
+    // empty frame → auto-range
+    assert(graft.ops.SarOps.yRange(
+      table.filter("date < timestamp'1900-01-01'"), Seq("%usr")).isEmpty)
+    // all-NaN column ignored like the reference's skipna coercion
+    intercept[IllegalArgumentException] {
+      graft.ops.SarOps.yRange(table, Nil)
+    }
     assert(svc.metricDescription("%idle").toLowerCase.contains("idle"))
     assert(svc.metricDescription("zzz") == "no description found for zzz")
 
