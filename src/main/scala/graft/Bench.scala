@@ -24,13 +24,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(name: String): Double = {
+      val fn = SparkEntry.queries(name) // lookup outside the timed region
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0 // failure marker: never report a broken query as a timing
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     exec("q1_agg") // warmup, not reported

@@ -219,10 +219,10 @@ object LlmQueries extends QueryPack {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
           date_trunc("SECOND", col("ts")).as("ts_sec"),
-          round(col("value"), 2).as("value"))
+          col("value"))
       val markers = ev.filter(col("event_type") === "error")
         .groupBy(col("user_id"), date_trunc("SECOND", col("ts")).as("ts_sec"))
-        .agg(round(max("value"), 2).as("marker"))
+        .agg(max("value").as("marker"))
         .withColumn("m_ts_s",
           date_format(col("ts_sec"), "yyyy-MM-dd HH:mm:ss"))
       graft.ops.SarOps.asOfJoin(purchases, markers,
@@ -235,10 +235,10 @@ object LlmQueries extends QueryPack {
         .orderBy("event_id")
     }, Some(
       """WITH p AS (SELECT user_id, event_id,
-                    date_trunc('second', ts) AS tsec, round(value, 2) AS value
+                    date_trunc('second', ts) AS tsec, value
                     FROM events WHERE event_type = 'purchase'),
           e AS (SELECT user_id, date_trunc('second', ts) AS tsec,
-                round(max(value), 2) AS marker
+                max(value) AS marker
                 FROM events WHERE event_type = 'error' GROUP BY 1, 2),
           e2 AS (SELECT user_id, tsec, marker,
                  strftime(tsec, '%Y-%m-%d %H:%M:%S') AS m_ts_s FROM e)

@@ -21,11 +21,10 @@ object OpsQueries extends QueryPack {
       Tables.load(s, dir, "events")
         .filter(col("event_type") === "purchase" && col("user_id") === 7)
         .select(col("event_id"), date_format(col("ts"), tsFmt).as("ts_s"),
-          round(col("value"), 2).as("value"))
+          col("value"))
         .orderBy("event_id")
     }, Some(
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-         round(value, 2) AS value
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
          FROM events WHERE event_type = 'purchase' AND user_id = 7
          ORDER BY event_id""")),
 
@@ -57,8 +56,8 @@ object OpsQueries extends QueryPack {
     QueryDef("q_time_range", (s, dir) => {
       val df = Tables.load(s, dir, "events")
       SarOps.timeRange(df, "ts",
-          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
-          java.sql.Timestamp.valueOf("2024-01-12 23:59:59"))
+          utcTs("2024-01-10T00:00:00Z"),
+          utcTs("2024-01-12T23:59:59Z"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
           date_format(min("ts"), tsFmt).as("first_s"),
           date_format(max("ts"), tsFmt).as("last_s"))
@@ -72,8 +71,8 @@ object OpsQueries extends QueryPack {
 
     // ---- P7/A6 threshold band on array element ----------------------
     QueryDef("q_band_filter", (s, dir) => {
-      Tables.load(s, dir, "embeddings")
-        .filter(element_at(col("embedding"), 1).between(-0.01, 0.01))
+      SarOps.thresholdBand(Tables.load(s, dir, "embeddings"),
+          "embedding", 0, -0.01, 0.01)
         .select(col("vec_id"),
           round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
         .orderBy("vec_id")
@@ -241,22 +240,22 @@ object OpsQueries extends QueryPack {
       val mins = ev.withColumn("rn", row_number().over(wMin))
         .filter(col("rn") === 1)
         .select(col("event_type"), col("event_id").as("min_event_id"),
-          round(col("value"), 2).as("min_value"))
+          col("value").as("min_value"))
       val maxs = ev.withColumn("rn", row_number().over(wMax))
         .filter(col("rn") === 1)
         .select(col("event_type"), col("event_id").as("max_event_id"),
-          round(col("value"), 2).as("max_value"))
+          col("value").as("max_value"))
       mins.join(maxs, Seq("event_type")).orderBy("event_type")
     }, Some(
       """WITH mins AS (
            SELECT event_type, event_id AS min_event_id,
-                  round(value, 2) AS min_value,
+                  value AS min_value,
                   row_number() OVER (PARTITION BY event_type
                     ORDER BY value ASC, event_id ASC) AS rn
            FROM events),
          maxs AS (
            SELECT event_type, event_id AS max_event_id,
-                  round(value, 2) AS max_value,
+                  value AS max_value,
                   row_number() OVER (PARTITION BY event_type
                     ORDER BY value DESC, event_id ASC) AS rn
            FROM events)
@@ -276,7 +275,7 @@ object OpsQueries extends QueryPack {
     // ---- G5 keep-first dedup ----------------------------------------
     QueryDef("q_dedup_first", (s, dir) => {
       SarOps.dropDuplicatesKeepFirst(Tables.load(s, dir, "events"),
-          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+          Seq("user_id", "event_type"), Seq("event_id"))
         .select(col("user_id"), col("event_type"), col("event_id"),
           date_format(col("ts"), tsFmt).as("ts_s"))
         .orderBy("user_id", "event_type")
@@ -284,7 +283,7 @@ object OpsQueries extends QueryPack {
       """SELECT user_id, event_type, event_id,
          strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                 ORDER BY ts, event_id) AS rn FROM events)
+                 ORDER BY event_id) AS rn FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""")),
 
     // ---- G6 min/max markers -----------------------------------------
@@ -310,12 +309,7 @@ object OpsQueries extends QueryPack {
       val ev = Tables.load(s, dir, "events")
       val a = ev.filter(col("event_type") === "purchase").select("value")
       val b = ev.filter(col("event_type") === "click").select("value")
-      val st = DescribeStats.pooledStats(Seq(a, b), Seq("value"))
-      st.select(col("metric"), col("count"), col("null_count"),
-        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
-        round(col("min"), 4).as("min"), round(col("p25"), 4).as("p25"),
-        round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"),
-        round(col("max"), 4).as("max"))
+      roundedDescribe(DescribeStats.pooledStats(Seq(a, b), Seq("value")), 4)
     }, Some(
       """WITH x AS (SELECT CAST(value AS DOUBLE) AS v FROM events
                     WHERE event_type IN ('purchase', 'click'))
@@ -331,13 +325,9 @@ object OpsQueries extends QueryPack {
 
     // ---- G1 describe on lineitem ------------------------------------
     QueryDef("q_describe_lineitem", (s, dir) => {
-      val st = DescribeStats.describe(Tables.load(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount"))
-      st.select(col("metric"), col("count"), col("null_count"),
-        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
-        round(col("min"), 4).as("min"), round(col("p25"), 4).as("p25"),
-        round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"),
-        round(col("max"), 4).as("max")).orderBy("metric")
+      roundedDescribe(DescribeStats.describe(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount")), 4)
+        .orderBy("metric")
     }, Some(
       """SELECT metric, CAST(count AS DOUBLE) AS count, 0.0 AS null_count,
            round(mean, 4) AS mean, round(std, 4) AS std,
@@ -380,10 +370,10 @@ object OpsQueries extends QueryPack {
       Tables.load(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
-        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"),
+        .select(col("o_orderkey"), col("o_totalprice").as("total"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
     }, Some(
-      """SELECT o_orderkey, round(o_totalprice, 2) AS total,
+      """SELECT o_orderkey, o_totalprice AS total,
          strftime(o_orderdate, '%Y-%m-%d') AS orderdate
          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
 
@@ -444,7 +434,7 @@ object OpsQueries extends QueryPack {
     QueryDef("q_window_gap", (s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
+        .orderBy(col("event_id").asc)
       ev.withColumn("prev_s", lag(col("ts").cast("long"), 1).over(w))
         .withColumn("gap", col("ts").cast("long") - col("prev_s"))
         .groupBy("user_id")
@@ -458,7 +448,7 @@ object OpsQueries extends QueryPack {
          FROM (SELECT user_id,
                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
                  lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT), 1)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                   OVER (PARTITION BY user_id ORDER BY event_id) AS gap
                FROM events)
          GROUP BY user_id ORDER BY user_id""")),
 
@@ -466,7 +456,7 @@ object OpsQueries extends QueryPack {
     QueryDef("q_rolling_avg", (s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
+        .orderBy(col("event_id").asc)
         .rowsBetween(-2, 0)
       ev.withColumn("mv", avg(col("value")).over(w))
         .groupBy("user_id")
@@ -475,7 +465,7 @@ object OpsQueries extends QueryPack {
     }, Some(
       """SELECT user_id, count(*) AS n, round(avg(mv), 4) AS avg_mv
          FROM (SELECT user_id, avg(value) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id
+                 ORDER BY event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv
                FROM events)
          GROUP BY user_id ORDER BY user_id""")),
@@ -519,7 +509,7 @@ object OpsQueries extends QueryPack {
     QueryDef("q_sessionize", (s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
+        .orderBy(col("event_id").asc)
       ev.withColumn("sec", col("ts").cast("long"))
         .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
         .withColumn("new_sess",
@@ -534,7 +524,7 @@ object OpsQueries extends QueryPack {
                FROM (SELECT user_id,
                        CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
                        lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT), 1)
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                         OVER (PARTITION BY user_id ORDER BY event_id) AS gap
                      FROM events))
          GROUP BY user_id ORDER BY user_id"""))
   )

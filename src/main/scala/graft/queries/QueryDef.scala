@@ -23,6 +23,26 @@ final case class QueryDef(
 /** A group of related QueryDefs (one per operator family). */
 trait QueryPack {
   def queries: Seq[QueryDef]
+
+  /** UTC timestamp literal independent of the JVM default timezone
+    * (java.sql.Timestamp.valueOf parses in the platform TZ — a silent
+    * oracle divergence on any non-UTC driver machine). */
+  protected def utcTs(iso: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
+
+  /** Shared describe() output shape: metric + count/null_count raw,
+    * every other stat rounded to `precision` on both engines. */
+  protected def roundedDescribe(st: DataFrame, precision: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, round}
+    st.select(col("metric"), col("count"), col("null_count"),
+      round(col("mean"), precision).as("mean"),
+      round(col("std"), precision).as("std"),
+      round(col("min"), precision).as("min"),
+      round(col("p25"), precision).as("p25"),
+      round(col("p50"), precision).as("p50"),
+      round(col("p75"), precision).as("p75"),
+      round(col("max"), precision).as("max"))
+  }
 }
 
 /** Parquet table loader for the driver-generated testdata layout. */

@@ -42,12 +42,7 @@ object SarPipelineQueries extends QueryPack {
       val metrics = SarOps.toMetrics(section, "purchase", Some(true))
       val dev = SarOps.forDevice(metrics, "7")
       val wide = SarOps.createMetricsDf(dev, "purchase")
-      val st = DescribeStats.describe(wide, Seq("purchase"))
-      st.select(col("metric"), col("count"), col("null_count"),
-        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
-        round(col("min"), 4).as("min"), round(col("p25"), 4).as("p25"),
-        round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"),
-        round(col("max"), 4).as("max"))
+      roundedDescribe(DescribeStats.describe(wide, Seq("purchase")), 4)
     }, Some(
       """WITH x AS (SELECT CAST(round(CAST(value AS FLOAT), 2) AS DOUBLE) AS v
                     FROM events
@@ -81,8 +76,8 @@ object SarPipelineQueries extends QueryPack {
         .groupBy(date_trunc("DAY", col("ts")).as("date"))
         .agg(round(sum("value"), 2).as("revenue"))
       val withZeros = SarOps.insertRestartZeros(daily, "date", Seq(
-        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),  // collides → +1s
-        java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))) // clean insert
+        utcTs("2024-01-10T00:00:00Z"),  // collides → +1s
+        utcTs("2024-01-15T12:00:00Z"))) // clean insert
       withZeros.select(
         date_format(col("date"), "yyyy-MM-dd HH:mm:ss").as("date_s"),
         col("revenue")).orderBy("date_s")
