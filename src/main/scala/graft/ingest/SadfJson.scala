@@ -209,7 +209,11 @@ object SadfJson {
     if (v == null || v.isNull) "0"
     else if (v.isBoolean) (if (v.asBoolean()) "1" else "0")
     else if (v.isIntegralNumber) v.asLong().toString
-    else if (v.isFloatingPointNumber) f"${v.asDouble()}%.2f"
+    else if (v.isFloatingPointNumber)
+      // Locale.ROOT: a comma-decimal default locale would render "3,14"
+      // and silently null out every float downstream
+      String.format(java.util.Locale.ROOT, "%.2f",
+        java.lang.Double.valueOf(v.asDouble()))
     else v.asText()
 
   private def flattened(row: JsonNode, flatten: Seq[String]): Map[String, JsonNode] = {

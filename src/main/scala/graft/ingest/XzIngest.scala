@@ -29,7 +29,14 @@ object XzIngest {
       : (Array[Byte], String) = {
     if (!isXz(content)) return (content, fileName)
     val cap = maxDecompressedBytes
-    val p = new ProcessBuilder("xz", "-dc").start()
+    val p =
+      try new ProcessBuilder("xz", "-dc")
+        .redirectError(ProcessBuilder.Redirect.DISCARD).start()
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"$fileName: cannot decompress .xz — the 'xz' binary is not " +
+            s"available (${e.getMessage})")
+      }
     val writer = new Thread(() => {
       try { p.getOutputStream.write(content); p.getOutputStream.close() }
       catch { case _: java.io.IOException => () } // reader died first
@@ -44,7 +51,8 @@ object XzIngest {
       out.write(buf, 0, n)
       if (out.size() > cap) overflow = true else n = in.read(buf)
     }
-    if (overflow) { p.destroyForcibly(); writer.join()
+    if (overflow) {
+      p.destroyForcibly(); writer.join(); p.waitFor() // reap, don't leak
       throw new IllegalArgumentException(
         s"$fileName: decompressed size exceeds the ${cap / (1024 * 1024)} MB limit")
     }

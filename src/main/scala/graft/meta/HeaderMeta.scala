@@ -18,11 +18,13 @@ object HeaderMeta {
       description: String, keywd: Option[String])
   final case class MetricDoc(id: Int, metric: String, description: String)
 
-  private def loadTsv(resource: String): Seq[Array[String]] =
-    Using.resource(Source.fromInputStream(
-        getClass.getResourceAsStream(resource), "UTF-8")) { src =>
+  private def loadTsv(resource: String): Seq[Array[String]] = {
+    val stream = getClass.getResourceAsStream(resource)
+    require(stream != null, s"classpath resource $resource is missing")
+    Using.resource(Source.fromInputStream(stream, "UTF-8")) { src =>
       src.getLines().drop(1).map(_.split("\t", -1)).toList
     }
+  }
 
   lazy val headings: Seq[Heading] = loadTsv("/graft/headings.tsv").map { f =>
     Heading(f(0).toInt, f(1), f(2), f(3),

@@ -153,17 +153,29 @@ object SarOps {
 
   /** E3: restart strings → timestamps. Each restart string carries its
     * HH:MM:SS as the last token (appended at parse); the day comes from
-    * the file's os_details (reference bokeh_charts.py:114-147). */
+    * the file's os_details (reference bokeh_charts.py:114-147). In AM/PM
+    * files the original line (preserved at the front of the restart
+    * string) still holds the qualifier, so "12:05:00 AM" resolves to
+    * 00:05 — the reference's format=mixed parse shifts such restarts by
+    * 12h; this keeps the string format but not the bug. */
   def restartTimestamps(df: DataFrame): Seq[Timestamp] = {
     val restarts = restartHeaders(df)
     if (restarts.isEmpty) return Seq.empty
     val (dateStr, fmt) =
       graft.ingest.SarTextParser.formatDate(osDetails(df))
-    val fmtr = java.time.format.DateTimeFormatter
-      .ofPattern(s"$fmt HH:mm:ss", java.util.Locale.US)
     restarts.map { r =>
-      val t = r.trim.split("\\s+").last
-      Timestamp.valueOf(java.time.LocalDateTime.parse(s"$dateStr $t", fmtr))
+      val toks = r.trim.split("\\s+")
+      val t = toks.last
+      val amPm = toks.lift(1).filter(x =>
+        x.equalsIgnoreCase("AM") || x.equalsIgnoreCase("PM"))
+      val (timePat, timeStr) = amPm match {
+        case Some(q) => ("hh:mm:ss a", s"$t ${q.toUpperCase}")
+        case None => ("HH:mm:ss", t)
+      }
+      val fmtr = java.time.format.DateTimeFormatter
+        .ofPattern(s"$fmt $timePat", java.util.Locale.US)
+      Timestamp.valueOf(
+        java.time.LocalDateTime.parse(s"$dateStr $timeStr", fmtr))
     }
   }
 

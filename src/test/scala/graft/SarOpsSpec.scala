@@ -90,6 +90,25 @@ class SarOpsSpec extends AnyFunSuite {
     assert(strided.count() == 1)
   }
 
+  test("restart timestamps resolve AM/PM (edge fixture, 12:15:30 AM → 00:15)") {
+    import spark.implicits._
+    val path = getClass.getResource("/sar/sa_edge.txt").getPath
+    val edge = graft.ingest.SarTextParser.parse(spark, path).toDF()
+    val rs = SarOps.restartTimestamps(edge)
+    assert(rs.map(_.toString) == Seq("2023-06-05 00:15:30.0"))
+  }
+
+  test("describe on an empty slice: count 0, null_count 0, null stats") {
+    val li = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .filter("l_quantity < 0")
+    for (st <- Seq(DescribeStats.describe(li, Seq("l_quantity")),
+        DescribeStats.describeSorted(li, Seq("l_quantity")))) {
+      val r = st.collect().head
+      assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+      assert(r.isNullAt(3) && r.isNullAt(6)) // mean, p25 are SQL null
+    }
+  }
+
   test("describeSorted matches percentile-agg describe") {
     val li = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
