@@ -21,7 +21,9 @@ object Dedup {
     * with the member count and the keeper (min id). */
   def exactDupGroups(df: DataFrame, keyCol: String, idCol: String,
       minGroupSize: Int = 2): DataFrame =
-    df.groupBy(md5(col(keyCol)).as("digest"))
+    // null keys would md5 to null and collapse into one bogus dup group
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(md5(col(keyCol)).as("digest"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"),
         array_join(transform(array_sort(collect_list(col(idCol))),
           _.cast("string")), ",").as("ids"))
@@ -83,6 +85,8 @@ object Dedup {
     * result scale path for corpora where Σ freq(shingle)² explodes. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // cache: sh is scanned 3x within this plan; MEMORY_AND_DISK entries
+    // are LRU-evictable so long-lived apps degrade to recompute, not OOM
     val sh = docShingles(df, textCol, idCol, n)
       .select(col(idCol), xxhash64(col("sh")).as("sh")).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
@@ -166,7 +170,7 @@ object Dedup {
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val toks = df.select(col(idCol),
-      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      explode(array_distinct(TextAnalysis.words(col(textCol)))).as("tok"))
     val withHash = toks.withColumn("h", md5(col("tok")))
     val bitAggs = (0 until 16).map { j =>
       sum(when(substring(col("h"), j + 1, 1).isin(highHex: _*), 1)

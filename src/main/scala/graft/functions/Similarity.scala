@@ -76,7 +76,11 @@ object Similarity {
     // strictly-greater is required to replace
     val scored = df.withColumn("__scored",
       transform(centArr, c =>
-        struct(round(cosine(col(vecCol), c.getField("v")), 6).as("cos"),
+        // coalesce: a zero-norm vector/centroid yields null cosine, which
+        // would poison every comparison in the fold — rank it below any
+        // real similarity instead
+        struct(coalesce(round(cosine(col(vecCol), c.getField("v")), 6),
+          lit(-2.0)).as("cos"),
           c.getField("l").as("l"))))
     val best = aggregate(col("__scored"),
       element_at(col("__scored"), 1),

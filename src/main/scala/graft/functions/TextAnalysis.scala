@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens. */
-  def words(text: Column): Column = split(text, " ")
+  /** Whitespace tokens (any run of whitespace separates; mirrors the
+    * DuckDB oracle's string_split_regex('\\s+')). */
+  def words(text: Column): Column = split(text, "\\s+")
 
   def wsTokenCount(text: Column): Column = size(words(text))
 
@@ -39,10 +40,12 @@ object TextAnalysis {
       size(w).cast("double")
   }
 
-  /** Fraction of non-alphanumeric, non-space characters. */
+  /** Fraction of non-alphanumeric, non-space characters (0 for empty
+    * text — a null ratio would silently drop rows from quality filters). */
   def punctRatio(text: Column): Column =
-    regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") /
-      length(text).cast("double")
+    when(length(text) > 0,
+      regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") /
+        length(text).cast("double")).otherwise(lit(0.0))
 
   /** Composite quality score in [0,1]: long-enough docs with normal word
     * length, few symbols, and some (but not only) stopwords score high. */

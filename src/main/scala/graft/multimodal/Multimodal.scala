@@ -66,7 +66,8 @@ object Multimodal {
       // per-partition decoder init would go here
       it.map { r =>
         val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
+        val payload = Option(r.getAs[Array[Byte]](1))
+          .getOrElse(Array.emptyByteArray) // null payload = empty media
         Row(id, payload.length, stubDecode(payload).toSeq)
       }
     }

@@ -15,9 +15,12 @@ object LlmQueries extends QueryPack {
 
   private val dim = 64 // embeddings dimension (TESTDATA)
 
+  /** whitespace tokenizer fragment matching TextAnalysis.words */
+  private val wsSplit = "string_split_regex(text, '\\s+')" 
+
   // shared DuckDB fragments -------------------------------------------
   private val shingleCte =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    """w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
        sh AS (SELECT DISTINCT doc_id,
                 unnest(list_transform(range(len(w) - 2),
                   i -> array_to_string(w[i+1:i+3], ' '))) AS sh
@@ -42,7 +45,7 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }, Some(
       s"""SELECT doc_id,
-          CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+          CAST(len(${wsSplit}) AS INT) AS ws_tokens,
           CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenPattern}')) AS INT) AS re_tokens,
           CAST(length(text) AS INT) AS n_chars2
           FROM documents WHERE doc_id < 100 ORDER BY doc_id""")),
@@ -63,7 +66,7 @@ object LlmQueries extends QueryPack {
     }, Some {
       val stops = TextAnalysis.defaultStopwords
         .map(w => s"'$w'").mkString("[", ",", "]")
-      s"""WITH t AS (SELECT source, text, string_split(text, ' ') AS w
+      s"""WITH t AS (SELECT source, text, ${wsSplit} AS w
                      FROM documents),
           d AS (SELECT source,
             CAST(len(list_filter(w, x -> list_contains($stops, x))) AS DOUBLE)
@@ -91,7 +94,7 @@ object LlmQueries extends QueryPack {
         val lst = stops.map(w => s"'$w'").mkString("[", ",", "]")
         s"len(list_filter(w, x -> list_contains($lst, x))) AS c_$lang"
       }.mkString(",\n            ")
-      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+      s"""WITH t AS (SELECT lang, ${wsSplit} AS w FROM documents),
           s AS (SELECT lang,
             $scores
           FROM t)
@@ -113,7 +116,7 @@ object LlmQueries extends QueryPack {
       Dedup.exactDupGroups(docs, "prefix_key", "doc_id")
         .orderBy("digest")
     }, Some(
-      """SELECT md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS digest,
+      """SELECT md5(array_to_string((string_split_regex(text, '\s+'))[1:8], ' ')) AS digest,
          count(*) AS n, min(doc_id) AS keep_id,
          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
          FROM documents
@@ -174,7 +177,7 @@ object LlmQueries extends QueryPack {
       val hash = (0 until 16).map(j =>
         s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       s"""WITH toks AS (SELECT DISTINCT doc_id,
-            unnest(string_split(text, ' ')) AS tok
+            unnest(${wsSplit}) AS tok
             FROM documents WHERE doc_id < 100),
           g AS (SELECT doc_id,
             $sums

@@ -25,7 +25,8 @@ class SarService(spark: SparkSession, storageDir: String) {
   import spark.implicits._
 
   Files.createDirectories(Paths.get(storageDir))
-  private val cache = scala.collection.mutable.Map.empty[String, DataFrame]
+  // concurrent: this layer backs a REST surface (parallel load/upload)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Upload lifecycle (api/services.py:94-156): preprocess (xz → sadf-JSON
     * → text), eager parse, parquet materialization. */
@@ -33,8 +34,12 @@ class SarService(spark: SparkSession, storageDir: String) {
     val text = XzIngest.readSarFile(path)
     val rows = SarTextParser.parseContent(text)
     val ds = spark.createDataset(rows)
-    ds.write.mode("overwrite").parquet(s"$storageDir/$name.parquet")
-    cache.remove(name)
+    val target = s"$storageDir/$name.parquet"
+    ds.write.mode("overwrite").parquet(target)
+    // drop BOTH cache layers or a re-upload serves stale rows: our map
+    // AND Spark's plan cache (InMemoryFileIndex matches by root path)
+    Option(cache.remove(name)).foreach(_.unpersist())
+    spark.catalog.refreshByPath(target)
     FileInfo(name, rows.length, rows.map(_.header).distinct)
   }
 
@@ -44,8 +49,8 @@ class SarService(spark: SparkSession, storageDir: String) {
       .toSeq.sorted
 
   /** Parse-once load with in-memory caching (S4; Redis layer dropped). */
-  def load(name: String): DataFrame = cache.getOrElseUpdate(name,
-    spark.read.parquet(s"$storageDir/$name.parquet").cache())
+  def load(name: String): DataFrame = cache.computeIfAbsent(name,
+    _ => spark.read.parquet(s"$storageDir/$name.parquet").cache())
 
   def fileInfo(name: String): FileInfo = {
     val df = load(name)
@@ -147,9 +152,11 @@ class SarService(spark: SparkSession, storageDir: String) {
 
   /** Headers common to all selected files (J4, helpers_pl.merge_headers
     * semantics via set intersection). */
-  def commonHeaders(files: Seq[String]): Seq[String] =
+  def commonHeaders(files: Seq[String]): Seq[String] = {
+    require(files.nonEmpty, "no files selected")
     files.map(f => SarOps.headers(load(f)).toSet).reduce(_ intersect _)
       .toSeq.sorted
+  }
 
   /** Multi-file compare frame (§2.11 / multi_files_pl + api/charts
     * mode=overlay|sequential): one wide table per file union'd with a

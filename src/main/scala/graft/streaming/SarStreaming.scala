@@ -51,8 +51,13 @@ object SarStreaming {
           var sess = sess0; var last = last0; var n = n0
           rows.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
             val sec = e.ts.getTime / 1000
-            if (last == Long.MinValue || sec - last > gapSeconds) sess += 1
-            last = sec
+            // cross-batch late events (sec < last) are counted but never
+            // regress `last` — a regressed watermark would open a spurious
+            // session at the next on-time event
+            if (sec >= last || last == Long.MinValue) {
+              if (last == Long.MinValue || sec - last > gapSeconds) sess += 1
+              last = sec
+            }
             n += 1
           }
           state.update((sess, last, n))

@@ -164,6 +164,17 @@ class IngestServiceSpec extends AnyFunSuite {
     val pooled = svc.pooledStatistics(Seq("sa_24h", "sa_24h_b"), "CPU")
     assert(pooled.collect().find(_.getString(0) == "%usr").get.getDouble(1) == 4.0)
 
+    // re-upload must serve the new content (both cache layers dropped)
+    val info1 = svc.fileInfo("sa_24h")
+    svc.load("sa_24h").count() // materialize the cache
+    val up3 = Files.createTempFile("sa_up3", ".txt")
+    Files.writeString(up3, resource("sa_ampm.txt"))
+    svc.upload(up3.toString, "sa_24h")
+    val info2 = svc.fileInfo("sa_24h")
+    assert(info2.rows != info1.rows &&
+      info2.headers.contains("%usr %idle"))
+    svc.upload(upload.toString, "sa_24h") // restore for later assertions
+
     // §2.11 y-range + S12 metric docs
     val Some((lo, hi)) = svc.yRange("sa_24h", "CPU")
     assert(lo == 0.0 && hi > 98.15) // non-negative data clamps lo to 0
