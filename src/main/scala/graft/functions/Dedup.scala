@@ -85,10 +85,13 @@ object Dedup {
     * result scale path for corpora where Σ freq(shingle)² explodes. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // cache: sh is scanned 3x within this plan; MEMORY_AND_DISK entries
-    // are LRU-evictable so long-lived apps degrade to recompute, not OOM
+    // no cache: the a/b self-join sides canonicalize to the same Exchange
+    // so ReuseExchange computes the shuffle once, and the sizes branch
+    // re-runs only the narrow scan→explode→hash pipeline — nothing is
+    // left pinned in the block manager after the query (a long-lived
+    // service would otherwise leak one cached plan per call)
     val sh = docShingles(df, textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("sh")).as("sh")).cache()
+      .select(col(idCol), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.toDF("a", "sh")
     val b = sh.toDF("b", "sh")
@@ -115,14 +118,16 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = docShingles(df, textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("sh")).as("sh")).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      .select(col(idCol), xxhash64(col("sh")).as("sh"))
 
-    // prefix = the k smallest hashes, k = sz - ceil(t'·sz) + 1
+    // prefix = the k smallest hashes, k = sz - ceil(t'·sz) + 1; the set
+    // size and the rank come from one window pass (same partition key →
+    // one exchange+sort, no separate groupBy+join, no cache to leak)
     val tRelaxed = math.max(0.0, threshold - 1e-3)
     val w = Window.partitionBy(col(idCol)).orderBy(col("sh"))
-    val prefix = sh.withColumn("__rn", row_number().over(w))
-      .join(sizes, idCol)
+    val prefix = sh
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
         col("sz") - ceil(lit(tRelaxed) * col("sz")) + 1)
       .select(col(idCol), col("sh"), col("sz"))
@@ -148,13 +153,56 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a<b) pairs with cosine
-    * similarity ≥ threshold. This is the exact O(n²) baseline — correct
-    * at any scale but quadratic; the scale path blocks candidates first
-    * (route both vectors through Similarity.assignNearest and only pair
-    * within a centroid bucket), turning n² into Σ bucket². The cosine
-    * kernel is the codegen'd native expression. */
-  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+  /** Size-dispatched Jaccard join: the direct self-join below
+    * `directJoinDocLimit` docs (measured faster at small scale — the
+    * prefix pass's extra window costs more than it prunes), the
+    * prefix-filtered variant above it (the direct join's Σ freq(shingle)²
+    * candidate generation explodes on heavy-tailed corpora). Both paths
+    * are result-identical — oracle-verified against the same SQL. */
+  def jaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      directJoinDocLimit: Long = 100000): DataFrame =
+    if (df.count() <= directJoinDocLimit)
+      jaccardPairs(df, textCol, idCol, n, threshold)
+    else jaccardPairsPrefix(df, textCol, idCol, n, threshold)
+
+  /** Embedding-cosine near-duplicate pairs, centroid-blocked — the scale
+    * path and the default: route both sides through multi-probe IVF
+    * assignment ([[Similarity.assignTopK]]), generate candidates only
+    * between vectors sharing a probe bucket, then exact cosine on the
+    * candidates. O(n²) all-pairs becomes Σ bucket² candidate comparisons
+    * plus two hash joins to re-attach vectors — every shuffle is keyed,
+    * nothing nested-loops.
+    *
+    * Recall: a qualifying pair is found iff the two vectors share one of
+    * their `probes` nearest centroids. With a codebook finer than the
+    * duplicate radius (near-dups at `threshold` sit far closer than
+    * centroid spacing) this is recall-complete; raise `probes` (up to
+    * k = exhaustive) when the codebook is coarse. Verified
+    * result-identical to [[cosineDupPairsExact]] on the test corpus. */
+  def cosineDupPairsBlocked(df: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, probes: Int = 2): DataFrame = {
+    val routed = Similarity.assignTopK(df, cents, idCol, vecCol, probes)
+      .select(col(idCol), explode(col("probe_buckets")).as("bucket"))
+    val cand = routed.toDF("a", "bucket")
+      .join(routed.toDF("b", "bucket"), Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val va = df.select(col(idCol).as("a"), col(vecCol).as("__va"))
+    val vb = df.select(col(idCol).as("b"), col(vecCol).as("__vb"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("cos",
+        round(Similarity.cosine(col("__va"), col("__vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
+  /** Exact all-pairs embedding near-dup baseline: every (a<b) pair with
+    * cosine ≥ threshold via an inequality-only join — compiles to
+    * BroadcastNestedLoopJoin, O(n²) comparisons. Small-scale fallback /
+    * recall oracle only; [[cosineDupPairsBlocked]] is the path that
+    * survives a corpus that outgrows one machine. */
+  def cosineDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("a"), col(vecCol).as("__va"))
     val b = df.select(col(idCol).as("b"), col(vecCol).as("__vb"))

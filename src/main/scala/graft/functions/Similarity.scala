@@ -57,6 +57,19 @@ object Similarity {
       .select(col(labelCol).as("centroid_label"),
         transform(col("pc"), _.getField("cv")).as("cvec"))
 
+  /** Collect the k×dim codebook into a literal array column (label-sorted
+    * for deterministic ties). Centroids are metadata scale by definition,
+    * so they ship in the task binary rather than through a
+    * codegen-blocking nested-loop join. */
+  private def literalCodebook(cents: DataFrame): Column = {
+    val codebook = cents.collect().map { r =>
+      (r.get(0), r.getSeq[Double](1))
+    }.sortBy(_._1.toString)
+    array(codebook.map { case (label, vec) =>
+      struct(lit(label).as("l"), typedlit(vec).as("v"))
+    }.toSeq: _*)
+  }
+
   /** Assign every vector to its nearest centroid by cosine (deterministic
     * tie-break on centroid label). The codebook is k×dim — metadata scale
     * by definition — so it ships as a literal array (an IVF routing table
@@ -65,12 +78,7 @@ object Similarity {
     * shuffle either. */
   def assignNearest(df: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val codebook = cents.collect().map { r =>
-      (r.get(0), r.getSeq[Double](1))
-    }.sortBy(_._1.toString)
-    val centArr = array(codebook.map { case (label, vec) =>
-      struct(lit(label).as("l"), typedlit(vec).as("v"))
-    }.toSeq: _*)
+    val centArr = literalCodebook(cents)
     // argmax over the literal codebook: best = fold keeping (cos, label);
     // ties resolve to the lower label because entries are label-sorted and
     // strictly-greater is required to replace
@@ -87,5 +95,28 @@ object Similarity {
       (acc, x) => when(x.getField("cos") > acc.getField("cos"), x)
         .otherwise(acc))
     scored.withColumn("assigned", best.getField("l")).drop("__scored")
+  }
+
+  /** Multi-probe IVF routing: the `probes` nearest centroid labels per
+    * vector (cosine desc, label asc on ties), as an array column
+    * `probe_buckets`. Near-boundary vectors land in every bucket that
+    * could hold a close neighbor, which is what gives centroid-blocked
+    * candidate generation its recall. Shuffle-free like assignNearest:
+    * score the literal codebook, array_sort, slice — no per-vector
+    * window. */
+  def assignTopK(df: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, probes: Int): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val centArr = literalCodebook(cents)
+    // array_sort on structs orders by fields in declaration order, so
+    // (-cos, label) ascending = cosine descending with label tie-break;
+    // zero-norm null cosine coalesces below any real similarity
+    val scored = transform(centArr, c =>
+      struct((lit(0.0) - coalesce(
+        round(cosine(col(vecCol), c.getField("v")), 6), lit(-2.0)))
+          .as("negcos"),
+        c.getField("l").as("l")))
+    df.withColumn("probe_buckets",
+      transform(slice(array_sort(scored), 1, probes), _.getField("l")))
   }
 }

