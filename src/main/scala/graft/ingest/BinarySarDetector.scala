@@ -4,11 +4,10 @@ import java.nio.charset.StandardCharsets
 import java.nio.charset.CodingErrorAction
 
 /** Binary SAR data-file sniff (reference mng_sar.py:16-79, SURVEY §2.1
-  * S8 detect side): five weighted heuristics, ≥2 hits ⇒ binary. The
-  * conversion step itself (`sar -A -t -f`) needs the sysstat binary and
-  * stays a driver-side subprocess outside the engine, exactly as in the
-  * reference; the detector lets the upload path fail fast with a clear
-  * message when sysstat is absent. */
+  * S8 detect side): five weighted heuristics, ≥2 hits ⇒ binary. A hit
+  * routes the upload through [[BinarySarConverter]] (`sar -A -t -f`
+  * subprocess, as in the reference), which raises an actionable error
+  * when sysstat is absent. */
 object BinarySarDetector {
 
   def isBinarySar(content: Array[Byte], fileName: String): Boolean = {

@@ -74,9 +74,10 @@ object XzIngest {
     else if (BinarySarDetector.isBinarySar(bytes,
         Paths.get(name).getFileName.toString) &&
         !text.linesIterator.exists(_.matches("^\\d{2}:\\d{2}:\\d{2}.*")))
-      throw new IllegalArgumentException(
-        s"$path looks like a binary SAR data file — convert with " +
-          "'sar -A -t -f <file>' (sysstat) before upload")
+      // S8 conversion: shell `unset LANG; sar -A -t -f` like the
+      // reference upload path; raises with an actionable message when
+      // sysstat is absent (BinarySarConverter)
+      BinarySarConverter.convert(bytes, name)._1
     else text
   }
 }

@@ -158,11 +158,17 @@ object SarOps {
     * string) still holds the qualifier, so "12:05:00 AM" resolves to
     * 00:05 — the reference's format=mixed parse shifts such restarts by
     * 12h; this keeps the string format but not the bug. */
-  def restartTimestamps(df: DataFrame): Seq[Timestamp] = {
-    val restarts = restartHeaders(df)
+  def restartTimestamps(df: DataFrame): Seq[Timestamp] =
+    parseRestartTimestamps(restartHeaders(df), osDetails(df))
+
+  /** Parse already-collected restart strings against their file's
+    * os_details — the pooled-event form J7 multi-file matching needs
+    * (events arrive as (strings, os_details) pairs, not DataFrames). */
+  def parseRestartTimestamps(restarts: Seq[String],
+      osDetailsStr: String): Seq[Timestamp] = {
     if (restarts.isEmpty) return Seq.empty
     val (dateStr, fmt) =
-      graft.ingest.SarTextParser.formatDate(osDetails(df))
+      graft.ingest.SarTextParser.formatDate(osDetailsStr)
     restarts.map { r =>
       val toks = r.trim.split("\\s+")
       val t = toks.last
@@ -397,13 +403,33 @@ object SarOps {
     math.max(1, math.ceil(totalRows.toDouble / perSeries).toInt)
   }
 
+  /** The reference's size-tiered sample caps
+    * (alt.py:42-73: >100k→2000, >50k→3000, else 5000). */
+  def tierCap(totalRows: Long): Int =
+    if (totalRows > 100000) 2000 else if (totalRows > 50000) 3000 else 5000
+
   /** Seeded sample with the reference's size-tiered caps
-    * (reference alt.py:42-73: >100k→2000, >50k→3000, else 5000, seed 42). */
+    * (reference alt.py:42-73, seed 42). Engine-RNG-dependent — kept as
+    * the behavioral mirror; [[sampleTieredDeterministic]] is the
+    * reproducible variant. */
   def sampleTiered(df: DataFrame, totalRows: Long, seed: Long = 42): DataFrame = {
-    val cap = if (totalRows > 100000) 2000 else if (totalRows > 50000) 3000 else 5000
+    val cap = tierCap(totalRows)
     if (totalRows <= cap) df
     else df.sample(withReplacement = false,
       math.min(1.0, cap.toDouble * 1.1 / totalRows), seed)
       .limit(cap)
+  }
+
+  /** Deterministic tiered sample: the same size-tiered caps, but
+    * selection by md5(id) order instead of an engine RNG — any engine
+    * reproduces the identical row set bit-for-bit (the md5 of a decimal
+    * id string is uniform, so this is an unbiased fixed-seed sample).
+    * Plans as TakeOrderedAndProject: a distributed top-k with per-
+    * partition pruning, never a materialized global sort. */
+  def sampleTieredDeterministic(df: DataFrame, idCol: String,
+      totalRows: Long): DataFrame = {
+    val cap = tierCap(totalRows)
+    if (totalRows <= cap) df
+    else df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(cap)
   }
 }

@@ -496,14 +496,26 @@ object OpsQueries extends QueryPack {
          FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
          ORDER BY rebased""")),
 
-    // ---- O5 seeded tiered sample (no SQL oracle: engine RNG differs;
-    // driver records the weaker rows-only check) ----------------------
+    // ---- O5 tiered sample, deterministic selection ------------------
+    // md5(id)-ordered top-cap instead of an engine RNG, so the exact row
+    // set is reproducible in any engine and the query gets a full hash
+    // oracle (the seeded variant stays available as SarOps.sampleTiered)
     QueryDef("q_sample_tiered", (s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val n = ev.count()
-      val sampled = SarOps.sampleTiered(ev.select("event_id", "value"), n)
-      sampled.agg(count(lit(1)).as("n_sampled"))
-    }, None),
+      SarOps.sampleTieredDeterministic(
+          ev.select("event_id", "value"), "event_id", n)
+        .orderBy("event_id")
+    }, Some(
+      """WITH n AS (SELECT count(*) AS c FROM events),
+         r AS (SELECT event_id, value,
+               row_number() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                  event_id) AS rn
+               FROM events)
+         SELECT event_id, value FROM r, n
+         WHERE rn <= CASE WHEN n.c > 100000 THEN 2000
+                          WHEN n.c > 50000 THEN 3000 ELSE 5000 END
+         ORDER BY event_id""")),
 
     // ---- sessionization ---------------------------------------------
     QueryDef("q_sessionize", (s, dir) => {

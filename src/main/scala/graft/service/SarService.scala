@@ -28,13 +28,24 @@ class SarService(spark: SparkSession, storageDir: String) {
   // concurrent: this layer backs a REST surface (parallel load/upload)
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Storage-name guard mirroring the reference's _validate_file_name
+    * (api/services.py:39,73-77): ^[A-Za-z0-9._-]+$, no leading dot.
+    * This layer backs a REST surface, so a caller-supplied name like
+    * '../../x' must never reach the interpolated storage path — with
+    * mode("overwrite") a traversal write also deletes the target. */
+  private def validated(name: String): String = {
+    require(name.matches("[A-Za-z0-9._-]+") && !name.startsWith("."),
+      s"invalid file name '$name' (allowed: A-Za-z0-9._- with no leading dot)")
+    name
+  }
+
   /** Upload lifecycle (api/services.py:94-156): preprocess (xz → sadf-JSON
     * → text), eager parse, parquet materialization. */
   def upload(path: String, name: String): FileInfo = {
     val text = XzIngest.readSarFile(path)
     val rows = SarTextParser.parseContent(text)
     val ds = spark.createDataset(rows)
-    val target = s"$storageDir/$name.parquet"
+    val target = s"$storageDir/${validated(name)}.parquet"
     ds.write.mode("overwrite").parquet(target)
     // drop BOTH cache layers or a re-upload serves stale rows: our map
     // AND Spark's plan cache (InMemoryFileIndex matches by root path)
@@ -49,7 +60,7 @@ class SarService(spark: SparkSession, storageDir: String) {
       .toSeq.sorted
 
   /** Parse-once load with in-memory caching (S4; Redis layer dropped). */
-  def load(name: String): DataFrame = cache.computeIfAbsent(name,
+  def load(name: String): DataFrame = cache.computeIfAbsent(validated(name),
     _ => spark.read.parquet(s"$storageDir/$name.parquet").cache())
 
   def fileInfo(name: String): FileInfo = {
@@ -120,6 +131,46 @@ class SarService(spark: SparkSession, storageDir: String) {
     * chart markers consume. */
   def restarts(name: String): Seq[Timestamp] =
     SarOps.restartTimestamps(load(name))
+
+  /** S13 upload: store under the reference's rename convention
+    * `<upload date>_<hostname>_<sar date>` derived from the parsed
+    * os_details (helpers_pl.py:245-280). The convention is what makes
+    * J7 restart matching and age-based cleanup possible. Returns the
+    * FileInfo under the generated name. */
+  def uploadWithConvention(path: String,
+      uploadDate: java.time.LocalDate = java.time.LocalDate.now())
+      : FileInfo = {
+    val text = XzIngest.readSarFile(path)
+    val rows = SarTextParser.parseContent(text)
+    require(rows.nonEmpty, s"$path parsed to zero SAR rows")
+    val name = SarNaming.uploadName(rows.head.os_details,
+      uploadDate.toString)
+    val ds = spark.createDataset(rows)
+    val target = s"$storageDir/${validated(name)}.parquet"
+    ds.write.mode("overwrite").parquet(target)
+    Option(cache.remove(name)).foreach(_.unpersist())
+    spark.catalog.refreshByPath(target)
+    FileInfo(name, rows.length, rows.map(_.header).distinct)
+  }
+
+  /** J7: associate pooled restart events to files by (hostname, sar
+    * date) substrings of the filename (multi_files_pl.py:303-310,
+    * bokeh_charts.py:1028-1060) — a multi-file compare shows each
+    * file's own reboot markers only. Events whose (hostname, date)
+    * match no selected file are dropped, exactly like the reference's
+    * break-on-first-match loop. */
+  def restartsByFile(files: Seq[String]): Map[String, Seq[Timestamp]] = {
+    val pooled = files.map { f =>
+      val df = load(f)
+      (SarOps.restartHeaders(df), SarOps.osDetails(df))
+    }
+    files.map { f =>
+      f -> pooled.collectFirst {
+        case (rs, od) if rs.nonEmpty && SarNaming.matchesFile(f, od) =>
+          SarOps.parseRestartTimestamps(rs, od)
+      }.getOrElse(Seq.empty)
+    }.toMap
+  }
 
   /** getTable with restart zero-rows inserted (E2) — the "Data tab"
     * variant whose stats include the inserted zeros (SURVEY §7.4.6). */

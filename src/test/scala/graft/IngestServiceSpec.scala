@@ -89,17 +89,102 @@ class IngestServiceSpec extends AnyFunSuite {
     assert(BinarySarDetector.isBinarySar(binary, "sa20230605"))
     val text = resource("sa_24h.txt").getBytes("UTF-8")
     assert(!BinarySarDetector.isBinarySar(text, "sa_24h.txt"))
-    // binary upload through the service raises with conversion guidance
+    // binary upload routes through S8 conversion; on a host without
+    // sysstat (this container) it raises the install guidance, with
+    // sysstat it would fail on the garbage payload with the sar error —
+    // both paths surface an actionable IllegalArgumentException
     val tmp = Files.createTempFile("sa_bin", "")
     Files.write(tmp, binary)
     val e = intercept[IllegalArgumentException] {
       graft.ingest.XzIngest.readSarFile(tmp.toString)
     }
-    assert(e.getMessage.contains("sar -A -t -f"))
+    assert(e.getMessage.contains("sar -A -t -f") ||
+      e.getMessage.contains("conversion failed"))
     // a TEXT file with a binary-looking name still parses (guard works)
     val tmp2 = Files.createTempFile("sa20230605", "")
     Files.writeString(tmp2, resource("sa_24h.txt"))
     assert(graft.ingest.XzIngest.readSarFile(tmp2.toString).contains("Linux"))
+  }
+
+  test("S8 conversion contract: exact command line and rename rule") {
+    import graft.ingest.BinarySarConverter
+    // the reference shells exactly `unset LANG; sar -A -t -f <file>`
+    // (mng_sar.py:105) — LANG unset for C-locale layout, -t for original
+    // timestamps; pin the construction so the subprocess contract is
+    // testable on hosts without sysstat
+    assert(BinarySarConverter.conversionCommand("/tmp/f") ==
+      Seq("sh", "-c", "unset LANG; sar -A -t -f '/tmp/f'"))
+    // saDD → sarDD naming (mng_sar.py:95-99)
+    assert(BinarySarConverter.convertedName("sa20250726") == "sar20250726")
+    assert(BinarySarConverter.convertedName("notes.bin") == "sar_notes.bin")
+    // without sysstat the converter refuses with install guidance; with
+    // it, garbage input must fail sar itself — never silently succeed
+    if (!BinarySarConverter.sarAvailable()) {
+      val e = intercept[IllegalArgumentException] {
+        BinarySarConverter.convert(Array[Byte](0, 1, 2), "sa20250726")
+      }
+      assert(e.getMessage.contains("sysstat"))
+    } else {
+      intercept[IllegalArgumentException] {
+        BinarySarConverter.convert(Array[Byte](0, 1, 2), "sa20250726")
+      }
+    }
+  }
+
+  test("S13+J7: convention naming and per-file restart matching") {
+    import graft.service.{SarNaming, SarService}
+    def sarText(host: String, date: String, restartTime: String): String =
+      s"Linux 5.14.21-default ($host) \t$date \t_x86_64_\t(2 CPU)\n" +
+        "\n" +
+        "00:00:01        CPU     %usr   %idle\n" +
+        "00:10:01        all      1.00  99.00\n" +
+        "00:20:01        all      2.00  98.00\n" +
+        "\n" +
+        s"$restartTime       LINUX RESTART\t(2 CPU)\n"
+
+    // naming unit contract (helpers_pl.py:245-280)
+    val od = "Linux 5.14.21-default (h1) 06-05-23 _x86_64_ (2 CPU)"
+    assert(SarNaming.hostname(od) == "h1")
+    assert(SarNaming.sarDate(od) == "2023-06-05") // MM-DD-YY → 20YY-MM-DD
+    assert(SarNaming.uploadName(od, "2026-08-12") == "2026-08-12_h1_2023-06-05")
+
+    val storage = Files.createTempDirectory("graft_j7").toString
+    val svc = new SarService(spark, storage)
+    val up = java.time.LocalDate.parse("2026-08-12")
+    val f1 = Files.createTempFile("sar1", ".txt")
+    Files.writeString(f1, sarText("hostalpha", "2023-06-05", "00:15:30"))
+    val f2 = Files.createTempFile("sar2", ".txt")
+    Files.writeString(f2, sarText("hostbeta", "2023-07-10", "02:30:00"))
+    val n1 = svc.uploadWithConvention(f1.toString, up).name
+    val n2 = svc.uploadWithConvention(f2.toString, up).name
+    assert(n1 == "2026-08-12_hostalpha_2023-06-05")
+    assert(n2 == "2026-08-12_hostbeta_2023-07-10")
+
+    // each file gets only its own reboot markers (multi_files_pl matching)
+    val byFile = svc.restartsByFile(Seq(n1, n2))
+    assert(byFile(n1).map(_.toString) == Seq("2023-06-05 00:15:30.0"))
+    assert(byFile(n2).map(_.toString) == Seq("2023-07-10 02:30:00.0"))
+
+    // a file stored outside the convention matches no pooled event
+    val f3 = Files.createTempFile("sar3", ".txt")
+    Files.writeString(f3, sarText("hostgamma", "2023-08-01", "03:00:00"))
+    svc.upload(f3.toString, "plainname")
+    assert(svc.restartsByFile(Seq(n1, "plainname"))("plainname").isEmpty)
+  }
+
+  test("storage names are validated against traversal") {
+    import graft.service.SarService
+    val storage = Files.createTempDirectory("graft_val").toString
+    val svc = new SarService(spark, storage)
+    val up = Files.createTempFile("sa_up", ".txt")
+    Files.writeString(up, resource("sa_24h.txt"))
+    for (bad <- Seq("../../x", "a/b", ".hidden", "a b", ""))
+      intercept[IllegalArgumentException] {
+        svc.upload(up.toString, bad)
+      }
+    intercept[IllegalArgumentException] { svc.load("../../etc/passwd") }
+    // the convention's own names pass the guard
+    assert(svc.upload(up.toString, "2026-08-12_host_2023-06-05").rows > 0)
   }
 
   test("service: upload → list → headerDetails → getTable → statistics → sinks") {
