@@ -179,14 +179,26 @@ class SarService(spark: SparkSession, storageDir: String) {
     SarOps.insertRestartZeros(
       getTable(name, aliasOrHeader, device), "date", restarts(name))
 
+  /** Row-count threshold above which statistics() switches from the
+    * exact single-pass describe (percentile buffer = all distinct values
+    * on one reducer) to the fixed-size t-digest sketch. SAR tables are
+    * minutes-resolution — far below this — so the service stays exact
+    * for them; the switch exists for the 100 TB pooled/compare paths. */
+  val exactDescribeRowLimit: Long = 10_000_000L
+
   /** GET /files/{name}/statistics (api/main.py:303-331): describe() of the
-    * table — one aggregation pass. */
+    * table — one aggregation pass. Engine picked by cardinality: exact
+    * quantiles below [[exactDescribeRowLimit]] rows, t-digest sketch
+    * (documented tolerance, fixed memory) above it. */
   def statistics(name: String, aliasOrHeader: String,
       device: Option[String] = None,
       start: Option[Timestamp] = None, end: Option[Timestamp] = None,
       metrics: Seq[String] = Nil): DataFrame = {
     val table = getTable(name, aliasOrHeader, device, start, end, metrics)
-    DescribeStats.describe(table, table.columns.filterNot(_ == "date").toSeq)
+    val cols = table.columns.filterNot(_ == "date").toSeq
+    if (table.count() <= exactDescribeRowLimit)
+      DescribeStats.describe(table, cols)
+    else DescribeStats.describeTDigest(table, cols)
   }
 
   /** Metric documentation from the sar.1-derived dimension (S12). */

@@ -77,6 +77,19 @@ object DescribeStats {
       c => percentile_approx(c, array(lit(0.25), lit(0.5), lit(0.75)),
         lit(accuracy)))
 
+  /** t-digest describe: single-pass mergeable quantile sketch
+    * (graft.expressions.TDigestQuantiles) in the same aggregation as the
+    * moments. The buffer is ≈`compression` centroids regardless of
+    * cardinality — the safe default for 100 TB high-cardinality columns,
+    * where `describe`'s exact percentile would gather every distinct
+    * value on one reducer. Rank error O(1/compression) mid-stream,
+    * tighter near the tails. */
+  def describeTDigest(df: DataFrame, cols: Seq[String],
+      compression: Int = 200): DataFrame =
+    aggDescribe(df, cols,
+      c => graft.expressions.TDigestQuantiles.tdigest_quantiles(
+        c, Seq(0.25, 0.5, 0.75), compression))
+
   /** Cross-file pooled stats: union the frames, then one describe pass
     * (reference layout_helper_pl.py:236-267 display_averages). */
   def pooledStats(dfs: Seq[DataFrame], cols: Seq[String]): DataFrame =
