@@ -7,13 +7,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced through the `noop` sink — a plain count() would
   * let Catalyst prune every column and skip the actual expressions. A
-  * warmup pass (q1_agg) absorbs JVM/codegen startup so timings measure the
-  * plans, not JIT.
+  * warmup pass (q1_agg) absorbs JVM/codegen startup, and every query runs
+  * `runs` times with the median reported, so round-over-round deltas are
+  * signal rather than JIT variance.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,11 +39,20 @@ object Bench {
 
     exec("q1_agg") // warmup, not reported
 
-    val results = SparkEntry.all.map(q => q.name -> exec(q.name))
+    // median of `runs` timings; any failed run marks the query -1 (a
+    // query that fails even once is not a timing)
+    def medianExec(name: String): Double = {
+      val ts = (1 to runs).map(_ => exec(name))
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.length / 2)
+    }
+
+    val results = SparkEntry.all.map(q => q.name -> medianExec(q.name))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures stay visible per-query as -1 but must not subtract from
+    // the headline total
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

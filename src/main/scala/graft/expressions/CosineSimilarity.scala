@@ -17,9 +17,10 @@ import org.apache.spark.sql.types._
   * whole-stage codegen (and a matching interpreted eval), with no
   * intermediate array.
   *
-  * Semantics match `Similarity.cosine` exactly: elements cast to double,
-  * sequential accumulation, dot/(norm_a*norm_b). Null if either side is
-  * null; lengths are required equal (analysis-time contract).
+  * Semantics match the HOF composition `cosineHof` exactly: elements
+  * cast to double, sequential accumulation, dot/(norm_a*norm_b). Null if
+  * either side is null, if lengths differ (zip_with would pad with null
+  * and null-poison the sum), or if either norm is zero.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,7 +50,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = elemIsFloat(left); val yf = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -73,17 +75,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val denom = ctx.freshName("denom")
+      // xv/yv must be fresh too: two cosine calls in one projection share
+      // a codegen scope, and duplicate declarations fail Janino compile
+      // (silently falling back to interpreted eval)
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xv = (double) $x.$xGet($i);
-         |  double yv = (double) $y.$yGet($i);
-         |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |if ($x.numElements() != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $x.$xGet($i);
+         |    double $yv = (double) $y.$yGet($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
          |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
   }

@@ -2,7 +2,6 @@ package graft.ingest
 
 import java.sql.Timestamp
 import java.time.LocalDateTime
-import java.time.format.DateTimeFormatter
 import java.util.Locale
 import java.util.regex.Pattern
 
@@ -166,20 +165,30 @@ object SarTextParser {
     rows = rows.filterNot { case (h, _) => SarModel.unwantedHeaders.contains(h) }
 
     // date column: file date + per-line time-of-day
+    // (?i) + parseCaseInsensitive: the AM/PM *sniff* above is already
+    // case-insensitive, so a lowercase 'am/pm' file must also extract,
+    // strip, and parse — the reference sniffs insensitively but then
+    // matches case-sensitively, yielding null dates for such files
+    // (pl_helpers2.df_reset_date); this keeps the detection behavior
+    // without that latent asymmetry
     val (dateStr, dateFmt) = formatDate(osDetails)
     val timePat = if (amPm) "hh:mm:ss a" else "HH:mm:ss"
-    val fmtr = DateTimeFormatter.ofPattern(s"$dateFmt $timePat", Locale.US)
+    val fmtr = new java.time.format.DateTimeFormatterBuilder()
+      .parseCaseInsensitive()
+      .appendPattern(s"$dateFmt $timePat")
+      .toFormatter(Locale.US)
     val timeRe =
-      if (amPm) Pattern.compile("(^\\d{2}:\\d{2}:\\d{2}\\s+(AM|PM))")
+      if (amPm) Pattern.compile("(^\\d{2}:\\d{2}:\\d{2}\\s+(?i:AM|PM))")
       else Pattern.compile("(^\\d{2}:\\d{2}:\\d{2})\\s+")
     val stripRe =
-      if (amPm) "^\\d{2}:\\d{2}:\\d{2}\\s+(AM|PM)\\s+" else "^\\d{2}:\\d{2}:\\d{2}\\s+"
+      if (amPm) "^\\d{2}:\\d{2}:\\d{2}\\s+(?i:AM|PM)\\s+"
+      else "^\\d{2}:\\d{2}:\\d{2}\\s+"
 
     val tagAlt = SarModel.deviceTags.mkString("|")
     val headerClean: String => String = h => {
       val h1 = if (amPm)
-        h.replaceFirst(s"^\\s*(AM|PM)\\s+($tagAlt)\\s+", "")
-          .replaceFirst("^\\s*(AM|PM)\\s*", "")
+        h.replaceFirst(s"^\\s*(?i:AM|PM)\\s+($tagAlt)\\s+", "")
+          .replaceFirst("^\\s*(?i:AM|PM)\\s*", "")
       else h.replaceFirst(s"^\\s*($tagAlt)\\s+", "")
       h1
     }

@@ -25,9 +25,13 @@ object SarOps {
     df.filter(col("header") === header)
       .select(col("date"), col("data").as(header))
 
-  /** Multi-header slice via contains-regex (reference pl_helpers2.py:250-254). */
+  /** Multi-header slice via contains-regex (reference pl_helpers2.py:
+    * 250-254). Tokens are regex-quoted: the reference joins raw headers
+    * into the pattern, which breaks on a header containing `(` — the
+    * intended semantics is substring containment, not regex. */
   def headerContains(df: DataFrame, headers: Seq[String]): DataFrame =
-    df.filter(col("header").rlike(headers.mkString("|")))
+    df.filter(col("header").rlike(
+      headers.map(java.util.regex.Pattern.quote).mkString("|")))
 
   /** Anti-filter of unwanted sections (reference pl_helpers2.py:85-105). */
   def excludeHeaders(df: DataFrame, unwanted: Seq[String]): DataFrame =

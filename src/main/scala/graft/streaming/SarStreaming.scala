@@ -15,10 +15,12 @@ import org.apache.spark.sql.types.StructType
   */
 object SarStreaming {
 
-  /** File-source stream over a directory of parquet event files. */
+  /** File-source stream over a directory of parquet event files.
+    * `options` passes through source knobs (e.g. maxFilesPerTrigger=1
+    * for one-file micro-batches). */
   def readEvents(spark: SparkSession, schema: StructType,
-      path: String): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+      path: String, options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(schema).options(options).parquet(path)
 
   /** Tumbling-window counts + sums per event type with a watermark that
     * bounds state (late rows beyond the watermark are dropped). */
@@ -36,32 +38,67 @@ object SarStreaming {
   final case class SessionUpdate(user_id: Long, n_sessions: Long,
       n_events: Long)
 
-  /** Stateful sessionization with mapGroupsWithState: a new session starts
-    * after `gapSeconds` of inactivity per user (streaming analog of the
-    * batch q_sessionize window query). */
-  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long = 1800)
+  /** Stateful sessionization with flatMapGroupsWithState: a new session
+    * starts after `gapSeconds` of inactivity per user (streaming analog
+    * of the batch q_sessionize window query).
+    *
+    * State is bounded: with `watermarkDelay` set (the default), per-user
+    * state carries an event-time timeout at `lastTs + gapSeconds` — once
+    * the watermark passes it the state is evicted, so an unbounded
+    * stream cannot accumulate one entry per user forever. Rows older
+    * than the watermark are dropped here explicitly (map/flatMapGroups
+    * operators do NOT auto-drop late data the way aggregations do);
+    * otherwise a late replay after eviction would open a phantom
+    * session. Pass `watermarkDelay = None` only for batch execution,
+    * where timeouts cannot fire and `withWatermark` is a no-op. */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long = 1800,
+      watermarkDelay: Option[String] = Some("2 hours"))
       : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[(Long, Long, Long), SessionUpdate](
-        GroupStateTimeout.NoTimeout) {
+    val src = watermarkDelay match {
+      case Some(d) => events.withWatermark("ts", d)
+      case None => events
+    }
+    val timeoutConf = watermarkDelay match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionUpdate](
+        OutputMode.Update(), timeoutConf) {
         case (user, rows, state: GroupState[(Long, Long, Long)]) =>
-          val (sess0, last0, n0) =
-            state.getOption.getOrElse((0L, Long.MinValue, 0L))
-          var sess = sess0; var last = last0; var n = n0
-          rows.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
-            val sec = e.ts.getTime / 1000
-            // cross-batch late events (sec < last) are counted but never
-            // regress `last` — a regressed watermark would open a spurious
-            // session at the next on-time event
-            if (sec >= last || last == Long.MinValue) {
-              if (last == Long.MinValue || sec - last > gapSeconds) sess += 1
-              last = sec
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: the session is closed and
+            // fully reported (every update already emitted), drop state
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = if (watermarkDelay.isDefined) state.getCurrentWatermarkMs
+              else Long.MinValue
+            val onTime = rows.filter(_.ts.getTime >= wm).toSeq
+            if (onTime.isEmpty) Iterator.empty
+            else {
+              val (sess0, last0, n0) =
+                state.getOption.getOrElse((0L, Long.MinValue, 0L))
+              var sess = sess0; var last = last0; var n = n0
+              onTime.sortBy(e => e.ts.getTime).foreach { e =>
+                val sec = e.ts.getTime / 1000
+                // cross-batch late events (sec < last) are counted but
+                // never regress `last` — a regressed watermark would open
+                // a spurious session at the next on-time event
+                if (sec >= last || last == Long.MinValue) {
+                  if (last == Long.MinValue || sec - last > gapSeconds) sess += 1
+                  last = sec
+                }
+                n += 1
+              }
+              state.update((sess, last, n))
+              if (watermarkDelay.isDefined)
+                state.setTimeoutTimestamp(
+                  math.max(wm + 1000L, (last + gapSeconds) * 1000L))
+              Iterator.single(SessionUpdate(user, sess, n))
             }
-            n += 1
           }
-          state.update((sess, last, n))
-          SessionUpdate(user, sess, n)
       }
   }
 

@@ -54,4 +54,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(out(0).getDouble(0) == 1.0)
     assert(out(1).isNullAt(0) && out(2).isNullAt(0))
   }
+
+  test("mismatched lengths yield null, matching the HOF composition") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val out = df.select(
+      CosineSimilarity.cosine_native(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("two cosine calls in one projection compile (fresh codegen locals)") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    // duplicate 'double xv' declarations would fail Janino; with
+    // fallback disabled that failure surfaces instead of silently
+    // running the stage interpreted
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = df.select(
+        CosineSimilarity.cosine_native(col("a"), col("b")).as("c1"),
+        CosineSimilarity.cosine_native(col("a"), col("a")).as("c2"))
+        .collect().head
+      assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }

@@ -42,6 +42,20 @@ class SarOpsSpec extends AnyFunSuite {
     assert(math.abs(usrRow.getDouble(7) - 1.615) < 1e-6)  // p50 linear interp
   }
 
+  test("headerContains treats tokens as literals, not regex") {
+    import spark.implicits._
+    val df = Seq("a(b) stats", "ab stats", "plain").toDF("header")
+    // unquoted, "a(b)" is a capturing group matching "ab"; quoted it
+    // only matches itself
+    val got = SarOps.headerContains(df, Seq("a(b)"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a(b) stats"))
+    // multi-token OR still works, and real SAR headers with % and / pass
+    val sar2 = SarOps.headerContains(sar.toDF(),
+      Seq("%usr", "proc/s")).select("header").distinct().collect()
+    assert(sar2.length == 2)
+  }
+
   test("device list: numeric sort, 'all' pinned first") {
     val metrics = SarOps.toMetrics(SarOps.selectHeader(sar.toDF(), cpuHeader), cpuHeader)
     val devices = SarOps.sortDevices(SarOps.subDevices(metrics))

@@ -52,6 +52,20 @@ class SarParserSpec extends AnyFunSuite {
     assert(rows.exists(_.header == "proc/s cswch/s"))
   }
 
+  test("lowercase am/pm file parses identically to the uppercase one") {
+    // the AM/PM sniff is case-insensitive; extraction/strip/parse must be
+    // too, or a lowercase file is detected as 12h yet yields null dates
+    // (the reference has exactly that asymmetry — kept fixed here)
+    val lower = fixture("sa_ampm.txt").map(
+      _.replace(" AM ", " am ").replace(" PM ", " pm "))
+    val upper = SarTextParser.parseLines(fixture("sa_ampm.txt"))
+    val got = SarTextParser.parseLines(lower)
+    assert(got.map(_.date) == upper.map(_.date))
+    assert(got.map(_.header) == upper.map(_.header))
+    assert(got.map(_.data) == upper.map(_.data))
+    assert(got.forall(_.date != null))
+  }
+
   test("comma-decimal fixture: commas become points") {
     val rows = SarTextParser.parseLines(fixture("sa_comma.txt"))
     assert(rows.head.data == "all 1.23 98.77")

@@ -55,11 +55,54 @@ class StreamingSpec extends AnyFunSuite {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val ds = events.select(col("user_id"), col("ts"))
       .as[SarStreaming.SessionEvent]
-    // batch oracle: q_sessionize logic
+    // batch oracle: q_sessionize logic (batch execution — timeouts can't
+    // fire, so the watermark path is explicitly disabled)
     val batch = SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val got = SarStreaming.sessionize(ds).collect()
+    val got = SarStreaming.sessionize(ds, watermarkDelay = None).collect()
       .map(u => u.user_id -> (u.n_sessions, u.n_events)).toMap
     assert(got == batch)
+  }
+
+  test("sessionize evicts timed-out state and late replays open no phantom sessions") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(user: Long, offsetSec: Long): (Long, java.sql.Timestamp) =
+      (user, new java.sql.Timestamp(t0 + offsetSec * 1000))
+    val dir = Files.createTempDirectory("graft_sess").toString
+    // one file per micro-batch (maxFilesPerTrigger=1, mod-time ordered):
+    //  b1: user 1 twice              → emits (u1, 1 session, 2 events)
+    //  b2: user 42 at +4h            → advances the watermark past u1's
+    //                                  timeout (last + gap)
+    //  b3: user 42 again             → u1 has no data, watermark (from
+    //                                  b2) > timeout → state evicted
+    //  b4: user 1 fresh at +5h       → NEW state: (1 session, 1 event);
+    //                                  without eviction it would emit
+    //                                  (2 sessions, 3 events)
+    val batches = Seq(
+      Seq(ev(1, 0), ev(1, 60)),
+      Seq(ev(42, 4 * 3600)),
+      Seq(ev(42, 4 * 3600 + 60)),
+      Seq(ev(1, 5 * 3600)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val f = s"$dir/b$i"
+      rows.toDF("user_id", "ts").coalesce(1).write.parquet(f)
+      // deterministic one-file-per-trigger ordering is by mod time
+      new java.io.File(f).listFiles().foreach(_.setLastModified(t0 + i * 60000))
+    }
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(s"$dir/b0").schema, s"$dir/*",
+      Map("maxFilesPerTrigger" -> "1"))
+      .as[SarStreaming.SessionEvent]
+    val out = SarStreaming.runToMemory(
+      SarStreaming.sessionize(stream, gapSeconds = 1800,
+        watermarkDelay = Some("10 minutes")).toDF(),
+      "sess_evict")
+    val u1 = out.filter(col("user_id") === 1)
+      .select("n_sessions", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the re-delivered user re-starts at (1,1): state was evicted; a
+    // surviving state would have produced (2,3)
+    assert(u1 == Set((1L, 2L), (1L, 1L)), s"got $u1")
   }
 }
