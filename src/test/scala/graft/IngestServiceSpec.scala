@@ -187,6 +187,31 @@ class IngestServiceSpec extends AnyFunSuite {
     assert(svc.upload(up.toString, "2026-08-12_host_2023-06-05").rows > 0)
   }
 
+  test("G9: login history appends and counter skips the excluded user") {
+    import graft.service.UserStatus
+    val dir = Files.createTempDirectory("graft_users").toString
+    val us = new UserStatus(spark, dir, counterExcludedUser = "owner")
+    assert(us.statusDf().count() == 1) // seeded admin row
+    val t = java.sql.Timestamp.valueOf("2026-08-12 10:00:00")
+    us.addRecord("alice", t, success = true)
+    us.addRecord("bob", t, success = false)
+    assert(us.statusDf().count() == 3)
+    val alice = us.statusDf().filter(col("user_name") === "alice").collect()
+    assert(alice.length == 1 && alice.head.getBoolean(2))
+    // remove_old_logins is a pure filter: only the stale record drops
+    // (the seeded admin row is stamped "now")
+    us.addRecord("carol", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+      success = true)
+    val cutoff = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    assert(us.removeOldLogins(us.statusDf(), cutoff).count() == 3)
+    // counter: starts 0, increments, excluded user does not count
+    assert(us.loginCounter() == 0)
+    assert(us.incrementLoginCounter("alice") == 1)
+    assert(us.incrementLoginCounter("owner") == 1)
+    assert(us.incrementLoginCounter("bob") == 2)
+    assert(us.loginCounter() == 2)
+  }
+
   test("service: upload → list → headerDetails → getTable → statistics → sinks") {
     val storage = Files.createTempDirectory("graft_svc").toString
     val upload = Files.createTempFile("sa_up", ".txt")
