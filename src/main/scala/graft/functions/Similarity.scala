@@ -97,6 +97,66 @@ object Similarity {
     scored.withColumn("assigned", best.getField("l")).drop("__scored")
   }
 
+  /** Exact k-NN join: top-k corpus neighbors per query vector by
+    * cosine, via cross join + per-query window (cosine desc, corpus id
+    * on ties). |queries|×|corpus| comparisons — the exact baseline that
+    * [[annJoin]] approximates; use it when one side is small enough to
+    * broadcast (the cross join then never shuffles the corpus). */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, queryId: String,
+      corpusId: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    queries.select(col(queryId).as("query_id"), col(vecCol).as("__qvec"))
+      .crossJoin(corpus.select(col(corpusId).as("neighbor_id"),
+        col(vecCol).as("__cvec")))
+      .withColumn("cos", round(cosine(col("__qvec"), col("__cvec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Approximate k-NN join over IVF routing — similarity search for a
+    * query *set* at a scale the exact [[knnJoin]] cross join can't
+    * reach: corpus vectors live in their single nearest-centroid
+    * bucket, each query probes its `probes` nearest buckets, exact
+    * cosine runs on bucket candidates only, and a per-query window
+    * keeps the top k (cosine desc, corpus id on ties). Cost: |corpus| +
+    * |queries|·probes rows shuffled by bucket + one window shuffle by
+    * query id — never the |queries|×|corpus| cross join.
+    *
+    * Recall semantics (approximate BY DESIGN — do not oracle-gate this
+    * against exact top-k): a true neighbor is found iff it shares one
+    * of the query's probed buckets. Recall rises monotonically with
+    * `probes` and reaches exactness at probes = codebook size; rank 1
+    * is always exact for self-search (a vector's own bucket is its
+    * first probe). On clustered real embeddings small probe counts
+    * recover high recall; on a near-uniform corpus (no cluster
+    * structure, like the synthetic test embeddings) distant top-k
+    * neighbors are spread across arbitrary buckets — the measured
+    * worst case, documented in AnnJoinSpec. */
+  def annJoin(queries: DataFrame, corpus: DataFrame, queryId: String,
+      corpusId: String, vecCol: String, cents: DataFrame, k: Int,
+      probes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cRouted = assignNearest(corpus, cents, corpusId, vecCol)
+      .select(col(corpusId).as("__cid"), col(vecCol).as("__cvec"),
+        col("assigned").as("__bucket"))
+    val qRouted = assignTopK(queries, cents, queryId, vecCol, probes)
+      .select(col(queryId).as("__qid"), col(vecCol).as("__qvec"),
+        explode(col("probe_buckets")).as("__bucket"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos").desc, col("__cid").asc)
+    // fixed output names: query/corpus id columns are usually the same
+    // name (self-search), which would collide in the output
+    qRouted.join(cRouted, Seq("__bucket"))
+      .withColumn("cos", round(cosine(col("__qvec"), col("__cvec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Multi-probe IVF routing: the `probes` nearest centroid labels per
     * vector (cosine desc, label asc on ties), as an array column
     * `probe_buckets`. Near-boundary vectors land in every bucket that

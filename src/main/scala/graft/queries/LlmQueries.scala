@@ -294,6 +294,30 @@ object LlmQueries extends QueryPack {
           FROM embeddings, q
           ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
 
+    // ---- exact k-NN join (query-set similarity baseline) ------------
+    // the exact cross-join+window baseline that Similarity.annJoin
+    // approximates; annJoin itself is approximate BY DESIGN (recall <1
+    // below exhaustive probes) so only the exact join is oracle-gated —
+    // AnnJoinSpec pins annJoin's recall invariants instead
+    QueryDef("q_knn_join", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.knnJoin(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }, Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 20),
+          s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                round(${cosSqlD("qv", "e.embedding")}, 4) AS cos
+                FROM q, embeddings e),
+          r AS (SELECT query_id, neighbor_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM s)
+          SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+          FROM r WHERE rank <= 5
+          ORDER BY query_id, rank""")),
+
     // ---- centroid assignment (IVF routing step) ---------------------
     QueryDef("q_centroid_assign", (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")

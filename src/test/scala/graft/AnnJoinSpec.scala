@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+import graft.queries.Tables
+
+/** Recall invariants of the approximate IVF k-NN join against the exact
+  * cross-join baseline. The synthetic embeddings are near-uniform (no
+  * cluster structure), which is the WORST case for IVF routing — distant
+  * top-k neighbors sit in arbitrary buckets — so these tests pin the
+  * invariants that hold regardless of data shape rather than a recall
+  * level that only clustered data delivers.
+  */
+class AnnJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val emb = Tables.load(spark, dir, "embeddings").cache()
+  lazy val cents = Similarity.centroids(emb, "label", "embedding")
+  lazy val queries = emb.filter(col("vec_id") < 30)
+
+  private def key(df: DataFrame): Set[(Long, Long, Double, Int)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+  lazy val exact = key(Similarity.knnJoin(
+    queries, emb, "vec_id", "vec_id", "embedding", 5))
+
+  test("self-search rank 1 is always the query itself, at any probe count") {
+    val ann = Similarity.annJoin(queries, emb, "vec_id", "vec_id",
+      "embedding", cents, k = 5, probes = 1)
+    val r1 = ann.filter(col("rank") === 1).collect()
+    assert(r1.length == queries.count())
+    r1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0,
+        s"query ${r.getLong(0)}: rank-1 is ${r.getLong(1)} @ ${r.getDouble(2)}")
+    }
+  }
+
+  test("recall rises monotonically with probes and is exact when exhaustive") {
+    val k = cents.count().toInt // codebook size = exhaustive probing
+    var prev = -1.0
+    for (p <- Seq(1, 3, 6, k)) {
+      val got = key(Similarity.annJoin(queries, emb, "vec_id", "vec_id",
+        "embedding", cents, k = 5, probes = p))
+      val recall = (exact intersect got).size.toDouble / exact.size
+      assert(recall >= prev, s"recall regressed at probes=$p: $recall < $prev")
+      prev = recall
+      if (p == k) assert(got == exact,
+        s"exhaustive probing must equal the exact join (recall $recall)")
+    }
+  }
+
+  test("every annJoin result row is a true cosine, never fabricated") {
+    val got = key(Similarity.annJoin(queries, emb, "vec_id", "vec_id",
+      "embedding", cents, k = 5, probes = 3))
+    val truth = key(Similarity.knnJoin(queries, emb, "vec_id", "vec_id",
+      "embedding", emb.count().toInt))
+    // ranks differ (they are ranks within the probed subset) but every
+    // (query, neighbor, cos) must appear in the full exact ranking
+    val gotPairs = got.map { case (q, n, c, _) => (q, n, c) }
+    val truthPairs = truth.map { case (q, n, c, _) => (q, n, c) }
+    assert(gotPairs.subsetOf(truthPairs))
+  }
+}
