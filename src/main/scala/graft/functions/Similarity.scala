@@ -97,6 +97,40 @@ object Similarity {
     scored.withColumn("assigned", best.getField("l")).drop("__scored")
   }
 
+  /** Train an IVF codebook with Lloyd's iterations on the DataFrame API
+    * — no label column needed (the labeled `centroids` path is for
+    * corpora that already carry a partition key). Deterministic:
+    * initialization picks the k md5-smallest vector ids (a fixed-seed
+    * uniform sample, reproducible across runs and engines), and each
+    * iteration is assign-to-nearest (broadcast codebook, no shuffle)
+    * followed by a mean per bucket (one keyed shuffle of k×dim partial
+    * sums — map-side combined). Empty buckets keep their previous
+    * centroid. Cost per iteration: one scan + one k×dim aggregation;
+    * k and iters are codebook-scale knobs, not data-scale. */
+  def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    val init = df.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            md5(col(idCol).cast("string")), col(idCol)))
+        .as("centroid_label"),
+        transform(col(vecCol), _.cast("double")).as("cvec"))
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val assigned = assignNearest(df, cents
+        .select(col("centroid_label"), col("cvec")), idCol, vecCol)
+      val next = centroids(assigned, "assigned", vecCol)
+        .withColumnRenamed("centroid_label", "new_label")
+      // empty buckets vanish from `next`; keep their old centroid so k
+      // stays constant and labels remain stable across iterations
+      cents.join(next, cents("centroid_label") === next("new_label"),
+          "left")
+        .select(cents("centroid_label"),
+          coalesce(next("cvec"), cents("cvec")).as("cvec"))
+    }
+  }
+
   /** Exact k-NN join: top-k corpus neighbors per query vector by
     * cosine, via cross join + per-query window (cosine desc, corpus id
     * on ties). |queries|×|corpus| comparisons — the exact baseline that

@@ -241,6 +241,33 @@ class SarService(spark: SparkSession, storageDir: String) {
     else union.orderBy("file", "date")
   }
 
+  /** compareTable with each file's own restart zero-rows inserted
+    * (E2 × J7): the multi-file Data-tab contract — zero rows and chart
+    * markers come from the file they belong to, associated via the
+    * filename convention (a file outside the convention, or one whose
+    * events match no selected file, gets no markers — reference
+    * break-on-first-match semantics). */
+  def compareTableWithRestarts(files: Seq[String], aliasOrHeader: String,
+      device: Option[String] = None,
+      mode: String = "sequential"): DataFrame = {
+    require(files.nonEmpty, "no files selected")
+    require(mode == "sequential" || mode == "overlay", s"bad mode $mode")
+    val byFile = restartsByFile(files)
+    val frames = files.map { f =>
+      // zeros inserted BEFORE the identity column: insertRestartZeros
+      // fills every non-date column with 0.0, which must not touch the
+      // file label
+      SarOps.insertRestartZeros(getTable(f, aliasOrHeader, device),
+          "date", byFile(f))
+        .withColumn("file", lit(f))
+    }
+    val union = frames.reduce(_ unionByName _)
+    if (mode == "overlay")
+      SarOps.dayOverlayAlign(union, "date", "2000-01-01")
+        .orderBy("file", "aligned")
+    else union.orderBy("file", "date")
+  }
+
   /** Pooled cross-file statistics for one section (G7). */
   def pooledStatistics(files: Seq[String], aliasOrHeader: String,
       device: Option[String] = None): DataFrame = {

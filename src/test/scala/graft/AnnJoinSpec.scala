@@ -60,6 +60,33 @@ class AnnJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("trainCodebook: deterministic, k stable, objective non-decreasing") {
+    def objective(cents: DataFrame): Double =
+      Similarity.assignNearest(emb, cents
+          .select(col("centroid_label"), col("cvec")), "vec_id", "embedding")
+        .join(cents.withColumnRenamed("centroid_label", "assigned"),
+          Seq("assigned"))
+        .select(avg(Similarity.cosine(col("embedding"), col("cvec"))))
+        .head().getDouble(0)
+    val c0 = Similarity.trainCodebook(emb, "vec_id", "embedding", 8, iters = 0)
+    val c3 = Similarity.trainCodebook(emb, "vec_id", "embedding", 8, iters = 3)
+    assert(c0.count() == 8 && c3.count() == 8)
+    assert(c3.select("centroid_label").collect().map(_.getInt(0)).sorted
+      .sameElements(1 to 8))
+    // Lloyd's iterations must not make the mean assigned-cosine worse
+    // than the raw hash-sampled initialization
+    assert(objective(c3) >= objective(c0) - 1e-9)
+    // reruns produce the identical codebook (md5-seeded init, no RNG)
+    val c3b = Similarity.trainCodebook(emb, "vec_id", "embedding", 8, iters = 3)
+    val a = c3.orderBy("centroid_label").collect().map(_.getSeq[Double](1))
+    val b = c3b.orderBy("centroid_label").collect().map(_.getSeq[Double](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    // the trained codebook routes annJoin end-to-end (no labels needed)
+    val ann = Similarity.annJoin(queries, emb, "vec_id", "vec_id",
+      "embedding", c3.select(col("centroid_label"), col("cvec")), 3, 2)
+    assert(ann.filter(col("rank") === 1).count() == queries.count())
+  }
+
   test("every annJoin result row is a true cosine, never fabricated") {
     val got = key(Similarity.annJoin(queries, emb, "vec_id", "vec_id",
       "embedding", cents, k = 5, probes = 3))

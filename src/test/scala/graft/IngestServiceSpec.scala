@@ -170,6 +170,18 @@ class IngestServiceSpec extends AnyFunSuite {
     Files.writeString(f3, sarText("hostgamma", "2023-08-01", "03:00:00"))
     svc.upload(f3.toString, "plainname")
     assert(svc.restartsByFile(Seq(n1, "plainname"))("plainname").isEmpty)
+
+    // multi-file compare: each file gains exactly its own zero row
+    val cmp = svc.compareTableWithRestarts(Seq(n1, n2), "CPU")
+    val zeros = cmp.filter(col("%usr") === 0.0 && col("%idle") === 0.0)
+      .select("file", "date").collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).toString)
+    assert(zeros.toSet == Set(
+      n1 -> "2023-06-05 00:15:30.0", n2 -> "2023-07-10 02:30:00.0"))
+    // row counts: 2 samples + 1 zero row per file
+    assert(cmp.groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map(n1 -> 3L, n2 -> 3L))
   }
 
   test("storage names are validated against traversal") {

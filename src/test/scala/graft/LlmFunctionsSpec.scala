@@ -130,6 +130,24 @@ class LlmFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked dedup plans keyed joins only; exact path is the nested loop") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.centroids(emb, "label", "embedding")
+    val blockedPlan = Dedup.cosineDupPairsBlocked(
+        emb, cents, "vec_id", "embedding", 0.45, 4)
+      .queryExecution.executedPlan.toString
+    // the whole point of blocking: every join is hash/sort-merge on a
+    // key, never an O(n²) BroadcastNestedLoopJoin
+    assert(!blockedPlan.contains("BroadcastNestedLoopJoin"),
+      s"blocked path nested-loops:\n$blockedPlan")
+    val exactPlan = Dedup.cosineDupPairsExact(
+        emb, "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("BroadcastNestedLoopJoin"),
+      "exact baseline unexpectedly stopped nested-looping — revisit which " +
+        "path is declared the fallback")
+  }
+
   test("multi-probe routing: first probe bucket equals assignNearest") {
     val emb = Tables.load(spark, dir, "embeddings")
     val cents = Similarity.centroids(emb, "label", "embedding")
