@@ -55,6 +55,17 @@ class ExpressionSpec extends AnyFunSuite {
     assert(out(1).isNullAt(0) && out(2).isNullAt(0))
   }
 
+  test("tdigest_quantiles is callable from SQL") {
+    GraftExtensions.register(spark)
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    li.createOrReplaceTempView("li_sql")
+    val q = spark.sql(
+      """SELECT tdigest_quantiles(CAST(l_quantity AS DOUBLE), 0.25, 0.5, 0.75) AS qs
+         FROM li_sql""").collect().head.getSeq[Double](0)
+    assert(q.length == 3 && q(0) <= q(1) && q(1) <= q(2))
+    assert(q(0) >= 1.0 && q(2) <= 50.0) // l_quantity domain
+  }
+
   test("mismatched lengths yield null, matching the HOF composition") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
