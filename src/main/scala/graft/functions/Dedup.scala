@@ -54,6 +54,23 @@ object Dedup {
     seeded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** One per-row MinHash component — same hash family as
+    * [[minhashSignature]], bit-identical values, computed without the
+    * explode+groupBy (array_min over transform'd shingles; null when
+    * the text has fewer than n words). Higher-order functions evaluate
+    * interpreted, measured ~4× slower than the codegen'd explode path
+    * at sf0.1 — so this form exists for STREAMING near-dup, where the
+    * signature must be computed per arriving row and a groupBy would
+    * need its own watermark; batch callers should stay on
+    * [[minhashSignature]]. */
+  def minhashComponentRow(textCol: org.apache.spark.sql.Column, i: Int,
+      n: Int = 3): org.apache.spark.sql.Column = {
+    val sh = array_distinct(TextAnalysis.shingles(textCol, n))
+    array_min(transform(sh,
+      x => substring(md5(concat_ws(":", lit(i / 4), x)),
+        (i % 4) * 8 + 1, 8)))
+  }
+
   /** LSH banding over a minhash signature: bands of `rowsPerBand`
     * components; docs sharing any band key are candidate pairs. */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,

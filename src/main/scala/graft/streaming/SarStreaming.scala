@@ -102,6 +102,72 @@ object SarStreaming {
       }
   }
 
+  final case class BandRow(key: Long, doc_id: Long, ts: Timestamp)
+  final case class DupCandidate(a: Long, b: Long)
+
+  /** Streaming MinHash/LSH near-duplicate detection: every arriving
+    * document computes its k-component signature per row
+    * (Dedup.minhashComponentRow — same hash family as the batch path,
+    * so stream and batch agree on buckets), explodes into band keys,
+    * and a per-bucket state of previously seen doc ids emits candidate
+    * pairs on collision. State is bounded two ways: an event-time
+    * timeout evicts buckets idle past `stateTtlMs`, and `maxBucket` caps the
+    * per-bucket membership list (a hot bucket — boilerplate text —
+    * would otherwise grow without limit AND emit quadratic pairs; docs
+    * beyond the cap stop generating pairs for that bucket, which is
+    * also what a sane batch dedup does with degenerate buckets). The
+    * same pair can surface from multiple bands — consumers dedupe
+    * downstream (e.g. dropDuplicatesWithinWatermark on (a, b)). */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
+      delay: String = "1 hour", stateTtlMs: Long = 3600000L,
+      maxBucket: Int = 64): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    val withSig = (0 until k).foldLeft(docs) { (d, i) =>
+      d.withColumn(s"__mh$i", graft.functions.Dedup
+        .minhashComponentRow(col(textCol), i, n))
+    }.filter(col("__mh0").isNotNull) // < n words ⇒ no shingles ⇒ no bands
+    val nBands = k / rowsPerBand
+    val bandKeys = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"__mh${b * rowsPerBand + r}"))
+      // band index mixed into the key so band 0 and band 1 collisions
+      // stay distinct buckets, exactly like the batch (band, key) join
+      xxhash64(concat_ws("|", lit(b), md5(concat(parts: _*))))
+    }
+    val banded = withSig
+      .select(explode(array(bandKeys: _*)).as("key"),
+        col(idCol).as("doc_id"), col(tsCol).as("ts"))
+      .withWatermark("ts", delay)
+      .as[BandRow]
+    banded.groupByKey(_.key)
+      .flatMapGroupsWithState[(List[Long], Long), DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[(List[Long], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (seen0, _) = state.getOption.getOrElse((List.empty[Long], 0L))
+            val batch = rows.toSeq
+            val newIds = batch.map(_.doc_id).distinct.sorted
+              .filterNot(seen0.contains)
+            var seen = seen0
+            val pairs = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
+            newIds.foreach { id =>
+              if (seen.length < maxBucket) {
+                seen.foreach { s =>
+                  pairs += DupCandidate(math.min(s, id), math.max(s, id))
+                }
+                seen = id :: seen
+              }
+            }
+            val maxTs = batch.map(_.ts.getTime).max
+            state.update((seen, maxTs))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1000L, maxTs + stateTtlMs))
+            pairs.iterator
+          }
+      }
+  }
+
   /** Streaming exact deduplication: drop repeats of `keyCols` arriving
     * within the watermark delay — the streaming face of the batch
     * hash-groupBy dedup, with state bounded by the watermark (a landing

@@ -64,6 +64,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming LSH near-dup equals the batch candidate pairs") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // batch truth
+    val batch = graft.functions.Dedup
+      .lshCandidatePairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // per-row signature must match the batch explode+groupBy family
+    val sigBatch = graft.functions.Dedup
+      .minhashSignature(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString).toSeq).toMap
+    val sigRow = (0 until 8).foldLeft(docs) { (d, i) =>
+      d.withColumn(s"mh$i", graft.functions.Dedup
+        .minhashComponentRow(col("text"), i))
+    }.filter(col("mh0").isNotNull).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (0 until 8).map(i => r.getString(r.fieldIndex(s"mh$i"))).toSeq).toMap
+    assert(sigRow == sigBatch)
+    // stream the same corpus through the stateful bucket detector
+    val dir = Files.createTempDirectory("graft_neardup").toString
+    docs.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .write.mode("overwrite").parquet(dir)
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(dir).schema, dir)
+    val cand = SarStreaming.nearDupCandidates(stream, "doc_id", "text",
+      "ts", maxBucket = 10000)
+    val got = SarStreaming.runToMemory(cand.toDF(), "neardup_out",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, s"stream ${got.size} vs batch ${batch.size}; " +
+      s"diff ${(batch -- got).take(5)} / ${(got -- batch).take(5)}")
+  }
+
   test("sessionize evicts timed-out state and late replays open no phantom sessions") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
