@@ -115,6 +115,79 @@ object CoreQueries extends QueryPack {
          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1999-01-01'
          GROUP BY r_name, n_name
-         ORDER BY r_name, n_name"""))
+         ORDER BY r_name, n_name""")),
+
+    // semi/anti joins: customers with vs without open orders. Spark
+    // plans left_semi/left_anti natively (no payload materialization on
+    // the probe side); the dimension side broadcasts
+    QueryDef("q_semi_anti", (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val nation = Tables.load(s, dir, "nation")
+      val open = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+      val withOrd = cust.join(open,
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("with_open"))
+      val withoutOrd = cust.join(open,
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("without_open"))
+      withOrd.join(withoutOrd, Seq("c_nationkey"), "outer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          coalesce(col("with_open"), lit(0L)).as("with_open"),
+          coalesce(col("without_open"), lit(0L)).as("without_open"))
+        .orderBy("n_name")
+    }, Some(
+      """WITH w AS (SELECT c_nationkey, count(*) AS with_open FROM customer
+                    WHERE EXISTS (SELECT 1 FROM orders
+                                  WHERE o_custkey = c_custkey
+                                    AND o_orderstatus = 'O')
+                    GROUP BY 1),
+          wo AS (SELECT c_nationkey, count(*) AS without_open FROM customer
+                 WHERE NOT EXISTS (SELECT 1 FROM orders
+                                   WHERE o_custkey = c_custkey
+                                     AND o_orderstatus = 'O')
+                 GROUP BY 1),
+          k AS (SELECT c_nationkey FROM w UNION SELECT c_nationkey FROM wo)
+          SELECT n_name,
+            coalesce(with_open, 0) AS with_open,
+            coalesce(without_open, 0) AS without_open
+          FROM k LEFT JOIN w USING (c_nationkey)
+                 LEFT JOIN wo USING (c_nationkey)
+                 JOIN nation ON c_nationkey = n_nationkey
+          ORDER BY n_name""")),
+
+    // per-group top-k via window rank: top-2 revenue suppliers per
+    // nation — one fact shuffle on s_suppkey, broadcast dims, then a
+    // window shuffle on the (small) per-supplier aggregate
+    QueryDef("q_rank_supplier", (s, dir) => {
+      val supp = Tables.load(s, dir, "supplier")
+      val nation = Tables.load(s, dir, "nation")
+      val li = Tables.load(s, dir, "lineitem")
+      val bySupp = li.join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_nationkey"))
+        .orderBy(col("revenue").desc, col("s_suppkey").asc)
+      bySupp.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("s_name"), col("revenue"), col("rnk"))
+        .orderBy("n_name", "rnk")
+    }, Some(
+      """WITH r AS (SELECT s_suppkey, s_name, s_nationkey,
+                    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+                    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    GROUP BY 1, 2, 3),
+          t AS (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                  ORDER BY revenue DESC, s_suppkey ASC) AS rnk
+                FROM r)
+          SELECT n_name, s_name, revenue, CAST(rnk AS INT) AS rnk
+          FROM t JOIN nation ON s_nationkey = n_nationkey
+          WHERE rnk <= 2
+          ORDER BY n_name, rnk"""))
   )
 }

@@ -14,6 +14,45 @@ object OpsQueries extends QueryPack {
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Shared oracle for both exact describe engines (single-pass
+    * percentile and distributed sort): identical results, one SQL. */
+  private val describeLineitemSql =
+    """SELECT metric, CAST(count AS DOUBLE) AS count, 0.0 AS null_count,
+         round(mean, 4) AS mean, round(std, 4) AS std,
+         round(mn, 4) AS min, round(p25, 4) AS p25, round(p50, 4) AS p50,
+         round(p75, 4) AS p75, round(mx, 4) AS max
+       FROM (
+         SELECT 'l_quantity' AS metric, count(l_quantity) AS count,
+           avg(CAST(l_quantity AS DOUBLE)) AS mean,
+           stddev_samp(CAST(l_quantity AS DOUBLE)) AS std,
+           min(CAST(l_quantity AS DOUBLE)) AS mn,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS p50,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75,
+           max(CAST(l_quantity AS DOUBLE)) AS mx
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(l_extendedprice),
+           avg(CAST(l_extendedprice AS DOUBLE)),
+           stddev_samp(CAST(l_extendedprice AS DOUBLE)),
+           min(CAST(l_extendedprice AS DOUBLE)),
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25),
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50),
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75),
+           max(CAST(l_extendedprice AS DOUBLE))
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', count(l_discount),
+           avg(CAST(l_discount AS DOUBLE)),
+           stddev_samp(CAST(l_discount AS DOUBLE)),
+           min(CAST(l_discount AS DOUBLE)),
+           quantile_cont(CAST(l_discount AS DOUBLE), 0.25),
+           quantile_cont(CAST(l_discount AS DOUBLE), 0.50),
+           quantile_cont(CAST(l_discount AS DOUBLE), 0.75),
+           max(CAST(l_discount AS DOUBLE))
+         FROM lineitem)
+       ORDER BY metric"""
+
   def queries: Seq[QueryDef] = Seq(
 
     // ---- P1/P6 equality filter + projection -------------------------
@@ -324,46 +363,21 @@ object OpsQueries extends QueryPack {
          FROM x""")),
 
     // ---- G1 describe on lineitem ------------------------------------
+    // single-pass exact percentile engine (low-cardinality default)
     QueryDef("q_describe_lineitem", (s, dir) => {
       roundedDescribe(DescribeStats.describe(Tables.load(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount")), 4)
         .orderBy("metric")
-    }, Some(
-      """SELECT metric, CAST(count AS DOUBLE) AS count, 0.0 AS null_count,
-           round(mean, 4) AS mean, round(std, 4) AS std,
-           round(mn, 4) AS min, round(p25, 4) AS p25, round(p50, 4) AS p50,
-           round(p75, 4) AS p75, round(mx, 4) AS max
-         FROM (
-           SELECT 'l_quantity' AS metric, count(l_quantity) AS count,
-             avg(CAST(l_quantity AS DOUBLE)) AS mean,
-             stddev_samp(CAST(l_quantity AS DOUBLE)) AS std,
-             min(CAST(l_quantity AS DOUBLE)) AS mn,
-             quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
-             quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS p50,
-             quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75,
-             max(CAST(l_quantity AS DOUBLE)) AS mx
-           FROM lineitem
-           UNION ALL
-           SELECT 'l_extendedprice', count(l_extendedprice),
-             avg(CAST(l_extendedprice AS DOUBLE)),
-             stddev_samp(CAST(l_extendedprice AS DOUBLE)),
-             min(CAST(l_extendedprice AS DOUBLE)),
-             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25),
-             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50),
-             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75),
-             max(CAST(l_extendedprice AS DOUBLE))
-           FROM lineitem
-           UNION ALL
-           SELECT 'l_discount', count(l_discount),
-             avg(CAST(l_discount AS DOUBLE)),
-             stddev_samp(CAST(l_discount AS DOUBLE)),
-             min(CAST(l_discount AS DOUBLE)),
-             quantile_cont(CAST(l_discount AS DOUBLE), 0.25),
-             quantile_cont(CAST(l_discount AS DOUBLE), 0.50),
-             quantile_cont(CAST(l_discount AS DOUBLE), 0.75),
-             max(CAST(l_discount AS DOUBLE))
-           FROM lineitem)
-         ORDER BY metric""")),
+    }, Some(describeLineitemSql)),
+
+    // distributed-sort exact engine — the high-cardinality scale path,
+    // proven result-identical by running against the very same oracle
+    QueryDef("q_describe_sorted", (s, dir) => {
+      roundedDescribe(
+        DescribeStats.describeSorted(Tables.load(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount")), 4)
+        .orderBy("metric")
+    }, Some(describeLineitemSql)),
 
     // ---- O1/O3 top-k ------------------------------------------------
     QueryDef("q_topk_orders", (s, dir) => {
