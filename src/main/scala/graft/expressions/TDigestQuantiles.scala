@@ -184,6 +184,11 @@ case class TDigestQuantiles(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
 
+  require(percentages.nonEmpty &&
+    percentages.forall(p => p >= 0.0 && p <= 1.0),
+    s"tdigest_quantiles percentages must be in [0, 1], got $percentages")
+  require(compression >= 10, s"compression $compression too small")
+
   override def createAggregationBuffer(): TDigest = new TDigest(compression)
 
   override def update(b: TDigest, input: InternalRow): TDigest = {

@@ -175,10 +175,15 @@ object Dedup {
     * result-identical — oracle-verified against the same SQL. */
   def jaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      directJoinDocLimit: Long = 10000): DataFrame =
-    if (df.count() <= directJoinDocLimit)
-      jaccardPairs(df, textCol, idCol, n, threshold)
+      directJoinDocLimit: Long = 10000): DataFrame = {
+    // bounded dispatch probe: scan at most limit+1 rows — a plain
+    // count() would materialize the full (possibly derived) input once
+    // just to choose a branch
+    val small = df.limit(directJoinDocLimit.toInt + 1).count() <=
+      directJoinDocLimit
+    if (small) jaccardPairs(df, textCol, idCol, n, threshold)
     else jaccardPairsPrefix(df, textCol, idCol, n, threshold)
+  }
 
   /** Embedding-cosine near-duplicate pairs, centroid-blocked — the scale
     * path and the default: route both sides through multi-probe IVF

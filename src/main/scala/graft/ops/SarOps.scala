@@ -162,8 +162,12 @@ object SarOps {
     * string) still holds the qualifier, so "12:05:00 AM" resolves to
     * 00:05 — the reference's format=mixed parse shifts such restarts by
     * 12h; this keeps the string format but not the bug. */
-  def restartTimestamps(df: DataFrame): Seq[Timestamp] =
-    parseRestartTimestamps(restartHeaders(df), osDetails(df))
+  def restartTimestamps(df: DataFrame): Seq[Timestamp] = {
+    val rs = restartHeaders(df)
+    // early exit keeps osDetails lazy: restart-less files pay no extra
+    // head() job and a frame without an os_details row can't throw here
+    if (rs.isEmpty) Seq.empty else parseRestartTimestamps(rs, osDetails(df))
+  }
 
   /** Parse already-collected restart strings against their file's
     * os_details — the pooled-event form J7 multi-file matching needs

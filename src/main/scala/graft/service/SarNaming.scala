@@ -53,9 +53,10 @@ object SarNaming {
     * both keeps those matched without breaking reference-named files. */
   def matchesFile(fileName: String, osDetails: String): Boolean = {
     val h = hostname(osDetails)
-    h.nonEmpty && fileName.contains(h) &&
-      (fileName.contains(sarDate(osDetails)) ||
-        (rawSarDate(osDetails).nonEmpty &&
-          fileName.contains(rawSarDate(osDetails))))
+    val raw = rawSarDate(osDetails)
+    // an empty date token must NOT degrade to hostname-only matching:
+    // contains("") is vacuously true for every file
+    h.nonEmpty && raw.nonEmpty && fileName.contains(h) &&
+      (fileName.contains(normalizeDate(raw)) || fileName.contains(raw))
   }
 }

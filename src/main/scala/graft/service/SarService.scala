@@ -153,22 +153,29 @@ class SarService(spark: SparkSession, storageDir: String) {
     FileInfo(name, rows.length, rows.map(_.header).distinct)
   }
 
-  /** J7: associate pooled restart events to files by (hostname, sar
-    * date) substrings of the filename (multi_files_pl.py:303-310,
-    * bokeh_charts.py:1028-1060) — a multi-file compare shows each
-    * file's own reboot markers only. Events whose (hostname, date)
-    * match no selected file are dropped, exactly like the reference's
-    * break-on-first-match loop. */
+  /** J7: per-file restart markers for a multi-file view, gated by the
+    * (hostname, sar date) filename match (multi_files_pl.py:303-310,
+    * bokeh_charts.py:1028-1060). The reference pools all events and
+    * re-attaches them by first filename match — which mis-attributes
+    * markers when two selected files share a (hostname, date), e.g. the
+    * same host's day re-uploaded twice. This engine has provenance
+    * (each stored file carries its own restart rows), so a file shows
+    * exactly its OWN markers, and only when its name matches its own
+    * events' (hostname, date) — same outcome for convention-named
+    * files, no cross-attribution ever. */
   def restartsByFile(files: Seq[String]): Map[String, Seq[Timestamp]] = {
-    val pooled = files.map { f =>
-      val df = load(f)
-      (SarOps.restartHeaders(df), SarOps.osDetails(df))
-    }
     files.map { f =>
-      f -> pooled.collectFirst {
-        case (rs, od) if rs.nonEmpty && SarNaming.matchesFile(f, od) =>
-          SarOps.parseRestartTimestamps(rs, od)
-      }.getOrElse(Seq.empty)
+      val df = load(f)
+      val rs = SarOps.restartHeaders(df)
+      val ts =
+        if (rs.isEmpty) Seq.empty[Timestamp]
+        else {
+          val od = SarOps.osDetails(df)
+          if (SarNaming.matchesFile(f, od))
+            SarOps.parseRestartTimestamps(rs, od)
+          else Seq.empty[Timestamp]
+        }
+      f -> ts
     }.toMap
   }
 
@@ -196,8 +203,12 @@ class SarService(spark: SparkSession, storageDir: String) {
       metrics: Seq[String] = Nil): DataFrame = {
     val table = getTable(name, aliasOrHeader, device, start, end, metrics)
     val cols = table.columns.filterNot(_ == "date").toSeq
-    if (table.count() <= exactDescribeRowLimit)
-      DescribeStats.describe(table, cols)
+    // bounded dispatch probe: scan at most limit+1 rows to learn which
+    // side of the threshold we're on — a plain count() would pay a full
+    // O(data) scan on exactly the huge tables the switch protects
+    val small = table.limit(exactDescribeRowLimit.toInt + 1).count() <=
+      exactDescribeRowLimit
+    if (small) DescribeStats.describe(table, cols)
     else DescribeStats.describeTDigest(table, cols)
   }
 

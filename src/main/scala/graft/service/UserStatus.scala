@@ -43,13 +43,14 @@ class UserStatus(spark: SparkSession, storageDir: String,
   /** Append one login record (add_record: vstack + rewrite). */
   def addRecord(userName: String, loginTime: Timestamp,
       success: Boolean): Unit = synchronized {
-    val next = statusDf().unionByName(
+    val cur = statusDf()
+    val schema = cur.schema
+    val next = cur.unionByName(
       Seq((userName, loginTime, success))
         .toDF("user_name", "login_time", "success"))
       .collect() // materialize BEFORE overwriting the file being read
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(next.toIndexedSeq, 1),
-        statusDf().schema)
+    spark.createDataFrame(java.util.Arrays.asList(next: _*), schema)
+      .coalesce(1)
       .write.mode("overwrite").parquet(statusPath)
     spark.catalog.refreshByPath(statusPath)
   }

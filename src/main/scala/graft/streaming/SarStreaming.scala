@@ -140,12 +140,12 @@ object SarStreaming {
       .withWatermark("ts", delay)
       .as[BandRow]
     banded.groupByKey(_.key)
-      .flatMapGroupsWithState[(List[Long], Long), DupCandidate](
+      .flatMapGroupsWithState[List[Long], DupCandidate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        case (_, rows, state: GroupState[(List[Long], Long)]) =>
+        case (_, rows, state: GroupState[List[Long]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val (seen0, _) = state.getOption.getOrElse((List.empty[Long], 0L))
+            val seen0 = state.getOption.getOrElse(List.empty[Long])
             val batch = rows.toSeq
             val newIds = batch.map(_.doc_id).distinct.sorted
               .filterNot(seen0.contains)
@@ -160,7 +160,7 @@ object SarStreaming {
               }
             }
             val maxTs = batch.map(_.ts.getTime).max
-            state.update((seen, maxTs))
+            state.update(seen)
             state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs + 1000L, maxTs + stateTtlMs))
             pairs.iterator

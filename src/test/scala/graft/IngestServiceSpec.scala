@@ -147,6 +147,9 @@ class IngestServiceSpec extends AnyFunSuite {
     assert(SarNaming.hostname(od) == "h1")
     assert(SarNaming.sarDate(od) == "2023-06-05") // MM-DD-YY → 20YY-MM-DD
     assert(SarNaming.uploadName(od, "2026-08-12") == "2026-08-12_h1_2023-06-05")
+    // a truncated os_details (no date token) matches nothing — it must
+    // not degrade to hostname-only matching via contains("")
+    assert(!SarNaming.matchesFile("2026-08-12_h1_2023-06-05", "Linux 5.14 (h1)"))
 
     val storage = Files.createTempDirectory("graft_j7").toString
     val svc = new SarService(spark, storage)

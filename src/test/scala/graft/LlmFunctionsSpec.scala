@@ -32,6 +32,12 @@ class LlmFunctionsSpec extends AnyFunSuite {
     val direct = key(Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8))
     val prefix = key(Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8))
     assert(direct == prefix && direct.nonEmpty)
+    // the dispatcher picks a branch with a bounded probe; both branches
+    // produce the identical result set
+    val autoSmall = key(Dedup.jaccardPairsAuto(docs, "text", "doc_id", 3, 0.8))
+    val autoPrefix = key(Dedup.jaccardPairsAuto(docs, "text", "doc_id", 3, 0.8,
+      directJoinDocLimit = 1))
+    assert(autoSmall == direct && autoPrefix == direct)
   }
 
   test("jaccard joins leave nothing cached and reuse the self-join exchange") {

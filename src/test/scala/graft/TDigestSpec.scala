@@ -130,6 +130,22 @@ class TDigestSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-range percentages are rejected at construction") {
+    import graft.expressions.TDigestQuantiles
+    intercept[IllegalArgumentException] {
+      TDigestQuantiles.tdigest_quantiles(
+        org.apache.spark.sql.functions.col("v"), Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      TDigestQuantiles.tdigest_quantiles(
+        org.apache.spark.sql.functions.col("v"), Seq(-0.2))
+    }
+    intercept[IllegalArgumentException] {
+      TDigestQuantiles.tdigest_quantiles(
+        org.apache.spark.sql.functions.col("v"), Seq.empty)
+    }
+  }
+
   test("tdigest aggregate works per-group and yields null on empty") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
