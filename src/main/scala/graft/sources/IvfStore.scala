@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+
+/** On-disk IVF index for embedding corpora: the corpus is written as
+  * parquet PARTITIONED BY its nearest-centroid bucket, with the codebook
+  * stored alongside. A probe then touches only its bucket directories —
+  * Spark's partition pruning turns an ANN search over 100 TB of vectors
+  * into a scan of `probes/k` of the data, decided at planning time (the
+  * plan's PartitionFilters, no data read from unprobed buckets).
+  *
+  * This is the storage-layer completion of [[Similarity.annJoin]]: the
+  * same routing, but paid once at write time instead of per query.
+  */
+object IvfStore {
+
+  /** Route every vector to its nearest centroid and write the corpus
+    * partitioned by that bucket; the codebook parquet rides alongside
+    * so readers don't need the original centroids. */
+  def write(emb: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, path: String): Unit = {
+    Similarity.assignNearest(emb, cents, idCol, vecCol)
+      .withColumnRenamed("assigned", "bucket")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/data")
+    cents.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def codebook(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codebook")
+
+  /** The query vector's `probes` nearest centroid labels — k×dim math,
+    * computed on the driver (the codebook is metadata scale). Cosine and
+    * tie-break (cosine desc, label asc) match assignTopK. */
+  def probeBuckets(spark: SparkSession, path: String,
+      queryVec: Seq[Float], probes: Int): Seq[String] = {
+    val cb = codebook(spark, path).collect().map { r =>
+      (r.get(0).toString, r.getSeq[Double](1))
+    }
+    def cosine(a: Seq[Float], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) -2.0 else dot / denom
+    }
+    cb.map { case (l, v) => (l, cosine(queryVec, v)) }
+      .sortBy { case (l, c) => (-c, l) }
+      .take(probes).map(_._1).toSeq
+  }
+
+  /** Top-k by cosine for one query vector over the probed buckets only.
+    * The bucket predicate is a partition filter: unprobed directories
+    * are never opened (assert `PartitionFilters`/`PartitionCount` in
+    * the scan node to see it). Within the probed slice this is the same
+    * shuffle-free literal-vector scan as Similarity.topKCosine. */
+  def search(spark: SparkSession, path: String, queryVec: Seq[Float],
+      idCol: String, vecCol: String, k: Int, probes: Int): DataFrame = {
+    val buckets = probeBuckets(spark, path, queryVec, probes)
+    spark.read.parquet(s"$path/data")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col(idCol),
+        round(Similarity.cosine(col(vecCol), typedlit(queryVec)), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -87,6 +87,33 @@ class AnnJoinSpec extends AnyFunSuite {
     assert(ann.filter(col("rank") === 1).count() == queries.count())
   }
 
+  test("IvfStore: partition-pruned search matches in-memory routing") {
+    import graft.sources.IvfStore
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfStore.write(emb, cents, "vec_id", "embedding", path)
+    val qv = emb.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0)
+    // driver-side probe routing must equal assignTopK for the same vector
+    val buckets = IvfStore.probeBuckets(spark, path, qv, probes = 3)
+    val expected = Similarity.assignTopK(
+        emb.filter(col("vec_id") === 7), cents, "vec_id", "embedding", 3)
+      .select("probe_buckets").head().getSeq[Any](0).map(_.toString)
+    assert(buckets == expected)
+    // search result equals brute-force top-k restricted to those buckets
+    val got = IvfStore.search(spark, path, qv, "vec_id", "embedding",
+      k = 5, probes = 3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val routed = Similarity.assignNearest(emb, cents, "vec_id", "embedding")
+      .filter(col("assigned").cast("string").isin(buckets: _*))
+    val bf = Similarity.topKCosine(routed, "vec_id", "embedding", 7L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == bf.toSeq)
+    // the bucket predicate must prune partitions at planning time
+    val plan = IvfStore.search(spark, path, qv, "vec_id", "embedding", 5, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no partition pruning in:\n$plan")
+  }
+
   test("every annJoin result row is a true cosine, never fabricated") {
     val got = key(Similarity.annJoin(queries, emb, "vec_id", "vec_id",
       "embedding", cents, k = 5, probes = 3))

@@ -64,6 +64,22 @@ class ScaleSpec extends AnyFunSuite {
       plain.agg(sum("payload")).collect().head.getLong(0))
   }
 
+  test("filters push to the parquet scan and unused columns are pruned") {
+    val q6 = SparkEntry.queries("q6_filter_agg")(spark, "/root/testdata/sf0.001")
+    val plan = q6.queryExecution.executedPlan.toString
+    // the shipdate/discount/quantity predicates must reach the scan...
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"filters not pushed:\n$plan")
+    // ...and the scan must not read columns the query never touches
+    assert(!plan.contains("l_comment") && !plan.contains("l_receiptdate"),
+      s"scan reads unused columns:\n$plan")
+    // semi/anti joins plan as LeftSemi/LeftAnti, not payload joins
+    val sa = SparkEntry.queries("q_semi_anti")(spark, "/root/testdata/sf0.001")
+    val saPlan = sa.queryExecution.executedPlan.toString
+    assert(saPlan.contains("LeftSemi") && saPlan.contains("LeftAnti"),
+      s"semi/anti not planned natively:\n$saPlan")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val ord = Tables.load(spark, "/root/testdata/sf0.001", "orders")
