@@ -178,9 +178,10 @@ object Dedup {
       directJoinDocLimit: Long = 10000): DataFrame = {
     // bounded dispatch probe: scan at most limit+1 rows — a plain
     // count() would materialize the full (possibly derived) input once
-    // just to choose a branch
-    val small = df.limit(directJoinDocLimit.toInt + 1).count() <=
-      directJoinDocLimit
+    // just to choose a branch. Clamp before the Int conversion: a limit
+    // at or beyond Int.MaxValue would overflow to a negative limit()
+    val lim = math.min(directJoinDocLimit, Int.MaxValue - 2L)
+    val small = df.limit(lim.toInt + 1).count() <= lim
     if (small) jaccardPairs(df, textCol, idCol, n, threshold)
     else jaccardPairsPrefix(df, textCol, idCol, n, threshold)
   }

@@ -87,6 +87,17 @@ class SarService(spark: SparkSession, storageDir: String) {
   def getTable(name: String, aliasOrHeader: String,
       device: Option[String] = None,
       start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+      metrics: Seq[String] = Nil): DataFrame =
+    getTableUnordered(name, aliasOrHeader, device, start, end, metrics)
+      .orderBy("date")
+
+  /** getTable without the trailing date sort — for aggregation consumers
+    * (statistics) and bounded row probes, where a limit on top of the
+    * sorted frame would otherwise plan a full top-K sort instead of a
+    * bounded scan. */
+  private def getTableUnordered(name: String, aliasOrHeader: String,
+      device: Option[String] = None,
+      start: Option[Timestamp] = None, end: Option[Timestamp] = None,
       metrics: Seq[String] = Nil): DataFrame = {
     val df = load(name)
     val fileHeaders = SarOps.headers(df)
@@ -124,7 +135,7 @@ class SarService(spark: SparkSession, storageDir: String) {
     }
     if (metrics.nonEmpty)
       wide = wide.select((col("date") +: metrics.map(col)): _*)
-    wide.orderBy("date")
+    wide
   }
 
   /** Restart (reboot) timestamps of a file — the engine-side data E4's
@@ -201,7 +212,11 @@ class SarService(spark: SparkSession, storageDir: String) {
       device: Option[String] = None,
       start: Option[Timestamp] = None, end: Option[Timestamp] = None,
       metrics: Seq[String] = Nil): DataFrame = {
-    val table = getTable(name, aliasOrHeader, device, start, end, metrics)
+    // the UNORDERED table: aggregation discards order anyway, and the
+    // bounded probe below must not plan a top-K-by-date sort (limit over
+    // orderBy cannot drop the sort — only a bare limit is a cheap scan)
+    val table = getTableUnordered(name, aliasOrHeader, device, start, end,
+      metrics)
     val cols = table.columns.filterNot(_ == "date").toSeq
     // bounded dispatch probe: scan at most limit+1 rows to learn which
     // side of the threshold we're on — a plain count() would pay a full
@@ -254,10 +269,10 @@ class SarService(spark: SparkSession, storageDir: String) {
 
   /** compareTable with each file's own restart zero-rows inserted
     * (E2 × J7): the multi-file Data-tab contract — zero rows and chart
-    * markers come from the file they belong to, associated via the
-    * filename convention (a file outside the convention, or one whose
-    * events match no selected file, gets no markers — reference
-    * break-on-first-match semantics). */
+    * markers come from the file they belong to, gated by the filename
+    * convention (restartsByFile: a file shows its OWN events only, and
+    * only when its name matches their (hostname, date); a file stored
+    * outside the convention gets no markers). */
   def compareTableWithRestarts(files: Seq[String], aliasOrHeader: String,
       device: Option[String] = None,
       mode: String = "sequential"): DataFrame = {

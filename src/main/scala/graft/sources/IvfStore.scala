@@ -33,25 +33,41 @@ object IvfStore {
     spark.read.parquet(s"$path/codebook")
 
   /** The query vector's `probes` nearest centroid labels — k×dim math,
-    * computed on the driver (the codebook is metadata scale). Cosine and
-    * tie-break (cosine desc, label asc) match assignTopK. */
+    * computed on the driver (the codebook is metadata scale). Ranking
+    * reproduces assignTopK exactly: cosine rounded to 6 dp (HALF_UP,
+    * matching Spark's round), ties broken on the label's NATIVE order
+    * (numeric labels compare numerically, not as strings), and a
+    * dimension mismatch ranks -2.0 like the engine's null-coalesce. */
   def probeBuckets(spark: SparkSession, path: String,
       queryVec: Seq[Float], probes: Int): Seq[String] = {
+    require(probes >= 1, "probes must be >= 1")
     val cb = codebook(spark, path).collect().map { r =>
       (r.get(0).toString, r.getSeq[Double](1))
     }
     def cosine(a: Seq[Float], b: Seq[Double]): Double = {
+      if (a.length != b.length) return -2.0 // engine: null → -2.0
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
+      while (i < a.length) {
         val x = a(i).toDouble; val y = b(i)
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
       val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) -2.0 else dot / denom
+      if (denom == 0.0) -2.0
+      else BigDecimal(dot / denom)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // native-order label tie-break: numeric labels numerically, else
+    // lexicographic — mirrors array_sort over the typed struct
+    val labelOrd = new Ordering[String] {
+      def compare(x: String, y: String): Int =
+        (x.toLongOption, y.toLongOption) match {
+          case (Some(a), Some(b)) => java.lang.Long.compare(a, b)
+          case _ => x.compareTo(y)
+        }
     }
     cb.map { case (l, v) => (l, cosine(queryVec, v)) }
-      .sortBy { case (l, c) => (-c, l) }
+      .sortBy { case (l, c) => (-c, l) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, labelOrd))
       .take(probes).map(_._1).toSeq
   }
 
@@ -62,6 +78,7 @@ object IvfStore {
     * shuffle-free literal-vector scan as Similarity.topKCosine. */
   def search(spark: SparkSession, path: String, queryVec: Seq[Float],
       idCol: String, vecCol: String, k: Int, probes: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
     val buckets = probeBuckets(spark, path, queryVec, probes)
     spark.read.parquet(s"$path/data")
       .filter(col("bucket").isin(buckets: _*))
