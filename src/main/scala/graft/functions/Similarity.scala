@@ -191,6 +191,39 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** Random-hyperplane (sign) LSH signature for embeddings: bit i =
+    * [Σ_j s_ij·v_j > 0] with Rademacher hyperplanes s_ij ∈ {+1,−1}
+    * derived from md5("i:j") — engine-portable and reproducible like
+    * every hash family here (a DuckDB oracle computes the identical
+    * signature). P(bits agree) = 1 − θ/π, so near-duplicate vectors
+    * share most bits: grouping by signature (or banded sub-signatures)
+    * blocks candidates WITHOUT a codebook — the LSH alternative to the
+    * IVF routing path. Pure per-row column math, no shuffle; the dot
+    * products are sequential folds (element order fixed) so the sign
+    * never depends on partitioning, and the oracle sums in the same
+    * order via list_transform. */
+  def vectorSimhash(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16, dim: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+    val sig = (0 until bits).map { i =>
+      val terms = (0 until dim).map { j =>
+        element_at(col(vecCol), j + 1).cast("double") *
+          lit(hyperplaneSign(i, j).toDouble)
+      }
+      when(terms.reduce(_ + _) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), sig.as("vsimhash"))
+  }
+
+  /** Rademacher hyperplane component: +1 when the first hex digit of
+    * md5("i:j") is 8..f (high bit set), −1 otherwise. Mirrored verbatim
+    * by the DuckDB oracle. */
+  def hyperplaneSign(i: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+    if ((h(0) & 0x80) != 0) 1 else -1
+  }
+
   /** Multi-probe IVF routing: the `probes` nearest centroid labels per
     * vector (cosine desc, label asc on ties), as an array column
     * `probe_buckets`. Near-boundary vectors land in every bucket that

@@ -294,6 +294,27 @@ object LlmQueries extends QueryPack {
           FROM embeddings, q
           ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
 
+    // ---- random-hyperplane LSH signature for embeddings -------------
+    // the codebook-free blocking alternative to IVF: Rademacher
+    // hyperplanes from md5("i:j"), sequential-fold dot products so the
+    // sign bit is partition- and engine-independent
+    QueryDef("q_vector_simhash", (s, dir) => {
+      Similarity.vectorSimhash(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", bits = 16, dim = dim)
+        .orderBy("vec_id")
+    }, Some {
+      val bitExprs = (0 until 16).map { i =>
+        s"""(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+             j -> (CASE WHEN substring(md5('$i:' || (j-1)), 1, 1)
+                   IN ('8','9','a','b','c','d','e','f')
+                   THEN 1.0 ELSE -1.0 END)
+                  * CAST(embedding[j] AS DOUBLE))) > 0
+             THEN ${1L << i} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""SELECT vec_id, CAST($bitExprs AS BIGINT) AS vsimhash
+          FROM embeddings ORDER BY vec_id"""
+    }),
+
     // ---- exact k-NN join (query-set similarity baseline) ------------
     // the exact cross-join+window baseline that Similarity.annJoin
     // approximates; annJoin itself is approximate BY DESIGN (recall <1

@@ -136,6 +136,25 @@ class LlmFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vector simhash: near-dup pairs land close in hamming distance") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val sig = Similarity.vectorSimhash(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig.size == emb.count())
+    val dups = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.nonEmpty)
+    // cos ≥ 0.45 ⇒ θ ≤ 63.3° ⇒ E[hamming] ≤ 16·θ/π ≈ 5.6; allow slack
+    val hams = dups.map { case (a, b) =>
+      java.lang.Long.bitCount(sig(a) ^ sig(b)) }
+    assert(hams.forall(_ <= 10), s"hamming distances $hams")
+    // random pairs average far higher (≈8 of 16 bits differ)
+    val ids = sig.keys.toSeq.sorted.take(40)
+    val rand = for (a <- ids; b <- ids if a < b)
+      yield java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(rand.sum.toDouble / rand.size > 5.0)
+  }
+
   test("blocked dedup plans keyed joins only; exact path is the nested loop") {
     val emb = Tables.load(spark, dir, "embeddings")
     val cents = Similarity.centroids(emb, "label", "embedding")
