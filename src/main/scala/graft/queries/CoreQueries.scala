@@ -157,6 +157,49 @@ object CoreQueries extends QueryPack {
                  JOIN nation ON c_nationkey = n_nationkey
           ORDER BY n_name""")),
 
+    // hierarchical totals via ROLLUP(region, nation): per-nation rows,
+    // per-region subtotals, and a grand total from ONE aggregation pass
+    // (Catalyst expands the grouping sets; no self-union of aggregates)
+    QueryDef("q_rollup_revenue", (s, dir) => {
+      val nation = Tables.load(s, dir, "nation")
+      val region = Tables.load(s, dir, "region")
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }, Some(
+      """SELECT r_name, n_name,
+         round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+
+    // exact distinct counts per group (the cardinality profile a
+    // training-data pipeline reports; approx_count_distinct is the
+    // sketch-verified scale path — see ScaleSpec)
+    QueryDef("q_count_distinct", (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(date_trunc("DAY", col("o_orderdate")))
+            .as("n_days"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus,
+         count(DISTINCT o_custkey) AS n_customers,
+         count(DISTINCT date_trunc('day', o_orderdate)) AS n_days,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // per-group top-k via window rank: top-2 revenue suppliers per
     // nation — one fact shuffle on s_suppkey, broadcast dims, then a
     // window shuffle on the (small) per-supplier aggregate

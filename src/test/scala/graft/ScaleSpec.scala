@@ -80,6 +80,19 @@ class ScaleSpec extends AnyFunSuite {
       s"semi/anti not planned natively:\n$saPlan")
   }
 
+  test("approx_count_distinct tracks exact distinct counts within rsd") {
+    val ord = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val both = ord.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .collect().head
+    val (exact, approx) = (both.getLong(0), both.getLong(1))
+    // HLL++ with rsd 0.02: generous 3σ-ish bound — the sketch is the
+    // fixed-memory scale path for the q_count_distinct profile
+    assert(math.abs(approx - exact).toDouble / exact <= 0.06,
+      s"approx $approx vs exact $exact")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val ord = Tables.load(spark, "/root/testdata/sf0.001", "orders")
