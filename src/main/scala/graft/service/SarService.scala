@@ -138,6 +138,54 @@ class SarService(spark: SparkSession, storageDir: String) {
     wide
   }
 
+  /** Delete a stored file: parquet directory AND both cache layers
+    * (reference delete_sar_file, api/services.py:159 — leaving the
+    * cached frame behind would keep serving deleted data). Returns
+    * whether anything existed. */
+  def delete(name: String): Boolean = {
+    val target = Paths.get(s"$storageDir/${validated(name)}.parquet")
+    Option(cache.remove(name)).foreach(_.unpersist())
+    val existed = Files.exists(target)
+    if (existed) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(target).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+      spark.catalog.refreshByPath(target.toString)
+    }
+    existed
+  }
+
+  /** Age of a stored file in days, preferring the S13 upload-date
+    * prefix over filesystem mtime (reference _file_age_days,
+    * api/services.py:364-377: the name survives copies, mtime does
+    * not). Non-convention names fall back to the parquet mtime. */
+  def fileAgeDays(name: String,
+      today: java.time.LocalDate = java.time.LocalDate.now()): Long = {
+    validated(name)
+    try {
+      val uploadDate = java.time.LocalDate.parse(name.take(10))
+      java.time.temporal.ChronoUnit.DAYS.between(uploadDate, today)
+    } catch { case _: java.time.format.DateTimeParseException =>
+      val p = Paths.get(s"$storageDir/$name.parquet")
+      val mtime = Files.getLastModifiedTime(p).toInstant
+      java.time.temporal.ChronoUnit.DAYS.between(
+        mtime.atZone(java.time.ZoneOffset.UTC).toLocalDate, today)
+    }
+  }
+
+  /** Age-based cleanup (reference cleanup_old_files,
+    * api/services.py:524): stored files older than `days` are deleted —
+    * through [[delete]] so caches drop too. `dryRun = true` (the
+    * reference default) returns the identical candidate list without
+    * touching anything. */
+  def cleanupOldFiles(days: Int, dryRun: Boolean = true,
+      today: java.time.LocalDate = java.time.LocalDate.now())
+      : Seq[String] = {
+    val stale = listFiles().filter(fileAgeDays(_, today) > days)
+    if (!dryRun) stale.foreach(delete)
+    stale
+  }
+
   /** Restart (reboot) timestamps of a file — the engine-side data E4's
     * chart markers consume. */
   def restarts(name: String): Seq[Timestamp] =

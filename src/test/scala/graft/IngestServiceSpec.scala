@@ -187,6 +187,34 @@ class IngestServiceSpec extends AnyFunSuite {
       Map(n1 -> 3L, n2 -> 3L))
   }
 
+  test("delete + age-based cleanup driven by the naming convention") {
+    import graft.service.SarService
+    val storage = Files.createTempDirectory("graft_clean").toString
+    val svc = new SarService(spark, storage)
+    val up = Files.createTempFile("sa_up", ".txt")
+    Files.writeString(up, resource("sa_24h.txt"))
+    svc.upload(up.toString, "2026-07-01_oldhost_2023-06-05")
+    svc.upload(up.toString, "2026-08-10_newhost_2023-06-05")
+    svc.upload(up.toString, "plainname") // falls back to (fresh) mtime
+    val today = java.time.LocalDate.parse("2026-08-12")
+    assert(svc.fileAgeDays("2026-07-01_oldhost_2023-06-05", today) == 42)
+    assert(svc.fileAgeDays("plainname", today) == 0)
+    // dry run lists the stale file and touches nothing
+    assert(svc.cleanupOldFiles(30, dryRun = true, today) ==
+      Seq("2026-07-01_oldhost_2023-06-05"))
+    assert(svc.listFiles().length == 3)
+    // real run deletes it — storage AND cache (a reload must fail)
+    assert(svc.cleanupOldFiles(30, dryRun = false, today) ==
+      Seq("2026-07-01_oldhost_2023-06-05"))
+    assert(svc.listFiles() ==
+      Seq("2026-08-10_newhost_2023-06-05", "plainname"))
+    intercept[Exception] {
+      svc.load("2026-07-01_oldhost_2023-06-05").count()
+    }
+    // delete is idempotent-safe
+    assert(!svc.delete("2026-07-01_oldhost_2023-06-05"))
+  }
+
   test("storage names are validated against traversal") {
     import graft.service.SarService
     val storage = Files.createTempDirectory("graft_val").toString
