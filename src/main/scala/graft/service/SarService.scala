@@ -186,6 +186,19 @@ class SarService(spark: SparkSession, storageDir: String) {
     stale
   }
 
+  /** Per-file storage bytes, largest consumers first (reference
+    * disk_usage_report, api/services.py:379 — single-tenant flavor:
+    * this service instance manages one storage directory). */
+  def diskUsage(): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    listFiles().map { n =>
+      val p = Paths.get(s"$storageDir/$n.parquet")
+      val bytes = Files.walk(p).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      n -> bytes
+    }.sortBy { case (n, b) => (-b, n) }
+  }
+
   /** Restart (reboot) timestamps of a file — the engine-side data E4's
     * chart markers consume. */
   def restarts(name: String): Seq[Timestamp] =

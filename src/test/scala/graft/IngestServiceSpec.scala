@@ -213,6 +213,13 @@ class IngestServiceSpec extends AnyFunSuite {
     }
     // delete is idempotent-safe
     assert(!svc.delete("2026-07-01_oldhost_2023-06-05"))
+
+    // disk usage reports the surviving files, largest first
+    val usage = svc.diskUsage()
+    assert(usage.map(_._1).toSet ==
+      Set("2026-08-10_newhost_2023-06-05", "plainname"))
+    assert(usage.forall(_._2 > 0))
+    assert(usage.map(-_._2) == usage.map(-_._2).sorted)
   }
 
   test("storage names are validated against traversal") {
