@@ -177,6 +177,27 @@ object SarStreaming {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each left row joins right rows with
+    * the same `keyCol` whose `rightTs` lies in
+    * [leftTs − lookback, leftTs] — the streaming face of the batch
+    * as-of alignment (all preceding events in the window, not just the
+    * latest). Both sides carry the watermark, so Spark bounds the join
+    * state to watermark + lookback per side; without the time bound a
+    * stream-stream join would buffer both streams forever. The two
+    * frames must use distinct column names (rename before calling —
+    * stream-stream joins have no alias disambiguation to lean on). */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String, leftTs: String, rightTs: String,
+      lookback: String = "1 hour", watermark: String = "2 hours")
+      : DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"""$keyLeft = $keyRight AND
+          $rightTs >= $leftTs - INTERVAL $lookback AND
+          $rightTs <= $leftTs"""))
+  }
+
   /** Drive a stream to completion against a memory sink and return the
     * result table (test/local harness; production uses a real sink). */
   def runToMemory(df: DataFrame, name: String,

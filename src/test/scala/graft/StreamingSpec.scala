@@ -98,6 +98,36 @@ class StreamingSpec extends AnyFunSuite {
       s"diff ${(batch -- got).take(5)} / ${(got -- batch).take(5)}")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    events.write.mode("overwrite").parquet(dir)
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+    def errors(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+          col("ts").as("e_ts"))
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(dir).schema, dir)
+    val joined = SarStreaming.intervalJoinStreams(
+      purchases(stream), errors(stream), "p_user", "e_user",
+      "p_ts", "e_ts", lookback = "1 hour")
+    val got = SarStreaming.runToMemory(joined, "ssj_out",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("p_id", "e_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = purchases(events).join(errors(events),
+        expr("""p_user = e_user AND
+                e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts"""))
+      .select("p_id", "e_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch && batch.nonEmpty,
+      s"stream ${got.size} vs batch ${batch.size}")
+  }
+
   test("sessionize evicts timed-out state and late replays open no phantom sessions") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
