@@ -207,8 +207,13 @@ object Similarity {
     require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
     val sig = (0 until bits).map { i =>
       val terms = (0 until dim).map { j =>
-        element_at(col(vecCol), j + 1).cast("double") *
-          lit(hyperplaneSign(i, j).toDouble)
+        // try_element_at + coalesce(…, 0): vectors shorter than dim (or
+        // null elements) contribute nothing, exactly like the oracle's
+        // list_sum skipping NULLs — plain element_at would null-poison
+        // the sum (or throw under ANSI), silently zeroing the signature
+        coalesce(
+          try_element_at(col(vecCol), lit(j + 1)).cast("double"),
+          lit(0.0)) * lit(hyperplaneSign(i, j).toDouble)
       }
       when(terms.reduce(_ + _) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)

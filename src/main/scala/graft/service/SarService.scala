@@ -140,18 +140,34 @@ class SarService(spark: SparkSession, storageDir: String) {
 
   /** Delete a stored file: parquet directory AND both cache layers
     * (reference delete_sar_file, api/services.py:159 — leaving the
-    * cached frame behind would keep serving deleted data). Returns
-    * whether anything existed. */
+    * cached frame behind would keep serving deleted data). Files go
+    * first and the cache entry last, so a load() racing the delete can
+    * only cache a frame that the final remove() then drops; a writer
+    * racing the tree walk (re-upload of the same name) is retried a few
+    * times before giving up. Returns whether anything existed. */
   def delete(name: String): Boolean = {
     val target = Paths.get(s"$storageDir/${validated(name)}.parquet")
-    Option(cache.remove(name)).foreach(_.unpersist())
     val existed = Files.exists(target)
     if (existed) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(target).iterator().asScala.toSeq.reverse
-        .foreach(Files.delete)
+      var attempts = 0
+      while (Files.exists(target) && attempts < 3) {
+        attempts += 1
+        try scala.util.Using.resource(Files.walk(target)) { walk =>
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        } catch {
+          // a concurrent writer added files between walk and delete —
+          // loop and re-walk the tree
+          case _: java.nio.file.DirectoryNotEmptyException if attempts < 3 =>
+        }
+      }
+      if (Files.exists(target))
+        throw new java.io.IOException(
+          s"could not delete $target (concurrent writes?)")
       spark.catalog.refreshByPath(target.toString)
     }
+    Option(cache.remove(name)).foreach(_.unpersist())
     existed
   }
 
@@ -168,8 +184,10 @@ class SarService(spark: SparkSession, storageDir: String) {
     } catch { case _: java.time.format.DateTimeParseException =>
       val p = Paths.get(s"$storageDir/$name.parquet")
       val mtime = Files.getLastModifiedTime(p).toInstant
+      // same zone as the LocalDate.now() default — mixing UTC here with
+      // a system-zone `today` yields negative/off-by-one ages
       java.time.temporal.ChronoUnit.DAYS.between(
-        mtime.atZone(java.time.ZoneOffset.UTC).toLocalDate, today)
+        mtime.atZone(java.time.ZoneId.systemDefault()).toLocalDate, today)
     }
   }
 
@@ -193,8 +211,10 @@ class SarService(spark: SparkSession, storageDir: String) {
     import scala.jdk.CollectionConverters._
     listFiles().map { n =>
       val p = Paths.get(s"$storageDir/$n.parquet")
-      val bytes = Files.walk(p).iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      val bytes = scala.util.Using.resource(Files.walk(p)) {
+        _.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+      }
       n -> bytes
     }.sortBy { case (n, b) => (-b, n) }
   }

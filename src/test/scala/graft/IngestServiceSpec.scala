@@ -198,7 +198,11 @@ class IngestServiceSpec extends AnyFunSuite {
     svc.upload(up.toString, "plainname") // falls back to (fresh) mtime
     val today = java.time.LocalDate.parse("2026-08-12")
     assert(svc.fileAgeDays("2026-07-01_oldhost_2023-06-05", today) == 42)
-    assert(svc.fileAgeDays("plainname", today) == 0)
+    // mtime fallback measured against the REAL clock (the file was just
+    // written) — pinning `today` here would break every run after the
+    // commit date; ≤1 absorbs a midnight rollover mid-test
+    val mtimeAge = svc.fileAgeDays("plainname", java.time.LocalDate.now())
+    assert(mtimeAge >= 0 && mtimeAge <= 1)
     // dry run lists the stale file and touches nothing
     assert(svc.cleanupOldFiles(30, dryRun = true, today) ==
       Seq("2026-07-01_oldhost_2023-06-05"))

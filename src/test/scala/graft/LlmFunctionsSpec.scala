@@ -153,6 +153,17 @@ class LlmFunctionsSpec extends AnyFunSuite {
     val rand = for (a <- ids; b <- ids if a < b)
       yield java.lang.Long.bitCount(sig(a) ^ sig(b))
     assert(rand.sum.toDouble / rand.size > 5.0)
+
+    // short vectors degrade like the oracle's NULL-skipping list_sum:
+    // missing dims contribute 0, so bit i = [sign(i,0) > 0] for a 1-dim
+    // vector — never a silently zeroed signature
+    import spark.implicits._
+    val short = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.vectorSimhash(short, "vec_id", "embedding")
+      .head().getLong(1)
+    val expected = (0 until 16).map(i =>
+      if (Similarity.hyperplaneSign(i, 0) > 0) 1L << i else 0L).sum
+    assert(got == expected && got != 0L)
   }
 
   test("blocked dedup plans keyed joins only; exact path is the nested loop") {
