@@ -17,6 +17,25 @@ object TextAnalysis {
 
   def wsTokenCount(text: Column): Column = size(words(text))
 
+  /** Shannon entropy (base 2) of the token distribution — the standard
+    * gibberish/boilerplate signal: repeated boilerplate scores near 0,
+    * natural text sits in the middle, random soup near log2(n_tokens).
+    * Deterministic across engines AND partitionings by construction:
+    * counts are exact integers and the −Σ p·log2 p fold runs over the
+    * SORTED distinct tokens, so both sides sum in the identical order
+    * (a group-by entropy aggregate would sum floats in shuffle order).
+    * O(distinct·tokens) per row — fine for document-scale text. */
+  def tokenEntropy(text: Column): Column = {
+    val toks = words(text)
+    val n = size(toks).cast("double")
+    val uniq = array_sort(array_distinct(toks))
+    val ent = aggregate(uniq, lit(0.0), (acc, t) => {
+      val p = size(filter(toks, x => x === t)).cast("double") / n
+      acc + p * log2(p)
+    })
+    lit(0.0) - ent
+  }
+
   /** BPE-ish token count: letter runs, single digits, single symbols. */
   val tokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
   def regexTokenCount(text: Column): Column =

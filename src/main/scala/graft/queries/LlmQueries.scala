@@ -107,6 +107,28 @@ object LlmQueries extends QueryPack {
           FROM d GROUP BY source ORDER BY source"""
     }),
 
+    // ---- token entropy (gibberish/boilerplate signal) ---------------
+    // both engines fold −Σ p·log2 p over the SORTED distinct tokens, so
+    // float summation order is identical — no shuffle-order drift
+    QueryDef("q_token_entropy", (s, dir) => {
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          round(TextAnalysis.tokenEntropy(col("text")), 4).as("entropy"),
+          size(array_distinct(TextAnalysis.words(col("text"))))
+            .as("n_distinct"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, ${wsSplit} AS w
+                     FROM documents WHERE doc_id < 100)
+          SELECT doc_id,
+            round(-list_sum(list_transform(list_sort(list_distinct(w)),
+              tok -> (CAST(len(list_filter(w, x -> x = tok)) AS DOUBLE)
+                        / len(w))
+                     * log2(CAST(len(list_filter(w, x -> x = tok)) AS DOUBLE)
+                        / len(w)))), 4) AS entropy,
+            CAST(len(list_distinct(w)) AS INT) AS n_distinct
+          FROM t ORDER BY doc_id""")),
+
     // ---- language ID ------------------------------------------------
     QueryDef("q_lang_id", (s, dir) => {
       Tables.load(s, dir, "documents")

@@ -84,6 +84,21 @@ class LlmFunctionsSpec extends AnyFunSuite {
     assert(ham <= 4, s"hamming $ham for a >0.95-jaccard pair")
   }
 
+  test("token entropy separates boilerplate from diverse text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),    // 0 bits
+      (2L, "a b c d e f g h"),                            // log2(8) = 3
+      (3L, "the cat sat on the mat the end"))             // mixed
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.tokenEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - 3.0) < 1e-12)
+    assert(got(3L) > 0.0 && got(3L) < 3.0)
+  }
+
   test("text analysis columns are sane") {
     val row = docs.filter(col("doc_id") === 0).select(
       TextAnalysis.wsTokenCount(col("text")),
