@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.queries.Tables
+import graft.sources.IvfStore
+
+/** Executable tour of the training-data pipeline surface: dedup →
+  * quality filtering → similarity search, end to end on the synthetic
+  * corpus. `runMain graft.PipelineDemo [sfDir]` — prints one compact
+  * line per stage; doubles as an integration smoke over the library's
+  * LLM-ops API the way Demo does for the SAR service.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.get(cores = 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.load(spark, sfDir, "documents").cache()
+    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    println(s"[pipeline] corpus: ${docs.count()} docs, ${emb.count()} vectors ($sfDir)")
+
+    // 1. exact dedup on a normalized prefix key
+    val keyed = docs.withColumn("k",
+      array_join(slice(TextAnalysis.words(col("text")), 1, 8), " "))
+    val exactGroups = Dedup.exactDupGroups(keyed, "k", "doc_id").count()
+    println(s"[pipeline] exact dup groups: $exactGroups")
+
+    // 2. near-dup: auto-dispatched Jaccard + LSH candidates
+    val jac = Dedup.jaccardPairsAuto(docs, "text", "doc_id").count()
+    val lsh = Dedup.lshCandidatePairs(docs, "text", "doc_id").count()
+    println(s"[pipeline] jaccard>=0.8 pairs: $jac; LSH candidates: $lsh")
+
+    // 3. quality filter: stopword ratio + entropy band keeps real text
+    val quality = docs.select(col("doc_id"),
+        TextAnalysis.stopwordRatio(col("text")).as("swr"),
+        TextAnalysis.tokenEntropy(col("text")).as("ent"))
+      .filter(col("ent") > 1.0)
+    println(s"[pipeline] docs passing entropy>1 filter: ${quality.count()}")
+
+    // 4. embedding dedup: centroid-blocked (trained codebook, no labels)
+    val codebook = Similarity.trainCodebook(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      .select(col("centroid_label"), col("cvec"))
+    val blocked = Dedup.cosineDupPairsBlocked(emb, codebook,
+      "vec_id", "embedding", threshold = 0.45, probes = 4).count()
+    println(s"[pipeline] cosine>=0.45 near-dup pairs (blocked): $blocked")
+
+    // 5. similarity search: on-disk IVF index, partition-pruned probe
+    val ivfPath = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfStore.write(emb, codebook, "vec_id", "embedding", ivfPath)
+    val qv = emb.select("embedding").head().getSeq[Float](0)
+    val hits = IvfStore.search(spark, ivfPath, qv, "vec_id", "embedding",
+      k = 5, probes = 3).collect()
+    println(s"[pipeline] IVF top-5: " +
+      hits.map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", "))
+
+    spark.stop()
+  }
+}
