@@ -36,8 +36,8 @@ object PipelineDemo {
     val quality = docs.select(col("doc_id"),
         TextAnalysis.stopwordRatio(col("text")).as("swr"),
         TextAnalysis.tokenEntropy(col("text")).as("ent"))
-      .filter(col("ent") > 1.0)
-    println(s"[pipeline] docs passing entropy>1 filter: ${quality.count()}")
+      .filter(col("ent") > 1.0 && col("swr") < 0.8)
+    println(s"[pipeline] docs passing entropy/stopword filter: ${quality.count()}")
 
     // 4. embedding dedup: centroid-blocked (trained codebook, no labels)
     val codebook = Similarity.trainCodebook(emb, "vec_id", "embedding",

@@ -109,7 +109,9 @@ object LlmQueries extends QueryPack {
 
     // ---- token entropy (gibberish/boilerplate signal) ---------------
     // both engines fold −Σ p·log2 p over the SORTED distinct tokens, so
-    // float summation order is identical — no shuffle-order drift
+    // float summation order is identical — no shuffle-order drift.
+    // `0 - list_sum`, NOT `-list_sum`: a zero-entropy doc would yield
+    // "-0.0" under unary minus and fail the stringified hash compare
     QueryDef("q_token_entropy", (s, dir) => {
       Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"),
@@ -121,7 +123,7 @@ object LlmQueries extends QueryPack {
       s"""WITH t AS (SELECT doc_id, ${wsSplit} AS w
                      FROM documents WHERE doc_id < 100)
           SELECT doc_id,
-            round(-list_sum(list_transform(list_sort(list_distinct(w)),
+            round(0 - list_sum(list_transform(list_sort(list_distinct(w)),
               tok -> (CAST(len(list_filter(w, x -> x = tok)) AS DOUBLE)
                         / len(w))
                      * log2(CAST(len(list_filter(w, x -> x = tok)) AS DOUBLE)

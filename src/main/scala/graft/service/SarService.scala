@@ -148,7 +148,7 @@ class SarService(spark: SparkSession, storageDir: String) {
   def delete(name: String): Boolean = {
     val target = Paths.get(s"$storageDir/${validated(name)}.parquet")
     val existed = Files.exists(target)
-    if (existed) {
+    try {
       var attempts = 0
       while (Files.exists(target) && attempts < 3) {
         attempts += 1
@@ -157,17 +157,24 @@ class SarService(spark: SparkSession, storageDir: String) {
           walk.iterator().asScala.toSeq.reverse
             .foreach(Files.deleteIfExists(_))
         } catch {
-          // a concurrent writer added files between walk and delete —
-          // loop and re-walk the tree
-          case _: java.nio.file.DirectoryNotEmptyException if attempts < 3 =>
+          // concurrent writer added files between walk and delete →
+          // loop re-walks; concurrent DELETER removed the tree first →
+          // nothing left to do, the exists() check settles it
+          case _: java.nio.file.DirectoryNotEmptyException => ()
+          case _: java.nio.file.NoSuchFileException => ()
+          case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
         }
       }
       if (Files.exists(target))
         throw new java.io.IOException(
           s"could not delete $target (concurrent writes?)")
-      spark.catalog.refreshByPath(target.toString)
+    } finally {
+      // the cache entry dies even on a failed/partial delete — a stale
+      // frame would keep serving a file that is partially gone on disk
+      Option(cache.remove(name)).foreach(_.unpersist())
+      if (existed) spark.catalog.refreshByPath(target.toString)
     }
-    Option(cache.remove(name)).foreach(_.unpersist())
     existed
   }
 
