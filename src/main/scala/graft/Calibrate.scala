@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity}
+
+/** Calibration harness for the scale-path dispatch knobs (run by hand,
+  * numbers land in NOTES_r*.md):
+  *
+  *   runMain graft.Calibrate blocked <sfDir>   — trained-codebook blocked
+  *     dedup: recall + candidate-pair count per probe count, vs the
+  *     labeled 10-centroid codebook and the exact O(n²) baseline.
+  *   runMain graft.Calibrate jaccard <sfDir>   — direct vs prefix Jaccard
+  *     join wall time on the documents corpus (the jaccardPairsAuto
+  *     crossover evidence).
+  */
+object Calibrate {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val sfDir = args(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    mode match {
+      case "blocked" => blocked(spark, sfDir)
+      case "jaccard" => jaccard(spark, sfDir)
+    }
+    spark.stop()
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def blocked(spark: SparkSession, sfDir: String): Unit = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val threshold = 0.45
+    val (exact, tExact) = time {
+      Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    println(f"[cal] n=$n exact_pairs=${exact.size} t=$tExact%.2f s")
+    val k = Similarity.codebookSize(n)
+    val trainedVariants = Seq(1, 2, 3, 5).map { iters =>
+      val (c, tTrain) = time {
+        val c0 = Similarity.trainCodebook(emb, "vec_id", "embedding", k,
+          iters)
+        c0.collect(); c0
+      }
+      println(f"[cal] trainCodebook k=$k iters=$iters t=$tTrain%.2f s")
+      (c, s"trained${k}_i$iters", k)
+    }
+    val labeled = Similarity.centroids(emb, "label", "embedding")
+    for ((cents, tag, kk) <- (labeled, "labeled10", 10) +: trainedVariants;
+        probes <- Seq(1, 2, 3, 4, 6, 8).filter(_ <= kk)) {
+      val routed = Similarity.assignTopK(emb, cents, "vec_id",
+          "embedding", probes)
+        .select(col("vec_id"), explode(col("probe_buckets")).as("bucket"))
+      val nCand = routed.toDF("a", "bucket")
+        .join(routed.toDF("b", "bucket"), Seq("bucket"))
+        .filter(col("a") < col("b")).select("a", "b").distinct().count()
+      val (got, t) = time {
+        Dedup.cosineDupPairsBlocked(emb, cents, "vec_id", "embedding",
+            threshold, probes)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val recall = (exact intersect got).size.toDouble / math.max(1, exact.size)
+      println(f"[cal] $tag probes=$probes cand=$nCand " +
+        f"pairs=${got.size}/${exact.size} recall=$recall%.3f t=$t%.2f s")
+    }
+  }
+
+  private def jaccard(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    for (i <- 1 to 3) {
+      val (nd, td) = time {
+        Dedup.jaccardPairs(docs, "text", "doc_id").count()
+      }
+      val (np, tp) = time {
+        Dedup.jaccardPairsPrefix(docs, "text", "doc_id").count()
+      }
+      println(f"[cal] docs=$n run$i direct=$td%.2f s ($nd pairs) " +
+        f"prefix=$tp%.2f s ($np pairs)")
+    }
+  }
+}

@@ -199,7 +199,15 @@ object Dedup {
     * duplicate radius (near-dups at `threshold` sit far closer than
     * centroid spacing) this is recall-complete; raise `probes` (up to
     * k = exhaustive) when the codebook is coarse. Verified
-    * result-identical to [[cosineDupPairsExact]] on the test corpus. */
+    * result-identical to [[cosineDupPairsExact]] on the test corpus.
+    *
+    * Codebook size sets the candidate join's parallelism: the shuffle
+    * key has exactly k·(probe overlap) distinct values, so a coarse
+    * fixed codebook (the r2 10-label default) caps the join at ≤10
+    * tasks and magnetizes skew (one hot bucket = one straggler).
+    * Prefer [[cosineDupPairsTrained]], which trains k≈√n centroids —
+    * √n distinct keys parallelize at any corpus size and minimize
+    * Σ bucket² candidate work. */
   def cosineDupPairsBlocked(df: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String, threshold: Double, probes: Int = 2): DataFrame = {
     val routed = Similarity.assignTopK(df, cents, idCol, vecCol, probes)
@@ -215,6 +223,24 @@ object Dedup {
         round(Similarity.cosine(col("__va"), col("__vb")), 4))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
+  }
+
+  /** THE default embedding near-dup path: [[cosineDupPairsBlocked]]
+    * driven by a codebook trained on the corpus itself at k≈√n
+    * ([[Similarity.trainCodebook]] — one corpus scan per Lloyd's
+    * iteration, flat lineage). No label column needed; k comes from a
+    * count of the corpus (column-pruned — on parquet a count-only scan
+    * reads footers, not vectors). Training amortizes at scale: persist
+    * the codebook (or the
+    * whole routed corpus via [[graft.sources.IvfStore]]) and every
+    * subsequent dedup/ANN query reuses it. */
+  def cosineDupPairsTrained(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, probes: Int = 8, iters: Int = 5): DataFrame = {
+    val n = df.count()
+    val cents = Similarity.trainCodebook(df, idCol, vecCol,
+      Similarity.codebookSize(n), iters)
+    cosineDupPairsBlocked(df, cents, idCol, vecCol, threshold,
+      math.min(probes, Similarity.codebookSize(n)))
   }
 
   /** Exact all-pairs embedding near-dup baseline: every (a<b) pair with

@@ -57,14 +57,33 @@ object Similarity {
       .select(col(labelCol).as("centroid_label"),
         transform(col("pc"), _.getField("cv")).as("cvec"))
 
+  /** Native-order label comparator shared by every tie-break in the
+    * package: numeric labels compare numerically, anything else
+    * lexicographically — the same rule IvfStore.probeBuckets applies, so
+    * driver-side routing and the in-plan fold can never disagree on an
+    * exact-tie vector. */
+  private[graft] val labelOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(x: Any, y: Any): Int = (x, y) match {
+      case (a: Number, b: Number) =>
+        java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+      case _ =>
+        (x.toString.toLongOption, y.toString.toLongOption) match {
+          case (Some(a), Some(b)) => java.lang.Long.compare(a, b)
+          case _ => x.toString.compareTo(y.toString)
+        }
+    }
+  }
+
   /** Collect the k×dim codebook into a literal array column (label-sorted
-    * for deterministic ties). Centroids are metadata scale by definition,
-    * so they ship in the task binary rather than through a
-    * codegen-blocking nested-loop join. */
+    * for deterministic ties — NATIVE label order, matching
+    * IvfStore.probeBuckets and assignTopK's array_sort, so all three
+    * assignment paths break exact ties identically). Centroids are
+    * metadata scale by definition, so they ship in the task binary rather
+    * than through a codegen-blocking nested-loop join. */
   private def literalCodebook(cents: DataFrame): Column = {
     val codebook = cents.collect().map { r =>
       (r.get(0), r.getSeq[Double](1))
-    }.sortBy(_._1.toString)
+    }.sortBy(_._1)(labelOrdering)
     array(codebook.map { case (label, vec) =>
       struct(lit(label).as("l"), typedlit(vec).as("v"))
     }.toSeq: _*)
@@ -105,31 +124,57 @@ object Similarity {
     * iteration is assign-to-nearest (broadcast codebook, no shuffle)
     * followed by a mean per bucket (one keyed shuffle of k×dim partial
     * sums — map-side combined). Empty buckets keep their previous
-    * centroid. Cost per iteration: one scan + one k×dim aggregation;
-    * k and iters are codebook-scale knobs, not data-scale. */
+    * centroid.
+    *
+    * Cost: EXACTLY one corpus scan per iteration (plus one for the
+    * init sample) — the k×dim codebook is metadata scale, so each
+    * iteration ends by collecting it to the driver and the next
+    * iteration starts from local rows. Folding the join chain lazily
+    * instead would make iteration i re-execute iterations 1..i−1 when
+    * `literalCodebook` collects it (O(iters²) scans, and an unresolved
+    * plan that doubles every iteration); the scan count is pinned by a
+    * test in AnnJoinSpec. k and iters are codebook-scale knobs, not
+    * data-scale. */
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): DataFrame = {
     require(k >= 1 && iters >= 0)
-    val init = df.orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(k)
-      .select(row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(
-            md5(col(idCol).cast("string")), col(idCol)))
-        .as("centroid_label"),
-        transform(col(vecCol), _.cast("double")).as("cvec"))
-    (1 to iters).foldLeft(init) { (cents, _) =>
-      val assigned = assignNearest(df, cents
-        .select(col("centroid_label"), col("cvec")), idCol, vecCol)
-      val next = centroids(assigned, "assigned", vecCol)
-        .withColumnRenamed("centroid_label", "new_label")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def local(cb: Seq[(Int, Seq[Double])]): DataFrame =
+      cb.toDF("centroid_label", "cvec")
+    // one scan: total order by (md5(id), id), first k rows — labels
+    // 1..k in that hash order (what the old row_number produced)
+    var codebook: Seq[(Int, Seq[Double])] =
+      df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
+        .select(transform(col(vecCol), _.cast("double")))
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
+    for (_ <- 1 to iters) {
+      // one scan: route every vector over the (broadcast-literal)
+      // codebook, aggregate k×dim bucket means, collect k rows
+      val next = centroids(assignNearest(df, local(codebook), idCol,
+          vecCol), "assigned", vecCol)
+        .collect()
+        .map(r => r.get(0).asInstanceOf[Number].intValue() ->
+          r.getSeq[Double](1)).toMap
       // empty buckets vanish from `next`; keep their old centroid so k
       // stays constant and labels remain stable across iterations
-      cents.join(next, cents("centroid_label") === next("new_label"),
-          "left")
-        .select(cents("centroid_label"),
-          coalesce(next("cvec"), cents("cvec")).as("cvec"))
+      codebook = codebook.map { case (l, v) => (l, next.getOrElse(l, v)) }
     }
+    local(codebook)
   }
+
+  /** Default IVF codebook size for an n-vector corpus: k ≈ √n, clamped
+    * to [4, 65536]. √n balances the two costs of centroid blocking —
+    * candidate work Σ bucket² ≈ n²/k at uniform fill (minimized by
+    * large k) against the k×n routing scores (grows with k) — and it
+    * keeps the candidate join's shuffle key at √n distinct values, so
+    * bucket joins parallelize instead of hitting the k-distinct-keys
+    * ceiling a fixed small codebook imposes (one hot bucket = one
+    * straggler task at 100 TB). */
+  def codebookSize(n: Long): Int =
+    math.max(4L, math.min(65536L,
+      math.round(math.sqrt(n.toDouble)))).toInt
 
   /** Exact k-NN join: top-k corpus neighbors per query vector by
     * cosine, via cross join + per-query window (cosine desc, corpus id

@@ -260,15 +260,20 @@ object LlmQueries extends QueryPack {
 
     // centroid-blocked scale path — same oracle SQL as q_dedup_cosine:
     // the two declared paths must hash-match the identical result set.
-    // probes=4: measured minimum for recall-complete routing on this
-    // corpus (labels are only weakly clustered, so the 10-centroid
-    // codebook is coarse relative to the 0.45 duplicate radius; a probe
-    // scan found 2→7/14, 3→13/14, 4→14/14 pairs at sf0.01)
+    // The codebook is TRAINED at k≈√n (Lloyd's, one corpus scan per
+    // iteration — the r2 10-label codebook capped the candidate join at
+    // 10 distinct shuffle keys AND was measured non-recall-complete at
+    // sf0.1: probes=4 found 142/144 pairs). probes=8: measured
+    // recall-complete with margin on this near-uniform corpus — the
+    // WORST case for IVF blocking at a 0.45 radius (calibration,
+    // iters=5: sf0.001 p≥4 → 7/7, sf0.01 p≥6 → 14/14, sf0.1 p=8 →
+    // 144/144; clustered real embeddings need far fewer probes).
+    // Training cost rides inside this query's bench time; at scale it
+    // amortizes across every query against the corpus (see IvfStore).
     QueryDef("q_dedup_cosine_blocked", (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val cents = Similarity.centroids(emb, "label", "embedding")
-      Dedup.cosineDupPairsBlocked(emb, cents, "vec_id", "embedding",
-          threshold = 0.45, probes = 4)
+      Dedup.cosineDupPairsTrained(emb, "vec_id", "embedding",
+          threshold = 0.45, probes = 8)
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
 
@@ -317,6 +322,29 @@ object LlmQueries extends QueryPack {
           SELECT vec_id, round(${cosSqlD("embedding", "qv")}, 4) AS cos
           FROM embeddings, q
           ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
+
+    // ---- on-disk IVF index, end-to-end at exhaustive probes ----------
+    // write (train k≈√n codebook → route → partitionBy(bucket)) + search
+    // with probes = k: every bucket is probed, so recall is 1.0 BY
+    // CONSTRUCTION and the on-disk path must hash-match the exact top-k
+    // SQL — proving the store returns exact results, the same trick as
+    // blocked-vs-exact dedup. At probes < k the bucket predicate prunes
+    // partitions at planning time (plan-asserted in AnnJoinSpec).
+    QueryDef("q_ivf_search", (s, dir) => {
+      import graft.sources.IvfStore
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_q_ivf")
+        .toString
+      val cents = IvfStore.writeTrained(emb, "vec_id", "embedding", path)
+      val qv = emb.filter(col("vec_id") === 1)
+        .select("embedding").head().getSeq[Float](0)
+      IvfStore.search(s, path, qv, "vec_id", "embedding",
+        k = 8, probes = cents.count().toInt)
+    }, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+          SELECT vec_id, round(${cosSqlD("embedding", "qv")}, 4) AS cos
+          FROM embeddings, q
+          ORDER BY cos DESC, vec_id ASC LIMIT 8""")),
 
     // ---- random-hyperplane LSH signature for embeddings -------------
     // the codebook-free blocking alternative to IVF: Rademacher

@@ -29,6 +29,20 @@ object IvfStore {
     cents.write.mode("overwrite").parquet(s"$path/codebook")
   }
 
+  /** [[write]] with a codebook trained on the corpus itself at k≈√n
+    * (Similarity.trainCodebook — one corpus scan per Lloyd's iteration)
+    * — the default for unlabeled corpora. √n buckets keep directory
+    * count and per-bucket size balanced, and give ANN candidate joins
+    * √n distinct shuffle keys instead of a fixed-k parallelism ceiling.
+    * Returns the trained codebook (it is also persisted alongside). */
+  def writeTrained(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, iters: Int = 5): DataFrame = {
+    val cents = Similarity.trainCodebook(emb, idCol, vecCol,
+      Similarity.codebookSize(emb.count()), iters)
+    write(emb, cents, idCol, vecCol, path)
+    cents
+  }
+
   def codebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebook")
 

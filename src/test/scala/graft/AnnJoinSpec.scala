@@ -87,6 +87,22 @@ class AnnJoinSpec extends AnyFunSuite {
     assert(ann.filter(col("rank") === 1).count() == queries.count())
   }
 
+  test("trainCodebook scans the corpus exactly iters+1 times (flat lineage)") {
+    // every row-read through the corpus ticks the accumulator, so
+    // scans = value / rowcount; a lazily-folded Lloyd's loop would pay
+    // 1 + Σi = O(iters²) scans instead of iters+1 (init + one/iter)
+    val scans = spark.sparkContext.longAccumulator("corpus-row-reads")
+    val tick = udf { () => scans.add(1); true }.asNondeterministic()
+    val n = emb.count()
+    val counted = emb.filter(tick())
+    val iters = 4
+    Similarity.trainCodebook(counted, "vec_id", "embedding", 8, iters)
+      .collect() // local rows — collecting the result must not rescan
+    assert(scans.value == n * (iters + 1),
+      s"expected ${iters + 1} corpus scans, measured ${scans.value}/$n = " +
+        s"${scans.value.toDouble / n}")
+  }
+
   test("IvfStore: partition-pruned search matches in-memory routing") {
     import graft.sources.IvfStore
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
@@ -112,6 +128,48 @@ class AnnJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"no partition pruning in:\n$plan")
+  }
+
+  test("trained k≈√n codebook lifts the candidate join's parallelism ceiling") {
+    // the candidate join shuffles on the probe-bucket key, so its
+    // max parallelism = distinct buckets actually hit: a fixed
+    // 10-label codebook caps it at ≤10 tasks (skew magnet at scale);
+    // the trained k≈√n codebook must spread candidates over more
+    // buckets than that, with every bucket non-empty
+    val n = emb.count()
+    val k = Similarity.codebookSize(n)
+    assert(k > 10, s"codebookSize($n) = $k not finer than the 10-label book")
+    val trained = Similarity.trainCodebook(emb, "vec_id", "embedding", k)
+    val routed = Similarity.assignTopK(emb, trained, "vec_id",
+        "embedding", 2)
+      .select(explode(col("probe_buckets")).as("bucket"))
+    val hit = routed.distinct().count()
+    assert(hit > 10 && hit <= k, s"only $hit distinct buckets hit (k=$k)")
+    // and the blocked-dedup plan over it still contains no nested loop
+    val plan = graft.functions.Dedup.cosineDupPairsBlocked(emb, trained,
+        "vec_id", "embedding", 0.45, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop in:\n$plan")
+  }
+
+  test("IvfStore.writeTrained: trained buckets survive the disk round-trip") {
+    import graft.sources.IvfStore
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_t").toString
+    val cents = IvfStore.writeTrained(emb, "vec_id", "embedding", path)
+    val k = Similarity.codebookSize(emb.count())
+    assert(cents.count() == k)
+    // every corpus row landed in exactly one on-disk bucket
+    val stored = spark.read.parquet(s"$path/data")
+    assert(stored.count() == emb.count())
+    val buckets = stored.select("bucket").distinct().count()
+    assert(buckets > 10 && buckets <= k, s"$buckets buckets on disk")
+    // search through the trained index still prunes partitions
+    val qv = emb.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0)
+    val plan = IvfStore.search(spark, path, qv, "vec_id", "embedding", 5, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
   test("every annJoin result row is a true cosine, never fabricated") {

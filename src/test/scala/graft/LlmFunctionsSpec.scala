@@ -135,7 +135,10 @@ class LlmFunctionsSpec extends AnyFunSuite {
   test("blocked cosine dedup equals the exact all-pairs result set") {
     // the correctness gate runs at sf0.01 — verify recall-completeness at
     // BOTH scales so the declared blocked query provably hash-matches the
-    // same oracle as the exact path
+    // same oracle as the exact path. Two codebooks: the labeled one (r2
+    // default, probes=4) and the TRAINED k≈√n one the declared query now
+    // uses (probes=8, measured recall-complete with margin — see
+    // Calibrate; near-uniform embeddings are IVF's worst case)
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val emb = Tables.load(spark, d, "embeddings")
       val cents = Similarity.centroids(emb, "label", "embedding")
@@ -148,6 +151,11 @@ class LlmFunctionsSpec extends AnyFunSuite {
       assert(blocked == exact && exact.nonEmpty,
         s"$d: blocked ${blocked.size} vs exact ${exact.size}; " +
           s"missing ${(exact -- blocked).take(5)}")
+      val trained = key(Dedup.cosineDupPairsTrained(
+        emb, "vec_id", "embedding", 0.45, probes = 8))
+      assert(trained == exact,
+        s"$d: trained ${trained.size} vs exact ${exact.size}; " +
+          s"missing ${(exact -- trained).take(5)}")
     }
   }
 
