@@ -79,17 +79,31 @@ object Calibrate {
   }
 
   private def jaccard(spark: SparkSession, sfDir: String): Unit = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val n = docs.count()
-    for (i <- 1 to 3) {
-      val (nd, td) = time {
-        Dedup.jaccardPairs(docs, "text", "doc_id").count()
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n0 = base.count()
+    // scale the corpus by replication with shifted ids + a doc-unique
+    // token appended (so replicas are not trivial duplicates but the
+    // shingle-frequency shape is preserved) — crossover evidence beyond
+    // the largest shipped SF
+    for (mult <- Seq(1, 4, 16)) {
+      val docs =
+        if (mult == 1) base
+        else (0 until mult).map { m =>
+          base.select((col("doc_id") + lit(m.toLong * 1000000)).as("doc_id"),
+            concat(col("text"), lit(s" replica$m "),
+              col("doc_id").cast("string")).as("text"))
+        }.reduce(_ unionByName _)
+      val n = n0 * mult
+      for (i <- 1 to 2) {
+        val (nd, td) = time {
+          Dedup.jaccardPairs(docs, "text", "doc_id").count()
+        }
+        val (np, tp) = time {
+          Dedup.jaccardPairsPrefix(docs, "text", "doc_id").count()
+        }
+        println(f"[cal] docs=$n run$i direct=$td%.2f s ($nd pairs) " +
+          f"prefix=$tp%.2f s ($np pairs)")
       }
-      val (np, tp) = time {
-        Dedup.jaccardPairsPrefix(docs, "text", "doc_id").count()
-      }
-      println(f"[cal] docs=$n run$i direct=$td%.2f s ($nd pairs) " +
-        f"prefix=$tp%.2f s ($np pairs)")
     }
   }
 }

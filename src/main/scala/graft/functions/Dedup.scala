@@ -125,10 +125,13 @@ object Dedup {
     * they collide within each other's (1-t)·|set|+1 smallest shingle
     * hashes, so only prefix collisions (plus a size bound) generate
     * candidate pairs and exact |∩| is counted for candidates alone.
-    * Wins when shingle frequencies are heavy-tailed (web-scale corpora)
-    * and already at moderate scale: measured at sf0.1 (60k docs,
-    * median-of-3) the prefix path runs 6.7 s vs 11.0 s for the direct
-    * join — only tiny corpora favor the direct join's fewer passes. */
+    * Wins when shingle frequencies are heavy-tailed (web-scale corpora:
+    * a few hot shingles drive Σ freq² while true pairs stay sparse, and
+    * only prefix-positional collisions survive). On the flat-frequency
+    * test corpus the direct join stays ahead at every shipped size
+    * (r3 calibration: 5k docs ≈ 5.5 s direct vs 6.4 s prefix; 80k
+    * dup-dense replica-docs 58 s vs 174 s) — [[jaccardPairsAuto]]
+    * dispatches on measured candidate blowup, not doc count. */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = docShingles(df, textCol, idCol, n)
@@ -167,22 +170,48 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** Size-dispatched Jaccard join: the direct self-join below
-    * `directJoinDocLimit` docs (fewer passes win on tiny corpora), the
-    * prefix-filtered variant above it (faster already at 60k docs —
-    * see [[jaccardPairsPrefix]] — and the only survivable shape when
-    * Σ freq(shingle)² explodes on heavy-tailed corpora). Both paths are
-    * result-identical — oracle-verified against the same SQL. */
+  /** Estimated candidate blowup of the direct Jaccard self-join:
+    * Ĉ/Ŝ, where S = Σ_docs |distinct shingles| (rows the join
+    * shuffles) and C = Σ_shingle freq² (candidate rows the join
+    * generates — its real cost). Measured over a 1/`slices` hash slice
+    * of shingle KEY space: every doc contributes its shingles, the
+    * slice picks keys, so per-key freq is exact and both sums are
+    * unbiased at 1/slices of the aggregation cost; the ratio needs no
+    * rescaling. Returns 1.0 (no blowup) for an empty slice. */
+  def jaccardCandidateBlowup(df: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, slices: Int = 16): Double = {
+    val agg = docShingles(df, textCol, idCol, n)
+      .select(xxhash64(col("sh")).as("sh"))
+      .filter(pmod(col("sh"), lit(slices.toLong)) === 0L)
+      .groupBy("sh").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("c2"))
+      .head()
+    if (agg.isNullAt(0) || agg.getLong(0) == 0L) 1.0
+    else agg.getLong(1).toDouble / agg.getLong(0)
+  }
+
+  /** Cost-dispatched Jaccard join, on MEASURED candidate blowup rather
+    * than doc count (doc count was the r2 signal and the r3 calibration
+    * disproved it: the direct join won at every corpus size tried —
+    * 500 docs 0.9 s vs 1.3 s, 5k docs 5.5 s vs 6.4 s, 80k replica-docs
+    * 58 s vs 174 s — because this corpus's shingle frequencies are flat;
+    * size alone never predicts the join's cost). The real cost driver is
+    * C/S = candidate rows per shuffled row ([[jaccardCandidateBlowup]]):
+    * measured C/S was 2.1 at 500 docs and 10.7 at 5k docs (direct still
+    * ahead at both), so the default crossover is set at 32 — the
+    * heavy-tailed regime (hot shingles driving C/S ≫ 10 with result
+    * pairs still sparse) is where the prefix filter's pruning pays for
+    * its extra passes. Caveat, measured: a corpus DENSE in true
+    * near-dups (the 80k replica test: 604k qualifying pairs) favors the
+    * direct join regardless of C/S, because no filter can prune true
+    * pairs — callers who know their corpus is dup-dense should call
+    * [[jaccardPairs]] directly. Both paths are result-identical —
+    * oracle-verified against the same SQL. */
   def jaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      directJoinDocLimit: Long = 10000): DataFrame = {
-    // bounded dispatch probe: scan at most limit+1 rows — a plain
-    // count() would materialize the full (possibly derived) input once
-    // just to choose a branch. Clamp before the Int conversion: a limit
-    // at or beyond Int.MaxValue would overflow to a negative limit()
-    val lim = math.min(directJoinDocLimit, Int.MaxValue - 2L)
-    val small = df.limit(lim.toInt + 1).count() <= lim
-    if (small) jaccardPairs(df, textCol, idCol, n, threshold)
+      blowupLimit: Double = 32.0): DataFrame = {
+    val blowup = jaccardCandidateBlowup(df, textCol, idCol, n)
+    if (blowup <= blowupLimit) jaccardPairs(df, textCol, idCol, n, threshold)
     else jaccardPairsPrefix(df, textCol, idCol, n, threshold)
   }
 

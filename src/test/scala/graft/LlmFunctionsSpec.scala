@@ -32,12 +32,17 @@ class LlmFunctionsSpec extends AnyFunSuite {
     val direct = key(Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8))
     val prefix = key(Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8))
     assert(direct == prefix && direct.nonEmpty)
-    // the dispatcher picks a branch with a bounded probe; both branches
-    // produce the identical result set
+    // the dispatcher picks a branch on measured candidate blowup; both
+    // branches produce the identical result set
     val autoSmall = key(Dedup.jaccardPairsAuto(docs, "text", "doc_id", 3, 0.8))
     val autoPrefix = key(Dedup.jaccardPairsAuto(docs, "text", "doc_id", 3, 0.8,
-      directJoinDocLimit = 1))
+      blowupLimit = 0.0))
     assert(autoSmall == direct && autoPrefix == direct)
+    // this flat-frequency corpus sits well below the heavy-tail crossover
+    // (C/S measured 2.1 at sf0.001-size, 10.7 at sf0.1), so auto must
+    // pick the direct join here
+    val blowup = Dedup.jaccardCandidateBlowup(docs, "text", "doc_id")
+    assert(blowup > 0.0 && blowup < 32.0, s"blowup $blowup")
   }
 
   test("jaccard joins leave nothing cached and reuse the self-join exchange") {
