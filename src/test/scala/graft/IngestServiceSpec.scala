@@ -241,6 +241,59 @@ class IngestServiceSpec extends AnyFunSuite {
     assert(svc.upload(up.toString, "2026-08-12_host_2023-06-05").rows > 0)
   }
 
+  test("per-user tenancy: upload/delete/cleanup/usage never cross users") {
+    import graft.service.SarTenants
+    val base = Files.createTempDirectory("graft_tenants").toString
+    val hub = new SarTenants(spark, base)
+    val up = Files.createTempFile("sa_up", ".txt")
+    Files.writeString(up, resource("sa_24h.txt"))
+
+    // username guard mirrors services.py:46 — traversal and the excluded
+    // config dir are not addressable
+    for (bad <- Seq("../peer", ".hidden", "a/b", "", "config", "-dash"))
+      intercept[IllegalArgumentException] { hub.forUser(bad) }
+    hub.forUser("a.user@example+ok") // reference pattern allows ._@+-
+
+    val alice = hub.forUser("alice")
+    val bob = hub.forUser("bob")
+    alice.upload(up.toString, "2026-07-01_oldhost_2023-06-05")
+    alice.upload(up.toString, "sharedname")
+    bob.upload(up.toString, "sharedname")
+
+    // same file NAME, disjoint storage and caches: alice's delete of
+    // "sharedname" leaves bob's intact and still served
+    assert(alice.listFiles().toSet ==
+      Set("2026-07-01_oldhost_2023-06-05", "sharedname"))
+    assert(bob.listFiles() == Seq("sharedname"))
+    assert(alice.delete("sharedname"))
+    assert(alice.listFiles() == Seq("2026-07-01_oldhost_2023-06-05"))
+    assert(bob.load("sharedname").count() > 0)
+
+    // hub cleanup: only alice has a stale upload; a dry run lists it
+    // per-user without touching anything, the real run deletes only hers
+    val today = java.time.LocalDate.parse("2026-08-12")
+    assert(hub.cleanupOldFiles(30, dryRun = true, today = today) ==
+      Map("alice" -> Seq("2026-07-01_oldhost_2023-06-05")))
+    assert(alice.listFiles().nonEmpty)
+    assert(hub.cleanupOldFiles(30, dryRun = false, today = today) ==
+      Map("alice" -> Seq("2026-07-01_oldhost_2023-06-05")))
+    assert(alice.listFiles().isEmpty && bob.listFiles() == Seq("sharedname"))
+    // single-user scoping requires an existing directory (services.py:355)
+    intercept[IllegalArgumentException] {
+      hub.cleanupOldFiles(30, username = Some("nobody"))
+    }
+    assert(hub.cleanupOldFiles(30, username = Some("bob"),
+      dryRun = true, today = today).isEmpty)
+
+    // per-user usage report: bob holds the bytes now, alice reports empty
+    val usage = hub.diskUsage()
+    val byUser = usage.map(u => u._1 -> u).toMap
+    assert(byUser("bob")._2 > 0 && byUser("bob")._3 == 1)
+    assert(byUser("alice")._2 == 0 && byUser("alice")._3 == 0)
+    assert(usage.map(-_._2) == usage.map(-_._2).sorted)
+    assert(hub.listUsers().contains("alice") && hub.listUsers().contains("bob"))
+  }
+
   test("G9: login history appends and counter skips the excluded user") {
     import graft.service.UserStatus
     val dir = Files.createTempDirectory("graft_users").toString
