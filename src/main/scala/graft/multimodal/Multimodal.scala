@@ -1,17 +1,17 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side contract is real — schema, partitioning, batch shape,
-  * and the mapPartitions pipeline are what a production decode would use;
-  * only the codec call itself is a deterministic STUB (this container has
-  * no image/audio libraries). Swap `stubDecode` for a real decoder (JNI /
-  * process-per-partition) without touching the plumbing.
+  * The metadata path is REAL: [[ImageHeaders]] parses format and pixel
+  * dimensions from the payload's magic bytes (PNG/JPEG/GIF/BMP), pure JVM.
+  * Only the pixel-feature codec call is a deterministic STUB (this
+  * container has no image/audio libraries). Swap `stubDecode` for a real
+  * decoder (JNI / process-per-partition) without touching the plumbing.
   */
 object Multimodal {
 
@@ -25,18 +25,28 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("format", StringType))))))
 
-  /** Wrap any (id, string) frame into the media schema — payload is the
-    * UTF-8 bytes, metadata deterministically derived. Stands in for a real
-    * object-store read of image bytes. */
-  def asMedia(df: DataFrame, idCol: String, dataCol: String): DataFrame =
+  /** Real header decode as a column: null when the payload is not a
+    * recognized image, else a (width, height, format) struct read from the
+    * format's own header — [[ImageHeaders.ImageMeta]]'s field order IS the
+    * `meta` struct's schema. */
+  private val headerMeta =
+    udf((payload: Array[Byte]) => ImageHeaders.decode(payload))
+
+  def imageMeta(payload: Column): Column = headerMeta(payload)
+
+  /** Wrap any (id, bytes-or-string) frame into the media schema — payload
+    * is the raw bytes (UTF-8 for strings), metadata parsed from the real
+    * image header when the payload is one (PNG/JPEG/GIF/BMP); opaque
+    * non-image payloads get `application/octet-stream` and a null meta. */
+  def asMedia(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val meta = headerMeta(col(dataCol).cast("binary"))
     df.select(
       col(idCol).cast("long").as("media_id"),
       col(dataCol).cast("binary").as("payload"),
-      lit("image/stub").as("media_type"),
-      struct(
-        (length(col(dataCol)) % 1024 + 1).cast("int").as("width"),
-        (length(col(dataCol)) % 768 + 1).cast("int").as("height"),
-        lit("stub").as("format")).as("meta"))
+      coalesce(concat(lit("image/"), meta.getField("format")),
+        lit("application/octet-stream")).as("media_type"),
+      meta.as("meta"))
+  }
 
   /** STUB decode: a real implementation would hand `payload` to an image
     * codec here. The stub derives a deterministic 8-dim feature vector

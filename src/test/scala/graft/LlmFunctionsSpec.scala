@@ -240,4 +240,45 @@ class LlmFunctionsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, 4)
     assert(frames.count() > 0)
   }
+
+  test("image headers: real encoder output decodes to true dimensions") {
+    import graft.multimodal.ImageHeaders
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    // fixtures from the JDK's own encoders — real compressed bytes, not
+    // hand-built headers, so the parser is checked against what actual
+    // image files look like
+    def encoded(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"JDK has no $fmt writer")
+      out.toByteArray
+    }
+
+    for ((fmt, w, h) <- Seq(("png", 31, 17), ("jpg", 640, 481),
+        ("gif", 5, 9), ("bmp", 12, 3))) {
+      val want = if (fmt == "jpg") "jpeg" else fmt
+      assert(ImageHeaders.decode(encoded(w, h, fmt))
+        .contains(ImageHeaders.ImageMeta(w, h, want)), s"format $fmt")
+    }
+    // corrupt / non-image payloads are opaque, never throw
+    assert(ImageHeaders.decode(null).isEmpty)
+    assert(ImageHeaders.decode("just some text".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeaders.decode(encoded(8, 8, "png").take(10)).isEmpty)
+
+    // and through the DataFrame path: asMedia parses headers per row
+    val rows = Seq((1L, encoded(31, 17, "png")), (2L, encoded(7, 6, "jpg")),
+      (3L, "not an image".getBytes("UTF-8")))
+    val m = Multimodal.asMedia(
+        spark.createDataFrame(rows).toDF("id", "data"), "id", "data")
+      .orderBy("media_id").collect()
+    assert(m(0).getString(2) == "image/png")
+    assert(m(0).getStruct(3).getInt(0) == 31 &&
+      m(0).getStruct(3).getInt(1) == 17 &&
+      m(0).getStruct(3).getString(2) == "png")
+    assert(m(1).getString(2) == "image/jpeg")
+    assert(m(2).getString(2) == "application/octet-stream" && m(2).isNullAt(3))
+  }
 }
