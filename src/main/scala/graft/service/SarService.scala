@@ -27,6 +27,15 @@ class SarService(spark: SparkSession, storageDir: String) {
   Files.createDirectories(Paths.get(storageDir))
   // concurrent: this layer backs a REST surface (parallel load/upload)
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // per-file row counts: known for free at upload, computed at most once
+  // for pre-existing files; keeps statistics() from re-running its whole
+  // pivot pipeline just to pick a describe engine
+  private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** The stored file's row count, cached: upload knows it from the parse,
+    * anything else pays one count() on the (cached) parquet frame. */
+  private def fileRows(name: String): Long =
+    rowCounts.computeIfAbsent(validated(name), n => load(n).count())
 
   /** Storage-name guard mirroring the reference's _validate_file_name
     * (api/services.py:39,73-77): ^[A-Za-z0-9._-]+$, no leading dot.
@@ -51,6 +60,7 @@ class SarService(spark: SparkSession, storageDir: String) {
     // AND Spark's plan cache (InMemoryFileIndex matches by root path)
     Option(cache.remove(name)).foreach(_.unpersist())
     spark.catalog.refreshByPath(target)
+    rowCounts.put(name, rows.length.toLong)
     FileInfo(name, rows.length, rows.map(_.header).distinct)
   }
 
@@ -172,6 +182,7 @@ class SarService(spark: SparkSession, storageDir: String) {
     } finally {
       // the cache entry dies even on a failed/partial delete — a stale
       // frame would keep serving a file that is partially gone on disk
+      rowCounts.remove(name)
       Option(cache.remove(name)).foreach(_.unpersist())
       if (existed) spark.catalog.refreshByPath(target.toString)
     }
@@ -249,6 +260,7 @@ class SarService(spark: SparkSession, storageDir: String) {
     ds.write.mode("overwrite").parquet(target)
     Option(cache.remove(name)).foreach(_.unpersist())
     spark.catalog.refreshByPath(target)
+    rowCounts.put(name, rows.length.toLong)
     FileInfo(name, rows.length, rows.map(_.header).distinct)
   }
 
@@ -306,11 +318,15 @@ class SarService(spark: SparkSession, storageDir: String) {
     val table = getTableUnordered(name, aliasOrHeader, device, start, end,
       metrics)
     val cols = table.columns.filterNot(_ == "date").toSeq
-    // bounded dispatch probe: scan at most limit+1 rows to learn which
-    // side of the threshold we're on — a plain count() would pay a full
-    // O(data) scan on exactly the huge tables the switch protects
-    val small = table.limit(exactDescribeRowLimit.toInt + 1).count() <=
-      exactDescribeRowLimit
+    // dispatch on the FILE's cached row count — an upper bound on the
+    // filtered/pivoted table (header slice, device filter and pivot only
+    // ever drop rows), so the common case decides with zero extra work.
+    // Only a file that is itself over the limit pays the bounded probe
+    // (≤ limit+1 rows scanned), since its filtered slice may still be
+    // small enough for the exact engine.
+    val small = fileRows(name) <= exactDescribeRowLimit ||
+      table.limit(exactDescribeRowLimit.toInt + 1).count() <=
+        exactDescribeRowLimit
     if (small) DescribeStats.describe(table, cols)
     else DescribeStats.describeTDigest(table, cols)
   }
