@@ -50,7 +50,15 @@ object SarStreaming {
     * operators do NOT auto-drop late data the way aggregations do);
     * otherwise a late replay after eviction would open a phantom
     * session. Pass `watermarkDelay = None` only for batch execution,
-    * where timeouts cannot fire and `withWatermark` is a no-op. */
+    * where timeouts cannot fire and `withWatermark` is a no-op.
+    *
+    * Eviction RESETS the counters: a user returning after their state
+    * timed out restarts at (n_sessions = 1, n_events = 1), so an
+    * Update-mode sink keyed by user will see cumulative totals regress —
+    * by design, that is the price of bounded state. Parity with the
+    * batch q_sessionize totals therefore holds only for activity within
+    * one watermark horizon; a sink needing lifetime totals must
+    * accumulate the deltas downstream rather than overwrite by key. */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long = 1800,
       watermarkDelay: Option[String] = Some("2 hours"))
       : Dataset[SessionUpdate] = {
