@@ -1,0 +1,217 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+
+import scala.collection.immutable.ListMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Thin HTTP shell over [[SarTenants]]: the reference serves its engine
+  * over FastAPI (api/main.py:232-331); this maps the same routes and
+  * response shapes straight onto the service layer with the JDK's
+  * built-in `HttpServer` — zero added dependencies, every byte of query
+  * logic stays in [[SarService]].
+  *
+  * Routes (all under `prefix`, default `/api/v1`):
+  *   - `GET  /files`                      → `{"files": [...]}`
+  *   - `GET  /files/{name}`               → file info (rows, headers)
+  *   - `DELETE /files/{name}`             → `{"deleted": name}`
+  *   - `GET  /files/{name}/data?header=&device=&start=&end=&metrics=&format=`
+  *     → `{header, alias, device, rows, data: [...]}` or CSV
+  *   - `GET  /files/{name}/statistics?...` → `{header, alias, device,
+  *     statistics: {metric: {stat: value}}}` or CSV
+  *   - `GET  /admin/disk-usage`           → per-user usage, largest first
+  *
+  * Auth is out of scope (SURVEY §7.5): the `X-User` header selects the
+  * tenant (default `default`), standing in for the reference's
+  * bearer-token user; the tenant hub's username validation still applies.
+  * Service-layer `require` failures surface as 400 + `{"detail": ...}`,
+  * matching FastAPI's error body shape.
+  */
+class SarHttpServer(tenants: SarTenants, port: Int = 0,
+    prefix: String = "/api/v1") {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/", handle _)
+  // small pool: the Spark driver is thread-safe for concurrent queries,
+  // and request fan-out parallelism belongs to the cluster, not here
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  /** Start serving; returns the bound port (useful with `port = 0`). */
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  private val statNames = Seq("count", "null_count", "mean", "std", "min",
+    "25%", "50%", "75%", "max")
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val user = Option(ex.getRequestHeaders.getFirst("X-User"))
+        .getOrElse("default")
+      val path = ex.getRequestURI.getPath
+      if (!path.startsWith(prefix + "/")) json(ex, 404, err("not found"))
+      else {
+        val segs = path.drop(prefix.length).split("/").filter(_.nonEmpty)
+        val q = parseQuery(ex.getRequestURI.getRawQuery)
+        (ex.getRequestMethod, segs.toList) match {
+          case ("GET", List("files")) =>
+            json(ex, 200, ListMap("files" -> tenants.forUser(user).listFiles()))
+          case ("GET", List("files", name)) =>
+            val fi = tenants.forUser(user).fileInfo(name)
+            json(ex, 200, ListMap("name" -> fi.name, "rows" -> fi.rows,
+              "headers" -> fi.headers))
+          case ("DELETE", List("files", name)) =>
+            if (tenants.forUser(user).delete(name))
+              json(ex, 200, ListMap("deleted" -> name))
+            else json(ex, 404, err(s"no stored file '$name'"))
+          case ("GET", List("files", name, "data")) =>
+            data(ex, tenants.forUser(user), name, q)
+          case ("GET", List("files", name, "statistics")) =>
+            statistics(ex, tenants.forUser(user), name, q)
+          case ("GET", List("admin", "disk-usage")) =>
+            json(ex, 200, tenants.diskUsage().map { case (u, bytes, files) =>
+              ListMap("username" -> u, "bytes" -> bytes, "files" -> files)
+            })
+          case _ => json(ex, 404, err("not found"))
+        }
+      }
+    } catch {
+      case e: IllegalArgumentException => json(ex, 400, err(e.getMessage))
+      case e: Exception => json(ex, 500, err(String.valueOf(e.getMessage)))
+    } finally ex.close()
+  }
+
+  private def tableArgs(q: Map[String, String])
+      : (String, Option[String], Option[Timestamp], Option[Timestamp],
+         Seq[String]) = {
+    val header = q.getOrElse("header",
+      throw new IllegalArgumentException("query parameter 'header' is required"))
+    (header, q.get("device"), q.get("start").map(parseTs),
+      q.get("end").map(parseTs),
+      q.get("metrics").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
+  }
+
+  private def data(ex: HttpExchange, svc: SarService, name: String,
+      q: Map[String, String]): Unit = {
+    val (header, device, start, end, metrics) = tableArgs(q)
+    val (table, meta) = svc.getTableWithMeta(name, header, device, start,
+      end, metrics)
+    if (q.get("format").contains("csv")) {
+      val cols = table.columns
+      val lines = table.collect().map(r =>
+        cols.indices.map(i => csvCell(r.get(i))).mkString(","))
+      csv(ex, (cols.mkString(",") +: lines).mkString("\n"))
+    } else {
+      val cols = table.columns
+      val records = table.collect().map { r =>
+        ListMap(cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }: _*)
+      }
+      json(ex, 200, ListMap("header" -> meta.header, "alias" -> meta.alias,
+        "device" -> meta.device, "rows" -> records.length,
+        "data" -> records.toSeq))
+    }
+  }
+
+  private def statistics(ex: HttpExchange, svc: SarService, name: String,
+      q: Map[String, String]): Unit = {
+    val (header, device, start, end, metrics) = tableArgs(q)
+    val (stats, meta) = svc.statisticsWithMeta(name, header, device, start,
+      end, metrics)
+    if (q.get("format").contains("csv"))
+      csv(ex, svc.statisticsCsv(Seq(meta.alias -> stats)))
+    else {
+      val byMetric = stats.collect().map { r =>
+        r.getString(0) -> ListMap(statNames.zipWithIndex.map {
+          case (s, i) => s -> (if (r.isNullAt(i + 1)) null else r.get(i + 1))
+        }: _*)
+      }
+      json(ex, 200, ListMap("header" -> meta.header, "alias" -> meta.alias,
+        "device" -> meta.device,
+        "statistics" -> ListMap(byMetric.toIndexedSeq: _*)))
+    }
+  }
+
+  // ---- plumbing -----------------------------------------------------
+
+  private def err(detail: String) = ListMap("detail" -> detail)
+
+  /** Accepts `yyyy-MM-dd[ HH:mm:ss]` with a space or ISO 'T'. */
+  private def parseTs(s: String): Timestamp =
+    try {
+      val t = s.replace('T', ' ')
+      Timestamp.valueOf(if (t.length == 10) t + " 00:00:00" else t)
+    } catch { case _: Exception =>
+      throw new IllegalArgumentException(
+        s"cannot parse timestamp '$s' (expected yyyy-MM-dd[ HH:mm:ss])")
+    }
+
+  private def parseQuery(raw: String): Map[String, String] =
+    Option(raw).getOrElse("").split("&").filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def csvCell(v: Any): String = v match {
+    case null => ""
+    case s: String if s.exists(",\"\n".contains(_)) =>
+      "\"" + s.replace("\"", "\"\"") + "\""
+    case other => other.toString
+  }
+
+  private def respond(ex: HttpExchange, status: Int, contentType: String,
+      body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length)
+    val out = ex.getResponseBody
+    try out.write(bytes) finally out.close()
+  }
+
+  private def csv(ex: HttpExchange, body: String): Unit =
+    respond(ex, 200, "text/csv", body)
+
+  private def json(ex: HttpExchange, status: Int, value: Any): Unit =
+    respond(ex, status, "application/json", Json.render(value))
+}
+
+/** Minimal JSON writer for the HTTP shell — the response values are all
+  * plain JVM types collected from DataFrames, so a renderer (no parser)
+  * is the whole requirement; NaN/Infinity render as null like FastAPI's
+  * `value != value` guard (api/main.py:325). */
+private[service] object Json {
+  def render(v: Any): String = v match {
+    case null | None => "null"
+    case Some(x) => render(x)
+    case s: String => quote(s)
+    case b: Boolean => b.toString
+    case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+    case f: Float => render(f.toDouble)
+    case n: java.lang.Number => n.toString
+    case t: Timestamp => quote(t.toString)
+    case d: java.sql.Date => quote(d.toString)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => quote(String.valueOf(k)) + ":" + render(x) }
+        .mkString("{", ",", "}")
+    case it: Iterable[_] => it.map(render).mkString("[", ",", "]")
+    case arr: Array[_] => arr.map(render).mkString("[", ",", "]")
+    case other => quote(other.toString)
+  }
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+}

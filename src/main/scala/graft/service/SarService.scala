@@ -18,6 +18,11 @@ import graft.stats.DescribeStats
   * play that role (SURVEY §4).
   */
 final case class FileInfo(name: String, rows: Long, headers: Seq[String])
+/** The resolved (header, alias, effective device) a table request used —
+  * the meta block the reference's data/statistics responses carry
+  * (api/main.py:294-299). `device` is None for non-device sections. */
+final case class TableMeta(header: String, alias: String,
+    device: Option[String])
 final case class HeaderDetail(header: String, alias: String,
     deviceScoped: Boolean, devices: Seq[String])
 
@@ -101,6 +106,18 @@ class SarService(spark: SparkSession, storageDir: String) {
     getTableUnordered(name, aliasOrHeader, device, start, end, metrics)
       .orderBy("date")
 
+  /** getTable plus the resolved meta block (header, alias, effective
+    * device) — what an HTTP data response reports back alongside the rows
+    * (api/main.py:294-299). */
+  def getTableWithMeta(name: String, aliasOrHeader: String,
+      device: Option[String] = None,
+      start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+      metrics: Seq[String] = Nil): (DataFrame, TableMeta) = {
+    val (t, meta) = getTableUnorderedWithMeta(name, aliasOrHeader, device,
+      start, end, metrics)
+    (t.orderBy("date"), meta)
+  }
+
   /** getTable without the trailing date sort — for aggregation consumers
     * (statistics) and bounded row probes, where a limit on top of the
     * sorted frame would otherwise plan a full top-K sort instead of a
@@ -108,7 +125,14 @@ class SarService(spark: SparkSession, storageDir: String) {
   private def getTableUnordered(name: String, aliasOrHeader: String,
       device: Option[String] = None,
       start: Option[Timestamp] = None, end: Option[Timestamp] = None,
-      metrics: Seq[String] = Nil): DataFrame = {
+      metrics: Seq[String] = Nil): DataFrame =
+    getTableUnorderedWithMeta(name, aliasOrHeader, device, start, end,
+      metrics)._1
+
+  private def getTableUnorderedWithMeta(name: String, aliasOrHeader: String,
+      device: Option[String] = None,
+      start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+      metrics: Seq[String] = Nil): (DataFrame, TableMeta) = {
     val df = load(name)
     val fileHeaders = SarOps.headers(df)
     val header =
@@ -120,6 +144,7 @@ class SarService(spark: SparkSession, storageDir: String) {
     val scoped = HeaderMeta.isDeviceScoped(header)
 
     var m = SarOps.toMetrics(SarOps.selectHeader(df, header), header, Some(scoped))
+    var effectiveDevice: Option[String] = None
     if (scoped) {
       // reference get_table uses frames[0]: CPU-like collapse to 'all',
       // other device sections default to the first device in plain sort
@@ -135,6 +160,7 @@ class SarService(spark: SparkSession, storageDir: String) {
           if (HeaderMeta.isCpuLike(alias)) "all" else devices.head
       }
       m = SarOps.forDevice(m, dev)
+      effectiveDevice = Some(dev)
     }
     var wide = SarOps.createMetricsDf(m, header)
     (start, end) match {
@@ -145,7 +171,7 @@ class SarService(spark: SparkSession, storageDir: String) {
     }
     if (metrics.nonEmpty)
       wide = wide.select((col("date") +: metrics.map(col)): _*)
-    wide
+    (wide, TableMeta(header, alias, effectiveDevice))
   }
 
   /** Delete a stored file: parquet directory AND both cache layers
@@ -311,12 +337,20 @@ class SarService(spark: SparkSession, storageDir: String) {
   def statistics(name: String, aliasOrHeader: String,
       device: Option[String] = None,
       start: Option[Timestamp] = None, end: Option[Timestamp] = None,
-      metrics: Seq[String] = Nil): DataFrame = {
+      metrics: Seq[String] = Nil): DataFrame =
+    statisticsWithMeta(name, aliasOrHeader, device, start, end, metrics)._1
+
+  /** statistics plus the resolved meta block — the HTTP statistics
+    * response shape (api/main.py:316-331). */
+  def statisticsWithMeta(name: String, aliasOrHeader: String,
+      device: Option[String] = None,
+      start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+      metrics: Seq[String] = Nil): (DataFrame, TableMeta) = {
     // the UNORDERED table: aggregation discards order anyway, and the
     // bounded probe below must not plan a top-K-by-date sort (limit over
     // orderBy cannot drop the sort — only a bare limit is a cheap scan)
-    val table = getTableUnordered(name, aliasOrHeader, device, start, end,
-      metrics)
+    val (table, meta) = getTableUnorderedWithMeta(name, aliasOrHeader,
+      device, start, end, metrics)
     val cols = table.columns.filterNot(_ == "date").toSeq
     // dispatch on the FILE's cached row count — an upper bound on the
     // filtered/pivoted table (header slice, device filter and pivot only
@@ -327,8 +361,9 @@ class SarService(spark: SparkSession, storageDir: String) {
     val small = fileRows(name) <= exactDescribeRowLimit ||
       table.limit(exactDescribeRowLimit.toInt + 1).count() <=
         exactDescribeRowLimit
-    if (small) DescribeStats.describe(table, cols)
-    else DescribeStats.describeTDigest(table, cols)
+    val stats = if (small) DescribeStats.describe(table, cols)
+      else DescribeStats.describeTDigest(table, cols)
+    (stats, meta)
   }
 
   /** Metric documentation from the sar.1-derived dimension (S12). */

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import scala.io.Source
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.service.{SarHttpServer, SarTenants}
+
+/** Integration spec for the thin HTTP shell: a real server on an
+  * ephemeral port, real requests, asserting the reference's response
+  * shapes (api/main.py:232-331) against a temp storage dir. */
+class SarHttpServerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def resource(name: String): String = {
+    val src = Source.fromInputStream(
+      getClass.getResourceAsStream(s"/sar/$name"), "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  private def get(url: String, user: String = "alice")
+      : (Int, String, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestProperty("X-User", user)
+    val status = conn.getResponseCode
+    val stream =
+      if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body = try new String(stream.readAllBytes(), "UTF-8")
+      finally stream.close()
+    (status, body, String.valueOf(conn.getContentType))
+  }
+
+  private def delete(url: String, user: String = "alice"): Int = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("DELETE")
+    conn.setRequestProperty("X-User", user)
+    val status = conn.getResponseCode
+    Option(if (status >= 400) conn.getErrorStream else conn.getInputStream)
+      .foreach(_.close())
+    status
+  }
+
+  test("HTTP shell: files / data / statistics round-trip the service") {
+    val base = Files.createTempDirectory("graft_http").toString
+    val tenants = new SarTenants(spark, base)
+    val up = Files.createTempFile("sa_http", ".txt")
+    Files.writeString(up, resource("sa_24h.txt"))
+    tenants.forUser("alice").upload(up.toString, "day1")
+
+    val server = new SarHttpServer(tenants)
+    val port = server.start()
+    val root = s"http://localhost:$port/api/v1"
+    try {
+      // files listing is per-tenant: alice sees her upload, bob nothing
+      val (s1, files, ct1) = get(s"$root/files")
+      assert(s1 == 200 && ct1.startsWith("application/json"))
+      assert(files == """{"files":["day1"]}""")
+      assert(get(s"$root/files", user = "bob")._2 == """{"files":[]}""")
+
+      // file info carries rows + headers
+      val (s2, info, _) = get(s"$root/files/day1")
+      assert(s2 == 200 && info.contains(""""name":"day1"""") &&
+        info.contains(""""rows":""") && info.contains("%idle"))
+
+      // data: resolved meta + date-keyed records, CPU collapses to 'all'
+      val (s3, data, _) = get(s"$root/files/day1/data?header=CPU")
+      assert(s3 == 200)
+      assert(data.contains(""""alias":"CPU"""") &&
+        data.contains(""""device":"all"""") && data.contains(""""data":["""))
+      assert(data.contains("\"2023-06-05 00:10:01.0\"")) // dates as strings
+      // metric projection + CSV format
+      val (s4, csvBody, ct4) =
+        get(s"$root/files/day1/data?header=CPU&metrics=%25idle&format=csv")
+      assert(s4 == 200 && ct4.startsWith("text/csv"))
+      assert(csvBody.linesIterator.next() == "date,%idle")
+
+      // statistics: per-metric stat map, same meta block
+      val (s5, stats, _) = get(s"$root/files/day1/statistics?header=CPU")
+      assert(s5 == 200)
+      assert(stats.contains(""""statistics":{""") &&
+        stats.contains(""""%idle":{"count":""") && stats.contains(""""50%":"""))
+
+      // service require()s surface as 400 + detail, FastAPI's error shape
+      val (s6, badHeader, _) = get(s"$root/files/day1/data?header=nope")
+      assert(s6 == 400 && badHeader.contains(""""detail":"""))
+      assert(get(s"$root/files/day1/data")._1 == 400) // header required
+      // tenant and storage-name validation guard the HTTP surface too
+      assert(get(s"$root/files", user = "..")._1 == 400)
+      assert(get(s"$root/files/.hidden/data?header=CPU")._1 == 400)
+      assert(get(s"$root/nope")._1 == 404)
+
+      // admin usage sees every tenant; delete is tenant-scoped
+      val (s7, usage, _) = get(s"$root/admin/disk-usage")
+      assert(s7 == 200 && usage.contains(""""username":"alice""""))
+      assert(delete(s"$root/files/day1", user = "bob") == 404)
+      assert(delete(s"$root/files/day1") == 200)
+      assert(get(s"$root/files")._2 == """{"files":[]}""")
+    } finally server.stop()
+  }
+}
