@@ -16,6 +16,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *
   * Routes (all under `prefix`, default `/api/v1`):
   *   - `GET  /files`                      → `{"files": [...]}`
+  *   - `PUT  /files/{name}` (raw body)    → 201 + file info; the body is
+  *     any upload `XzIngest.readSarFile` accepts (text / xz / binary SAR).
+  *     Raw-body PUT stands in for the reference's multipart POST
+  *     (api/main.py:237-255) — same service call, no multipart codec.
   *   - `GET  /files/{name}`               → file info (rows, headers)
   *   - `DELETE /files/{name}`             → `{"deleted": name}`
   *   - `GET  /files/{name}/data?header=&device=&start=&end=&metrics=&format=`
@@ -23,6 +27,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   - `GET  /files/{name}/statistics?...` → `{header, alias, device,
   *     statistics: {metric: {stat: value}}}` or CSV
   *   - `GET  /admin/disk-usage`           → per-user usage, largest first
+  *   - `POST /admin/cleanup?days=&username=&dry_run=` → per-user stale
+  *     file map (api/main.py:216-226; defaults days=30, dry_run=true)
   *
   * Auth is out of scope (SURVEY §7.5): the `X-User` header selects the
   * tenant (default `default`), standing in for the reference's
@@ -58,6 +64,14 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
         (ex.getRequestMethod, segs.toList) match {
           case ("GET", List("files")) =>
             json(ex, 200, ListMap("files" -> tenants.forUser(user).listFiles()))
+          case ("PUT", List("files", name)) =>
+            val tmp = java.nio.file.Files.createTempFile("graft_upload", ".bin")
+            try {
+              java.nio.file.Files.write(tmp, ex.getRequestBody.readAllBytes())
+              val fi = tenants.forUser(user).upload(tmp.toString, name)
+              json(ex, 201, ListMap("name" -> fi.name, "rows" -> fi.rows,
+                "headers" -> fi.headers))
+            } finally java.nio.file.Files.deleteIfExists(tmp)
           case ("GET", List("files", name)) =>
             val fi = tenants.forUser(user).fileInfo(name)
             json(ex, 200, ListMap("name" -> fi.name, "rows" -> fi.rows,
@@ -74,6 +88,11 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
             json(ex, 200, tenants.diskUsage().map { case (u, bytes, files) =>
               ListMap("username" -> u, "bytes" -> bytes, "files" -> files)
             })
+          case ("POST", List("admin", "cleanup")) =>
+            val days = q.get("days").map(_.toInt).getOrElse(30)
+            require(days >= 1, "days must be >= 1")
+            json(ex, 200, tenants.cleanupOldFiles(days, q.get("username"),
+              dryRun = q.get("dry_run").forall(_.toBoolean)))
           case _ => json(ex, 404, err("not found"))
         }
       }

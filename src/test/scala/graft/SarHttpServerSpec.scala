@@ -39,6 +39,25 @@ class SarHttpServerSpec extends AnyFunSuite {
     (status, body, String.valueOf(conn.getContentType))
   }
 
+  private def send(method: String, url: String, body: Array[Byte],
+      user: String = "alice"): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setRequestProperty("X-User", user)
+    if (body.nonEmpty) {
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try out.write(body) finally out.close()
+    } else conn.setDoOutput(true)
+    val status = conn.getResponseCode
+    val stream =
+      if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val text = try new String(stream.readAllBytes(), "UTF-8")
+      finally stream.close()
+    (status, text)
+  }
+
   private def delete(url: String, user: String = "alice"): Int = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
@@ -98,6 +117,22 @@ class SarHttpServerSpec extends AnyFunSuite {
       assert(get(s"$root/files", user = "..")._1 == 400)
       assert(get(s"$root/files/.hidden/data?header=CPU")._1 == 400)
       assert(get(s"$root/nope")._1 == 404)
+
+      // raw-body upload: bob PUTs sar text, sees it, alice does not
+      val (s8, uploaded) = send("PUT", s"$root/files/2026-07-01_bobhost_x",
+        resource("sa_24h.txt").getBytes("UTF-8"), user = "bob")
+      assert(s8 == 201 && uploaded.contains(""""rows":"""))
+      assert(get(s"$root/files", user = "bob")._2
+        .contains("2026-07-01_bobhost_x"))
+      assert(!get(s"$root/files")._2.contains("bobhost"))
+
+      // admin cleanup: dry run lists bob's stale upload without deleting
+      val (s9, dry) = send("POST",
+        s"$root/admin/cleanup?days=30&dry_run=true", Array.emptyByteArray)
+      assert(s9 == 200 && dry.contains(""""bob":["2026-07-01_bobhost_x"]"""))
+      assert(get(s"$root/files", user = "bob")._2.contains("bobhost"))
+      assert(send("POST", s"$root/admin/cleanup?days=0",
+        Array.emptyByteArray)._1 == 400) // days >= 1
 
       // admin usage sees every tenant; delete is tenant-scoped
       val (s7, usage, _) = get(s"$root/admin/disk-usage")
