@@ -281,4 +281,46 @@ class LlmFunctionsSpec extends AnyFunSuite {
     assert(m(1).getString(2) == "image/jpeg")
     assert(m(2).getString(2) == "application/octet-stream" && m(2).isNullAt(3))
   }
+
+  test("real pixel decode: solid-color PNG yields its luma in every band") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val img = new BufferedImage(64, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64) img.setRGB(x, y, 0xff8800)
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val df = spark.createDataFrame(Seq((1L, out.toByteArray)))
+      .toDF("id", "data")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asMedia(df, "id", "data")).collect().head
+    // Rec.601 luma of #ff8800, normalized — every band sees the same color
+    val want = (0xff * 299 + 0x88 * 587 + 0x00 * 114) / 1000.0 / 255.0
+    val bands = feats.getSeq[Float](2)
+    assert(bands.length == 8)
+    bands.foreach(f => assert(math.abs(f - want) < 1e-3, s"band $f != $want"))
+  }
+
+  test("audio headers: JDK-encoded WAV decodes to true format") {
+    import javax.sound.sampled._
+    import graft.multimodal.AudioHeaders
+    val fmt = new AudioFormat(44100f, 16, 2, true, false)
+    val pcm = new Array[Byte](44100 * 4 / 10) // 0.1 s of silence
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+      fmt, pcm.length / fmt.getFrameSize)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    val wav = out.toByteArray
+    assert(AudioHeaders.decode(wav)
+      .contains(AudioHeaders.AudioMeta(44100, 2, 16, 4410, "wav")))
+    assert(AudioHeaders.decode("RIFFnope".getBytes("US-ASCII")).isEmpty)
+    assert(AudioHeaders.decode(wav.take(30)).isEmpty)
+    // and as a column over a binary payload frame
+    val df = spark.createDataFrame(Seq((1L, wav), (2L, "text".getBytes)))
+      .toDF("id", "data")
+    val rows = df.select(col("id"),
+      Multimodal.audioMeta(col("data")).as("am")).orderBy("id").collect()
+    assert(rows(0).getStruct(1).getInt(0) == 44100 &&
+      rows(0).getStruct(1).getInt(1) == 2)
+    assert(rows(1).isNullAt(1))
+  }
 }
