@@ -173,21 +173,32 @@ object Dedup {
   /** Estimated candidate blowup of the direct Jaccard self-join:
     * Ĉ/Ŝ, where S = Σ_docs |distinct shingles| (rows the join
     * shuffles) and C = Σ_shingle freq² (candidate rows the join
-    * generates — its real cost). Measured over a 1/`slices` hash slice
-    * of shingle KEY space: every doc contributes its shingles, the
-    * slice picks keys, so per-key freq is exact and both sums are
-    * unbiased at 1/slices of the aggregation cost; the ratio needs no
-    * rescaling. Returns 1.0 (no blowup) for an empty slice. */
+    * generates — its real cost). Measured on a 1/`slices` hash slice
+    * of the DOCUMENTS, not of shingle-key space: a key slice would
+    * still explode every document's text — the dominant cost at corpus
+    * scale — just to discard 15/16 of the rows, so the probe would
+    * cost as much as the join side it is trying to predict. Sampling
+    * docs shrinks the explode itself; per-shingle sampled frequencies
+    * are Binomial(freq, p), so E[f_s²] = p²f² + p(1−p)f and the sums
+    * debias as Σf² ≈ (C_s − (1−p)·S_s)/p², Σf ≈ S_s/p — giving
+    * Ĉ/Ŝ = (C_s − (1−p)·S_s)/(p·S_s). The doc slice is a deterministic
+    * xxhash64(id) bucket (reproducible, no RNG). Returns 1.0 (no
+    * blowup) for an empty slice; the estimate never reports below 1. */
   def jaccardCandidateBlowup(df: DataFrame, textCol: String,
       idCol: String, n: Int = 3, slices: Int = 16): Double = {
-    val agg = docShingles(df, textCol, idCol, n)
-      .select(xxhash64(col("sh")).as("sh"))
-      .filter(pmod(col("sh"), lit(slices.toLong)) === 0L)
+    val p = 1.0 / slices
+    val agg = docShingles(
+        df.filter(pmod(xxhash64(col(idCol)), lit(slices.toLong)) === 0L),
+        textCol, idCol, n)
       .groupBy("sh").agg(count(lit(1)).as("c"))
       .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("c2"))
       .head()
     if (agg.isNullAt(0) || agg.getLong(0) == 0L) 1.0
-    else agg.getLong(1).toDouble / agg.getLong(0)
+    else {
+      val s = agg.getLong(0).toDouble
+      val c2 = agg.getLong(1).toDouble
+      math.max(1.0, (c2 - (1.0 - p) * s) / (p * s))
+    }
   }
 
   /** Cost-dispatched Jaccard join, on MEASURED candidate blowup rather

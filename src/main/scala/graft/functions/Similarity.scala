@@ -74,18 +74,22 @@ object Similarity {
     }
   }
 
-  /** Collect the k×dim codebook into a literal array column (label-sorted
-    * for deterministic ties — NATIVE label order, matching
-    * IvfStore.probeBuckets and assignTopK's array_sort, so all three
-    * assignment paths break exact ties identically). Centroids are
-    * metadata scale by definition, so they ship in the task binary rather
-    * than through a codegen-blocking nested-loop join. */
+  /** Collect the k×dim codebook into a literal array column, label-sorted
+    * in NATIVE order, with each entry carrying its sorted POSITION (`o`).
+    * The position is the tie-break key every path shares: assignNearest's
+    * fold keeps the first (= lowest-position) entry, assignTopK sorts on
+    * it in-plan, and probeBuckets sorts by the same [[labelOrdering]] that
+    * produced it — so driver-side and in-plan routing can never disagree
+    * on an exact-tie vector (an in-plan sort on the raw label would
+    * compare digit STRINGS lexicographically, putting "10" before "2").
+    * Centroids are metadata scale by definition, so they ship in the task
+    * binary rather than through a codegen-blocking nested-loop join. */
   private def literalCodebook(cents: DataFrame): Column = {
     val codebook = cents.collect().map { r =>
       (r.get(0), r.getSeq[Double](1))
     }.sortBy(_._1)(labelOrdering)
-    array(codebook.map { case (label, vec) =>
-      struct(lit(label).as("l"), typedlit(vec).as("v"))
+    array(codebook.zipWithIndex.map { case ((label, vec), pos) =>
+      struct(lit(label).as("l"), typedlit(vec).as("v"), lit(pos).as("o"))
     }.toSeq: _*)
   }
 
@@ -286,12 +290,15 @@ object Similarity {
     require(probes >= 1, "probes must be >= 1")
     val centArr = literalCodebook(cents)
     // array_sort on structs orders by fields in declaration order, so
-    // (-cos, label) ascending = cosine descending with label tie-break;
+    // (-cos, position) ascending = cosine descending with NATIVE-order
+    // label tie-break (the position field — a raw digit-string label
+    // would sort lexicographically here and diverge from the fold path);
     // zero-norm null cosine coalesces below any real similarity
     val scored = transform(centArr, c =>
       struct((lit(0.0) - coalesce(
         round(cosine(col(vecCol), c.getField("v")), 6), lit(-2.0)))
           .as("negcos"),
+        c.getField("o").as("o"),
         c.getField("l").as("l")))
     df.withColumn("probe_buckets",
       transform(slice(array_sort(scored), 1, probes), _.getField("l")))

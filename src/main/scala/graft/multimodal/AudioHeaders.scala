@@ -25,18 +25,20 @@ object AudioHeaders {
       return None
     var sampleRate = 0; var channels = 0; var bits = 0
     var dataBytes = -1L
-    var i = 12
+    // Long cursor: a crafted 32-bit chunk size near Int.MaxValue must
+    // walk off the end, not overflow into a negative index and throw
+    var i = 12L
     while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val size = le32(b, i + 4) & 0xffffffffL
+      val p = i.toInt
+      val id = new String(b, p, 4, "US-ASCII")
+      val size = le32(b, p + 4) & 0xffffffffL
       if (id == "fmt " && i + 24 <= b.length) {
-        channels = le16(b, i + 10)
-        sampleRate = le32(b, i + 12)
-        bits = le16(b, i + 22)
+        channels = le16(b, p + 10)
+        sampleRate = le32(b, p + 12)
+        bits = le16(b, p + 22)
       } else if (id == "data") dataBytes = size
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (size > Int.MaxValue - 16) return None // corrupt size field
+      i += 8 + size + (size & 1)
     }
     val bytesPerFrame = channels * (bits / 8)
     if (sampleRate <= 0 || channels <= 0 || bits <= 0 || dataBytes < 0 ||

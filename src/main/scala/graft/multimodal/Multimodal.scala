@@ -57,8 +57,15 @@ object Multimodal {
     * a crude but genuine content descriptor (brightness profile).
     * Header parse gates the attempt so non-image payloads never pay an
     * ImageIO probe; any codec failure falls back to the byte-fold stub. */
+  /** Decode-bomb guard: a few-hundred-byte PNG can declare a 40000²
+    * header; the raster allocation would OOM the executor (an Error the
+    * fallback catch never sees). The header is already parsed, so bound
+    * the attempt BEFORE ImageIO touches it. 64 MP ≈ 256 MB ARGB. */
+  private val maxDecodePixels = 64L << 20
+
   private def decodeFeatures(payload: Array[Byte]): Array[Float] =
-    if (ImageHeaders.decode(payload).isEmpty) stubDecode(payload)
+    if (!ImageHeaders.decode(payload).exists(m =>
+        m.width.toLong * m.height <= maxDecodePixels)) stubDecode(payload)
     else try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))

@@ -333,8 +333,11 @@ object LlmQueries extends QueryPack {
     QueryDef("q_ivf_search", (s, dir) => {
       import graft.sources.IvfStore
       val emb = Tables.load(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_q_ivf")
-        .toString
+      // stable per-corpus path + overwrite-mode writes: repeated runs
+      // (median-of-3 bench, every verify) reuse ONE index directory
+      // instead of leaking a corpus-sized temp copy per execution
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       val cents = IvfStore.writeTrained(emb, "vec_id", "embedding", path)
       val qv = emb.filter(col("vec_id") === 1)
         .select("embedding").head().getSeq[Float](0)

@@ -43,11 +43,15 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
   server.createContext("/", handle _)
   // small pool: the Spark driver is thread-safe for concurrent queries,
   // and request fan-out parallelism belongs to the cluster, not here
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Start serving; returns the bound port (useful with `port = 0`). */
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+
+  /** HttpServer.stop does NOT shut down a user-supplied executor; its
+    * threads are non-daemon, so leaving them alive pins the JVM. */
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private val statNames = Seq("count", "null_count", "mean", "std", "min",
     "25%", "50%", "75%", "max")
@@ -112,24 +116,30 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
       q.get("metrics").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
   }
 
+  /** Response row cap (override per request with `?limit=`): a single
+    * GET must not collect an unbounded table onto one server thread. The
+    * `truncated` flag mirrors the S11 jsonRecords contract. */
+  val defaultRowLimit = 10000
+
   private def data(ex: HttpExchange, svc: SarService, name: String,
       q: Map[String, String]): Unit = {
     val (header, device, start, end, metrics) = tableArgs(q)
     val (table, meta) = svc.getTableWithMeta(name, header, device, start,
       end, metrics)
+    val limit = q.get("limit").map(_.toInt).getOrElse(defaultRowLimit)
+    require(limit >= 1, "limit must be >= 1")
     if (q.get("format").contains("csv")) {
       val cols = table.columns
-      val lines = table.collect().map(r =>
+      val lines = table.limit(limit).collect().map(r =>
         cols.indices.map(i => csvCell(r.get(i))).mkString(","))
       csv(ex, (cols.mkString(",") +: lines).mkString("\n"))
     } else {
-      val cols = table.columns
-      val records = table.collect().map { r =>
-        ListMap(cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }: _*)
-      }
+      // one serialization path for JSON records in the whole library:
+      // the S11 sink (row cap, truncation flag, canonical date format)
+      val (rows, truncated) = svc.jsonRecords(table, limit)
       json(ex, 200, ListMap("header" -> meta.header, "alias" -> meta.alias,
-        "device" -> meta.device, "rows" -> records.length,
-        "data" -> records.toSeq))
+        "device" -> meta.device, "rows" -> rows.length,
+        "truncated" -> truncated, "data" -> rows.map(RawJson)))
     }
   }
 
@@ -201,10 +211,15 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
   * plain JVM types collected from DataFrames, so a renderer (no parser)
   * is the whole requirement; NaN/Infinity render as null like FastAPI's
   * `value != value` guard (api/main.py:325). */
+/** Pre-serialized JSON embedded verbatim (e.g. rows from
+  * `Dataset.toJSON`) — never re-escaped. */
+private[service] final case class RawJson(json: String)
+
 private[service] object Json {
   def render(v: Any): String = v match {
     case null | None => "null"
     case Some(x) => render(x)
+    case r: RawJson => r.json
     case s: String => quote(s)
     case b: Boolean => b.toString
     case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString

@@ -51,10 +51,13 @@ class SarTenants(spark: SparkSession, baseDir: String) {
 
   /** Users with an existing storage directory (disk_usage_report's
     * enumeration, api/services.py:385-388: directories under the base,
-    * excluded names skipped). */
+    * excluded names skipped). Only pattern-conforming names count as
+    * users — a stray non-tenant directory must not make the all-users
+    * sweeps (diskUsage, cleanup) throw on forUser validation. */
   def listUsers(): Seq[String] =
     Option(new java.io.File(baseDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !ExcludedDirs(f.getName))
+      .filter(f => f.isDirectory && f.getName.matches(UserPattern) &&
+        !ExcludedDirs(f.getName))
       .map(_.getName).toSeq.sorted
 
   /** Per-user disk usage, largest consumers first (disk_usage_report,

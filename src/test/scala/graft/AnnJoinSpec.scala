@@ -183,4 +183,19 @@ class AnnJoinSpec extends AnyFunSuite {
     val truthPairs = truth.map { case (q, n, c, _) => (q, n, c) }
     assert(gotPairs.subsetOf(truthPairs))
   }
+
+  test("digit-string labels tie-break numerically in EVERY assignment path") {
+    import spark.implicits._
+    // two IDENTICAL centroids labeled "10" and "2": every vector ties
+    // exactly. Native order says "2" < "10"; a lexicographic in-plan
+    // sort would say "10" < "2" — all three paths must agree on "2".
+    val vec = Seq(1.0, 0.0, 0.0)
+    val cents = Seq(("10", vec), ("2", vec)).toDF("centroid_label", "cvec")
+    val one = Seq((1L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.assignNearest(one, cents, "vec_id", "embedding")
+      .select("assigned").head().get(0).toString == "2")
+    val probed = Similarity.assignTopK(one, cents, "vec_id", "embedding", 2)
+      .select("probe_buckets").head().getSeq[Any](0).map(_.toString)
+    assert(probed == Seq("2", "10"), s"probe order $probed")
+  }
 }

@@ -285,6 +285,13 @@ class IngestServiceSpec extends AnyFunSuite {
     assert(hub.cleanupOldFiles(30, username = Some("bob"),
       dryRun = true, today = today).isEmpty)
 
+    // a stray non-conforming directory under the base is not a tenant
+    // and must not make the all-users sweeps throw
+    Files.createDirectory(java.nio.file.Paths.get(s"$base/-backup"))
+    assert(!hub.listUsers().contains("-backup"))
+    assert(hub.cleanupOldFiles(30, dryRun = true, today = today)
+      .keySet.forall(Set("alice", "bob")))
+
     // per-user usage report: bob holds the bytes now, alice reports empty
     val usage = hub.diskUsage()
     val byUser = usage.map(u => u._1 -> u).toMap

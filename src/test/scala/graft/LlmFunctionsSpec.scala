@@ -314,6 +314,13 @@ class LlmFunctionsSpec extends AnyFunSuite {
       .contains(AudioHeaders.AudioMeta(44100, 2, 16, 4410, "wav")))
     assert(AudioHeaders.decode("RIFFnope".getBytes("US-ASCII")).isEmpty)
     assert(AudioHeaders.decode(wav.take(30)).isEmpty)
+    // crafted chunk size near Int.MaxValue must not overflow the cursor
+    // into a negative index (returns None, never throws)
+    val crafted = java.util.Arrays.copyOf(
+      "RIFF    WAVEJUNK".getBytes("ISO-8859-1"), 44)
+    crafted(16) = 0xec.toByte; crafted(17) = 0xff.toByte
+    crafted(18) = 0xff.toByte; crafted(19) = 0x7f.toByte
+    assert(AudioHeaders.decode(crafted).isEmpty)
     // and as a column over a binary payload frame
     val df = spark.createDataFrame(Seq((1L, wav), (2L, "text".getBytes)))
       .toDF("id", "data")

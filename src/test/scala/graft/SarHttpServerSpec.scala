@@ -96,7 +96,14 @@ class SarHttpServerSpec extends AnyFunSuite {
       assert(s3 == 200)
       assert(data.contains(""""alias":"CPU"""") &&
         data.contains(""""device":"all"""") && data.contains(""""data":["""))
-      assert(data.contains("\"2023-06-05 00:10:01.0\"")) // dates as strings
+      // canonical S11 date shape (jsonRecords), truncation flag present
+      assert(data.contains("\"2023-06-05 00:10:01\""))
+      assert(data.contains(""""truncated":false"""))
+      // a limit below the row count truncates and flags it
+      val (sl, limited, _) =
+        get(s"$root/files/day1/data?header=CPU&limit=1")
+      assert(sl == 200 && limited.contains(""""rows":1""") &&
+        limited.contains(""""truncated":true"""))
       // metric projection + CSV format
       val (s4, csvBody, ct4) =
         get(s"$root/files/day1/data?header=CPU&metrics=%25idle&format=csv")
