@@ -113,7 +113,10 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
       throw new IllegalArgumentException("query parameter 'header' is required"))
     (header, q.get("device"), q.get("start").map(parseTs),
       q.get("end").map(parseTs),
-      q.get("metrics").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
+      // the reference names the single-projection param `metric`
+      // (api/main.py:279); `metrics` takes a comma list
+      q.get("metrics").orElse(q.get("metric")).toSeq
+        .flatMap(_.split(",")).filter(_.nonEmpty))
   }
 
   /** Response row cap (override per request with `?limit=`): a single
