@@ -97,4 +97,48 @@ class PropertySpec extends AnyFunSuite {
           date_format(col("aligned"), "HH:mm:ss")).count() == 0
     }, minSuccessful = 10)
   }
+
+  test("image headers round-trip the JDK encoders at any dimensions") {
+    import graft.multimodal.ImageHeaders
+    val fmts = Gen.oneOf("png", "jpg", "gif", "bmp")
+    val dims = Gen.choose(1, 200)
+    check(Prop.forAll(fmts, dims, dims) { (fmt, w, h) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      val want = if (fmt == "jpg") "jpeg" else fmt
+      ImageHeaders.decode(out.toByteArray)
+        .contains(ImageHeaders.ImageMeta(w, h, want))
+    }, minSuccessful = 40)
+  }
+
+  test("wav headers round-trip the JDK encoder at any format") {
+    import graft.multimodal.AudioHeaders
+    import javax.sound.sampled._
+    val rates = Gen.oneOf(8000, 16000, 22050, 44100, 48000)
+    val chans = Gen.choose(1, 2)
+    val frames = Gen.choose(1, 5000)
+    check(Prop.forAll(rates, chans, frames) { (rate, ch, n) =>
+      val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+      val pcm = new Array[Byte](n * fmt.getFrameSize)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      AudioHeaders.decode(out.toByteArray)
+        .contains(AudioHeaders.AudioMeta(rate, ch, 16, n.toLong, "wav"))
+    }, minSuccessful = 40)
+  }
+
+  test("header parsers are total on arbitrary bytes (None, never throw)") {
+    import graft.multimodal.{AudioHeaders, ImageHeaders}
+    val bytes = Gen.containerOf[Array, Byte](
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    check(Prop.forAll(bytes) { b =>
+      // random bytes are (overwhelmingly) not valid media; the contract
+      // under test is totality — decode returns rather than throwing
+      ImageHeaders.decode(b); AudioHeaders.decode(b); true
+    }, minSuccessful = 200)
+  }
 }
