@@ -53,9 +53,6 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
     * threads are non-daemon, so leaving them alive pins the JVM. */
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 
-  private val statNames = Seq("count", "null_count", "mean", "std", "min",
-    "25%", "50%", "75%", "max")
-
   private def handle(ex: HttpExchange): Unit = {
     try {
       val user = Option(ex.getRequestHeaders.getFirst("X-User"))
@@ -77,9 +74,10 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
                 "headers" -> fi.headers))
             } finally java.nio.file.Files.deleteIfExists(tmp)
           case ("GET", List("files", name)) =>
-            val fi = tenants.forUser(user).fileInfo(name)
-            json(ex, 200, ListMap("name" -> fi.name, "rows" -> fi.rows,
-              "headers" -> fi.headers))
+            json(ex, 200, ServicePayloads.fileInfo(tenants.forUser(user), name))
+          case ("GET", List("files", name, "headers")) =>
+            json(ex, 200,
+              ServicePayloads.headerDetails(tenants.forUser(user), name))
           case ("DELETE", List("files", name)) =>
             if (tenants.forUser(user).delete(name))
               json(ex, 200, ListMap("deleted" -> name))
@@ -89,9 +87,7 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
           case ("GET", List("files", name, "statistics")) =>
             statistics(ex, tenants.forUser(user), name, q)
           case ("GET", List("admin", "disk-usage")) =>
-            json(ex, 200, tenants.diskUsage().map { case (u, bytes, files) =>
-              ListMap("username" -> u, "bytes" -> bytes, "files" -> files)
-            })
+            json(ex, 200, ServicePayloads.diskUsage(tenants))
           case ("POST", List("admin", "cleanup")) =>
             val days = q.get("days").map(_.toInt).getOrElse(30)
             require(days >= 1, "days must be >= 1")
@@ -107,12 +103,11 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
   }
 
   private def tableArgs(q: Map[String, String])
-      : (String, Option[String], Option[Timestamp], Option[Timestamp],
+      : (String, Option[String], Option[String], Option[String],
          Seq[String]) = {
     val header = q.getOrElse("header",
       throw new IllegalArgumentException("query parameter 'header' is required"))
-    (header, q.get("device"), q.get("start").map(parseTs),
-      q.get("end").map(parseTs),
+    (header, q.get("device"), q.get("start"), q.get("end"),
       // the reference names the single-projection param `metric`
       // (api/main.py:279); `metrics` takes a comma list
       q.get("metrics").orElse(q.get("metric")).toSeq
@@ -127,57 +122,35 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
   private def data(ex: HttpExchange, svc: SarService, name: String,
       q: Map[String, String]): Unit = {
     val (header, device, start, end, metrics) = tableArgs(q)
-    val (table, meta) = svc.getTableWithMeta(name, header, device, start,
-      end, metrics)
     val limit = q.get("limit").map(_.toInt).getOrElse(defaultRowLimit)
-    require(limit >= 1, "limit must be >= 1")
     if (q.get("format").contains("csv")) {
+      require(limit >= 1, "limit must be >= 1")
+      val (table, _) = svc.getTableWithMeta(name, header, device,
+        start.map(ServicePayloads.parseTs), end.map(ServicePayloads.parseTs),
+        metrics)
       val cols = table.columns
       val lines = table.limit(limit).collect().map(r =>
         cols.indices.map(i => csvCell(r.get(i))).mkString(","))
       csv(ex, (cols.mkString(",") +: lines).mkString("\n"))
-    } else {
-      // one serialization path for JSON records in the whole library:
-      // the S11 sink (row cap, truncation flag, canonical date format)
-      val (rows, truncated) = svc.jsonRecords(table, limit)
-      json(ex, 200, ListMap("header" -> meta.header, "alias" -> meta.alias,
-        "device" -> meta.device, "rows" -> rows.length,
-        "truncated" -> truncated, "data" -> rows.map(RawJson)))
-    }
+    } else json(ex, 200, ServicePayloads.data(svc, name, header, device,
+      start, end, metrics, limit))
   }
 
   private def statistics(ex: HttpExchange, svc: SarService, name: String,
       q: Map[String, String]): Unit = {
     val (header, device, start, end, metrics) = tableArgs(q)
-    val (stats, meta) = svc.statisticsWithMeta(name, header, device, start,
-      end, metrics)
-    if (q.get("format").contains("csv"))
+    if (q.get("format").contains("csv")) {
+      val (stats, meta) = svc.statisticsWithMeta(name, header, device,
+        start.map(ServicePayloads.parseTs), end.map(ServicePayloads.parseTs),
+        metrics)
       csv(ex, svc.statisticsCsv(Seq(meta.alias -> stats)))
-    else {
-      val byMetric = stats.collect().map { r =>
-        r.getString(0) -> ListMap(statNames.zipWithIndex.map {
-          case (s, i) => s -> (if (r.isNullAt(i + 1)) null else r.get(i + 1))
-        }: _*)
-      }
-      json(ex, 200, ListMap("header" -> meta.header, "alias" -> meta.alias,
-        "device" -> meta.device,
-        "statistics" -> ListMap(byMetric.toIndexedSeq: _*)))
-    }
+    } else json(ex, 200, ServicePayloads.statistics(svc, name, header,
+      device, start, end, metrics))
   }
 
   // ---- plumbing -----------------------------------------------------
 
   private def err(detail: String) = ListMap("detail" -> detail)
-
-  /** Accepts `yyyy-MM-dd[ HH:mm:ss]` with a space or ISO 'T'. */
-  private def parseTs(s: String): Timestamp =
-    try {
-      val t = s.replace('T', ' ')
-      Timestamp.valueOf(if (t.length == 10) t + " 00:00:00" else t)
-    } catch { case _: Exception =>
-      throw new IllegalArgumentException(
-        s"cannot parse timestamp '$s' (expected yyyy-MM-dd[ HH:mm:ss])")
-    }
 
   private def parseQuery(raw: String): Map[String, String] =
     Option(raw).getOrElse("").split("&").filter(_.contains("="))
