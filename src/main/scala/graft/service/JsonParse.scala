@@ -15,8 +15,14 @@ private[service] object JsonParse {
     v
   }
 
+  /** Nesting bound: value() recurses per level, so unbounded depth is a
+    * StackOverflowError (an Error — it would sail past Exception catches
+    * and kill a serve loop). 64 is far beyond any real JSON-RPC message. */
+  private val MaxDepth = 64
+
   private final class P(s: String) {
     private var i = 0
+    private var depth = 0
     def pos: Int = i
     def eof: Boolean = i >= s.length
     def ws(): Unit =
@@ -28,15 +34,22 @@ private[service] object JsonParse {
       require(!eof && ch == c, s"expected '$c' at $i"); i += 1
     }
 
-    def value(): Any = { ws(); ch match {
-      case '{' => obj()
-      case '[' => arr()
-      case '"' => str()
-      case 't' => lit("true", java.lang.Boolean.TRUE)
-      case 'f' => lit("false", java.lang.Boolean.FALSE)
-      case 'n' => lit("null", null)
-      case _ => num()
-    } }
+    def value(): Any = {
+      depth += 1
+      require(depth <= MaxDepth, s"nesting deeper than $MaxDepth at $i")
+      ws()
+      val v = ch match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => lit("true", java.lang.Boolean.TRUE)
+        case 'f' => lit("false", java.lang.Boolean.FALSE)
+        case 'n' => lit("null", null)
+        case _ => num()
+      }
+      depth -= 1
+      v
+    }
 
     private def lit(word: String, v: Any): Any = {
       require(s.regionMatches(i, word, 0, word.length),

@@ -78,6 +78,9 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
           case ("GET", List("files", name, "headers")) =>
             json(ex, 200,
               ServicePayloads.headerDetails(tenants.forUser(user), name))
+          case ("GET", List("files", name, "headers", header)) =>
+            json(ex, 200, ServicePayloads.headerDetail(
+              tenants.forUser(user), name, header))
           case ("DELETE", List("files", name)) =>
             if (tenants.forUser(user).delete(name))
               json(ex, 200, ListMap("deleted" -> name))

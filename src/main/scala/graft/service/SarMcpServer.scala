@@ -37,20 +37,38 @@ class SarMcpServer(tenants: SarTenants, serverName: String = "graft-sar") {
       }
   }
 
-  /** One message in, optional response out (None for notifications). */
+  /** Typed protocol failure → its reserved JSON-RPC code (-32601 method
+    * not found, -32602 invalid params, -32600 invalid request); anything
+    * else caught during dispatch is -32603 internal error. */
+  private final class RpcError(val code: Long, msg: String)
+    extends RuntimeException(msg)
+
+  /** One message in, optional response out. A message WITHOUT an `id` is
+    * a notification: per JSON-RPC it MUST get no reply — not even an
+    * error — so failures there are swallowed (None). */
   def handleLine(line: String): Option[String] = {
-    val (id, result) = try {
-      val msg = JsonParse.parse(line).asInstanceOf[Map[String, Any]]
+    val (id, isRequest, result) = try {
+      val msg = JsonParse.parse(line) match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        case _ => throw new RpcError(-32600, "request must be a JSON object")
+      }
       val id = msg.get("id")
-      try (id, Right(dispatch(msg)))
-      catch { case e: Exception => (id, Left((-32603L, message(e)))) }
-    } catch { case e: Exception =>
-      (None, Left((-32700L, s"parse error: ${message(e)}")))
+      try (id, msg.contains("id"), Right(dispatch(msg)))
+      catch {
+        case e: RpcError => (id, msg.contains("id"), Left((e.code, message(e))))
+        case e: Exception =>
+          (id, msg.contains("id"), Left((-32603L, message(e))))
+      }
+    } catch {
+      case e: RpcError => (None, true, Left((e.code, message(e))))
+      case e: Exception =>
+        (None, true, Left((-32700L, s"parse error: ${message(e)}")))
     }
     result match {
-      case Right(None) => None // notification
+      case Right(None) => None // notification method
       case Right(Some(r)) => Some(Json.render(ListMap(
         "jsonrpc" -> "2.0", "id" -> RawJson(renderId(id)), "result" -> r)))
+      case Left(_) if !isRequest => None // failed notification: stay silent
       case Left((code, msg)) => Some(Json.render(ListMap(
         "jsonrpc" -> "2.0", "id" -> RawJson(renderId(id)),
         "error" -> ListMap("code" -> code, "message" -> msg))))
@@ -65,8 +83,10 @@ class SarMcpServer(tenants: SarTenants, serverName: String = "graft-sar") {
 
   /** Returns Some(result) for requests, None for notifications. */
   private def dispatch(msg: Map[String, Any]): Option[Any] = {
-    val params = msg.getOrElse("params", Map.empty)
-      .asInstanceOf[Map[String, Any]]
+    val params = msg.getOrElse("params", Map.empty) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty[String, Any] // positional params: none defined
+    }
     msg.getOrElse("method", "").toString match {
       case "initialize" => Some(ListMap(
         "protocolVersion" ->
@@ -83,7 +103,7 @@ class SarMcpServer(tenants: SarTenants, serverName: String = "graft-sar") {
         val args = params.getOrElse("arguments", Map.empty)
           .asInstanceOf[Map[String, Any]]
         val fn = tools.find(_._1 == name).map(_._4).getOrElse(
-          throw new IllegalArgumentException(s"unknown tool '$name'"))
+          throw new RpcError(-32602, s"unknown tool '$name'"))
         Some(try {
           ListMap("content" -> Seq(ListMap("type" -> "text",
             "text" -> Json.render(fn(args)))), "isError" -> false)
@@ -93,7 +113,7 @@ class SarMcpServer(tenants: SarTenants, serverName: String = "graft-sar") {
             "text" -> message(e))), "isError" -> true)
         })
       case m if m.startsWith("notifications/") => None
-      case m => throw new IllegalArgumentException(s"method not found: $m")
+      case m => throw new RpcError(-32601, s"method not found: $m")
     }
   }
 
@@ -151,13 +171,8 @@ class SarMcpServer(tenants: SarTenants, serverName: String = "graft-sar") {
         "Metrics and sub-devices for one header (alias accepted).",
         schema(Seq("name", "header"), "name" -> "string",
           "header" -> "string", "username" -> "string"),
-        { args =>
-          val h = req(args, "header")
-          ServicePayloads.headerDetails(svc(args), req(args, "name"))
-            .find(d => d("header") == h || d("alias") == h)
-            .getOrElse(throw new IllegalArgumentException(
-              s"header or alias '$h' not found"))
-        }),
+        args => ServicePayloads.headerDetail(svc(args), req(args, "name"),
+          req(args, "header"))),
       ("get_data",
         "Time-series table for a header; optional metric/device/start/end.",
         schema(Seq("name", "header"), "name" -> "string",
@@ -179,13 +194,19 @@ class SarMcpServer(tenants: SarTenants, serverName: String = "graft-sar") {
         schema(Nil),
         _ => ServicePayloads.diskUsage(tenants)),
       ("cleanup_old_files",
-        "Delete uploads older than `days` days (dry run by default).",
+        "Delete the user's uploads older than `days` days (dry run by " +
+          "default); set all_users=true for the cross-tenant admin sweep.",
         schema(Nil, "days" -> "integer", "username" -> "string",
-          "dry_run" -> "boolean"),
+          "dry_run" -> "boolean", "all_users" -> "boolean"),
         { args =>
           val days = int(args, "days", 30)
           require(days >= 1, "days must be >= 1")
-          tenants.cleanupOldFiles(days, str(args, "username"),
+          // an omitted username scopes to the SAME default tenant every
+          // other tool uses — sweeping all tenants must be an explicit
+          // opt-in, never the silent default of a forgotten argument
+          val scope = if (bool(args, "all_users", dflt = false)) None
+            else Some(str(args, "username").getOrElse("default"))
+          tenants.cleanupOldFiles(days, scope,
             dryRun = bool(args, "dry_run", dflt = true))
         }))
 }

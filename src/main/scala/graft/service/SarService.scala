@@ -85,14 +85,31 @@ class SarService(spark: SparkSession, storageDir: String) {
 
   def headerDetails(name: String): Seq[HeaderDetail] = {
     val df = load(name)
-    SarOps.headers(df).map { h =>
-      val scoped = HeaderMeta.isDeviceScoped(h)
-      val devices = if (scoped) {
-        val m = SarOps.toMetrics(SarOps.selectHeader(df, h), h, Some(true))
-        SarOps.sortDevices(SarOps.subDevices(m))
-      } else Nil
-      HeaderDetail(h, HeaderMeta.alias(h), scoped, devices)
-    }
+    SarOps.headers(df).map(mkDetail(df, _))
+  }
+
+  /** Details for ONE header, alias accepted — resolved through the SAME
+    * path as getTable, so any header string getTable accepts, this
+    * accepts (and it computes the sub-device distinct for that single
+    * header, not one Spark job per header in the file). */
+  def headerDetail(name: String, aliasOrHeader: String): HeaderDetail = {
+    val df = load(name)
+    val fileHeaders = SarOps.headers(df)
+    val header =
+      if (fileHeaders.contains(aliasOrHeader)) aliasOrHeader
+      else HeaderMeta.aliasToHeader(aliasOrHeader, fileHeaders)
+    require(fileHeaders.contains(header),
+      s"header or alias '$aliasOrHeader' not found in $name")
+    mkDetail(df, header)
+  }
+
+  private def mkDetail(df: DataFrame, h: String): HeaderDetail = {
+    val scoped = HeaderMeta.isDeviceScoped(h)
+    val devices = if (scoped) {
+      val m = SarOps.toMetrics(SarOps.selectHeader(df, h), h, Some(true))
+      SarOps.sortDevices(SarOps.subDevices(m))
+    } else Nil
+    HeaderDetail(h, HeaderMeta.alias(h), scoped, devices)
   }
 
   /** services.get_table (api/services.py:310-338): alias-or-header

@@ -28,11 +28,16 @@ private[service] object ServicePayloads {
     ListMap("name" -> fi.name, "rows" -> fi.rows, "headers" -> fi.headers)
   }
 
+  private def detail(h: HeaderDetail): ListMap[String, Any] =
+    ListMap("header" -> h.header, "alias" -> h.alias,
+      "device_scoped" -> h.deviceScoped, "devices" -> h.devices)
+
   def headerDetails(svc: SarService, name: String): Seq[ListMap[String, Any]] =
-    svc.headerDetails(name).map { h =>
-      ListMap("header" -> h.header, "alias" -> h.alias,
-        "device_scoped" -> h.deviceScoped, "devices" -> h.devices)
-    }
+    svc.headerDetails(name).map(detail)
+
+  def headerDetail(svc: SarService, name: String,
+      aliasOrHeader: String): ListMap[String, Any] =
+    detail(svc.headerDetail(name, aliasOrHeader))
 
   def data(svc: SarService, name: String, header: String,
       device: Option[String], start: Option[String], end: Option[String],

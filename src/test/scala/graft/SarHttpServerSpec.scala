@@ -91,6 +91,16 @@ class SarHttpServerSpec extends AnyFunSuite {
       assert(s2 == 200 && info.contains(""""name":"day1"""") &&
         info.contains(""""rows":""") && info.contains("%idle"))
 
+      // header details: full list, and the single-header route resolves
+      // aliases through the same path as data/statistics
+      val (sh1, allHeaders, _) = get(s"$root/files/day1/headers")
+      assert(sh1 == 200 && allHeaders.contains(""""alias":"CPU"""") &&
+        allHeaders.contains(""""device_scoped":true"""))
+      val (sh2, oneHeader, _) = get(s"$root/files/day1/headers/CPU")
+      assert(sh2 == 200 && oneHeader.contains(""""alias":"CPU"""") &&
+        oneHeader.contains(""""devices":["""))
+      assert(get(s"$root/files/day1/headers/NoSuchHeader")._1 == 400)
+
       // data: resolved meta + date-keyed records, CPU collapses to 'all'
       val (s3, data, _) = get(s"$root/files/day1/data?header=CPU")
       assert(s3 == 200)
@@ -109,6 +119,10 @@ class SarHttpServerSpec extends AnyFunSuite {
         get(s"$root/files/day1/data?header=CPU&metrics=%25idle&format=csv")
       assert(s4 == 200 && ct4.startsWith("text/csv"))
       assert(csvBody.linesIterator.next() == "date,%idle")
+      // the reference's singular `metric` param projects identically
+      val (s4b, csvOne, _) =
+        get(s"$root/files/day1/data?header=CPU&metric=%25idle&format=csv")
+      assert(s4b == 200 && csvOne.linesIterator.next() == "date,%idle")
 
       // statistics: per-metric stat map, same meta block
       val (s5, stats, _) = get(s"$root/files/day1/statistics?header=CPU")

@@ -84,14 +84,34 @@ class SarMcpServerSpec extends AnyFunSuite {
     assert(call(10, "disk_usage", "{}")
       .contains("""\"username\":\"alice\""""))
 
-    // tool failures are isError results; protocol failures are errors
+    // tool failures are isError results; protocol failures carry their
+    // reserved JSON-RPC codes (clients feature-detect on them)
     assert(call(11, "get_data", """{"name":"day1","username":"alice"}""")
       .contains(""""isError":true"""))
-    assert(call(12, "nope", "{}").contains(""""code":-32603"""))
-    assert(mcp.handleLine("""{"jsonrpc":"2.0","id":13,"method":"bogus"}""")
-      .get.contains("method not found"))
+    assert(call(12, "nope", "{}").contains(""""code":-32602"""))
+    val notFound =
+      mcp.handleLine("""{"jsonrpc":"2.0","id":13,"method":"bogus"}""").get
+    assert(notFound.contains(""""code":-32601""") &&
+      notFound.contains("method not found"))
     assert(mcp.handleLine("not json at all").get
       .contains(""""code":-32700"""))
+    assert(mcp.handleLine("""[1,2,3]""").get.contains(""""code":-32600"""))
+    // a nesting bomb is a clean parse error, not a StackOverflowError
+    assert(mcp.handleLine("""{"jsonrpc":"2.0","id":14,"method":"ping",""" +
+      """"params":""" + "[" * 50000 + "]" * 50000 + "}").get
+      .contains(""""code":-32700"""))
+    // notifications NEVER get a reply, not even when they fail
+    assert(mcp.handleLine("""{"jsonrpc":"2.0","method":"bogus"}""").isEmpty)
+    assert(mcp.handleLine(
+      """{"jsonrpc":"2.0","method":"tools/call","params":""" +
+        """{"name":"nope","arguments":{}}}""").isEmpty)
+
+    // cleanup without username scopes to the default tenant — it must
+    // never silently sweep alice's storage (all_users is the opt-in)
+    val scoped = call(15, "cleanup_old_files",
+      """{"days":1,"dry_run":true}""")
+    assert(scoped.contains(""""isError":false""") &&
+      !scoped.contains("alice"))
 
     // serve(): the same conversation over real streams, one line each way
     val script = Seq(
