@@ -276,11 +276,10 @@ object Dedup {
     * subsequent dedup/ANN query reuses it. */
   def cosineDupPairsTrained(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, probes: Int = 8, iters: Int = 5): DataFrame = {
-    val n = df.count()
-    val cents = Similarity.trainCodebook(df, idCol, vecCol,
-      Similarity.codebookSize(n), iters)
+    val k = Similarity.codebookSize(df.count())
+    val cents = Similarity.trainCodebook(df, idCol, vecCol, k, iters)
     cosineDupPairsBlocked(df, cents, idCol, vecCol, threshold,
-      math.min(probes, Similarity.codebookSize(n)))
+      math.min(probes, k))
   }
 
   /** Exact all-pairs embedding near-dup baseline: every (a<b) pair with

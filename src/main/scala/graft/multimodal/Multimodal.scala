@@ -52,17 +52,17 @@ object Multimodal {
       meta.as("meta"))
   }
 
-  /** Real pixel decode for JVM-native image formats: 8-dim feature =
-    * mean luma (Rec.601) over 8 vertical bands, normalized to [0,1] —
-    * a crude but genuine content descriptor (brightness profile).
-    * Header parse gates the attempt so non-image payloads never pay an
-    * ImageIO probe; any codec failure falls back to the byte-fold stub. */
   /** Decode-bomb guard: a few-hundred-byte PNG can declare a 40000²
     * header; the raster allocation would OOM the executor (an Error the
     * fallback catch never sees). The header is already parsed, so bound
     * the attempt BEFORE ImageIO touches it. 64 MP ≈ 256 MB ARGB. */
   private val maxDecodePixels = 64L << 20
 
+  /** Real pixel decode for JVM-native image formats: 8-dim feature =
+    * mean luma (Rec.601) over 8 vertical bands, normalized to [0,1] —
+    * a crude but genuine content descriptor (brightness profile).
+    * Header parse gates the attempt so non-image payloads never pay an
+    * ImageIO probe; any codec failure falls back to the byte-fold stub. */
   private def decodeFeatures(payload: Array[Byte]): Array[Float] =
     if (!ImageHeaders.decode(payload).exists(m =>
         m.width.toLong * m.height <= maxDecodePixels)) stubDecode(payload)

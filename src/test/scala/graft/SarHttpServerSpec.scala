@@ -26,21 +26,9 @@ class SarHttpServerSpec extends AnyFunSuite {
     try src.mkString finally src.close()
   }
 
-  private def get(url: String, user: String = "alice")
-      : (Int, String, String) = {
-    val conn = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestProperty("X-User", user)
-    val status = conn.getResponseCode
-    val stream =
-      if (status >= 400) conn.getErrorStream else conn.getInputStream
-    val body = try new String(stream.readAllBytes(), "UTF-8")
-      finally stream.close()
-    (status, body, String.valueOf(conn.getContentType))
-  }
-
-  private def send(method: String, url: String, body: Array[Byte],
-      user: String = "alice"): (Int, String) = {
+  /** One request helper for every method: (status, body, contentType). */
+  private def request(method: String, url: String, user: String,
+      body: Array[Byte] = Array.emptyByteArray): (Int, String, String) = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod(method)
@@ -49,25 +37,27 @@ class SarHttpServerSpec extends AnyFunSuite {
       conn.setDoOutput(true)
       val out = conn.getOutputStream
       try out.write(body) finally out.close()
-    } else conn.setDoOutput(true)
+    }
     val status = conn.getResponseCode
     val stream =
       if (status >= 400) conn.getErrorStream else conn.getInputStream
-    val text = try new String(stream.readAllBytes(), "UTF-8")
-      finally stream.close()
+    val text = Option(stream).map { s =>
+      try new String(s.readAllBytes(), "UTF-8") finally s.close()
+    }.getOrElse("")
+    (status, text, String.valueOf(conn.getContentType))
+  }
+
+  private def get(url: String, user: String = "alice")
+      : (Int, String, String) = request("GET", url, user)
+
+  private def send(method: String, url: String, body: Array[Byte],
+      user: String = "alice"): (Int, String) = {
+    val (status, text, _) = request(method, url, user, body)
     (status, text)
   }
 
-  private def delete(url: String, user: String = "alice"): Int = {
-    val conn = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod("DELETE")
-    conn.setRequestProperty("X-User", user)
-    val status = conn.getResponseCode
-    Option(if (status >= 400) conn.getErrorStream else conn.getInputStream)
-      .foreach(_.close())
-    status
-  }
+  private def delete(url: String, user: String = "alice"): Int =
+    request("DELETE", url, user)._1
 
   test("HTTP shell: files / data / statistics round-trip the service") {
     val base = Files.createTempDirectory("graft_http").toString
