@@ -29,8 +29,26 @@ object Calibrate {
     mode match {
       case "blocked" => blocked(spark, sfDir)
       case "jaccard" => jaccard(spark, sfDir)
+      case "blowup" => blowup(spark, sfDir)
     }
     spark.stop()
+  }
+
+  /** The doc-sampled C/S estimator vs the exact value — validates the
+    * debiased estimate tracks truth on the shipped corpora. */
+  private def blowup(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exactAgg = Dedup.docShingles(docs, "text", "doc_id")
+      .groupBy("sh").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("c2"))
+      .head()
+    val exact = exactAgg.getLong(1).toDouble / exactAgg.getLong(0)
+    for (slices <- Seq(4, 16)) {
+      val est = Dedup.jaccardCandidateBlowup(docs, "text", "doc_id",
+        slices = slices)
+      println(f"[cal] n=${docs.count()} exact_CS=$exact%.2f " +
+        f"slices=$slices est_CS=$est%.2f")
+    }
   }
 
   private def time[A](f: => A): (A, Double) = {
