@@ -30,8 +30,36 @@ object Calibrate {
       case "blocked" => blocked(spark, sfDir)
       case "jaccard" => jaccard(spark, sfDir)
       case "blowup" => blowup(spark, sfDir)
+      case "heavy" => heavy(spark, sfDir)
     }
     spark.stop()
+  }
+
+  /** Heavy-tailed regime: the SAME boilerplate block appended to every
+    * document (the web-corpus shape — headers, footers, license text)
+    * makes each boilerplate shingle appear in all n docs, so the direct
+    * self-join generates ~n² candidate rows PER hot shingle while true
+    * near-dup pairs stay sparse. This is the regime the prefix filter
+    * exists for — and the measured crossover evidence behind
+    * jaccardPairsAuto's blowupLimit. */
+  private def heavy(spark: SparkSession, sfDir: String): Unit = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val boiler = (1 to 60).map(i => s"boiler$i").mkString(" ")
+    val docs = base.select(col("doc_id"),
+      concat(col("text"), lit(" " + boiler)).as("text"))
+    val n = docs.count()
+    val cs = Dedup.jaccardCandidateBlowup(docs, "text", "doc_id")
+    println(f"[cal] heavy n=$n est_CS=$cs%.1f")
+    for (i <- 1 to 2) {
+      val (nd, td) = time {
+        Dedup.jaccardPairs(docs, "text", "doc_id").count()
+      }
+      val (np, tp) = time {
+        Dedup.jaccardPairsPrefix(docs, "text", "doc_id").count()
+      }
+      println(f"[cal] heavy n=$n run$i direct=$td%.2f s ($nd pairs) " +
+        f"prefix=$tp%.2f s ($np pairs)")
+    }
   }
 
   /** The doc-sampled C/S estimator vs the exact value — validates the

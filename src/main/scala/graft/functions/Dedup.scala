@@ -122,27 +122,42 @@ object Dedup {
 
   /** PPJoin-style prefix-filtered variant of [[jaccardPairs]] — same
     * results, different cost shape: two docs can only reach J ≥ t if
-    * they collide within each other's (1-t)·|set|+1 smallest shingle
-    * hashes, so only prefix collisions (plus a size bound) generate
-    * candidate pairs and exact |∩| is counted for candidates alone.
-    * Wins when shingle frequencies are heavy-tailed (web-scale corpora:
-    * a few hot shingles drive Σ freq² while true pairs stay sparse, and
-    * only prefix-positional collisions survive). On the flat-frequency
-    * test corpus the direct join stays ahead at every shipped size
-    * (r3 calibration: 5k docs ≈ 5.5 s direct vs 6.4 s prefix; 80k
-    * dup-dense replica-docs 58 s vs 174 s) — [[jaccardPairsAuto]]
-    * dispatches on measured candidate blowup, not doc count. */
+    * they collide within each other's first (1-t)·|set|+1 shingles
+    * under a shared GLOBAL order, so only prefix collisions (plus a
+    * size bound) generate candidate pairs and exact |∩| is counted for
+    * candidates alone.
+    *
+    * The global order is ascending DOCUMENT FREQUENCY (ties by hash) —
+    * the load-bearing choice from the PPJoin literature, measured here:
+    * with raw-hash order a corpus-wide boilerplate shingle whose hash
+    * ranks low lands in EVERY doc's prefix and still collides all n²
+    * pairs (heavy-tail calibration, 5k docs with a shared 60-token
+    * boilerplate block: hash-order prefix 89 s — LOSING to the 56 s
+    * direct join it exists to beat). Rarest-first order keeps hot
+    * shingles out of every prefix: same corpus, 25 s — 2.2× faster
+    * than direct, identical pairs. The df aggregation costs one extra
+    * keyed shuffle over the shingles — the same key the candidate join
+    * shuffles on.
+    *
+    * On flat-frequency corpora the direct join's fewer passes still win
+    * (r3 calibration: 5k docs ≈ 5.5 s direct vs 6.4 s prefix) —
+    * [[jaccardPairsAuto]] dispatches on measured candidate blowup. */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = docShingles(df, textCol, idCol, n)
       .select(col(idCol), xxhash64(col("sh")).as("sh"))
 
-    // prefix = the k smallest hashes, k = sz - ceil(t'·sz) + 1; the set
-    // size and the rank come from one window pass (same partition key →
-    // one exchange+sort, no separate groupBy+join, no cache to leak)
+    // global rarest-first order: per-shingle document frequency, then
+    // hash for a total order; broadcast is not assumed — it's a keyed
+    // join on the same shingle key the candidate join uses
+    val byDf = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+
+    // prefix = the first k shingles in (df, hash) order,
+    // k = sz - ceil(t'·sz) + 1; the set size and the rank come from one
+    // window pass (same partition key → one exchange+sort, no cache)
     val tRelaxed = math.max(0.0, threshold - 1e-3)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sh"))
-    val prefix = sh
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("sh"))
+    val prefix = sh.join(byDf, Seq("sh"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
