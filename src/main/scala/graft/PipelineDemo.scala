@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
 import graft.queries.Tables
 import graft.sources.IvfStore
 
@@ -55,6 +56,28 @@ object PipelineDemo {
       k = 5, probes = 3).collect()
     println(s"[pipeline] IVF top-5: " +
       hits.map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", "))
+
+    // 6. multimodal: opaque binary payloads + REAL header/pixel decode
+    // (docs' text bytes stand in for an object-store read; a real PNG
+    // generated in-process shows the JVM-codec path end-to-end)
+    val png = {
+      val img = new java.awt.image.BufferedImage(32, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 32) img.setRGB(x, y, 0x3366cc)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    import spark.implicits._
+    val payloads = docs.limit(50)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("data"))
+      .unionByName(Seq((9999L, png)).toDF("id", "data"))
+    val media = Multimodal.asMedia(payloads, "id", "data")
+    val types = media.groupBy("media_type").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    val feats = Multimodal.extractFeatures(media)
+    println(s"[pipeline] media types: $types; " +
+      s"feature rows: ${feats.count()} (png row decoded via JDK ImageIO)")
 
     spark.stop()
   }
