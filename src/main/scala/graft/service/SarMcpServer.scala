@@ -211,8 +211,10 @@ class SarMcpServer(tenants: SarTenants, serverName: String = "graft-sar") {
         }))
 }
 
-/** `sbt "runMain graft.service.McpMain <storageDir>"` — serve MCP over
-  * stdio for an agent host (claude_desktop_config-style launch). */
+/** `sbt --error "runMain graft.service.McpMain <storageDir>"` — serve
+  * MCP over stdio for an agent host (the command an MCP host's
+  * server-config entry would launch; `--error` keeps sbt's own [info]
+  * lines off the protocol stream). */
 object McpMain {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get()
