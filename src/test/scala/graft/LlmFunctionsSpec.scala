@@ -43,6 +43,18 @@ class LlmFunctionsSpec extends AnyFunSuite {
     // pick the direct join here
     val blowup = Dedup.jaccardCandidateBlowup(docs, "text", "doc_id")
     assert(blowup > 0.0 && blowup < 32.0, s"blowup $blowup")
+
+    // boilerplate appended to EVERY doc (the web-corpus shape) drives
+    // the estimate over the crossover — the regime auto must route to
+    // the df-ordered prefix filter, which keeps hot shingles out of
+    // every prefix (and stays result-identical)
+    val boiler = (1 to 60).map(i => s"boiler$i").mkString(" ")
+    val heavy = docs.select(col("doc_id"),
+      concat(col("text"), lit(" " + boiler)).as("text"))
+    val heavyBlowup = Dedup.jaccardCandidateBlowup(heavy, "text", "doc_id")
+    assert(heavyBlowup > 32.0, s"heavy blowup $heavyBlowup")
+    assert(key(Dedup.jaccardPairsAuto(heavy, "text", "doc_id", 3, 0.8)) ==
+      key(Dedup.jaccardPairs(heavy, "text", "doc_id", 3, 0.8)))
   }
 
   test("jaccard joins leave nothing cached and reuse the self-join exchange") {
