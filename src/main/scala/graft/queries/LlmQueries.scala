@@ -234,14 +234,21 @@ object LlmQueries extends QueryPack {
     }),
 
     // ---- k-min fingerprint ------------------------------------------
+    // fp and n_shingles derive from ONE projected distinct-shingle array:
+    // codegen subexpression elimination skips lambda subtrees, so the r3
+    // shape (fingerprint(text) + size(array_distinct(shingles(text))))
+    // rebuilt the O(tokens·n) shingle array per output column — the 2.5×
+    // r2→r3 bench regression. CollapseProject keeps the split because the
+    // non-cheap array is referenced twice.
     QueryDef("q_fingerprint", (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      Tables.load(s, dir, "documents")
         .filter(col("doc_id") < 100 &&
           TextAnalysis.wsTokenCount(col("text")) >= 3)
-      docs.select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"),
-          size(array_distinct(TextAnalysis.shingles(col("text"))))
-            .as("n_shingles"))
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.shingles(col("text"))).as("shd"))
+        .select(col("doc_id"),
+          array_min(transform(col("shd"), sh => md5(sh))).as("fp"),
+          size(col("shd")).as("n_shingles"))
         .orderBy("doc_id")
     }, Some(
       s"""WITH $shingleCte
