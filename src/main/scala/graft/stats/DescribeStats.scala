@@ -90,6 +90,63 @@ object DescribeStats {
       c => graft.expressions.TDigestQuantiles.tdigest_quantiles(
         c, Seq(0.25, 0.5, 0.75), compression))
 
+  /** Oracle-gatable sketch validation: re-ranks each sketch quantile
+    * against the exact data in one extra scan, emitting ok flags instead
+    * of the (approximate, merge-order-dependent) estimates. An estimate v
+    * for fraction p is accepted when p comes within `eps` of v's true
+    * rank interval [count(< v), count(<= v)] / n — the form of the
+    * engines' published rank-error guarantees (percentile_approx:
+    * 1/accuracy; t-digest: O(1/compression) mid-stream). The moments pass
+    * through unchanged — they are exact in the same aggregation — so a
+    * SQL oracle pins them exactly while pinning the ok flags to 1.
+    * Driver-side work is metadata-scale only (|cols| sketch rows + one
+    * 1-row count aggregate). */
+  def sketchRankChecked(df: DataFrame, cols: Seq[String],
+      sketch: DataFrame, eps: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = Seq(0.25, 0.5, 0.75)
+    val qCols = Seq("p25", "p50", "p75")
+    val skRows = sketch.collect()
+      .map(r => r.getString(r.fieldIndex("metric")) -> r).toMap
+    def qv(c: String, i: Int): Option[Double] = {
+      val r = skRows(c)
+      val f = r.fieldIndex(qCols(i))
+      if (r.isNullAt(f)) None else Some(r.getDouble(f))
+    }
+    // one exact scan: per column, non-null n plus count(< v)/count(<= v)
+    // for each reported quantile value
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      count(v).as(s"${c}__n") +: ps.indices.flatMap { i =>
+        val bound = qv(c, i).getOrElse(0.0)
+        Seq(count(when(v < bound, 1)).as(s"${c}__lt$i"),
+          count(when(v <= bound, 1)).as(s"${c}__le$i"))
+      }
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val out = cols.map { c =>
+      val r = skRows(c)
+      def d(f: String): Option[Double] =
+        if (r.isNullAt(r.fieldIndex(f))) None
+        else Some(r.getDouble(r.fieldIndex(f)))
+      val n = m.getLong(m.fieldIndex(s"${c}__n"))
+      val oks = ps.indices.map { i =>
+        qv(c, i) match {
+          case None => n == 0L // a missing estimate is only ok on no rows
+          case Some(_) =>
+            val lo = m.getLong(m.fieldIndex(s"${c}__lt$i")).toDouble / n
+            val hi = m.getLong(m.fieldIndex(s"${c}__le$i")).toDouble / n
+            lo - eps <= ps(i) && ps(i) <= hi + eps
+        }
+      }.map(ok => if (ok) 1 else 0)
+      (c, d("count").getOrElse(0.0), d("null_count").getOrElse(0.0),
+        d("mean"), d("std"), d("min"), d("max"), oks(0), oks(1), oks(2))
+    }
+    out.toDF("metric", "count", "null_count", "mean", "std", "min", "max",
+      "p25_ok", "p50_ok", "p75_ok")
+  }
+
   /** Cross-file pooled stats: union the frames, then one describe pass
     * (reference layout_helper_pl.py:236-267 display_averages). */
   def pooledStats(dfs: Seq[DataFrame], cols: Seq[String]): DataFrame =
