@@ -1,0 +1,154 @@
+package graft.expressions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** The broadcast IVF codebook an executor scores against: k×dim centroid
+  * matrix in label-sorted position order, per-centroid norms precomputed
+  * at broadcast time (element-order accumulation, so sqrt(na)·norms(c)
+  * is bit-identical to the per-pair sqrt(na)·sqrt(nb)), and the centroid
+  * labels as Catalyst values in the same position order. */
+final case class CodebookData(
+    matrix: Array[Array[Double]],
+    norms: Array[Double],
+    labels: Array[Any]) extends Serializable
+
+/** Top-`probes` centroid labels for a vector, scored against a BROADCAST
+  * codebook — the scale form of IVF routing (Similarity.assignNearest /
+  * assignTopK). The r3 implementation shipped the codebook as a literal
+  * expression tree (k struct nodes of dim-element arrays), which bloats
+  * every task binary once k reaches the thousands; a broadcast ships the
+  * k×dim matrix to each executor once and the expression tree stays a
+  * single node. The scoring loop runs as compiled JVM code invoked from
+  * inside whole-stage codegen — no interpreted HOF, no per-element
+  * closure, no plan break.
+  *
+  * Ranking semantics are IDENTICAL to the r3 literal fold (pinned by
+  * AnnJoinSpec and the q_centroid_assign oracle): cosine in element
+  * order, rounded to 6 dp HALF_UP; null/length-mismatch/zero-norm score
+  * −2.0; ties broken by codebook position = the label's NATIVE order
+  * (numeric labels numerically — IvfStore.probeBuckets mirrors this
+  * driver-side). A null input vector scores −2.0 everywhere, yielding
+  * the first `probes` positions, exactly like the coalesced fold.
+  */
+case class CodebookTopK(
+    child: Expression,
+    codebook: Broadcast[CodebookData],
+    probes: Int,
+    labelType: DataType,
+    labelNullable: Boolean) extends UnaryExpression {
+
+  require(probes >= 1, "probes must be >= 1")
+
+  override def dataType: DataType = ArrayType(labelType, labelNullable)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"codebook_topk needs a float/double array, got ${t.catalogString}")
+  }
+
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    topkLabels(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+
+  /** Rounded cosine of `v` against centroid `c`, with the −2.0 sentinel
+    * for null vector / dimension mismatch / zero norm. */
+  private def score(v: ArrayData, cb: CodebookData, c: Int): Double = {
+    if (v == null) return -2.0
+    val cent = cb.matrix(c)
+    val n = cent.length
+    if (v.numElements() != n) return -2.0
+    var dot = 0.0; var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      dot += x * cent(i); na += x * x
+      i += 1
+    }
+    val denom = math.sqrt(na) * cb.norms(c)
+    if (denom == 0.0) -2.0
+    else BigDecimal(dot / denom)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Public so generated code can invoke it via a plan reference. */
+  def topkLabels(v: ArrayData): ArrayData = {
+    val cb = codebook.value
+    val k = cb.matrix.length
+    val p = math.min(probes, k)
+    val bestCos = new Array[Double](p)
+    val bestPos = new Array[Int](p)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val cos = score(v, cb, c)
+      // insertion position: after every entry with cos >= ours (scan is
+      // position-ascending, so equal-cos entries keep the lower position
+      // first — the native-label-order tie-break)
+      if (filled < p || cos > bestCos(p - 1)) {
+        var ins = filled
+        while (ins > 0 && cos > bestCos(ins - 1)) ins -= 1
+        if (ins < p) {
+          val last = math.min(filled, p - 1)
+          var j = last
+          while (j > ins) {
+            bestCos(j) = bestCos(j - 1); bestPos(j) = bestPos(j - 1)
+            j -= 1
+          }
+          bestCos(ins) = cos; bestPos(ins) = c
+          if (filled < p) filled += 1
+        }
+      }
+      c += 1
+    }
+    val out = new Array[Any](filled)
+    var i = 0
+    while (i < filled) { out(i) = cb.labels(bestPos(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val scorer = ctx.addReferenceObj("cbTopK", this,
+      classOf[CodebookTopK].getName)
+    val c = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(
+      code = c.code + code"""
+        |final $arrCls ${ev.value} =
+        |  $scorer.topkLabels(${c.isNull} ? null : ${c.value});
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CodebookTopK = copy(child = newChild)
+}
+
+object CodebookTopK {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  /** Column API: top-`probes` centroid labels by cosine against the
+    * broadcast codebook. */
+  def codebook_topk(vec: Column, codebook: Broadcast[CodebookData],
+      probes: Int, labelType: DataType, labelNullable: Boolean): Column =
+    GraftColumnBridge.toColumn(CodebookTopK(
+      GraftColumnBridge.toExpression(vec), codebook, probes, labelType,
+      labelNullable))
+}

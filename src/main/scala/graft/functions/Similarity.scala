@@ -74,50 +74,50 @@ object Similarity {
     }
   }
 
-  /** Collect the k×dim codebook into a literal array column, label-sorted
-    * in NATIVE order, with each entry carrying its sorted POSITION (`o`).
-    * The position is the tie-break key every path shares: assignNearest's
-    * fold keeps the first (= lowest-position) entry, assignTopK sorts on
-    * it in-plan, and probeBuckets sorts by the same [[labelOrdering]] that
-    * produced it — so driver-side and in-plan routing can never disagree
-    * on an exact-tie vector (an in-plan sort on the raw label would
-    * compare digit STRINGS lexicographically, putting "10" before "2").
-    * Centroids are metadata scale by definition, so they ship in the task
-    * binary rather than through a codegen-blocking nested-loop join. */
-  private def literalCodebook(cents: DataFrame): Column = {
-    val codebook = cents.collect().map { r =>
-      (r.get(0), r.getSeq[Double](1))
+  /** Collect the k×dim codebook and BROADCAST it, label-sorted in NATIVE
+    * order so the scorer's position tie-break equals the label order
+    * every path shares (IvfStore.probeBuckets sorts by the same
+    * [[labelOrdering]] driver-side — a raw in-plan string sort would put
+    * "10" before "2"). Centroid norms are precomputed once here; labels
+    * are converted to Catalyst values so the scorer can emit them
+    * directly. The r3 literal-array codebook shipped k struct nodes in
+    * every task binary (the 2 MB task-binary warning at large k); the
+    * broadcast ships the matrix per executor once and the expression
+    * tree stays one node. */
+  private def broadcastCodebook(cents: DataFrame)
+      : (org.apache.spark.broadcast.Broadcast[graft.expressions.CodebookData],
+         org.apache.spark.sql.types.DataType, Boolean) = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val rows = cents.collect().map { r =>
+      (r.get(0), r.getSeq[Double](1).toArray)
     }.sortBy(_._1)(labelOrdering)
-    array(codebook.zipWithIndex.map { case ((label, vec), pos) =>
-      struct(lit(label).as("l"), typedlit(vec).as("v"), lit(pos).as("o"))
-    }.toSeq: _*)
+    val labelField = cents.schema.fields(0)
+    val toCatalyst =
+      CatalystTypeConverters.createToCatalystConverter(labelField.dataType)
+    val matrix = rows.map(_._2)
+    val norms = matrix.map { v =>
+      var nb = 0.0; var i = 0
+      while (i < v.length) { nb += v(i) * v(i); i += 1 }
+      math.sqrt(nb)
+    }
+    val labels = rows.map(r => toCatalyst(r._1))
+    val bc = cents.sparkSession.sparkContext
+      .broadcast(graft.expressions.CodebookData(matrix, norms, labels))
+    (bc, labelField.dataType, labelField.nullable)
   }
 
   /** Assign every vector to its nearest centroid by cosine (deterministic
     * tie-break on centroid label). The codebook is k×dim — metadata scale
-    * by definition — so it ships as a literal array (an IVF routing table
-    * in the task binary) rather than a codegen-blocking nested-loop join;
-    * the argmin itself is a sequential fold, so no per-vector window
-    * shuffle either. */
+    * by definition — so it ships as a broadcast scored by a single
+    * compiled expression (graft.expressions.CodebookTopK) rather than a
+    * codegen-blocking nested-loop join; no per-vector window shuffle
+    * either. */
   def assignNearest(df: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val centArr = literalCodebook(cents)
-    // argmax over the literal codebook: best = fold keeping (cos, label);
-    // ties resolve to the lower label because entries are label-sorted and
-    // strictly-greater is required to replace
-    val scored = df.withColumn("__scored",
-      transform(centArr, c =>
-        // coalesce: a zero-norm vector/centroid yields null cosine, which
-        // would poison every comparison in the fold — rank it below any
-        // real similarity instead
-        struct(coalesce(round(cosine(col(vecCol), c.getField("v")), 6),
-          lit(-2.0)).as("cos"),
-          c.getField("l").as("l"))))
-    val best = aggregate(col("__scored"),
-      element_at(col("__scored"), 1),
-      (acc, x) => when(x.getField("cos") > acc.getField("cos"), x)
-        .otherwise(acc))
-    scored.withColumn("assigned", best.getField("l")).drop("__scored")
+    val (bc, lt, ln) = broadcastCodebook(cents)
+    df.withColumn("assigned", element_at(
+      graft.expressions.CodebookTopK.codebook_topk(col(vecCol), bc, 1,
+        lt, ln), 1))
   }
 
   /** Train an IVF codebook with Lloyd's iterations on the DataFrame API
@@ -283,24 +283,14 @@ object Similarity {
     * `probe_buckets`. Near-boundary vectors land in every bucket that
     * could hold a close neighbor, which is what gives centroid-blocked
     * candidate generation its recall. Shuffle-free like assignNearest:
-    * score the literal codebook, array_sort, slice — no per-vector
-    * window. */
+    * one compiled top-k selection over the broadcast codebook — no
+    * per-vector window. */
   def assignTopK(df: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String, probes: Int): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
-    val centArr = literalCodebook(cents)
-    // array_sort on structs orders by fields in declaration order, so
-    // (-cos, position) ascending = cosine descending with NATIVE-order
-    // label tie-break (the position field — a raw digit-string label
-    // would sort lexicographically here and diverge from the fold path);
-    // zero-norm null cosine coalesces below any real similarity
-    val scored = transform(centArr, c =>
-      struct((lit(0.0) - coalesce(
-        round(cosine(col(vecCol), c.getField("v")), 6), lit(-2.0)))
-          .as("negcos"),
-        c.getField("o").as("o"),
-        c.getField("l").as("l")))
+    val (bc, lt, ln) = broadcastCodebook(cents)
     df.withColumn("probe_buckets",
-      transform(slice(array_sort(scored), 1, probes), _.getField("l")))
+      graft.expressions.CodebookTopK.codebook_topk(col(vecCol), bc,
+        probes, lt, ln))
   }
 }

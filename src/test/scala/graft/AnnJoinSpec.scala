@@ -184,6 +184,27 @@ class AnnJoinSpec extends AnyFunSuite {
     assert(gotPairs.subsetOf(truthPairs))
   }
 
+  test("codebook ships by broadcast: plan size independent of k") {
+    import spark.implicits._
+    // 2048 centroids × 64 dims as inline literals would be ~130k literal
+    // nodes of expression tree serialized into every task binary (the r3
+    // 2 MB task-binary warning); the broadcast scorer keeps the plan at
+    // a single expression node regardless of k
+    val cents = (1 to 2048).map(i => (i, Seq.fill(64)(i.toDouble)))
+      .toDF("centroid_label", "cvec")
+    val assigned = Similarity.assignNearest(emb, cents, "vec_id", "embedding")
+    val nLits = assigned.queryExecution.analyzed.expressions.map(
+      _.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+      }.size).sum
+    assert(nLits < 50, s"$nLits literals in the plan — codebook inlined?")
+    // and the big codebook still routes every vector
+    assert(assigned.filter(col("assigned").isNull).count() == 0)
+    val probed = Similarity.assignTopK(emb, cents, "vec_id", "embedding", 4)
+      .select("probe_buckets").head().getSeq[Int](0)
+    assert(probed.length == 4 && probed.distinct.length == 4)
+  }
+
   test("digit-string labels tie-break numerically in EVERY assignment path") {
     import spark.implicits._
     // two IDENTICAL centroids labeled "10" and "2": every vector ties
