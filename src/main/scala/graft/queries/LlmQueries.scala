@@ -401,6 +401,46 @@ object LlmQueries extends QueryPack {
           FROM r WHERE rank <= 5
           ORDER BY query_id, rank""")),
 
+    // ---- recall gate for the approximate ANN join -------------------
+    // annJoin's neighbor SET is approximate by design, but its recall@k
+    // against the exact knnJoin is a deterministic NUMBER (md5-seeded
+    // codebook training, fixed probes) — so the approximate path gets an
+    // oracle row after all: the engine computes recall in-plan (left-semi
+    // join against the exact top-k) and emits floor-check flags the SQL
+    // oracle pins to 1, plus counts it pins exactly. Floor 0.6 is
+    // calibrated with margin under the measured recall at probes=8 on
+    // the near-uniform corpus — IVF's documented worst case — across
+    // sf0.001/0.01/0.1 (0.788/0.816/0.692); rank-1 self-recall is exact
+    // BY CONSTRUCTION (a vector's own bucket is its first probe), so
+    // that flag pins a sharp invariant, not a floor.
+    QueryDef("q_ann_recall", (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val cents = Similarity.trainCodebook(emb, "vec_id", "embedding",
+        Similarity.codebookSize(emb.count()))
+      val ann = Similarity.annJoin(queries, emb, "vec_id", "vec_id",
+        "embedding", cents, k = 5, probes = 8)
+      val exact = Similarity.knnJoin(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 5)
+      val hits = ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+      val total = exact.count()
+      val nq = queries.count()
+      val selfOk = ann.filter(col("rank") === 1 &&
+        col("query_id") === col("neighbor_id")).count() == nq
+      Seq((nq, 5, 8,
+          if (hits.toDouble / total >= 0.6) 1 else 0,
+          if (selfOk) 1 else 0))
+        .toDF("n_queries", "k_neighbors", "probes", "recall_ok",
+          "self_rank1_ok")
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(5 AS INT) AS k_neighbors, CAST(8 AS INT) AS probes,
+         CAST(1 AS INT) AS recall_ok, CAST(1 AS INT) AS self_rank1_ok
+         FROM embeddings WHERE vec_id < 50""")),
+
     // ---- centroid assignment (IVF routing step) ---------------------
     QueryDef("q_centroid_assign", (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
