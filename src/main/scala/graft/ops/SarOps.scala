@@ -387,19 +387,52 @@ object SarOps {
   // ---- O4/O5: downsampling ------------------------------------------
 
   /** Every step-th row in `orderCol` order (reference bokeh_charts.py:
-    * 77-111 stride downsample). Distributed: sortWithinPartitions after a
-    * range-partitioned sort + zipWithIndex keeps the global order without
-    * a single-partition window. */
+    * 77-111 stride downsample). A global stride needs a global row
+    * index; the Catalyst-native form is value-space bucketing with
+    * per-bucket offsets (no RDD hop, no single-partition window):
+    * quantile boundaries are collected ONCE and embedded as literals so
+    * every pass buckets identically (range-partitioning's sampled
+    * boundaries are not stable across re-executions), bucket counts
+    * give cumulative offsets (metadata-scale collect), and the global
+    * index is offset + per-bucket row_number — a hash shuffle on the
+    * bucket key instead of a global range sort, all inside codegen'd
+    * DataFrame operators. Tie order within equal orderCol values is
+    * arbitrary (ties share a value, hence a bucket), as before. An
+    * all-ties column degenerates to one bucket — the same worst case a
+    * global sort has. */
   def downsampleStride(df: DataFrame, orderCol: String, step: Int): DataFrame = {
     require(step >= 1)
     if (step == 1) return df
     val spark = df.sparkSession
-    val sorted = df.orderBy(col(orderCol))
-    val schema = sorted.schema
-    val rdd = sorted.rdd.zipWithIndex()
-      .filter { case (_, i) => i % step == 0 }
-      .map(_._1)
-    spark.createDataFrame(rdd, schema)
+    val nb = spark.sessionState.conf.numShufflePartitions
+    val fracs = (1 until nb).map(_.toDouble / nb)
+    val bRow = df.select(percentile_approx(col(orderCol).cast("double"),
+      typedlit(fracs), lit(10000)).as("b")).head()
+    val bounds: Seq[Double] =
+      if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Double](0)
+    // nulls sort first (bucket -1), then ascending value buckets
+    val bucketOf: Column = when(col(orderCol).isNull, lit(-1)).otherwise(
+      bounds.distinct.zipWithIndex.foldRight(lit(bounds.distinct.length)) {
+        case ((b, i), els) =>
+          when(col(orderCol).cast("double") <= b, lit(i)).otherwise(els)
+      })
+    val withB = df.withColumn("__bkt", bucketOf)
+    val counts = withB.groupBy("__bkt").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (b, n)) => (b, acc + n)
+    }.sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (els, (b, off)) =>
+      when(col("__bkt") === b, lit(off)).otherwise(els)
+    }
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col(orderCol).asc_nulls_first)
+    withB
+      .withColumn("__idx",
+        row_number().over(w).cast("long") - 1L + offExpr)
+      .filter(col("__idx") % step === 0)
+      .drop("__bkt", "__idx")
+      .orderBy(col(orderCol))
   }
 
   /** Adaptive chart budget: stride step for a point budget per series
