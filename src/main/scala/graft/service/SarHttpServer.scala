@@ -26,9 +26,21 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *     → `{header, alias, device, rows, data: [...]}` or CSV
   *   - `GET  /files/{name}/statistics?...` → `{header, alias, device,
   *     statistics: {metric: {stat: value}}}` or CSV
+  *   - `POST /charts/single` `{file, header, metric?, device?, start?,
+  *     end?, title?, max_points?}` → chart-DATA payload (api/charts.py:
+  *     79-115 minus the figure): melted+downsampled series, y_range,
+  *     restart markers, os_details, resolved meta. Render-side fields of
+  *     the reference request (backend/format/width/height/font_size) are
+  *     accepted and ignored — rendering is out of scope (SURVEY §7.5).
+  *   - `POST /charts/overview` `{file, aliases?, start?, end?}` → one
+  *     chart payload per header/device frame (api/charts.py:118-173)
+  *   - `POST /charts/compare` (alias `/charts/multi`) `{files, header,
+  *     metric, device?, mode?}` → per-file series, mode=overlay (24h
+  *     axis rebase) | sequential (api/charts.py:176-253)
   *   - `GET  /admin/disk-usage`           → per-user usage, largest first
-  *   - `POST /admin/cleanup?days=&username=&dry_run=` → per-user stale
-  *     file map (api/main.py:216-226; defaults days=30, dry_run=true)
+  *   - `POST /admin/cleanup?days=&username=&all_users=&dry_run=` →
+  *     per-user stale file map (api/main.py:216-226; defaults days=30,
+  *     dry_run=true, scope = caller's tenant unless all_users=true)
   *
   * Auth is out of scope (SURVEY §7.5): the `X-User` header selects the
   * tenant (default `default`), standing in for the reference's
@@ -68,7 +80,11 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
           case ("PUT", List("files", name)) =>
             val tmp = java.nio.file.Files.createTempFile("graft_upload", ".bin")
             try {
-              java.nio.file.Files.write(tmp, ex.getRequestBody.readAllBytes())
+              // stream straight to disk — readAllBytes would buffer the
+              // whole upload on a server thread (4-thread pool: a few
+              // large concurrent uploads would exhaust driver heap)
+              java.nio.file.Files.copy(ex.getRequestBody, tmp,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
               val fi = tenants.forUser(user).upload(tmp.toString, name)
               json(ex, 201, ListMap("name" -> fi.name, "rows" -> fi.rows,
                 "headers" -> fi.headers))
@@ -89,12 +105,40 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
             data(ex, tenants.forUser(user), name, q)
           case ("GET", List("files", name, "statistics")) =>
             statistics(ex, tenants.forUser(user), name, q)
+          case ("POST", List("charts", "single")) =>
+            val b = bodyJson(ex)
+            json(ex, 200, ServicePayloads.chartSingle(tenants.forUser(user),
+              reqStr(b, "file"), reqStr(b, "header"), optStr(b, "metric"),
+              optStr(b, "device"), optStr(b, "start"), optStr(b, "end"),
+              optStr(b, "title"), budget(b)))
+          case ("POST", List("charts", "overview")) =>
+            val b = bodyJson(ex)
+            json(ex, 200, ServicePayloads.chartOverview(
+              tenants.forUser(user), reqStr(b, "file"),
+              strList(b, "aliases"), optStr(b, "start"), optStr(b, "end"),
+              budget(b)))
+          case ("POST", List("charts", route))
+              if route == "compare" || route == "multi" =>
+            val b = bodyJson(ex)
+            json(ex, 200, ServicePayloads.chartCompare(
+              tenants.forUser(user), strList(b, "files"),
+              reqStr(b, "header"), reqStr(b, "metric"),
+              optStr(b, "device"),
+              optStr(b, "mode").getOrElse("overlay"), budget(b)))
           case ("GET", List("admin", "disk-usage")) =>
             json(ex, 200, ServicePayloads.diskUsage(tenants))
           case ("POST", List("admin", "cleanup")) =>
             val days = q.get("days").map(_.toInt).getOrElse(30)
             require(days >= 1, "days must be >= 1")
-            json(ex, 200, tenants.cleanupOldFiles(days, q.get("username"),
+            // an omitted username scopes the sweep to the CALLER's
+            // tenant; the cross-tenant sweep is an explicit opt-in
+            // (all_users=true), mirroring the MCP shell — an
+            // unauthenticated all-tenants-by-default delete would let
+            // anyone sweep every user's uploads
+            val target =
+              if (q.get("all_users").exists(_.toBoolean)) None
+              else Some(q.getOrElse("username", user))
+            json(ex, 200, tenants.cleanupOldFiles(days, target,
               dryRun = q.get("dry_run").forall(_.toBoolean)))
           case _ => json(ex, 404, err("not found"))
         }
@@ -103,6 +147,40 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
       case e: IllegalArgumentException => json(ex, 400, err(e.getMessage))
       case e: Exception => json(ex, 500, err(String.valueOf(e.getMessage)))
     } finally ex.close()
+  }
+
+  // ---- JSON request bodies (chart routes are POST like the reference's;
+  // FastAPI models map to plain field accessors here) -------------------
+
+  private def bodyJson(ex: HttpExchange): Map[String, Any] = {
+    val text = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    require(text.nonEmpty, "request body must be a JSON object")
+    JsonParse.parse(text) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new IllegalArgumentException(
+        "request body must be a JSON object")
+    }
+  }
+
+  private def optStr(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).collect { case s: String => s }
+
+  private def reqStr(m: Map[String, Any], k: String): String =
+    optStr(m, k).getOrElse(throw new IllegalArgumentException(
+      s"field '$k' is required"))
+
+  private def strList(m: Map[String, Any], k: String): Seq[String] =
+    m.get(k) match {
+      case Some(l: List[_]) => l.map(String.valueOf)
+      case Some(null) | None => Nil
+      case Some(other) => throw new IllegalArgumentException(
+        s"field '$k' must be a list of strings, got $other")
+    }
+
+  private def budget(m: Map[String, Any]): Int = m.get("max_points") match {
+    case Some(n: java.lang.Number) =>
+      val v = n.intValue(); require(v >= 1, "max_points must be >= 1"); v
+    case _ => ServicePayloads.chartBudget
   }
 
   private def tableArgs(q: Map[String, String])

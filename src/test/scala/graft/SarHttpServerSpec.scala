@@ -137,9 +137,15 @@ class SarHttpServerSpec extends AnyFunSuite {
         .contains("2026-07-01_bobhost_x"))
       assert(!get(s"$root/files")._2.contains("bobhost"))
 
-      // admin cleanup: dry run lists bob's stale upload without deleting
-      val (s9, dry) = send("POST",
+      // admin cleanup is scoped to the CALLER's tenant by default — an
+      // unauthenticated cross-tenant sweep must be an explicit opt-in
+      val (s9a, dryA) = send("POST",
         s"$root/admin/cleanup?days=30&dry_run=true", Array.emptyByteArray)
+      assert(s9a == 200 && !dryA.contains("bob"))
+      // the explicit all_users sweep lists bob's stale upload (dry run)
+      val (s9, dry) = send("POST",
+        s"$root/admin/cleanup?days=30&all_users=true&dry_run=true",
+        Array.emptyByteArray)
       assert(s9 == 200 && dry.contains(""""bob":["2026-07-01_bobhost_x"]"""))
       assert(get(s"$root/files", user = "bob")._2.contains("bobhost"))
       assert(send("POST", s"$root/admin/cleanup?days=0",
@@ -151,6 +157,92 @@ class SarHttpServerSpec extends AnyFunSuite {
       assert(delete(s"$root/files/day1", user = "bob") == 404)
       assert(delete(s"$root/files/day1") == 200)
       assert(get(s"$root/files")._2 == """{"files":[]}""")
+    } finally server.stop()
+  }
+
+  test("chart-data endpoints: single / overview / compare payloads") {
+    val base = Files.createTempDirectory("graft_charts").toString
+    val tenants = new SarTenants(spark, base)
+    val up = Files.createTempFile("sa_chart", ".txt")
+    Files.writeString(up, resource("sa_24h.txt"))
+    tenants.forUser("alice").upload(up.toString, "day1")
+    tenants.forUser("alice").upload(up.toString, "day2")
+
+    val server = new SarHttpServer(tenants)
+    val port = server.start()
+    val root = s"http://localhost:$port/api/v1"
+    def post(path: String, body: String): (Int, String) =
+      send("POST", s"$root$path", body.getBytes("UTF-8"))
+    try {
+      // single, all metrics of the header: resolved meta + chart-layer
+      // contracts (melted series, y_range, restart markers, os_details)
+      val (s1, single) = post("/charts/single",
+        """{"file":"day1","header":"CPU"}""")
+      assert(s1 == 200, single)
+      assert(single.contains(""""alias":"CPU"""") &&
+        single.contains(""""device":"all"""") &&
+        single.contains(""""title":"CPU all""""))
+      assert(single.contains(""""os_details":"Linux 5.14.21"""))
+      assert(single.contains(""""restarts":["2023-06-05 00:15:30"]"""))
+      assert(single.contains(""""y_range":{"min":0.0,"max":"""))
+      // the series rows are the reference's melted chart frame shape
+      assert(single.contains(""""metrics":"%usr"""") &&
+        single.contains(""""y":"""))
+      assert(single.contains("\"date\":\"2023-06-05 00:10:01\""))
+      // render-side reference fields are accepted and ignored
+      assert(post("/charts/single",
+        """{"file":"day1","header":"CPU","metric":"%idle",
+           "backend":"bokeh","format":"png","width":1200}""")._1 == 200)
+      // one-metric detail chart projects just that series
+      val (s2, detail) = post("/charts/single",
+        """{"file":"day1","header":"CPU","metric":"%idle"}""")
+      assert(s2 == 200 && detail.contains(""""metric":"%idle"""") &&
+        !detail.contains(""""metrics":"%usr""""))
+      // unknown metric → 400 with the available list, like the reference
+      val (s3, bad) = post("/charts/single",
+        """{"file":"day1","header":"CPU","metric":"nope"}""")
+      assert(s3 == 400 && bad.contains("available"))
+      assert(post("/charts/single", """{"file":"day1"}""")._1 == 400)
+      assert(post("/charts/single", "")._1 == 400)
+
+      // overview: one payload per header/device frame — CPU collapses
+      // to 'all', the device-scoped DEV section yields one per device
+      val devHeader = "tps rkB/s wkB/s areq-sz aqu-sz await %util"
+      val (s4, over) = post("/charts/overview",
+        s"""{"file":"day1","aliases":["CPU","$devHeader"]}""")
+      assert(s4 == 200, over)
+      assert(over.contains(""""file":"day1"""") &&
+        over.contains(""""charts":["""))
+      assert(over.contains(""""device":"all"""") &&
+        over.contains(""""device":"dev8-0""""))
+      // a missing section errors like the reference's resolve_header
+      assert(post("/charts/overview",
+        """{"file":"day1","aliases":["NoSuch"]}""")._1 == 400)
+
+      // compare overlay: per-file series on the rebased 24h axis
+      val (s5, cmp) = post("/charts/compare",
+        """{"files":["day1","day2"],"header":"CPU","metric":"%idle",
+           "mode":"overlay"}""")
+      assert(s5 == 200, cmp)
+      assert(cmp.contains(""""mode":"overlay"""") &&
+        cmp.contains(""""metric":"%idle"""") &&
+        cmp.contains(""""file":"day1"""") && cmp.contains(""""file":"day2""""))
+      assert(cmp.contains("\"aligned\":\"2000-01-01 00:10:01\""))
+      // pooled y-range across files (padded, not zero-clamped: %idle
+      // sits near 100 so the padded min stays positive)
+      assert(cmp.contains(""""y_range":{"min":96.9"""))
+      // sequential keeps the real time axis; /charts/multi is an alias
+      val (s6, seq) = post("/charts/multi",
+        """{"files":["day1","day2"],"header":"CPU","metric":"%idle",
+           "mode":"sequential"}""")
+      assert(s6 == 200 && seq.contains(""""mode":"sequential"""") &&
+        !seq.contains("aligned"))
+      // guards: <2 files, unknown mode
+      assert(post("/charts/compare",
+        """{"files":["day1"],"header":"CPU","metric":"%idle"}""")._1 == 400)
+      assert(post("/charts/compare",
+        """{"files":["day1","day2"],"header":"CPU","metric":"%idle",
+           "mode":"spiral"}""")._1 == 400)
     } finally server.stop()
   }
 }
