@@ -52,10 +52,13 @@ object Multimodal {
       meta.as("meta"))
   }
 
-  /** Decode-bomb guard: a few-hundred-byte PNG can declare a 40000²
-    * header; the raster allocation would OOM the executor (an Error the
-    * fallback catch never sees). The header is already parsed, so bound
-    * the attempt BEFORE ImageIO touches it. 64 MP ≈ 256 MB ARGB. */
+  /** Decode-bomb guard: a few-hundred-byte image can declare an
+    * enormous raster; the allocation would OOM the executor (an Error
+    * the fallback catch never sees). The bound must come from the
+    * CODEC's own header read (ImageReader.getWidth/getHeight — metadata
+    * only, no raster), NOT the container header: a GIF's logical-screen
+    * size (bytes 6-9) can undersell the frame descriptor ImageIO
+    * actually allocates from. 64 MP ≈ 256 MB ARGB. */
   private val maxDecodePixels = 64L << 20
 
   /** Real pixel decode for JVM-native image formats: 8-dim feature =
@@ -63,34 +66,49 @@ object Multimodal {
     * a crude but genuine content descriptor (brightness profile).
     * Header parse gates the attempt so non-image payloads never pay an
     * ImageIO probe; any codec failure falls back to the byte-fold stub. */
-  private def decodeFeatures(payload: Array[Byte]): Array[Float] =
-    if (!ImageHeaders.decode(payload).exists(m =>
-        m.width.toLong * m.height <= maxDecodePixels)) stubDecode(payload)
-    else try {
-      val img = javax.imageio.ImageIO.read(
+  private def decodeFeatures(payload: Array[Byte]): Array[Float] = {
+    if (ImageHeaders.decode(payload).isEmpty) return stubDecode(payload)
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      if (img == null || img.getWidth == 0) stubDecode(payload)
-      else {
-        val sums = new Array[Double](8)
-        val counts = new Array[Long](8)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            val luma = (((rgb >> 16) & 0xff) * 299L +
-              ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 1000.0
-            val band = x * 8 / img.getWidth
-            sums(band) += luma
-            counts(band) += 1
-            x += 1
-          }
-          y += 1
-        }
-        Array.tabulate(8)(i =>
-          if (counts(i) == 0) 0.0f else (sums(i) / counts(i) / 255.0).toFloat)
-      }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return stubDecode(payload)
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0).toLong // header-only, no raster
+          val h = reader.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > maxDecodePixels)
+            return stubDecode(payload)
+          val img = reader.read(0)
+          if (img == null || img.getWidth == 0) stubDecode(payload)
+          else bandLuma(img)
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case _: Exception => stubDecode(payload) }
+  }
+
+  private def bandLuma(img: java.awt.image.BufferedImage): Array[Float] = {
+    val sums = new Array[Double](8)
+    val counts = new Array[Long](8)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299L +
+          ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 1000.0
+        val band = x * 8 / img.getWidth
+        sums(band) += luma
+        counts(band) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(8)(i =>
+      if (counts(i) == 0) 0.0f else (sums(i) / counts(i) / 255.0).toFloat)
+  }
 
   /** STUB fallback for payloads the JVM has no codec for: derives a
     * deterministic 8-dim feature vector from the raw bytes so the

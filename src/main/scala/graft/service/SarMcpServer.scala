@@ -81,6 +81,10 @@ class SarMcpServer(tenants: SarTenants, serverName: String = "graft-sar") {
   private def message(e: Throwable): String =
     Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
 
+  /** MCP revisions this server implements (max = the default answer). */
+  private val supportedProtocolVersions =
+    Set("2024-11-05", "2025-03-26", "2025-06-18")
+
   /** Returns Some(result) for requests, None for notifications. */
   private def dispatch(msg: Map[String, Any]): Option[Any] = {
     val params = msg.getOrElse("params", Map.empty) match {
@@ -89,8 +93,16 @@ class SarMcpServer(tenants: SarTenants, serverName: String = "graft-sar") {
     }
     msg.getOrElse("method", "").toString match {
       case "initialize" => Some(ListMap(
-        "protocolVersion" ->
-          params.getOrElse("protocolVersion", "2025-06-18"),
+        // version negotiation: confirm the client's version only when
+        // the server supports it, else answer with the latest supported
+        // one (echoing an arbitrary requested version would claim a
+        // protocol this server does not implement)
+        "protocolVersion" -> {
+          val requested =
+            params.getOrElse("protocolVersion", "").toString
+          if (supportedProtocolVersions(requested)) requested
+          else supportedProtocolVersions.max
+        },
         "capabilities" -> ListMap("tools" -> ListMap.empty[String, Any]),
         "serverInfo" -> ListMap("name" -> serverName, "version" -> "1.0")))
       case "ping" => Some(ListMap.empty[String, Any])
@@ -100,8 +112,15 @@ class SarMcpServer(tenants: SarTenants, serverName: String = "graft-sar") {
       }))
       case "tools/call" =>
         val name = params.getOrElse("name", "").toString
-        val args = params.getOrElse("arguments", Map.empty)
-          .asInstanceOf[Map[String, Any]]
+        // a non-object `arguments` (e.g. a JSON array) is legal JSON-RPC
+        // input and must surface as invalid params, not a cast crash
+        // mapped to -32603 internal error
+        val args = params.getOrElse("arguments", Map.empty) match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case null => Map.empty[String, Any]
+          case _ =>
+            throw new RpcError(-32602, "arguments must be an object")
+        }
         val fn = tools.find(_._1 == name).map(_._4).getOrElse(
           throw new RpcError(-32602, s"unknown tool '$name'"))
         Some(try {

@@ -312,6 +312,31 @@ class LlmFunctionsSpec extends AnyFunSuite {
     bands.foreach(f => assert(math.abs(f - want) < 1e-3, s"band $f != $want"))
   }
 
+  test("GIF decode bomb: frame-descriptor size is bounded, not the screen") {
+    // logical screen 1×1 (the container header a naive guard trusts) but
+    // an image descriptor of 20000×20000 — the raster ImageIO would
+    // actually allocate (400 MP ≈ 1.6 GB ARGB). The guard must read the
+    // CODEC's header dims and fall back to the byte-fold stub without
+    // ever attempting the allocation.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+    u16(1); u16(1); out.write(0x00); out.write(0); out.write(0) // screen
+    out.write(0x2c); u16(0); u16(0); u16(20000); u16(20000) // descriptor
+    out.write(0x00) // no local color table
+    out.write(2); out.write(0) // LZW min code size, empty data
+    out.write(0x3b) // trailer
+    val bomb = out.toByteArray
+    val df = spark.createDataFrame(Seq((1L, bomb))).toDF("id", "data")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asMedia(df, "id", "data")).collect().head
+    val acc = new Array[Long](8)
+    bomb.indices.foreach(i => acc(i % 8) += bomb(i) & 0xff)
+    val wantStub = acc.map(_.toFloat / 255.0f).toSeq
+    assert(feats.getSeq[Float](2) == wantStub,
+      "decode-bomb GIF did not fall back to the stub features")
+  }
+
   test("audio headers: JDK-encoded WAV decodes to true format") {
     import javax.sound.sampled._
     import graft.multimodal.AudioHeaders

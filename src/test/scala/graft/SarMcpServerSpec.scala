@@ -100,6 +100,16 @@ class SarMcpServerSpec extends AnyFunSuite {
     assert(mcp.handleLine("""{"jsonrpc":"2.0","id":14,"method":"ping",""" +
       """"params":""" + "[" * 50000 + "]" * 50000 + "}").get
       .contains(""""code":-32700"""))
+    // version negotiation: an unsupported requested version gets the
+    // server's latest supported version back, never an echo
+    assert(mcp.handleLine("""{"jsonrpc":"2.0","id":16,"method":""" +
+      """"initialize","params":{"protocolVersion":"2099-01-01"}}""").get
+      .contains(""""protocolVersion":"2025-06-18""""))
+    // a non-object `arguments` is invalid params (-32602), not an
+    // internal cast error (-32603)
+    assert(mcp.handleLine("""{"jsonrpc":"2.0","id":17,"method":""" +
+      """"tools/call","params":{"name":"list_sar_files",""" +
+      """"arguments":[1,2]}}""").get.contains(""""code":-32602"""))
     // notifications NEVER get a reply, not even when they fail
     assert(mcp.handleLine("""{"jsonrpc":"2.0","method":"bogus"}""").isEmpty)
     assert(mcp.handleLine(
