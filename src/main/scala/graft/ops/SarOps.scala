@@ -399,23 +399,60 @@ object SarOps {
     * DataFrame operators. Tie order within equal orderCol values is
     * arbitrary (ties share a value, hence a bucket), as before. An
     * all-ties column degenerates to one bucket — the same worst case a
-    * global sort has. */
+    * global sort has.
+    *
+    * Boundaries are quantiles of the double cast only for types whose
+    * cast preserves the native ordering (numeric/timestamp/date); for
+    * anything else (e.g. digit strings, where '10' < '2'
+    * lexicographically but not numerically) they are sampled VALUES of
+    * the column compared natively, so bucketing always agrees with
+    * `orderBy(orderCol)`. Correctness never depends on the boundary
+    * list's own order: bucketOf(v) = min{i : v <= b_i} is monotone in
+    * the native ordering for ANY boundary list, so buckets are always
+    * intervals — only balance depends on the sample. */
   def downsampleStride(df: DataFrame, orderCol: String, step: Int): DataFrame = {
     require(step >= 1)
     if (step == 1) return df
     val spark = df.sparkSession
     val nb = spark.sessionState.conf.numShufflePartitions
-    val fracs = (1 until nb).map(_.toDouble / nb)
-    val bRow = df.select(percentile_approx(col(orderCol).cast("double"),
-      typedlit(fracs), lit(10000)).as("b")).head()
-    val bounds: Seq[Double] =
-      if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Double](0)
+    import org.apache.spark.sql.types._
+    val castKeepsOrder = df.schema(orderCol).dataType match {
+      case _: NumericType | TimestampType | DateType | BooleanType => true
+      case _ => false
+    }
     // nulls sort first (bucket -1), then ascending value buckets
-    val bucketOf: Column = when(col(orderCol).isNull, lit(-1)).otherwise(
-      bounds.distinct.zipWithIndex.foldRight(lit(bounds.distinct.length)) {
-        case ((b, i), els) =>
-          when(col(orderCol).cast("double") <= b, lit(i)).otherwise(els)
-      })
+    val bucketOf: Column = if (castKeepsOrder) {
+      val fracs = (1 until nb).map(_.toDouble / nb)
+      val bRow = df.select(percentile_approx(col(orderCol).cast("double"),
+        typedlit(fracs), lit(10000)).as("b")).head()
+      val bounds: Seq[Double] =
+        if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Double](0)
+      when(col(orderCol).isNull, lit(-1)).otherwise(
+        bounds.distinct.zipWithIndex.foldRight(lit(bounds.distinct.length)) {
+          case ((b, i), els) =>
+            when(col(orderCol).cast("double") <= b, lit(i)).otherwise(els)
+        })
+    } else {
+      // Deterministic uniform sample of native values: top-k by value
+      // hash plans as TakeOrderedAndProject (per-partition pruning, no
+      // global sort). Driver-side sort only spreads the boundaries; per
+      // the monotonicity note above it cannot affect correctness.
+      val per = 20
+      val sample = df.select(col(orderCol).as("v"))
+        .filter(col("v").isNotNull)
+        .orderBy(xxhash64(col("v"))).limit(nb * per)
+        .collect().map(_.get(0))
+        .sortWith((a, b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+      val bounds = sample.indices
+        .collect { case i if (i + 1) % per == 0 => sample(i) }
+        .distinct
+      when(col(orderCol).isNull, lit(-1)).otherwise(
+        bounds.zipWithIndex.foldRight(lit(bounds.length)) {
+          case ((b, i), els) =>
+            when(col(orderCol) <= lit(b), lit(i)).otherwise(els)
+        })
+    }
     val withB = df.withColumn("__bkt", bucketOf)
     val counts = withB.groupBy("__bkt").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

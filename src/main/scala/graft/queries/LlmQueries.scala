@@ -410,9 +410,13 @@ object LlmQueries extends QueryPack {
     // oracle pins to 1, plus counts it pins exactly. Floor 0.6 is
     // calibrated with margin under the measured recall at probes=8 on
     // the near-uniform corpus — IVF's documented worst case — across
-    // sf0.001/0.01/0.1 (0.788/0.816/0.692); rank-1 self-recall is exact
-    // BY CONSTRUCTION (a vector's own bucket is its first probe), so
-    // that flag pins a sharp invariant, not a floor.
+    // sf0.001/0.01/0.1 (0.788/0.816/0.692); self-recall checks that each
+    // query finds ITSELF in its top-k (a vector's own bucket is its
+    // first probe and cos(v,v)=1.0 is maximal). Membership, not rank 1:
+    // annJoin tie-breaks equal 4-dp cosines by neighbor_id, so a near-
+    // duplicate vector with a lower id can legitimately outrank self —
+    // rank-1 would be a data-dependent invariant (ADVICE r4), top-k
+    // membership is structural.
     QueryDef("q_ann_recall", (s, dir) => {
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
@@ -428,17 +432,17 @@ object LlmQueries extends QueryPack {
           Seq("query_id", "neighbor_id"), "left_semi").count()
       val total = exact.count()
       val nq = queries.count()
-      val selfOk = ann.filter(col("rank") === 1 &&
+      val selfOk = ann.filter(
         col("query_id") === col("neighbor_id")).count() == nq
       Seq((nq, 5, 8,
           if (hits.toDouble / total >= 0.6) 1 else 0,
           if (selfOk) 1 else 0))
         .toDF("n_queries", "k_neighbors", "probes", "recall_ok",
-          "self_rank1_ok")
+          "self_in_topk_ok")
     }, Some(
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
          CAST(5 AS INT) AS k_neighbors, CAST(8 AS INT) AS probes,
-         CAST(1 AS INT) AS recall_ok, CAST(1 AS INT) AS self_rank1_ok
+         CAST(1 AS INT) AS recall_ok, CAST(1 AS INT) AS self_in_topk_ok
          FROM embeddings WHERE vec_id < 50""")),
 
     // ---- centroid assignment (IVF routing step) ---------------------

@@ -177,10 +177,18 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
         s"field '$k' must be a list of strings, got $other")
     }
 
+  /** Chart point budget. Clamped so the `4 * budget` series hard cap
+    * downstream can never overflow Int; a non-numeric max_points is a
+    * 400, not a silent default (ADVICE r4). */
   private def budget(m: Map[String, Any]): Int = m.get("max_points") match {
     case Some(n: java.lang.Number) =>
-      val v = n.intValue(); require(v >= 1, "max_points must be >= 1"); v
-    case _ => ServicePayloads.chartBudget
+      val v = n.longValue()
+      require(v >= 1 && v <= Int.MaxValue / 4,
+        s"max_points must be in [1, ${Int.MaxValue / 4}]")
+      v.toInt
+    case None => ServicePayloads.chartBudget
+    case Some(other) => throw new IllegalArgumentException(
+      s"field 'max_points' must be a number, got $other")
   }
 
   private def tableArgs(q: Map[String, String])

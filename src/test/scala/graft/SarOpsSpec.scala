@@ -104,6 +104,18 @@ class SarOpsSpec extends AnyFunSuite {
     assert(strided.count() == 1)
   }
 
+  test("stride on a digit-string column follows native (lexicographic) order") {
+    import spark.implicits._
+    // '10' < '2' lexicographically: cast-to-double bucketing would
+    // disagree with orderBy(orderCol) here (ADVICE r4)
+    val df = (1 to 30).map(_.toString).toDF("s").repartition(7)
+    val expected = df.orderBy("s").collect().map(_.getString(0))
+      .zipWithIndex.collect { case (v, i) if i % 3 == 0 => v }.toSeq
+    val got = SarOps.downsampleStride(df, "s", 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == expected)
+  }
+
   test("restart timestamps resolve AM/PM (edge fixture, 12:15:30 AM → 00:15)") {
     import spark.implicits._
     val path = getClass.getResource("/sar/sa_edge.txt").getPath
