@@ -42,14 +42,19 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *     per-user stale file map (api/main.py:216-226; defaults days=30,
   *     dry_run=true, scope = caller's tenant unless all_users=true)
   *
-  * Auth is out of scope (SURVEY §7.5): the `X-User` header selects the
-  * tenant (default `default`), standing in for the reference's
-  * bearer-token user; the tenant hub's username validation still applies.
-  * Service-layer `require` failures surface as 400 + `{"detail": ...}`,
-  * matching FastAPI's error body shape.
+  * Auth: pass a [[SarAuth]] to run the reference's bearer-token scheme
+  * (api/auth.py, api/main.py:66-230) — `POST /token`
+  * `{username, password}` issues a 24 h HMAC token, every other route
+  * requires `Authorization: Bearer` (401 with `WWW-Authenticate` on
+  * missing/expired/forged), the token's username selects the tenant,
+  * and the user-management + maintenance routes demand the admin role
+  * (403). Without a SarAuth (engine-demo mode, the specs' default), the
+  * `X-User` header selects the tenant as before and the user routes
+  * are absent. Service-layer `require` failures surface as 400 +
+  * `{"detail": ...}`, matching FastAPI's error body shape.
   */
 class SarHttpServer(tenants: SarTenants, port: Int = 0,
-    prefix: String = "/api/v1") {
+    prefix: String = "/api/v1", auth: Option[SarAuth] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", handle _)
@@ -67,14 +72,65 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
 
   private def handle(ex: HttpExchange): Unit = {
     try {
-      val user = Option(ex.getRequestHeaders.getFirst("X-User"))
-        .getOrElse("default")
       val path = ex.getRequestURI.getPath
       if (!path.startsWith(prefix + "/")) json(ex, 404, err("not found"))
       else {
         val segs = path.drop(prefix.length).split("/").filter(_.nonEmpty)
         val q = parseQuery(ex.getRequestURI.getRawQuery)
         (ex.getRequestMethod, segs.toList) match {
+          // the one route outside the bearer gate (api/main.py:68-73)
+          case ("POST", List("token")) if auth.isDefined =>
+            val a = auth.get
+            val b = bodyJson(ex)
+            val (u, pw) = (reqStr(b, "username"), reqStr(b, "password"))
+            if (!a.login(u, pw))
+              json(ex, 401, err("Invalid username or password"))
+            else {
+              val (tok, exp) = a.createToken(u)
+              json(ex, 200, ListMap("access_token" -> tok,
+                "token_type" -> "bearer", "expires_at" -> exp))
+            }
+          case (method, routeSegs) => resolveUser(ex) match {
+            case Left(detail) =>
+              ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+              json(ex, 401, err(detail))
+            case Right(user) => route(ex, method, routeSegs, q, user)
+          }
+        }
+      }
+    } catch {
+      case e: HttpError => json(ex, e.status, err(e.detail))
+      case e: IllegalArgumentException => json(ex, 400, err(e.getMessage))
+      case e: Exception => json(ex, 500, err(String.valueOf(e.getMessage)))
+    } finally ex.close()
+  }
+
+  /** Bearer token → username when auth is on (get_current_user,
+    * api/auth.py:95-108); X-User stand-in otherwise. */
+  private def resolveUser(ex: HttpExchange): Either[String, String] =
+    auth match {
+      case None => Right(Option(ex.getRequestHeaders.getFirst("X-User"))
+        .getOrElse("default"))
+      case Some(a) =>
+        Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+          case None => Left("Missing bearer token")
+          case Some(h) if !h.startsWith("Bearer ") =>
+            Left("Missing bearer token")
+          case Some(h) => a.decode(h.stripPrefix("Bearer ").trim)
+        }
+    }
+
+  /** require_admin (api/auth.py:87-90): no-op in engine-demo mode,
+    * where the admin routes are already scoped to the caller. */
+  private def requireAdmin(user: String): Unit =
+    auth.foreach { a =>
+      if (!a.isAdmin(user)) throw HttpError(403, "Admin role required")
+    }
+
+  private def route(ex: HttpExchange, method: String, segs: List[String],
+      q: Map[String, String], user: String): Unit = {
+    {
+        (method, segs) match {
           case ("GET", List("files")) =>
             json(ex, 200, ListMap("files" -> tenants.forUser(user).listFiles()))
           case ("PUT", List("files", name)) =>
@@ -125,28 +181,48 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
               reqStr(b, "header"), reqStr(b, "metric"),
               optStr(b, "device"),
               optStr(b, "mode").getOrElse("overlay"), budget(b)))
+          case ("GET", List("users", "me")) if auth.isDefined =>
+            json(ex, 200, ListMap("username" -> user,
+              "role" -> auth.get.role(user).orNull))
+          case ("GET", List("users")) if auth.isDefined =>
+            requireAdmin(user)
+            json(ex, 200, ListMap("users" -> auth.get.listUsers().map {
+              case (u, r) => ListMap("username" -> u, "role" -> r)
+            }))
+          case ("POST", List("users")) if auth.isDefined =>
+            requireAdmin(user)
+            val b = bodyJson(ex)
+            val (u, pw) = (reqStr(b, "username"), reqStr(b, "password"))
+            val role = optStr(b, "role").getOrElse("user")
+            if (!auth.get.addUser(u, pw, role))
+              throw HttpError(409, s"User '$u' already exists")
+            json(ex, 201, ListMap("created" -> u, "role" -> role))
           case ("GET", List("admin", "disk-usage")) =>
+            requireAdmin(user)
             json(ex, 200, ServicePayloads.diskUsage(tenants))
           case ("POST", List("admin", "cleanup")) =>
+            requireAdmin(user)
             val days = q.get("days").map(_.toInt).getOrElse(30)
             require(days >= 1, "days must be >= 1")
-            // an omitted username scopes the sweep to the CALLER's
-            // tenant; the cross-tenant sweep is an explicit opt-in
-            // (all_users=true), mirroring the MCP shell — an
-            // unauthenticated all-tenants-by-default delete would let
-            // anyone sweep every user's uploads
+            // with auth on, this is an admin route and `username=` may
+            // target any tenant (admin_cleanup, api/main.py:216-226);
+            // in engine-demo mode the caller is unverified, so the
+            // sweep is the CALLER's tenant only unless all_users=true —
+            // a username override naming another tenant is rejected
+            // rather than silently honored (ADVICE r4)
             val target =
               if (q.get("all_users").exists(_.toBoolean)) None
-              else Some(q.getOrElse("username", user))
+              else q.get("username") match {
+                case Some(u) if auth.isEmpty && u != user =>
+                  throw HttpError(403,
+                    "cross-tenant cleanup requires all_users=true")
+                case other => Some(other.getOrElse(user))
+              }
             json(ex, 200, tenants.cleanupOldFiles(days, target,
               dryRun = q.get("dry_run").forall(_.toBoolean)))
           case _ => json(ex, 404, err("not found"))
         }
-      }
-    } catch {
-      case e: IllegalArgumentException => json(ex, 400, err(e.getMessage))
-      case e: Exception => json(ex, 500, err(String.valueOf(e.getMessage)))
-    } finally ex.close()
+    }
   }
 
   // ---- JSON request bodies (chart routes are POST like the reference's;
@@ -238,6 +314,10 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
   }
 
   // ---- plumbing -----------------------------------------------------
+
+  /** Non-400 client errors (401/403/409), FastAPI's HTTPException. */
+  private case class HttpError(status: Int, detail: String)
+    extends RuntimeException(detail)
 
   private def err(detail: String) = ListMap("detail" -> detail)
 

@@ -25,7 +25,7 @@ class SarTenants(spark: SparkSession, baseDir: String) {
 
   Files.createDirectories(Paths.get(baseDir))
 
-  private val UserPattern = "[A-Za-z0-9][A-Za-z0-9._@+-]*"
+  import SarTenants.UserPattern
   private val ExcludedDirs = Set("config")
   // concurrent: the hub backs a REST surface (parallel per-user requests)
   private val services =
@@ -90,4 +90,10 @@ class SarTenants(spark: SparkSession, baseDir: String) {
       u -> forUser(u).cleanupOldFiles(days, dryRun, today)
     }.filter(_._2.nonEmpty).toMap
   }
+}
+
+object SarTenants {
+  /** The reference's USERNAME_PATTERN (api/services.py:46) — shared with
+    * [[SarAuth]] so a registrable user is always a valid tenant. */
+  val UserPattern = "[A-Za-z0-9][A-Za-z0-9._@+-]*"
 }

@@ -28,11 +28,13 @@ class SarHttpServerSpec extends AnyFunSuite {
 
   /** One request helper for every method: (status, body, contentType). */
   private def request(method: String, url: String, user: String,
-      body: Array[Byte] = Array.emptyByteArray): (Int, String, String) = {
+      body: Array[Byte] = Array.emptyByteArray,
+      headers: Map[String, String] = Map.empty): (Int, String, String) = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod(method)
     conn.setRequestProperty("X-User", user)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     if (body.nonEmpty) {
       conn.setDoOutput(true)
       val out = conn.getOutputStream
@@ -243,6 +245,131 @@ class SarHttpServerSpec extends AnyFunSuite {
       assert(post("/charts/compare",
         """{"files":["day1","day2"],"header":"CPU","metric":"%idle",
            "mode":"spiral"}""")._1 == 400)
+    } finally server.stop()
+  }
+
+  test("password hashes are wire-compatible with the reference's format") {
+    import graft.service.SarAuth
+    // generated by the reference's exact recipe (code/hashing.py:13-30,
+    // hashlib.pbkdf2_hmac('sha512', pw, salt, 100000)) with salt 'a'*64 —
+    // a stored hash from the reference's user DB must verify here
+    val stored = "a" * 64 +
+      "c29a211a2e3f545ba85fc8a203e4a720063f6b7680f61d7c58a6de942315f65" +
+      "89fd4dc439095493b05742471cf611c90c772aae413e00e328c7e5766a7c964a6"
+    assert(SarAuth.verifyPassword(stored, "linux"))
+    assert(!SarAuth.verifyPassword(stored, "Linux"))
+    assert(!SarAuth.verifyPassword("short", "linux"))
+    // our own hashes round-trip and salt differently each time
+    val h1 = SarAuth.hashPassword("pw1234")
+    val h2 = SarAuth.hashPassword("pw1234")
+    assert(h1 != h2 && SarAuth.verifyPassword(h1, "pw1234") &&
+      SarAuth.verifyPassword(h2, "pw1234") &&
+      !SarAuth.verifyPassword(h1, "pw1235"))
+  }
+
+  test("bearer-token auth: login, token checks, roles, admin gates") {
+    import graft.service.SarAuth
+    val base = Files.createTempDirectory("graft_auth").toString
+    val tenants = new SarTenants(spark, base)
+    val auth = new SarAuth(spark, base, secret = "spec-secret")
+    auth.ensureUser("root", "adminpw", "admin")
+    auth.ensureUser("alice", "alicepw")
+    val server = new SarHttpServer(tenants, auth = Some(auth))
+    val port = server.start()
+    val root = s"http://localhost:$port/api/v1"
+    def withTok(method: String, path: String, tok: String,
+        body: String = ""): (Int, String) = {
+      val (s, b, _) = request(method, s"$root$path", "ignored-x-user",
+        body.getBytes("UTF-8"),
+        if (tok.isEmpty) Map.empty else Map("Authorization" -> s"Bearer $tok"))
+      (s, b)
+    }
+    try {
+      // no token → 401 + WWW-Authenticate challenge
+      val conn = new java.net.URL(s"$root/files").openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 401 &&
+        conn.getHeaderField("WWW-Authenticate") == "Bearer")
+
+      // login: wrong password and unknown user are the same 401
+      assert(withTok("POST", "/token", "",
+        """{"username":"alice","password":"nope"}""")._1 == 401)
+      assert(withTok("POST", "/token", "",
+        """{"username":"mallory","password":"nope"}""")._1 == 401)
+      val (sT, tokBody) = withTok("POST", "/token", "",
+        """{"username":"alice","password":"alicepw"}""")
+      assert(sT == 200 && tokBody.contains(""""token_type":"bearer"""") &&
+        tokBody.contains(""""expires_at":"""))
+      val tok = tokBody.split(""""access_token":"""")(1).split('"')(0)
+
+      // the token's user selects the tenant; X-User is dead weight now
+      assert(withTok("GET", "/files", tok)._2 == """{"files":[]}""")
+      val up = resource("sa_24h.txt").getBytes("UTF-8")
+      assert(withTok("PUT", "/files/authday", tok,
+        new String(up, "UTF-8"))._1 == 201)
+      assert(withTok("GET", "/files", tok)._2 == """{"files":["authday"]}""")
+
+      // forged / malformed / expired tokens are 401 with the reference's
+      // detail strings (api/auth.py:60-83)
+      val forged = tok.substring(0, tok.lastIndexOf('.')) + "." + "0" * 64
+      assert(withTok("GET", "/files", forged)._2.contains("signature"))
+      assert(withTok("GET", "/files", "garbage")._1 == 401)
+      val (expired, _) = auth.createToken("alice", ttlSeconds = -1)
+      assert(withTok("GET", "/files", expired)._2.contains("expired"))
+
+      // roles: /users/me, admin-only listing/creation/maintenance
+      assert(withTok("GET", "/users/me", tok)._2 ==
+        """{"username":"alice","role":"user"}""")
+      assert(withTok("GET", "/users", tok)._1 == 403)
+      assert(withTok("GET", "/admin/disk-usage", tok)._1 == 403)
+      assert(withTok("POST", "/admin/cleanup?days=30", tok)._1 == 403)
+      val (sR, rootTokB) = withTok("POST", "/token", "",
+        """{"username":"root","password":"adminpw"}""")
+      assert(sR == 200)
+      val rootTok = rootTokB.split(""""access_token":"""")(1).split('"')(0)
+      assert(withTok("GET", "/users", rootTok)._2.contains(
+        """{"username":"alice","role":"user"}"""))
+      assert(withTok("GET", "/admin/disk-usage", rootTok)._1 == 200)
+      // admin may scope cleanup to any tenant (api/main.py:216-226)
+      assert(withTok("POST",
+        "/admin/cleanup?days=30&username=alice&dry_run=true",
+        rootTok)._1 == 200)
+
+      // user creation: 201, duplicate 409, weak password / bad role 400
+      assert(withTok("POST", "/users", rootTok,
+        """{"username":"bob","password":"bobpw123"}""")._1 == 201)
+      assert(auth.login("bob", "bobpw123"))
+      assert(withTok("POST", "/users", rootTok,
+        """{"username":"bob","password":"bobpw123"}""")._1 == 409)
+      assert(withTok("POST", "/users", rootTok,
+        """{"username":"carol","password":"x"}""")._1 == 400)
+      assert(withTok("POST", "/users", rootTok,
+        """{"username":"carol","password":"carolpw","role":"god"}""")._1
+        == 400)
+      assert(withTok("POST", "/users", tok,
+        """{"username":"carol","password":"carolpw"}""")._1 == 403)
+
+      // the store persists: a fresh SarAuth over the same dir sees bob
+      val reloaded = new SarAuth(spark, base, secret = "spec-secret")
+      assert(reloaded.login("bob", "bobpw123") &&
+        reloaded.isAdmin("root") && !reloaded.isAdmin("bob"))
+    } finally server.stop()
+  }
+
+  test("engine-demo mode rejects cross-tenant cleanup via username param") {
+    val base = Files.createTempDirectory("graft_demo_cleanup").toString
+    val tenants = new SarTenants(spark, base)
+    tenants.forUser("alice") // materialize the caller's tenant directory
+    val server = new SarHttpServer(tenants)
+    val port = server.start()
+    val root = s"http://localhost:$port/api/v1"
+    try {
+      // without auth, username= may not silently target another tenant
+      assert(send("POST", s"$root/admin/cleanup?days=30&username=bob",
+        Array.emptyByteArray)._1 == 403)
+      // naming yourself is fine
+      assert(send("POST", s"$root/admin/cleanup?days=30&username=alice",
+        Array.emptyByteArray)._1 == 200)
     } finally server.stop()
   }
 }
