@@ -18,8 +18,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   - `GET  /files`                      → `{"files": [...]}`
   *   - `PUT  /files/{name}` (raw body)    → 201 + file info; the body is
   *     any upload `XzIngest.readSarFile` accepts (text / xz / binary SAR).
-  *     Raw-body PUT stands in for the reference's multipart POST
-  *     (api/main.py:237-255) — same service call, no multipart codec.
+  *   - `POST /files` (multipart/form-data) → 201 `{uploaded: [...],
+  *     errors: [...]}` — the reference's batch upload
+  *     (api/main.py:237-255); 400 only when every part failed.
   *   - `GET  /files/{name}`               → file info (rows, headers)
   *   - `DELETE /files/{name}`             → `{"deleted": name}`
   *   - `GET  /files/{name}/data?header=&device=&start=&end=&metrics=&format=`
@@ -133,6 +134,41 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
         (method, segs) match {
           case ("GET", List("files")) =>
             json(ex, 200, ListMap("files" -> tenants.forUser(user).listFiles()))
+          case ("POST", List("files")) =>
+            // the reference's multipart batch upload (api/main.py:237-
+            // 255): per-file results and errors, 400 only when every
+            // part failed
+            val boundary = Multipart.boundaryOf(
+              Option(ex.getRequestHeaders.getFirst("Content-Type"))
+                .getOrElse("")).getOrElse(throw new IllegalArgumentException(
+              "Content-Type must be multipart/form-data with a boundary"))
+            val tmp = java.nio.file.Files.createTempFile("graft_mp", ".bin")
+            try {
+              java.nio.file.Files.copy(ex.getRequestBody, tmp,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              val parts = Multipart.fileParts(tmp, boundary)
+              require(parts.nonEmpty, "no file parts in multipart body")
+              try {
+                val svc = tenants.forUser(user)
+                val (uploaded, errors) = parts.foldLeft(
+                    (Vector.empty[Any], Vector.empty[Any])) {
+                  case ((ok, bad), (fname, p)) =>
+                    try {
+                      val fi = svc.upload(p.toString, fname)
+                      (ok :+ ListMap("name" -> fi.name, "rows" -> fi.rows,
+                        "headers" -> fi.headers), bad)
+                    } catch { case e: Exception =>
+                      (ok, bad :+ ListMap("file" -> fname,
+                        "detail" -> String.valueOf(e.getMessage)))
+                    }
+                }
+                val status = if (uploaded.isEmpty && errors.nonEmpty) 400
+                  else 201
+                json(ex, status, ListMap("uploaded" -> uploaded,
+                  "errors" -> errors))
+              } finally parts.foreach(p =>
+                java.nio.file.Files.deleteIfExists(p._2))
+            } finally java.nio.file.Files.deleteIfExists(tmp)
           case ("PUT", List("files", name)) =>
             val tmp = java.nio.file.Files.createTempFile("graft_upload", ".bin")
             try {

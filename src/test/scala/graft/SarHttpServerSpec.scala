@@ -356,6 +356,61 @@ class SarHttpServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("multipart POST /files: batch upload, per-file errors, all-fail 400") {
+    val base = Files.createTempDirectory("graft_multipart").toString
+    val tenants = new SarTenants(spark, base)
+    val server = new SarHttpServer(tenants)
+    val port = server.start()
+    val root = s"http://localhost:$port/api/v1"
+    val boundary = "GraftSpecBoundary42"
+    def part(name: String, content: Array[Byte]): Array[Byte] =
+      (s"--$boundary\r\nContent-Disposition: form-data; " +
+        s"""name="files"; filename="$name"\r\n""" +
+        "Content-Type: application/octet-stream\r\n\r\n").getBytes("UTF-8") ++
+        content ++ "\r\n".getBytes("UTF-8")
+    def multipart(parts: Array[Byte]*): Array[Byte] =
+      parts.reduce(_ ++ _) ++ s"--$boundary--\r\n".getBytes("UTF-8")
+    def post(body: Array[Byte], user: String = "alice"): (Int, String) = {
+      val (s, b, _) = request("POST", s"$root/files", user, body,
+        Map("Content-Type" -> s"multipart/form-data; boundary=$boundary"))
+      (s, b)
+    }
+    try {
+      val sar = resource("sa_24h.txt").getBytes("UTF-8")
+      // two good files in one request — client paths reduce to basenames
+      val (s1, body1) = post(multipart(
+        part("C:\\logs\\mp_day1", sar), part("mp_day2", sar)))
+      assert(s1 == 201, body1)
+      assert(body1.contains(""""name":"mp_day1"""") &&
+        body1.contains(""""name":"mp_day2"""") &&
+        body1.contains(""""errors":[]"""))
+      assert(get(s"$root/files")._2 == """{"files":["mp_day1","mp_day2"]}""")
+
+      // a bad part fails alone; the good one still lands (binary junk is
+      // neither sar text nor xz nor a binary sa file)
+      val junk = Array.tabulate[Byte](64)(i => (i * 7 % 251).toByte)
+      val (s2, body2) = post(multipart(
+        part("mp_day3", sar), part("mp_bad", junk)))
+      assert(s2 == 201, body2)
+      assert(body2.contains(""""name":"mp_day3"""") &&
+        body2.contains(""""file":"mp_bad"""") &&
+        body2.contains(""""detail":"""))
+
+      // every part failing is the reference's 400 shape
+      val (s3, body3) = post(multipart(part("mp_bad2", junk)))
+      assert(s3 == 400 && body3.contains(""""uploaded":[]"""), body3)
+
+      // no boundary / no file parts are 400s
+      val (s4, _, _) = request("POST", s"$root/files", "alice",
+        "plain".getBytes("UTF-8"), Map("Content-Type" -> "text/plain"))
+      assert(s4 == 400)
+      val fieldOnly = (s"--$boundary\r\nContent-Disposition: form-data; " +
+        "name=\"note\"\r\n\r\nhello\r\n").getBytes("UTF-8") ++
+        s"--$boundary--\r\n".getBytes("UTF-8")
+      assert(post(fieldOnly)._1 == 400)
+    } finally server.stop()
+  }
+
   test("engine-demo mode rejects cross-tenant cleanup via username param") {
     val base = Files.createTempDirectory("graft_demo_cleanup").toString
     val tenants = new SarTenants(spark, base)
