@@ -46,6 +46,92 @@ object IvfStore {
   def codebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebook")
 
+  // ---- incremental maintenance --------------------------------------
+
+  /** Append a batch into the existing index WITHOUT rewriting it: new
+    * vectors route through the STORED codebook and land as extra
+    * parquet files inside their bucket directories (dynamic-partition
+    * append touches only the buckets the batch hits). At 100 TB this is
+    * the everyday ingest path — a full rewrite is [[retrain]], an
+    * explicit maintenance event. Returns the appended row count. */
+  def append(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): Long = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    Similarity.assignNearest(emb, codebook(spark, path), idCol, vecCol)
+      .withColumnRenamed("assigned", "bucket")
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/data")
+    spark.catalog.refreshByPath(s"$path/data")
+    n
+  }
+
+  /** Per-bucket staleness after appends: 1 − cos(stored centroid,
+    * current bucket mean), with the bucket's row count. A fresh index
+    * drifts 0 everywhere; appended vectors pull their bucket's true
+    * mean away from the centroid that routes probes to it, degrading
+    * recall — this is the signal that decides a retrain. One scan of
+    * the index (posexplode + two-level agg), broadcast join against
+    * the metadata-scale codebook. */
+  def drift(spark: SparkSession, path: String, vecCol: String): DataFrame = {
+    val current = Similarity
+      .centroids(spark.read.parquet(s"$path/data"), "bucket", vecCol)
+      .withColumnRenamed("cvec", "cur")
+      .withColumnRenamed("centroid_label", "centroid_label_b")
+    val counts = spark.read.parquet(s"$path/data")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    codebook(spark, path)
+      .join(broadcast(current),
+        col("centroid_label").cast("string") ===
+          col("centroid_label_b").cast("string"))
+      .join(broadcast(counts.withColumnRenamed("bucket", "bucket_c")),
+        col("centroid_label").cast("string") ===
+          col("bucket_c").cast("string"))
+      .select(col("centroid_label").as("bucket"), col("n"),
+        (lit(1.0) - Similarity.cosine(col("cvec"), col("cur")))
+          .as("drift"))
+  }
+
+  /** Size-weighted mean drift across buckets — the retrain trigger. */
+  def meanDrift(spark: SparkSession, path: String, vecCol: String): Double = {
+    val r = drift(spark, path, vecCol)
+      .agg((sum(col("drift") * col("n")) / sum(col("n"))).as("d")).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Full rebuild: retrain the codebook at k≈√n on the CURRENT corpus
+    * and rewrite every bucket. Builds into a sibling temp directory and
+    * swaps with two renames (the source is being read while the new
+    * index is written, so an in-place overwrite would corrupt it);
+    * rename is atomic per path on HDFS and local FS alike. */
+  def retrain(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, iters: Int = 5): DataFrame = {
+    val tmp = s"$path-retrain-tmp"
+    val cents = writeTrained(
+      spark.read.parquet(s"$path/data").drop("bucket"),
+      idCol, vecCol, tmp, iters)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)), s"swap failed: $tmp -> $path")
+    spark.catalog.refreshByPath(s"$path/data")
+    cents
+  }
+
+  /** The maintenance policy in one call: append the batch, then
+    * retrain only when size-weighted drift exceeds the trigger.
+    * Returns true when a retrain happened. */
+  def appendOrRetrain(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, driftTrigger: Double = 0.05, iters: Int = 5): Boolean = {
+    val spark = emb.sparkSession
+    append(emb, idCol, vecCol, path)
+    val stale = meanDrift(spark, path, vecCol) > driftTrigger
+    if (stale) retrain(spark, path, idCol, vecCol, iters)
+    stale
+  }
+
   /** The query vector's `probes` nearest centroid labels — k×dim math,
     * computed on the driver (the codebook is metadata scale). Ranking
     * reproduces assignTopK exactly: cosine rounded to 6 dp (HALF_UP,

@@ -172,6 +172,71 @@ class AnnJoinSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
+  test("IvfStore.append adds into buckets without rewrite; drift triggers retrain") {
+    import graft.sources.IvfStore
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_a").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    IvfStore.writeTrained(base, "vec_id", "embedding", path)
+
+    def dataFiles: Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+          .toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Nil
+      walk(new java.io.File(s"$path/data")).toSet
+    }
+    val before = dataFiles
+    val d0 = IvfStore.meanDrift(spark, path, "embedding")
+
+    // same-distribution append: every original data file survives
+    // untouched (no rewrite), counts add up, drift barely moves
+    assert(IvfStore.append(batch, "vec_id", "embedding", path)
+      == batch.count())
+    val after = dataFiles
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must only ADD files inside bucket directories")
+    assert(spark.read.parquet(s"$path/data").count() == emb.count())
+    // an appended vector is findable through the pruned search path
+    val qv = batch.select("embedding").head().getSeq[Float](0)
+    val qid = batch.select("vec_id").head().getLong(0)
+    val top = IvfStore.search(spark, path, qv, "vec_id", "embedding",
+      k = 1, probes = 1).head()
+    assert(top.getLong(0) == qid && top.getDouble(1) == 1.0)
+    val d1 = IvfStore.meanDrift(spark, path, "embedding")
+
+    // adversarial append (negated vectors) drags bucket means away
+    // from their stored centroids — the staleness signal fires
+    val neg = batch
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => -x))
+    assert(IvfStore.append(neg, "vec_id", "embedding", path)
+      == batch.count())
+    val d2 = IvfStore.meanDrift(spark, path, "embedding")
+    assert(d2 > d1 && d2 > d0,
+      s"negated batch must raise drift: d0=$d0 d1=$d1 d2=$d2")
+
+    // retrain rebuilds at k≈√n on the CURRENT corpus and swaps in place
+    IvfStore.retrain(spark, path, "vec_id", "embedding")
+    val total = emb.count() + batch.count()
+    assert(spark.read.parquet(s"$path/data").count() == total)
+    val d3 = IvfStore.meanDrift(spark, path, "embedding")
+    assert(d3 < d2, s"retrain must reduce drift: $d3 !< $d2")
+    val plan = IvfStore.search(spark, path, qv, "vec_id", "embedding", 5, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+
+    // the one-call policy: below-trigger appends never rebuild,
+    // above-trigger ones do
+    val more = batch.withColumn("vec_id", col("vec_id") + 2000000L)
+    assert(!IvfStore.appendOrRetrain(more, "vec_id", "embedding", path,
+      driftTrigger = 0.9))
+    val neg2 = neg.withColumn("vec_id", col("vec_id") + 3000000L)
+    assert(IvfStore.appendOrRetrain(neg2, "vec_id", "embedding", path,
+      driftTrigger = 1e-9))
+  }
+
   test("every annJoin result row is a true cosine, never fabricated") {
     val got = key(Similarity.annJoin(queries, emb, "vec_id", "vec_id",
       "embedding", cents, k = 5, probes = 3))
