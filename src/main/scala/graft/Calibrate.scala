@@ -31,8 +31,40 @@ object Calibrate {
       case "jaccard" => jaccard(spark, sfDir)
       case "blowup" => blowup(spark, sfDir)
       case "heavy" => heavy(spark, sfDir)
+      case "pq" => pq(spark, sfDir)
     }
     spark.stop()
+  }
+
+  /** PQ recall calibration: for several query ids, recall@10 of the
+    * ADC-shortlist + exact-rerank path vs exact top-10, plus the ADC
+    * rank of the query itself (the self-in-shortlist margin), at two
+    * shortlist sizes. Feeds the q_pq_search floor. */
+  def pq(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.Quantize
+    val emb = graft.queries.Tables.load(spark, sfDir, "embeddings").cache()
+    val n = emb.count()
+    val t0 = System.nanoTime()
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+      ksub = 32, iters = 3)
+    val codes = Quantize.pqEncode(emb, "embedding", cb).cache()
+    codes.count()
+    println(f"[cal] n=$n train+encode=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    for (qid <- Seq(0L, 3L, 7L, 11L); shortlist <- Seq(50, 100)) {
+      val qv = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      val exact = Similarity.topKCosine(emb, "vec_id", "embedding", qid, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Quantize.pqSearchRerank(emb, "vec_id", "embedding",
+          codes, "pq_code", cb, qv, k = 10, shortlist = shortlist)
+        .collect().map(_.getLong(0)).toSet
+      val adcRankSelf = Quantize.adcTopK(codes, "vec_id", "pq_code", cb,
+          qv, n.toInt)
+        .collect().map(_.getLong(0)).indexOf(qid) + 1
+      val recall = (exact intersect got).size.toDouble / exact.size
+      println(f"[cal] qid=$qid short=$shortlist recall=$recall%.2f " +
+        f"selfAdcRank=$adcRankSelf selfIn=${got.contains(qid)}")
+    }
   }
 
   /** Heavy-tailed regime: the SAME boilerplate block appended to every

@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** Query packs, one per operator family. */
   val packs: Seq[QueryPack] = Seq(
-    CoreQueries, OpsQueries, SarPipelineQueries, LlmQueries)
+    CoreQueries, OpsQueries, SarPipelineQueries, LlmQueries, VectorQueries)
 
   lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

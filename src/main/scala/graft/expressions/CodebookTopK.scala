@@ -42,9 +42,14 @@ case class CodebookTopK(
     codebook: Broadcast[CodebookData],
     probes: Int,
     labelType: DataType,
-    labelNullable: Boolean) extends UnaryExpression {
+    labelNullable: Boolean,
+    metric: String = CodebookTopK.Cosine) extends UnaryExpression {
 
   require(probes >= 1, "probes must be >= 1")
+  require(metric == CodebookTopK.Cosine || metric == CodebookTopK.L2,
+    s"unknown metric: $metric")
+
+  @transient private lazy val isL2: Boolean = metric == CodebookTopK.L2
 
   override def dataType: DataType = ArrayType(labelType, labelNullable)
   override def nullable: Boolean = false
@@ -68,13 +73,30 @@ case class CodebookTopK(
     topkLabels(if (v == null) null else v.asInstanceOf[ArrayData])
   }
 
-  /** Rounded cosine of `v` against centroid `c`, with the −2.0 sentinel
-    * for null vector / dimension mismatch / zero norm. */
+  /** Score of `v` against centroid `c`, higher = closer. Cosine metric:
+    * rounded cosine with the −2.0 sentinel for null vector / dimension
+    * mismatch / zero norm. L2 metric (PQ sub-quantizers): negated
+    * squared Euclidean distance, rounded to 6 dp so exact near-ties
+    * become position-order ties (deterministic across partitionings);
+    * sentinel is −∞ because distances are unbounded. */
   private def score(v: ArrayData, cb: CodebookData, c: Int): Double = {
-    if (v == null) return -2.0
+    val sentinel = if (isL2) Double.NegativeInfinity else -2.0
+    if (v == null) return sentinel
     val cent = cb.matrix(c)
     val n = cent.length
-    if (v.numElements() != n) return -2.0
+    if (v.numElements() != n) return sentinel
+    if (isL2) {
+      var d2 = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = x - cent(i)
+        d2 += diff * diff
+        i += 1
+      }
+      return -BigDecimal(d2)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
     var dot = 0.0; var na = 0.0
     var i = 0
     while (i < n) {
@@ -144,11 +166,20 @@ case class CodebookTopK(
 object CodebookTopK {
   import org.apache.spark.sql.GraftColumnBridge
 
+  val Cosine = "cosine"
+  val L2 = "l2"
+
   /** Column API: top-`probes` centroid labels by cosine against the
     * broadcast codebook. */
   def codebook_topk(vec: Column, codebook: Broadcast[CodebookData],
       probes: Int, labelType: DataType, labelNullable: Boolean): Column =
+    codebook_topk(vec, codebook, probes, labelType, labelNullable, Cosine)
+
+  /** Column API with explicit metric ("cosine" | "l2"). */
+  def codebook_topk(vec: Column, codebook: Broadcast[CodebookData],
+      probes: Int, labelType: DataType, labelNullable: Boolean,
+      metric: String): Column =
     GraftColumnBridge.toColumn(CodebookTopK(
       GraftColumnBridge.toExpression(vec), codebook, probes, labelType,
-      labelNullable))
+      labelNullable, metric))
 }

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline — the composition a
+  * 100 TB corpus actually runs, as one engine op: quality/language gate →
+  * exact dedup (keep-first) → near-dup removal (MinHash+LSH). Each stage
+  * is an independently-tested operator from this package; the composition
+  * is itself oracle-gated (`q_corpus_curation`) because stage wiring has
+  * its own failure modes (a gate applied after dedup changes which
+  * duplicate survives; near-dup candidates generated before dedup count
+  * exact duplicates twice).
+  *
+  * Scale shape: the gate is a pure column filter (codegen, pushed to the
+  * scan where possible); dedup shuffles one md5 digest per doc; LSH
+  * shuffles one row per (doc, band). Nothing all-pairs, nothing collected.
+  * Every decision is md5-derived — rerunning on a different partitioning
+  * or engine keeps the SAME documents.
+  */
+object Curation {
+
+  /** Pipeline knobs. `lang = None` skips the language gate. */
+  final case class Config(
+      minTokens: Int = 5,
+      maxPunctRatio: Double = 0.2,
+      lang: Option[String] = Some("en"),
+      dedupPrefixWords: Int = 8,
+      minhashK: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleN: Int = 3)
+
+  /** Stage 1 — quality + language gate: minimum token count, maximum
+    * punctuation ratio, optional predicted-language equality. */
+  def qualityGate(docs: DataFrame, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val base = docs.filter(
+      TextAnalysis.wsTokenCount(col(textCol)) >= cfg.minTokens &&
+        TextAnalysis.punctRatio(col(textCol)) <= cfg.maxPunctRatio)
+    cfg.lang.fold(base)(l =>
+      base.filter(TextAnalysis.langId(col(textCol)) === l))
+  }
+
+  /** Stage 2 — exact dedup, keep-first: one survivor (min id) per md5 of
+    * the first-`prefixWords` normalized prefix. Prefix-key dedup is the
+    * web-corpus standard: boilerplate-suffixed copies still collapse. */
+  def dedupKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+      prefixWords: Int = 8): DataFrame = {
+    val key = md5(array_join(
+      slice(TextAnalysis.words(col(textCol)), 1, prefixWords), " "))
+    val w = Window.partitionBy(key).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Stage 3 — near-dup removal: every doc that appears as the HIGHER id
+    * of any LSH candidate pair is dropped. Greedy and deterministic —
+    * survival never depends on whether the lower partner itself
+    * survived, so the decision is per-pair local (cluster-chain dedup
+    * would need connected components; for near-dup removal the greedy
+    * rule is the documented semantics). */
+  def dropNearDups(docs: DataFrame, textCol: String, idCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val losers = Dedup.lshCandidatePairs(docs, textCol, idCol,
+        k = cfg.minhashK, rowsPerBand = cfg.rowsPerBand, n = cfg.shingleN)
+      .select(col("b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The full pipeline: gate → exact dedup → near-dup removal. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame =
+    dropNearDups(
+      dedupKeepFirst(qualityGate(docs, textCol, cfg), idCol, textCol,
+        cfg.dedupPrefixWords),
+      textCol, idCol, cfg)
+}

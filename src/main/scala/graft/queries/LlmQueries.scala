@@ -26,12 +26,8 @@ object LlmQueries extends QueryPack {
                   i -> array_to_string(w[i+1:i+3], ' '))) AS sh
               FROM w WHERE len(w) >= 3)"""
 
-  private def cosSqlD(a: String, b: String): String = {
-    def d(v: String, i: String) = s"CAST($v[$i] AS DOUBLE)"
-    s"""(list_sum(list_transform(range(1, ${dim + 1}), i -> ${d(a, "i")} * ${d(b, "i")})) /
-        (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> ${d(a, "i")} * ${d(a, "i")}))) *
-         sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> ${d(b, "i")} * ${d(b, "i")})))))"""
-  }
+  private def cosSqlD(a: String, b: String): String =
+    OracleSql.cosD(a, b, dim)
 
   /** Shared oracle for both declared Jaccard paths (direct self-join and
     * prefix-filtered): identical result sets, so identical SQL. */
@@ -468,6 +464,72 @@ object LlmQueries extends QueryPack {
             FROM sc)
           SELECT label, clabel AS assigned, count(*) AS n
           FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- end-to-end corpus curation ---------------------------------
+    // the composition a training-data pipeline actually runs: quality +
+    // language gate → exact prefix-key dedup (keep-first) → MinHash+LSH
+    // near-dup removal (drop the higher id of every candidate pair).
+    // Each stage is oracle-proven on its own elsewhere; this row gates
+    // the WIRING (stage order changes which documents survive). Output:
+    // per-source survivor count + token total.
+    QueryDef("q_corpus_curation", (s, dir) => {
+      import graft.functions.Curation
+      Curation.curate(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("total_tokens"))
+        .orderBy("source")
+    }, Some {
+      val scores = TextAnalysis.langProfiles.map { case (lang, stops) =>
+        val lst = stops.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(w, x -> list_contains($lst, x))) AS c_$lang"
+      }.mkString(",\n            ")
+      val mins = (0 until 8).map(i =>
+        s"min(substring(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+        .mkString(",\n            ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS key FROM sig")
+        .mkString("\n          UNION ALL ")
+      s"""WITH w0 AS (SELECT doc_id, source, text, ${wsSplit} AS w
+                      FROM documents),
+          lx AS (SELECT doc_id,
+            $scores
+          FROM w0),
+          lp AS (SELECT doc_id,
+            CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+                 WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+                 WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+                 WHEN c_fr >= c_zh THEN 'fr'
+                 ELSE 'zh' END AS pred
+          FROM lx),
+          gate AS (SELECT w0.* FROM w0 JOIN lp USING (doc_id)
+            WHERE len(w) >= 5
+              AND (CASE WHEN length(text) > 0
+                   THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                        / length(text)
+                   ELSE 0 END) <= 0.2
+              AND pred = 'en'),
+          ded AS (SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY md5(array_to_string(w[1:8], ' '))
+              ORDER BY doc_id) AS rn FROM gate) WHERE rn = 1),
+          sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+            FROM ded WHERE len(w) >= 3),
+          sig AS (SELECT doc_id,
+            $mins
+          FROM sh GROUP BY doc_id),
+          bands AS (
+          $bands),
+          losers AS (SELECT DISTINCT b.doc_id AS l FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          fin AS (SELECT * FROM ded
+                  WHERE doc_id NOT IN (SELECT l FROM losers))
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(len(w)) AS BIGINT) AS total_tokens
+          FROM fin GROUP BY source ORDER BY source"""
+    }),
 
     // ---- multimodal binary plumbing ---------------------------------
     QueryDef("q_multimodal_meta", (s, dir) => {

@@ -45,6 +45,19 @@ trait QueryPack {
   }
 }
 
+/** Shared DuckDB oracle fragments used by more than one query pack. */
+private[queries] object OracleSql {
+
+  /** Cosine of two fixed-dim numeric-list columns — double accumulation
+    * in element order, mirroring Similarity.cosine. */
+  def cosD(a: String, b: String, dim: Int): String = {
+    def d(v: String, i: String) = s"CAST($v[$i] AS DOUBLE)"
+    s"""(list_sum(list_transform(range(1, ${dim + 1}), i -> ${d(a, "i")} * ${d(b, "i")})) /
+        (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> ${d(a, "i")} * ${d(a, "i")}))) *
+         sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> ${d(b, "i")} * ${d(b, "i")})))))"""
+  }
+}
+
 /** Parquet table loader for the driver-generated testdata layout. */
 object Tables {
   import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Quantize, Similarity}
+
+/** Vector-compression queries (int8 scalar quantization, product
+  * quantization, IVFADC) — the scan-byte half of the 100 TB ANN design.
+  * Gating strategy mirrors the dedup/ANN precedent:
+  *
+  *  - int8 quantization is pure SQL-expressible arithmetic → full
+  *    hash-match oracle (`q_quantize_int8`);
+  *  - PQ/ADC is approximate by design (k-means training is not SQL) →
+  *    recall-gated flags with calibrated floors (`q_pq_search`), the
+  *    exact-at-the-limit plumbing proven by `q_ivfpq_search` (exhaustive
+  *    probes + full shortlist must hash-match the exact top-k SQL, the
+  *    q_ivf_search trick through the PQ store).
+  */
+object VectorQueries extends QueryPack {
+
+  private val dim = 64 // embeddings dimension (TESTDATA)
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // ---- int8 scalar quantization -----------------------------------
+    // per-vector symmetric scale s = max|v|/127 (1.0 for the zero
+    // vector), codes round(v/s) ∈ [−127,127] with no clamp needed.
+    // Quantized cosine runs on the CODES (the scale cancels); chk pins
+    // the exact code values, qscale pins the scale. Both engines do the
+    // identical double arithmetic and half-away-from-zero rounding.
+    QueryDef("q_quantize_int8", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = Quantize.quantizeInt8(emb, "embedding")
+      val qv = q.filter(col("vec_id") === 2L)
+        .select("qcodes").head().getSeq[Int](0)
+      q.select(col("vec_id"),
+          round(Similarity.cosineHof(col("qcodes"), typedlit(qv)), 4)
+            .as("qcos"),
+          aggregate(col("qcodes"), lit(0L), (a, x) => a + x).as("chk"),
+          round(col("qscale"), 6).as("qscale"))
+        .orderBy(col("qcos").desc, col("vec_id").asc)
+        .limit(10)
+    }, Some(
+      s"""WITH sc AS (SELECT vec_id,
+            CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+                 THEN 1.0
+                 ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+            END AS s
+            FROM embeddings),
+          c AS (SELECT e.vec_id,
+            list_transform(e.embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) / sc.s, 0) AS INT)) AS qc,
+            sc.s
+            FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id),
+          q AS (SELECT qc AS qv FROM c WHERE vec_id = 2)
+          SELECT c.vec_id,
+            round(${OracleSql.cosD("qc", "qv", dim)}, 4) AS qcos,
+            CAST(list_sum(qc) AS BIGINT) AS chk,
+            round(s, 6) AS qscale
+          FROM c, q
+          ORDER BY qcos DESC, vec_id ASC LIMIT 10""")),
+
+    // ---- PQ + ADC + rerank, recall-gated ----------------------------
+    // m=8 sub-spaces × ksub=32 L2 centroids, iters=3 — EXACTLY the
+    // calibrated configuration (Calibrate pq, 2026-08): recall@10 of the
+    // shortlist-100 rerank vs exact top-10 measured 0.7–1.0 across
+    // sf0.001/0.01/0.1 and query ids {0,3,7,11}; floor 0.5 leaves margin
+    // for float jitter in training. self_in_topk is near-structural:
+    // the query's own code scored ADC rank 1 in EVERY calibration run
+    // (its reconstruction is the closest one to it), and membership in
+    // the exact-reranked top-10 only needs it inside the 100-shortlist.
+    // Training cost rides in the query; production amortizes it via
+    // IvfStore.writePqTrained.
+    QueryDef("q_pq_search", (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = emb.count()
+      val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+        ksub = 32, iters = 3)
+      val codes = Quantize.pqEncode(emb, "embedding", cb)
+      val qv = emb.filter(col("vec_id") === 3L)
+        .select("embedding").head().getSeq[Float](0)
+      val exact = Similarity.topKCosine(emb, "vec_id", "embedding", 3L, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Quantize.pqSearchRerank(emb, "vec_id", "embedding",
+          codes, "pq_code", cb, qv, k = 10, shortlist = 100)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (exact intersect got).size.toDouble / exact.size
+      Seq((n, 10, 100,
+          if (recall >= 0.5) 1 else 0,
+          if (got.contains(3L)) 1 else 0))
+        .toDF("n_vectors", "k_neighbors", "shortlist", "recall_ok",
+          "self_in_topk")
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(10 AS INT) AS k_neighbors, CAST(100 AS INT) AS shortlist,
+         CAST(1 AS INT) AS recall_ok, CAST(1 AS INT) AS self_in_topk
+         FROM embeddings""")),
+
+    // ---- IVFADC store, end-to-end at the exact limit ----------------
+    // write (coarse k≈√n routing + PQ codes + both codebooks) + search
+    // with probes = codebook size and shortlist = corpus size: every
+    // partition is probed and the rerank re-scores everything, so the
+    // PQ store must hash-match the exact top-k SQL — proving the whole
+    // write→prune→ADC→rerank pipeline loses nothing. At real probe
+    // counts the same plan prunes partitions (plan-asserted in PqSpec /
+    // AnnJoinSpec) and the ADC pass reads ~12 bytes/row.
+    QueryDef("q_ivfpq_search", (s, dir) => {
+      import graft.sources.IvfStore
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ivfpq_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val (cents, _) = IvfStore.writePqTrained(emb, "vec_id", "embedding",
+        path, m = 8, ksub = 32, iters = 2)
+      val qv = emb.filter(col("vec_id") === 4L)
+        .select("embedding").head().getSeq[Float](0)
+      IvfStore.searchPq(s, path, qv, "vec_id", "embedding",
+        k = 8, probes = cents.count().toInt,
+        shortlist = emb.count().toInt)
+    }, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4)
+          SELECT vec_id, round(${OracleSql.cosD("embedding", "qv", dim)}, 4) AS cos
+          FROM embeddings, q
+          ORDER BY cos DESC, vec_id ASC LIMIT 8"""))
+  )
+}

@@ -171,6 +171,64 @@ object IvfStore {
       .take(probes).map(_._1).toSeq
   }
 
+  // ---- IVFADC: PQ codes inside the IVF layout ------------------------
+
+  /** Write an IVFADC index: the corpus partitioned by nearest coarse
+    * centroid (as [[write]]) with each row carrying BOTH its
+    * full-precision vector and its packed PQ code, plus the two
+    * codebooks alongside. One parquet dataset serves both search
+    * stages because parquet is columnar: the ADC pass projects only
+    * (id, pq_code) — ~12 bytes/row instead of 4·dim — and the rerank
+    * pass reads vectors for the probed partitions only. Partition
+    * pruning cuts rows; column pruning cuts bytes/row; PQ cuts the
+    * bytes the first pass must touch. Returns (coarse codebook, PQ
+    * codebook). */
+  def writePqTrained(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 8, ksub: Int = 256, iters: Int = 5)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.Quantize
+    val cents = Similarity.trainCodebook(emb, idCol, vecCol,
+      Similarity.codebookSize(emb.count()), iters)
+    val pqCb = Quantize.trainPq(emb, idCol, vecCol, m, ksub, iters)
+    Quantize.pqEncode(
+        Similarity.assignNearest(emb, cents, idCol, vecCol), vecCol, pqCb)
+      .withColumnRenamed("assigned", "bucket")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/data")
+    cents.write.mode("overwrite").parquet(s"$path/codebook")
+    pqCb.write.mode("overwrite").parquet(s"$path/pq_codebook")
+    (cents, pqCb)
+  }
+
+  def pqCodebook(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pq_codebook")
+
+  /** IVFADC search: probe the `probes` nearest buckets (partition
+    * filter — unprobed directories never open), ADC-shortlist
+    * `shortlist` candidates over the code column alone, then exact
+    * rerank of the shortlist rows (broadcast join on id within the
+    * probed slice) for the final top-k. With probes = codebook size and
+    * shortlist ≥ probed rows this degrades to the exact search —
+    * the plumbing gate q_ivfpq_search exploits exactly that. */
+  def searchPq(spark: SparkSession, path: String, queryVec: Seq[Float],
+      idCol: String, vecCol: String, k: Int, probes: Int,
+      shortlist: Int): DataFrame = {
+    import graft.functions.Quantize
+    require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
+    val buckets = probeBuckets(spark, path, queryVec, probes)
+    val slice = spark.read.parquet(s"$path/data")
+      .filter(col("bucket").isin(buckets: _*))
+    val short = Quantize.adcTopK(slice.select(col(idCol), col("pq_code")),
+        idCol, "pq_code", pqCodebook(spark, path), queryVec, shortlist)
+      .select(col(idCol))
+    slice.join(broadcast(short), Seq(idCol))
+      .select(col(idCol),
+        round(Similarity.cosine(col(vecCol), typedlit(queryVec)), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Top-k by cosine for one query vector over the probed buckets only.
     * The bucket predicate is a partition filter: unprobed directories
     * are never opened (assert `PartitionFilters`/`PartitionCount` in

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Curation
+
+/** Stage semantics of the corpus-curation pipeline (the composed result
+  * is oracle-gated by q_corpus_curation; these pin each stage's own
+  * contract on hand-built corpora).
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val en = "the cat and the dog walk to the old market in town today"
+  def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("qualityGate drops short, symbol-heavy, and off-language docs") {
+    val d = docs(
+      0L -> en,                                   // keeps
+      1L -> "too short",                          // < 5 tokens
+      2L -> "### $$$ %%% !!! ??? *** ((( )))",    // punct ratio
+      3L -> "der hund und die katze ist im haus") // predicted 'de'
+    val kept = Curation.qualityGate(d, "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L))
+  }
+
+  test("dedupKeepFirst keeps the minimum id per normalized prefix") {
+    val d = docs(
+      5L -> (en + " trailing boilerplate variant one"),
+      2L -> (en + " different suffix entirely here"),
+      9L -> "a completely different document about spark engines at scale")
+    // first 8 words identical for 5 and 2 -> keep 2
+    val kept = Curation.dedupKeepFirst(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+  }
+
+  test("dropNearDups removes the higher id of each candidate pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs(
+      1L -> base,
+      7L -> base,  // exact copy -> certain LSH candidate, higher id drops
+      3L -> "one two three four five six seven eight nine ten eleven")
+    val kept = Curation.dropNearDups(d, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("curate wires the stages in gate -> dedup -> near-dup order") {
+    val d = docs(
+      0L -> en,
+      1L -> (en + " extra tail"),      // same 8-word prefix as 0 -> deduped
+      2L -> "zzz qqq",                 // gated (short)
+      3L -> "el gato y el perro de la casa que canta y baila hoy")
+    val kept = Curation.curate(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L))
+  }
+
+  test("curation decisions are insensitive to partitioning") {
+    val d = docs((0L to 40L).map(i =>
+      i -> (if (i % 3 == 0) en + s" variant ${i / 3}"
+            else s"unique document number $i with plenty of the usual " +
+              s"english filler words in the middle of it")): _*)
+    def run(parts: Int): Set[Long] =
+      Curation.curate(d.repartition(parts), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run(1) == run(7))
+  }
+}

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Quantize, Similarity}
+import graft.queries.Tables
+
+/** Product quantization + int8 scalar quantization: exactness where it's
+  * structural (distinct-vector corpora where PQ reconstruction is
+  * lossless), invariants where the op is approximate by design (ADC on a
+  * lossy codebook), and determinism everywhere.
+  */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** 4 exactly-distinct dim-8 vectors — with ksub = n every sub-vector
+    * seeds its own centroid, Lloyd's converges to the points themselves,
+    * and PQ reconstruction is exact BY CONSTRUCTION. */
+  lazy val tiny: DataFrame = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f, 2f, 0f, 0f, 1f)),
+    (1L, Seq(0f, 1f, 0f, 0f, 0f, 2f, 1f, 0f)),
+    (2L, Seq(0f, 0f, 1f, 0f, 1f, 1f, 0f, 0f)),
+    (3L, Seq(0f, 0f, 0f, 1f, 0f, 0f, 2f, 2f))
+  ).toDF("vec_id", "embedding")
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val emb = Tables.load(spark, dir, "embeddings").cache()
+
+  // ---- int8 scalar quantization -------------------------------------
+
+  test("int8: codes bounded, reconstruction within half a scale step") {
+    val q = Quantize.quantizeInt8(emb, "embedding")
+      .select(col("vec_id"), col("embedding"), col("qscale"),
+        col("qcodes"),
+        Quantize.dequantizeInt8(col("qcodes"), col("qscale")).as("rec"))
+    q.collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      val s = r.getDouble(2)
+      val codes = r.getSeq[Int](3)
+      val rec = r.getSeq[Float](4)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      v.zip(rec).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= s / 2 + 1e-6,
+          s"vec ${r.getLong(0)}: |$x - $y| > ${s / 2}")
+      }
+    }
+  }
+
+  test("int8: all-zero vector gets scale 1 and all-zero codes") {
+    val z = Seq((9L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+    val r = Quantize.quantizeInt8(z, "embedding").head()
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getSeq[Int](3).forall(_ == 0))
+  }
+
+  test("int8: quantized cosine approximates exact cosine") {
+    val q = Quantize.quantizeInt8(emb, "embedding")
+    val qv = q.filter(col("vec_id") === 0L)
+      .select("qcodes").head().getSeq[Int](0)
+    val both = q.select(col("vec_id"),
+        Similarity.cosineHof(col("qcodes"), typedlit(qv)).as("qcos"),
+        Similarity.cosine(col("embedding"),
+          typedlit(emb.filter(col("vec_id") === 0L)
+            .select("embedding").head().getSeq[Float](0))).as("cos"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.02,
+        s"vec ${r.getLong(0)}: qcos ${r.getDouble(1)} vs cos ${r.getDouble(2)}")
+    }
+  }
+
+  // ---- PQ training --------------------------------------------------
+
+  test("pq: lossless on a distinct corpus with ksub = n — ADC equals exact") {
+    val cb = Quantize.trainPq(tiny, "vec_id", "embedding", m = 2,
+      ksub = 4, iters = 3)
+    val codes = Quantize.pqEncode(tiny, "embedding", cb)
+    // distinct vectors -> distinct codes
+    assert(codes.select("pq_code").distinct().count() == 4)
+    // ADC cosine == exact cosine for every query vector
+    tiny.collect().foreach { qr =>
+      val qv = qr.getSeq[Float](1)
+      val adc = Quantize.adcTopK(codes, "vec_id", "pq_code", cb, qv, 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exact = tiny.select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), typedlit(qv)), 4)
+            .as("cos"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(adc == exact, s"query ${qr.getLong(0)}: $adc != $exact")
+    }
+  }
+
+  test("pq: training is deterministic across runs") {
+    def run(): Seq[(Int, Int, Seq[Double])] =
+      Quantize.trainPq(emb, "vec_id", "embedding", m = 8, ksub = 16,
+          iters = 2)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    assert(run() == run())
+  }
+
+  test("pq: packed code round-trips through pqByte") {
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+      ksub = 16, iters = 1)
+    val codes = Quantize.pqEncode(emb, "embedding", cb)
+    val unpacked = codes.select(col("pq_code") +:
+        (0 until 8).map(s => Quantize.pqByte(col("pq_code"), s)
+          .as(s"b$s")): _*)
+      .collect()
+    unpacked.foreach { r =>
+      val code = r.getLong(0)
+      (0 until 8).foreach { s =>
+        val b = r.getInt(s + 1)
+        assert(b >= 0 && b < 16, s"byte $s of $code out of range: $b")
+        assert(((code >> (8 * s)) & 0xFF).toInt == b)
+      }
+    }
+  }
+
+  test("pq: rerank recall rises with shortlist and hits 1.0 at full corpus") {
+    val n = emb.count().toInt
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+      ksub = 16, iters = 3)
+    val codes = Quantize.pqEncode(emb, "embedding", cb)
+    val qv = emb.filter(col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.topKCosine(emb, "vec_id", "embedding", 7L, 10)
+      .collect().map(_.getLong(0)).toSet
+    var prev = -1.0
+    for (shortlist <- Seq(10, 50, n)) {
+      val got = Quantize.pqSearchRerank(emb, "vec_id", "embedding",
+          codes, "pq_code", cb, qv, k = 10, shortlist = shortlist)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (exact intersect got).size.toDouble / exact.size
+      assert(recall >= prev,
+        s"recall regressed at shortlist=$shortlist: $recall < $prev")
+      prev = recall
+      if (shortlist == n)
+        assert(got == exact, "full-corpus shortlist must equal exact top-k")
+    }
+  }
+
+  test("ivfadc: store search prunes partitions and is exact at the limit") {
+    import graft.sources.IvfStore
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc").toString + "/idx"
+    val (cents, _) = IvfStore.writePqTrained(emb, "vec_id", "embedding",
+      path, m = 8, ksub = 16, iters = 2)
+    val k = cents.count().toInt
+    val n = emb.count().toInt
+    val qv = emb.filter(col("vec_id") === 5L)
+      .select("embedding").head().getSeq[Float](0)
+    // probes < k: the scan must carry a bucket partition filter
+    val pruned = IvfStore.searchPq(spark, path, qv, "vec_id", "embedding",
+      k = 5, probes = 2, shortlist = 50)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"probed search must prune bucket partitions:\n$scan")
+    assert(pruned.count() == 5)
+    // exhaustive probes + full shortlist: equals the exact top-k
+    val exact = Similarity.topKCosine(emb, "vec_id", "embedding", 5L, 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = IvfStore.searchPq(spark, path, qv, "vec_id", "embedding",
+        k = 8, probes = k, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+  }
+
+  test("pq: ADC plan has no shuffle and scans only id + code") {
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+      ksub = 16, iters = 1)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_pq_plan").toString
+    Quantize.pqEncode(emb, "embedding", cb)
+      .select("vec_id", "pq_code").write.mode("overwrite").parquet(tmp)
+    val codes = spark.read.parquet(tmp)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val plan = Quantize.adcTopK(codes, "vec_id", "pq_code", cb, qv, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ADC top-k must not shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
