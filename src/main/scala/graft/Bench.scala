@@ -46,7 +46,13 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.length / 2)
     }
 
-    val results = SparkEntry.all.map(q => q.name -> medianExec(q.name))
+    // optional comma-separated name filter (local iteration only — the
+    // driver never sets it, so the contract output is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val results = SparkEntry.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .map(q => q.name -> medianExec(q.name))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failures stay visible per-query as -1 but must not subtract from

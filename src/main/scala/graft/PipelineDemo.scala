@@ -57,7 +57,22 @@ object PipelineDemo {
     println(s"[pipeline] IVF top-5: " +
       hits.map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", "))
 
-    // 6. multimodal: opaque binary payloads + REAL header/pixel decode
+    // 6. compression: int8 (4×) and PQ/ADC (32×) with exact rerank
+    val pqCb = graft.functions.Quantize.trainPq(emb, "vec_id",
+      "embedding", m = 8, ksub = 16, iters = 2)
+    val codes = graft.functions.Quantize.pqEncode(emb, "embedding", pqCb)
+    val pqHits = graft.functions.Quantize.pqSearchRerank(emb, "vec_id",
+        "embedding", codes, "pq_code", pqCb, qv, k = 5, shortlist = 50)
+      .collect()
+    println(s"[pipeline] PQ(ADC shortlist 50 -> exact rerank) top-5: " +
+      pqHits.map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", "))
+
+    // 7. the composed curation pipeline (gate -> dedup -> near-dup)
+    val curated = graft.functions.Curation.curate(docs, "doc_id", "text")
+    println(s"[pipeline] curation survivors: ${curated.count()} " +
+      s"of ${docs.count()}")
+
+    // 8. multimodal: opaque binary payloads + REAL header/pixel decode
     // (docs' text bytes stand in for an object-store read; a real PNG
     // generated in-process shows the JVM-codec path end-to-end)
     val png = {

@@ -24,6 +24,12 @@ object IvfStore {
       vecCol: String, path: String): Unit = {
     Similarity.assignNearest(emb, cents, idCol, vecCol)
       .withColumnRenamed("assigned", "bucket")
+      // hash-cluster rows by bucket before the partitioned write: without
+      // it every one of the shuffle-partition tasks can hold rows of
+      // every bucket, emitting up to k × partitions files (the
+      // small-file explosion that kills a 100 TB metastore); clustered,
+      // each bucket directory gets ~1 file
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/data")
     cents.write.mode("overwrite").parquet(s"$path/codebook")
@@ -60,6 +66,7 @@ object IvfStore {
     val n = emb.count()
     Similarity.assignNearest(emb, codebook(spark, path), idCol, vecCol)
       .withColumnRenamed("assigned", "bucket")
+      .repartition(col("bucket")) // one new file per touched bucket
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/data")
     spark.catalog.refreshByPath(s"$path/data")
@@ -193,6 +200,7 @@ object IvfStore {
     Quantize.pqEncode(
         Similarity.assignNearest(emb, cents, idCol, vecCol), vecCol, pqCb)
       .withColumnRenamed("assigned", "bucket")
+      .repartition(col("bucket")) // bucket-clustered: ~1 file per dir
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/data")
     cents.write.mode("overwrite").parquet(s"$path/codebook")
