@@ -58,9 +58,12 @@ object Calibrate {
       val got = Quantize.pqSearchRerank(emb, "vec_id", "embedding",
           codes, "pq_code", cb, qv, k = 10, shortlist = shortlist)
         .collect().map(_.getLong(0)).toSet
-      val adcRankSelf = Quantize.adcTopK(codes, "vec_id", "pq_code", cb,
+      // indexOf yields -1 when absent; keep it -1 (never 0, which would
+      // read as better-than-rank-1 in the calibration log)
+      val selfIdx = Quantize.adcTopK(codes, "vec_id", "pq_code", cb,
           qv, n.toInt)
-        .collect().map(_.getLong(0)).indexOf(qid) + 1
+        .collect().map(_.getLong(0)).indexOf(qid)
+      val adcRankSelf = if (selfIdx < 0) -1 else selfIdx + 1
       val recall = (exact intersect got).size.toDouble / exact.size
       println(f"[cal] qid=$qid short=$shortlist recall=$recall%.2f " +
         f"selfAdcRank=$adcRankSelf selfIn=${got.contains(qid)}")

@@ -108,8 +108,11 @@ object VectorQueries extends QueryPack {
     QueryDef("q_ivfpq_search", (s, dir) => {
       import graft.sources.IvfStore
       val emb = Tables.load(s, dir, "embeddings")
+      // per-corpus-per-JVM path: reused across this process's repeated
+      // runs (overwrite mode), disjoint from any concurrent JVM's
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ivfpq_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()
       val (cents, _) = IvfStore.writePqTrained(emb, "vec_id", "embedding",
         path, m = 8, ksub = 32, iters = 2)
       val qv = emb.filter(col("vec_id") === 4L)

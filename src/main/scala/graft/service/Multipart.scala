@@ -44,17 +44,33 @@ private[service] object Multipart {
       val delim = s"\r\n--$boundary".getBytes(ISO_8859_1)
       val crlfcrlf = "\r\n\r\n".getBytes(ISO_8859_1)
 
-      def at(pos: Int, pat: Array[Byte]): Boolean =
-        pos >= 0 && pos + pat.length <= n &&
-          pat.indices.forall(i => buf.get(pos + i) == pat(i))
+      def at(pos: Int, pat: Array[Byte]): Boolean = {
+        if (pos < 0 || pos + pat.length > n) return false
+        var i = 0
+        while (i < pat.length) {
+          if (buf.get(pos + i) != pat(i)) return false
+          i += 1
+        }
+        true
+      }
+      // first-byte skip loop: a 512 MB body is scanned at memchr-ish
+      // speed instead of a full pattern compare per position (a
+      // pathological boundary-prefix-heavy upload would otherwise pin a
+      // server pool thread on pure CPU)
       def indexOf(pat: Array[Byte], from: Int): Int = {
         var i = math.max(0, from)
         val last = n - pat.length
-        while (i <= last) { if (at(i, pat)) return i; i += 1 }
+        val first = pat(0)
+        while (i <= last) {
+          if (buf.get(i) == first && at(i, pat)) return i
+          i += 1
+        }
         -1
       }
 
       val parts = Seq.newBuilder[(String, Path)]
+      val created = scala.collection.mutable.ArrayBuffer.empty[Path]
+      try {
       // first delimiter has no leading CRLF when it opens the body
       var cursor =
         if (at(0, open)) open.length
@@ -78,6 +94,7 @@ private[service] object Multipart {
           require(next >= 0, "unterminated multipart part content")
           fileNameOf(headers).foreach { name =>
             val tmp = Files.createTempFile("graft_part", ".bin")
+            created += tmp
             val out = FileChannel.open(tmp, StandardOpenOption.WRITE,
               StandardOpenOption.TRUNCATE_EXISTING)
             try {
@@ -91,6 +108,15 @@ private[service] object Multipart {
         }
       }
       parts.result()
+      } catch { case e: Throwable =>
+        // a part extracted before the failure would otherwise be orphaned
+        // (the caller's finally only sees the returned Seq) — repeated
+        // malformed uploads must not fill the temp volume
+        created.foreach(p => try Files.deleteIfExists(p) catch {
+          case _: Exception => ()
+        })
+        throw e
+      }
     } finally ch.close()
   }
 

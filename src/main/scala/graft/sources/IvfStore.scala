@@ -54,18 +54,36 @@ object IvfStore {
 
   // ---- incremental maintenance --------------------------------------
 
+  /** True when `path` holds an IVFADC layout ([[writePqTrained]]) —
+    * the maintenance ops must preserve its pq_code column and
+    * pq_codebook directory, not silently strip them. */
+  private def hasPq(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/pq_codebook")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Append a batch into the existing index WITHOUT rewriting it: new
     * vectors route through the STORED codebook and land as extra
     * parquet files inside their bucket directories (dynamic-partition
     * append touches only the buckets the batch hits). At 100 TB this is
     * the everyday ingest path — a full rewrite is [[retrain]], an
-    * explicit maintenance event. Returns the appended row count. */
+    * explicit maintenance event. On an IVFADC index the batch is also
+    * PQ-encoded with the STORED sub-codebooks, so appended rows stay
+    * visible to the ADC pass (an append without pq_code would null-score
+    * and vanish from every shortlist). Returns the appended row count. */
   def append(emb: DataFrame, idCol: String, vecCol: String,
       path: String): Long = {
+    import graft.functions.Quantize
     val spark = emb.sparkSession
     val n = emb.count()
-    Similarity.assignNearest(emb, codebook(spark, path), idCol, vecCol)
+    val routed = Similarity
+      .assignNearest(emb, codebook(spark, path), idCol, vecCol)
       .withColumnRenamed("assigned", "bucket")
+    val rows =
+      if (hasPq(spark, path))
+        Quantize.pqEncode(routed, vecCol, pqCodebook(spark, path))
+      else routed
+    rows
       .repartition(col("bucket")) // one new file per touched bucket
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/data")
@@ -81,19 +99,22 @@ object IvfStore {
     * the index (posexplode + two-level agg), broadcast join against
     * the metadata-scale codebook. */
   def drift(spark: SparkSession, path: String, vecCol: String): DataFrame = {
-    val current = Similarity
-      .centroids(spark.read.parquet(s"$path/data"), "bucket", vecCol)
-      .withColumnRenamed("cvec", "cur")
-      .withColumnRenamed("centroid_label", "centroid_label_b")
-    val counts = spark.read.parquet(s"$path/data")
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    // bucket mean AND row count from the SAME posexplode aggregation —
+    // a separate groupBy().count() would rescan the whole index (the
+    // count per bucket equals any position's element count, captured
+    // here at the first agg level and carried via max)
+    val current = spark.read.parquet(s"$path/data")
+      .select(col("bucket"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("cv"), count(lit(1)).as("cnt"))
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"),
+        max(col("cnt")).as("n"))
+      .select(col("bucket").cast("string").as("bucket_b"),
+        transform(col("pc"), _.getField("cv")).as("cur"), col("n"))
     codebook(spark, path)
       .join(broadcast(current),
-        col("centroid_label").cast("string") ===
-          col("centroid_label_b").cast("string"))
-      .join(broadcast(counts.withColumnRenamed("bucket", "bucket_c")),
-        col("centroid_label").cast("string") ===
-          col("bucket_c").cast("string"))
+        col("centroid_label").cast("string") === col("bucket_b"))
       .select(col("centroid_label").as("bucket"), col("n"),
         (lit(1.0) - Similarity.cosine(col("cvec"), col("cur")))
           .as("drift"))
@@ -107,22 +128,38 @@ object IvfStore {
   }
 
   /** Full rebuild: retrain the codebook at k≈√n on the CURRENT corpus
-    * and rewrite every bucket. Builds into a sibling temp directory and
-    * swaps with two renames (the source is being read while the new
-    * index is written, so an in-place overwrite would corrupt it);
-    * rename is atomic per path on HDFS and local FS alike. */
+    * and rewrite every bucket. Builds into a sibling temp directory,
+    * then swaps with TWO renames — old→aside, new→live — so the live
+    * index exists at every instant: a crash between the renames leaves
+    * the complete new index at the aside-or-tmp path instead of
+    * destroying the only copy (delete-then-rename would). The aside
+    * copy is deleted last, and a failed second rename rolls the aside
+    * back. Rename is atomic per path on HDFS and local FS alike. An
+    * IVFADC index ([[writePqTrained]]) rebuilds through the PQ writer
+    * with its stored geometry (m, ksub), so pq_code/pq_codebook
+    * survive the rebuild. */
   def retrain(spark: SparkSession, path: String, idCol: String,
       vecCol: String, iters: Int = 5): DataFrame = {
     val tmp = s"$path-retrain-tmp"
-    val cents = writeTrained(
-      spark.read.parquet(s"$path/data").drop("bucket"),
-      idCol, vecCol, tmp, iters)
+    val corpus = spark.read.parquet(s"$path/data")
+      .drop("bucket", "pq_code")
+    val cents = if (hasPq(spark, path)) {
+      val geo = pqCodebook(spark, path)
+        .agg(max(col("sub")), max(col("centroid_label"))).head()
+      writePqTrained(corpus, idCol, vecCol, tmp,
+        m = geo.getInt(0) + 1, ksub = geo.getInt(1), iters = iters)._1
+    } else writeTrained(corpus, idCol, vecCol, tmp, iters)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path)), s"swap failed: $tmp -> $path")
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(conf)
+    val aside = new org.apache.hadoop.fs.Path(s"$path-retrain-old")
+    fs.delete(aside, true) // leftover from an earlier crashed swap
+    require(fs.rename(live, aside), s"swap failed: $path -> $aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+      fs.rename(aside, live) // roll back: the old index stays live
+      throw new IllegalStateException(s"swap failed: $tmp -> $path")
+    }
+    fs.delete(aside, true)
     spark.catalog.refreshByPath(s"$path/data")
     cents
   }

@@ -176,6 +176,43 @@ class PqSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("ivfadc: append PQ-encodes the batch; retrain preserves the PQ layout") {
+    import graft.sources.IvfStore
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc_maint").toString + "/idx"
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding"))
+    IvfStore.writePqTrained(base, "vec_id", "embedding", path,
+      m = 8, ksub = 16, iters = 2)
+    IvfStore.append(batch, "vec_id", "embedding", path)
+    // appended rows must carry real codes — a null pq_code would score
+    // the -2.0 sentinel and vanish from every ADC shortlist
+    val data = spark.read.parquet(s"$path/data")
+    assert(data.count() == emb.count())
+    assert(data.filter(col("pq_code").isNull).count() == 0,
+      "appended rows must be PQ-encoded with the stored sub-codebooks")
+    // an appended vector is findable through the full IVFADC path
+    val qid = 450L
+    val qv = batch.filter(col("vec_id") === qid)
+      .select("embedding").head().getSeq[Float](0)
+    val k = IvfStore.codebook(spark, path).count().toInt
+    val hit = IvfStore.searchPq(spark, path, qv, "vec_id", "embedding",
+      k = 1, probes = k, shortlist = 50).head()
+    assert(hit.getLong(0) == qid && hit.getDouble(1) == 1.0)
+    // retrain on an IVFADC index must rebuild the PQ layout, not strip it
+    IvfStore.retrain(spark, path, "vec_id", "embedding", iters = 1)
+    val pq = IvfStore.pqCodebook(spark, path)
+    assert(pq.agg(max(col("sub"))).head().getInt(0) == 7,
+      "retrain must preserve the stored PQ geometry (m=8)")
+    assert(spark.read.parquet(s"$path/data")
+      .filter(col("pq_code").isNull).count() == 0)
+    val again = IvfStore.searchPq(spark, path, qv, "vec_id", "embedding",
+      k = 1, probes = IvfStore.codebook(spark, path).count().toInt,
+      shortlist = 50).head()
+    assert(again.getLong(0) == qid && again.getDouble(1) == 1.0)
+  }
+
   test("pq: ADC plan has no shuffle and scans only id + code") {
     val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
       ksub = 16, iters = 1)
