@@ -185,6 +185,33 @@ object SarStreaming {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming face of the corpus-curation pipeline
+    * (graft.functions.Curation): the stateless quality/language gate —
+    * the SAME column expressions, filters are stateless so they apply
+    * to a stream unchanged — followed by watermarked exact prefix-key
+    * dedup. Keep-first is ARRIVAL order here (the batch path keeps the
+    * MIN id; the two agree whenever ids arrive in order — the normal
+    * shape for log-structured ingest, and what the equivalence spec
+    * arranges). For the near-dup stage pair this with
+    * [[nearDupCandidates]]: a drop VERDICT needs all of a document's
+    * band buckets (a second stateful aggregation downstream of the
+    * bucket state, which streaming restricts); flagging candidate
+    * pairs in-stream and anti-joining in the sink (foreachBatch) keeps
+    * every stage at one stateful operator. */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, cfg: graft.functions.Curation.Config =
+        graft.functions.Curation.Config(),
+      delay: String = "1 hour"): DataFrame = {
+    import graft.functions.{Curation, TextAnalysis}
+    Curation.qualityGate(docs, textCol, cfg)
+      .withColumn("__key", md5(array_join(
+        slice(TextAnalysis.words(col(textCol)), 1, cfg.dedupPrefixWords),
+        " ")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
+  }
+
   /** Stream-stream interval join: each left row joins right rows with
     * the same `keyCol` whose `rightTs` lies in
     * [leftTs − lookback, leftTs] — the streaming face of the batch

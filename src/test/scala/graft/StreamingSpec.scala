@@ -50,6 +50,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.count() == 200)
   }
 
+  test("streaming curation gate+dedup equals the batch stages under id-ordered arrival") {
+    import graft.functions.Curation
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("ts", timestamp_seconds(
+        lit(1767225600L) + col("doc_id"))) // 2026-01-01 + doc_id seconds
+    val dir = Files.createTempDirectory("graft_curate").toString
+    // two id-ordered files -> two micro-batches in arrival = id order,
+    // so streaming keep-first-arrival equals batch keep-min-id
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in/b1")
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in/b2")
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(s"$dir/in/b1").schema, s"$dir/in/*",
+      Map("maxFilesPerTrigger" -> "1"))
+    val survived = SarStreaming.runToMemory(
+      SarStreaming.curateStream(stream, "doc_id", "text", "ts"),
+      "curate_out", org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = Curation.dedupKeepFirst(
+        Curation.qualityGate(docs, "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survived == batch)
+  }
+
   test("stateful sessionization matches the batch window query") {
     import spark.implicits._
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
