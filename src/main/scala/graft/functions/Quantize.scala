@@ -165,12 +165,14 @@ object Quantize {
   /** Approximate cosine of every coded vector against one query, by ADC:
     * `cos ≈ Σ_s dotLut[s][code_s] / (‖q‖ · sqrt(Σ_s n2Lut[s][code_s]))`
     * where `dotLut[s][c] = q_s · cent_{s,c}` and `n2Lut[s][c] =
-    * ‖cent_{s,c}‖²` are driver-computed literal arrays (m·ksub doubles —
-    * metadata scale). The denominator uses the RECONSTRUCTED corpus-side
-    * norm, so the score is exactly `cos(q, reconstruct(code))`. Scoring
-    * is 2m literal-array lookups per row inside whole-stage codegen;
-    * zero-norm reconstructions score −2.0 like every cosine in the
-    * package. */
+    * ‖cent_{s,c}‖²` are driver-computed. The denominator uses the
+    * RECONSTRUCTED corpus-side norm, so the score is exactly
+    * `cos(q, reconstruct(code))`. The tables ship as ONE broadcast
+    * scored by a compiled expression (graft.expressions.AdcCosine) —
+    * literal arrays would put 2m copies of an m·ksub table into every
+    * task binary, the same bloat the broadcast codebook fixed for IVF
+    * routing. Zero-norm reconstructions score −2.0 like every cosine
+    * in the package. */
   def adcCosine(code: Column, codebooks: DataFrame,
       queryVec: Seq[Float]): Column = {
     val (m, dsub, ksub, books) = collectBooks(codebooks)
@@ -183,7 +185,6 @@ object Quantize {
     while (i < queryVec.length) {
       val x = queryVec(i).toDouble; qn2 += x * x; i += 1
     }
-    val qNorm = math.sqrt(qn2)
     for (s <- 0 until m; c <- books(s).indices) {
       val cent = books(s)(c)
       var dot = 0.0; var n2 = 0.0
@@ -196,12 +197,9 @@ object Quantize {
       dotLut(s * ksub + c) = dot
       n2Lut(s * ksub + c) = n2
     }
-    def lookup(lut: Array[Double], s: Int): Column =
-      element_at(typedlit(lut.toSeq), (lit(s * ksub) + pqByte(code, s)) + 1)
-    val dot = (0 until m).map(lookup(dotLut, _)).reduce(_ + _)
-    val rn2 = (0 until m).map(lookup(n2Lut, _)).reduce(_ + _)
-    when(rn2 === 0.0 || lit(qNorm) === 0.0, lit(-2.0))
-      .otherwise(dot / (lit(qNorm) * sqrt(rn2)))
+    val bc = codebooks.sparkSession.sparkContext.broadcast(
+      graft.expressions.AdcLut(dotLut, n2Lut, m, ksub, math.sqrt(qn2)))
+    graft.expressions.AdcCosine.adc_cosine(code, bc)
   }
 
   /** ADC top-k: scan the CODES (8 bytes/vector, not 4·dim), score with
