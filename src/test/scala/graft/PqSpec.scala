@@ -100,6 +100,25 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("pq: trainPq scans the corpus exactly iters+2 times, independent of m") {
+    // dim probe + md5-order init + one scan per Lloyd's iteration — ALL
+    // m sub-spaces assign in the same pass (m compiled scorers in one
+    // projection), so the scan count must not scale with m. A lazily
+    // folded loop would pay O(iters²) instead.
+    val scans = spark.sparkContext.longAccumulator("corpus-row-reads")
+    val tick = udf { () => scans.add(1); true }.asNondeterministic()
+    val n = emb.count()
+    val counted = emb.filter(tick())
+    val iters = 3
+    Quantize.trainPq(counted, "vec_id", "embedding", m = 8, ksub = 16,
+      iters = iters).collect() // local rows — collecting must not rescan
+    // the dim probe is limit(1): it reads at most a partition's worth,
+    // not a full scan — bound it by one scan instead of pinning exactly
+    assert(scans.value >= n * (iters + 1) && scans.value <= n * (iters + 2),
+      s"expected (iters+1..iters+2) corpus scans, measured " +
+        s"${scans.value}/$n = ${scans.value.toDouble / n}")
+  }
+
   test("pq: training is deterministic across runs") {
     def run(): Seq[(Int, Int, Seq[Double])] =
       Quantize.trainPq(emb, "vec_id", "embedding", m = 8, ksub = 16,
