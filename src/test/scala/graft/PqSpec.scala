@@ -146,6 +146,20 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("pq: pqByte unpacks the sign-bit byte (label 256 at sub-space 7)") {
+    // (255L << 56) flips the packed code NEGATIVE: arithmetic shiftright
+    // sign-extends, so the 0xFF mask is load-bearing — this pins it
+    // byte s = s*36+3, so byte 7 = 255 exactly
+    val code = (0 until 8).map(s => (s * 36 + 3).toLong << (8 * s)).sum
+    assert(code < 0, "top byte 255 must make the packed long negative")
+    val row = Seq(Tuple1(code)).toDF("pq_code")
+      .select((0 until 8).map(s =>
+        Quantize.pqByte(col("pq_code"), s).as(s"b$s")): _*)
+      .head()
+    (0 until 7).foreach(s => assert(row.getInt(s) == s * 36 + 3))
+    assert(row.getInt(7) == 255)
+  }
+
   test("pq: rerank recall rises with shortlist and hits 1.0 at full corpus") {
     val n = emb.count().toInt
     val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
