@@ -32,8 +32,34 @@ object Calibrate {
       case "blowup" => blowup(spark, sfDir)
       case "heavy" => heavy(spark, sfDir)
       case "pq" => pq(spark, sfDir)
+      case "sdc" => sdc(spark, sfDir)
     }
     spark.stop()
+  }
+
+  /** SDC recall calibration: recall@5 of the code-to-code k-NN join vs
+    * the exact join, plus the count of queries keeping themselves in
+    * their top-5. Feeds the q_pq_sdc_recall floor. */
+  def sdc(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.Quantize
+    val emb = graft.queries.Tables.load(spark, sfDir, "embeddings").cache()
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+      ksub = 32, iters = 3)
+    val codes = Quantize.pqEncode(emb, "embedding", cb)
+      .select("vec_id", "pq_code").cache()
+    codes.count()
+    val q = codes.filter(col("vec_id") < 30)
+    val got = Quantize.pqKnnJoin(q, codes, "vec_id", "vec_id",
+        "pq_code", cb, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnJoin(emb.filter(col("vec_id") < 30), emb,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    val selfIn = got.count { case (a, b) => a == b }
+    println(f"[cal] n=${emb.count()} recall@5=$recall%.3f selfInTop5=$selfIn/30")
   }
 
   /** PQ recall calibration: for several query ids, recall@10 of the

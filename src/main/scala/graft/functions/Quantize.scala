@@ -235,6 +235,63 @@ object Quantize {
       .limit(k)
   }
 
+  /** Symmetric PQ cosine of two packed-code columns —
+    * `cos(reconstruct(a), reconstruct(b))` — from query-independent
+    * broadcast centroid-pair tables (m·ksub² doubles, built once here
+    * on the driver). Unlike [[adcCosine]] no side needs full-precision
+    * vectors: joins and dedup sweeps run entirely on 8-byte codes. */
+  def sdcCosine(codeA: Column, codeB: Column,
+      codebooks: DataFrame): Column = {
+    val (m, dsub, ksub, books) = collectBooks(codebooks)
+    val dot = new Array[Double](m * ksub * ksub)
+    val n2 = new Array[Double](m * ksub)
+    for (s <- 0 until m; c1 <- books(s).indices) {
+      val a = books(s)(c1)
+      var nn = 0.0
+      var j = 0
+      while (j < dsub) { nn += a(j) * a(j); j += 1 }
+      n2(s * ksub + c1) = nn
+      for (c2 <- books(s).indices) {
+        val b = books(s)(c2)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { d += a(i) * b(i); i += 1 }
+        dot(s * ksub * ksub + c1 * ksub + c2) = d
+      }
+    }
+    val bc = codebooks.sparkSession.sparkContext.broadcast(
+      graft.expressions.SdcLut(dot, n2, m, ksub))
+    graft.expressions.SdcCosine.sdc_cosine(codeA, codeB, bc)
+  }
+
+  /** Approximate k-NN join over CODES alone (SDC): the compressed face
+    * of Similarity.knnJoin — cross join of two 8-byte-code relations,
+    * symmetric PQ cosine per pair, per-query window top-k (score desc,
+    * corpus id on ties). The cross join shuffles m bytes per vector
+    * instead of 4·dim — at dim 64 that is 32× less join bandwidth —
+    * and the broadcast pair-tables replace every per-pair float loop.
+    * Approximate BY DESIGN (both sides reconstructed); EXACT in the
+    * lossless limit (ksub ≥ distinct sub-vectors — pinned in PqSpec).
+    * Chain with an exact rerank over the returned (query, neighbor)
+    * pairs when full precision matters. */
+  def pqKnnJoin(queryCodes: DataFrame, corpusCodes: DataFrame,
+      queryId: String, corpusId: String, codeCol: String,
+      codebooks: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sdc_cos").desc, col("neighbor_id").asc)
+    queryCodes.select(col(queryId).as("query_id"),
+        col(codeCol).as("__qcode"))
+      .crossJoin(corpusCodes.select(col(corpusId).as("neighbor_id"),
+        col(codeCol).as("__ccode")))
+      .withColumn("sdc_cos",
+        round(sdcCosine(col("__qcode"), col("__ccode"), codebooks), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sdc_cos", "rank")
+  }
+
   // ===== internals ===================================================
 
   /** Codebook DataFrame → driver arrays: (m, dsub, ksub, books[s][c]). */

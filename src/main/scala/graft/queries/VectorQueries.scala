@@ -97,6 +97,41 @@ object VectorQueries extends QueryPack {
          CAST(1 AS INT) AS recall_ok, CAST(1 AS INT) AS self_in_topk
          FROM embeddings""")),
 
+    // ---- SDC code-to-code k-NN join, recall-gated -------------------
+    // both sides quantized (the join shuffles 8-byte codes, never
+    // vectors — 32× less bandwidth than the exact knnJoin at dim 64).
+    // Raw SDC on the near-uniform corpus is the documented worst case
+    // for double quantization: measured recall@5 = 0.340/0.320/0.247 at
+    // sf0.001/0.01/0.1 (Calibrate sdc, m=8 ksub=32 iters=3) — floor
+    // 0.15 with margin. It is the CANDIDATE stage; production chains an
+    // exact rerank like pqSearchRerank. self_in_top5 is structural-ish:
+    // a code's SDC score with itself is exactly 1.0 (the cosine
+    // maximum), measured 30/30 at every SF.
+    QueryDef("q_pq_sdc_recall", (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+        ksub = 32, iters = 3)
+      val codes = Quantize.pqEncode(emb, "embedding", cb)
+        .select("vec_id", "pq_code")
+      val got = Quantize.pqKnnJoin(codes.filter(col("vec_id") < 30),
+          codes, "vec_id", "vec_id", "pq_code", cb, k = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.knnJoin(emb.filter(col("vec_id") < 30), emb,
+          "vec_id", "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect got).size.toDouble / exact.size
+      val selfIn = got.count { case (a, b) => a == b }
+      Seq((30, 5,
+          if (recall >= 0.15) 1 else 0,
+          if (selfIn == 30) 1 else 0))
+        .toDF("n_queries", "k_neighbors", "recall_ok", "self_in_top5_ok")
+    }, Some(
+      """SELECT CAST(30 AS INT) AS n_queries, CAST(5 AS INT) AS k_neighbors,
+         CAST(1 AS INT) AS recall_ok, CAST(1 AS INT) AS self_in_top5_ok""")),
+
     // ---- IVFADC store, end-to-end at the exact limit ----------------
     // write (coarse k≈√n routing + PQ codes + both codebooks) + search
     // with probes = codebook size and shortlist = corpus size: every

@@ -183,6 +183,46 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("sdc: code-to-code join equals the exact join in the lossless limit") {
+    val cb = Quantize.trainPq(tiny, "vec_id", "embedding", m = 2,
+      ksub = 4, iters = 3)
+    val codes = Quantize.pqEncode(tiny, "embedding", cb)
+      .select("vec_id", "pq_code")
+    val sdc = Quantize.pqKnnJoin(codes, codes, "vec_id", "vec_id",
+        "pq_code", cb, k = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exact = Similarity.knnJoin(tiny, tiny, "vec_id", "vec_id",
+        "embedding", k = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sdc == exact,
+      "lossless-limit SDC join must equal the exact knnJoin")
+  }
+
+  test("sdc: symmetric, self-identical, and self stays in top-k on the corpus") {
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+      ksub = 16, iters = 2)
+    val codes = Quantize.pqEncode(emb, "embedding", cb)
+      .select("vec_id", "pq_code")
+    val queries = codes.filter(col("vec_id") < 20)
+    // symmetry: scoring (a,b) equals scoring (b,a)
+    val ab = queries.toDF("qa", "ca")
+      .crossJoin(queries.toDF("qb", "cb"))
+      .select(col("qa"), col("qb"),
+        round(Quantize.sdcCosine(col("ca"), col("cb"), cb), 6).as("s1"),
+        round(Quantize.sdcCosine(col("cb"), col("ca"), cb), 6).as("s2"))
+      .collect()
+    ab.foreach(r => assert(r.getDouble(2) == r.getDouble(3)))
+    // self-score is exactly 1.0, so every query keeps itself in top-5
+    val top = Quantize.pqKnnJoin(queries, codes, "vec_id", "vec_id",
+      "pq_code", cb, k = 5)
+    val selfRows = top.filter(col("query_id") === col("neighbor_id"))
+      .collect()
+    assert(selfRows.length == 20)
+    selfRows.foreach(r => assert(r.getDouble(2) == 1.0))
+  }
+
   test("ivfadc: store search prunes partitions and is exact at the limit") {
     import graft.sources.IvfStore
     val path = java.nio.file.Files
