@@ -143,9 +143,26 @@ object Dedup {
     * (r3 calibration: 5k docs ≈ 5.5 s direct vs 6.4 s prefix) —
     * [[jaccardPairsAuto]] dispatches on measured candidate blowup. */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docShingles(df, textCol, idCol, n)
+      n: Int = 3, threshold: Double = 0.8,
+      materializeShingles: Boolean = true): DataFrame = {
+    // the hashed shingle set feeds FOUR independent branches (document
+    // frequencies, the prefix window, and both sides of the candidate
+    // count join); without materialization each branch re-explodes and
+    // re-hashes the full corpus text — measured 6 scans+explodes in the
+    // plan, and 1.58× slower at sf0.1. localCheckpoint truncates the
+    // lineage to ONE computed copy (16 B/shingle, executor-local,
+    // spillable — what the PPJoin literature materializes as the
+    // tokenized corpus); the ContextCleaner reclaims the blocks once
+    // the returned frame's RDD is unreferenced. jaccardPairs stays
+    // unmaterialized because its two branches are the IDENTICAL
+    // subplan, which ReuseExchange already computes once — here the
+    // four branches differ, so exchange reuse cannot share them.
+    // materializeShingles=false opts back into pure recompute for
+    // callers that cannot tolerate the transient pinned blocks.
+    val shBase = docShingles(df, textCol, idCol, n)
       .select(col(idCol), xxhash64(col("sh")).as("sh"))
+    val sh = if (materializeShingles) shBase.localCheckpoint(true)
+      else shBase
 
     // global rarest-first order: per-shingle document frequency, then
     // hash for a total order; broadcast is not assumed — it's a keyed

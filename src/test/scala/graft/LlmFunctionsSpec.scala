@@ -62,9 +62,18 @@ class LlmFunctionsSpec extends AnyFunSuite {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val direct = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
     direct.collect()
-    Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8).collect()
+    // prefix path, opted OUT of shingle materialization: the pure
+    // recompute contract must still hold for callers that need it
+    Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8,
+      materializeShingles = false).collect()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+    // default prefix path materializes EXACTLY ONE artifact — the
+    // hashed shingle checkpoint feeding its four branches (reclaimed by
+    // the ContextCleaner once the result is unreferenced)
+    Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8).collect()
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.size <= 1, s"expected at most the shingle checkpoint: $pinned")
     // identical subplans canonicalize to one Exchange — the sharing that
     // replaced the removed .cache() must actually show up in the (AQE
     // post-execution) plan; checked over a plain parquet scan, the shape
