@@ -132,12 +132,13 @@ object Dedup {
     * with raw-hash order a corpus-wide boilerplate shingle whose hash
     * ranks low lands in EVERY doc's prefix and still collides all n²
     * pairs (heavy-tail calibration, 5k docs with a shared 60-token
-    * boilerplate block: hash-order prefix 89 s — LOSING to the 56 s
+    * boilerplate block: hash-order prefix 89 s — LOSING to the ~53 s
     * direct join it exists to beat). Rarest-first order keeps hot
-    * shingles out of every prefix: same corpus, 25 s — 2.2× faster
-    * than direct, identical pairs. The df aggregation costs one extra
-    * keyed shuffle over the shingles — the same key the candidate join
-    * shuffles on.
+    * shingles out of every prefix: same corpus, 25 s in r3, and
+    * **13–16 s with the r5 shingle materialization — 3.6–3.9× faster
+    * than direct**, identical pairs. The df aggregation costs one
+    * extra keyed shuffle over the shingles — the same key the
+    * candidate join shuffles on.
     *
     * On flat-frequency corpora the direct join's fewer passes still win
     * (r3 calibration: 5k docs ≈ 5.5 s direct vs 6.4 s prefix) —
