@@ -331,6 +331,50 @@ object Dedup {
       .select("a", "b", "cos")
   }
 
+  /** Connected components of an undirected candidate-pair graph: every
+    * node is labeled with the MINIMUM id reachable through pairs — the
+    * transitive duplicate CLUSTER, where the greedy per-pair rule
+    * ([[graft.functions.Curation.dropNearDups]]) only looks one hop.
+    * Cluster-level dedup (keep `node == cluster`) keeps exactly one
+    * document per connected component: A↔B and B↔C collapse to {A}
+    * even when A and C never pair directly.
+    *
+    * Min-label propagation with a driver loop: labels(i+1) =
+    * min(own label, neighbours' labels); the fixpoint (unique — the
+    * component minimum — so the result is deterministic regardless of
+    * iteration or partition order) arrives in O(component diameter)
+    * rounds, each one keyed join + groupBy-min over the EDGE set, which
+    * for near-dup graphs is pair-scale, not corpus-scale. Labels are
+    * checkpointed per round so round i never re-executes rounds 1..i−1
+    * (the trainCodebook lineage rule). `maxIters` bounds pathological
+    * chains; the loop exits as soon as no label changes. */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"),
+          Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("label").as("cluster"), col("node"))
+  }
+
   /** 16-bit SimHash over distinct whitespace tokens; bit j comes from the
     * high bit of hex digit j of md5(token) (portable across engines). */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {

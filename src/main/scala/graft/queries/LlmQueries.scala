@@ -206,6 +206,50 @@ object LlmQueries extends QueryPack {
           ORDER BY a, b"""
     }),
 
+    // ---- transitive duplicate clusters ------------------------------
+    // connected components of the LSH candidate graph: min-reachable-id
+    // labels (unique fixpoint — deterministic), the cluster-level dedup
+    // that keeps ONE doc per component even when its members never pair
+    // directly. Oracle: DuckDB recursive CTE computing the same
+    // min-reachability, over the identical minhash band graph.
+    QueryDef("q_dup_clusters", (s, dir) => {
+      val pairs = Dedup.lshCandidatePairs(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        k = 8, rowsPerBand = 2, n = 3)
+      Dedup.duplicateClusters(pairs)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(array_sort(collect_list(col("node"))),
+            _.cast("string")), ",").as("members"))
+        .orderBy("cluster")
+    }, Some {
+      val mins = (0 until 8).map(i =>
+        s"min(substring(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+        .mkString(",\n            ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS key FROM sig")
+        .mkString("\n          UNION ALL ")
+      s"""WITH RECURSIVE $shingleCte,
+          sig AS (SELECT doc_id,
+            $mins
+          FROM sh GROUP BY doc_id),
+          bands AS (
+          $bands),
+          pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+            FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          e AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+          nd AS (SELECT DISTINCT src AS node FROM e),
+          r AS (SELECT node, node AS reach FROM nd
+                UNION
+                SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
+          lab AS (SELECT node, min(reach) AS cluster FROM r GROUP BY node)
+          SELECT cluster, count(*) AS n_members,
+            string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+          FROM lab GROUP BY cluster ORDER BY cluster"""
+    }),
+
     // ---- SimHash ----------------------------------------------------
     QueryDef("q_simhash", (s, dir) => {
       Dedup.simhash16(

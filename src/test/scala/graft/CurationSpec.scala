@@ -70,6 +70,24 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(0L))
   }
 
+  test("duplicateClusters labels every node with its component minimum") {
+    import graft.functions.Dedup
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; {10,11,12}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L)
+    assert(got == want)
+    // chain diameter > maxIters leaves labels un-converged; fixpoint
+    // within the bound is exact — pin a long chain converges too
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val labs = Dedup.duplicateClusters(chain)
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSeq
+    assert(labs == Seq(0L))
+  }
+
   test("curation decisions are insensitive to partitioning") {
     val d = docs((0L to 40L).map(i =>
       i -> (if (i % 3 == 0) en + s" variant ${i / 3}"
