@@ -150,11 +150,15 @@ object Dedup {
     // frequencies, the prefix window, and both sides of the candidate
     // count join); without materialization each branch re-explodes and
     // re-hashes the full corpus text — measured 6 scans+explodes in the
-    // plan, and 1.58× slower at sf0.1. localCheckpoint truncates the
-    // lineage to ONE computed copy (16 B/shingle, executor-local,
-    // spillable — what the PPJoin literature materializes as the
-    // tokenized corpus); the ContextCleaner reclaims the blocks once
-    // the returned frame's RDD is unreferenced. jaccardPairs stays
+    // plan, and 1.58× slower at sf0.1. persist() computes ONE copy
+    // (16 B/shingle, spillable — what the PPJoin literature
+    // materializes as the tokenized corpus) that the CacheManager
+    // shares across all four branches; unlike a localCheckpoint the
+    // blocks recompute through lineage on executor loss instead of
+    // failing the job, and repeated calls over the SAME corpus reuse
+    // the entry via CacheManager plan-matching (one entry per distinct
+    // corpus; spark.catalog.clearCache() evicts). The ContextCleaner
+    // reclaims blocks once unreferenced. jaccardPairs stays
     // unmaterialized because its two branches are the IDENTICAL
     // subplan, which ReuseExchange already computes once — here the
     // four branches differ, so exchange reuse cannot share them.
@@ -162,8 +166,9 @@ object Dedup {
     // callers that cannot tolerate the transient pinned blocks.
     val shBase = docShingles(df, textCol, idCol, n)
       .select(col(idCol), xxhash64(col("sh")).as("sh"))
-    val sh = if (materializeShingles) shBase.localCheckpoint(true)
-      else shBase
+    val sh = if (materializeShingles)
+      shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shBase
 
     // global rarest-first order: per-shingle document frequency, then
     // hash for a total order; broadcast is not assumed — it's a keyed
@@ -344,34 +349,51 @@ object Dedup {
     * component minimum — so the result is deterministic regardless of
     * iteration or partition order) arrives in O(component diameter)
     * rounds, each one keyed join + groupBy-min over the EDGE set, which
-    * for near-dup graphs is pair-scale, not corpus-scale. Labels are
-    * checkpointed per round so round i never re-executes rounds 1..i−1
-    * (the trainCodebook lineage rule). `maxIters` bounds pathological
-    * chains; the loop exits as soon as no label changes. */
+    * for near-dup graphs is pair-scale, not corpus-scale. Each round's
+    * labels are CHECKPOINTED: labels(i+1) references labels(i) twice
+    * (own labels ∪ neighbour labels), so an un-truncated lineage
+    * doubles in size per round — measured 2× slower via persist at ten
+    * rounds, and exponentially worse beyond. With a configured
+    * checkpoint dir (`sparkContext.setCheckpointDir` — the cluster
+    * deployment) rounds truncate through RELIABLE checkpoints that
+    * survive executor loss; local mode falls back to localCheckpoint
+    * (the standard iterative-graph trade, cf. GraphX Pregel). The loop
+    * exits as soon as no label changes; a component whose diameter
+    * exceeds `maxIters` THROWS rather than silently returning
+    * non-minimal labels (which would split one component into several
+    * clusters). */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      bCol: String = "b", maxIters: Int = 50): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val edges = truncate(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = truncate(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val next = truncate(
+        labels.unionByName(viaEdges)
+          .groupBy("node").agg(min(col("label")).as("label")))
       changed = next.join(labels.withColumnRenamed("label", "old"),
           Seq("node"))
         .filter(col("label") =!= col("old")).count()
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxIters rounds — " +
+          "a component's diameter exceeds the bound; raise maxIters")
     labels.select(col("label").as("cluster"), col("node"))
   }
 

@@ -380,15 +380,9 @@ object LlmQueries extends QueryPack {
     QueryDef("q_ivf_search", (s, dir) => {
       import graft.sources.IvfStore
       val emb = Tables.load(s, dir, "embeddings")
-      // stable per-corpus-per-JVM path + overwrite-mode writes: repeated
-      // runs in one process (median-of-3 bench, every verify) reuse ONE
-      // index directory instead of leaking a corpus-sized temp copy per
-      // execution, while the PID component keeps two concurrent JVMs
-      // (e.g. a local bench beside the driver's verify) from racing on
-      // the same directory mid-overwrite
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ivf_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" +
-        ProcessHandle.current().pid()
+      // per-corpus-per-JVM path (overwrite-reused within the process,
+      // disjoint across concurrent JVMs, shutdown-hook deleted)
+      val path = TempIndexDirs.jvmScoped("graft_q_ivf", dir)
       val cents = IvfStore.writeTrained(emb, "vec_id", "embedding", path)
       val qv = emb.filter(col("vec_id") === 1)
         .select("embedding").head().getSeq[Float](0)

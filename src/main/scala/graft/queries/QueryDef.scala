@@ -58,6 +58,30 @@ private[queries] object OracleSql {
   }
 }
 
+/** Per-corpus-per-JVM temp index directories: reused (overwrite mode)
+  * across one process's repeated runs, disjoint between concurrent
+  * JVMs, and deleted by a shutdown hook — without the hook every JVM
+  * would strand one corpus-sized copy in the temp volume. */
+private[queries] object TempIndexDirs {
+  private val registered = scala.collection.mutable.Set.empty[String]
+
+  def jvmScoped(prefix: String, corpusDir: String): String = synchronized {
+    val path = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      java.lang.Integer.toHexString(corpusDir.hashCode) + "_" +
+      ProcessHandle.current().pid()
+    if (registered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRec(new java.io.File(path))))
+    path
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(deleteRec)
+    f.delete(); ()
+  }
+}
+
 /** Parquet table loader for the driver-generated testdata layout. */
 object Tables {
   import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

@@ -112,8 +112,10 @@ object VectorQueries extends QueryPack {
       val emb = Tables.load(s, dir, "embeddings")
       val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
         ksub = 32, iters = 3)
+      // codes feed both cross-join sides: cache so the m compiled
+      // encode scorers run one corpus pass, not one per branch
       val codes = Quantize.pqEncode(emb, "embedding", cb)
-        .select("vec_id", "pq_code")
+        .select("vec_id", "pq_code").cache()
       val got = Quantize.pqKnnJoin(codes.filter(col("vec_id") < 30),
           codes, "vec_id", "vec_id", "pq_code", cb, k = 5)
         .select("query_id", "neighbor_id")
@@ -124,6 +126,7 @@ object VectorQueries extends QueryPack {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exact intersect got).size.toDouble / exact.size
       val selfIn = got.count { case (a, b) => a == b }
+      codes.unpersist(blocking = false)
       Seq((30, 5,
           if (recall >= 0.15) 1 else 0,
           if (selfIn == 30) 1 else 0))
@@ -143,11 +146,9 @@ object VectorQueries extends QueryPack {
     QueryDef("q_ivfpq_search", (s, dir) => {
       import graft.sources.IvfStore
       val emb = Tables.load(s, dir, "embeddings")
-      // per-corpus-per-JVM path: reused across this process's repeated
-      // runs (overwrite mode), disjoint from any concurrent JVM's
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ivfpq_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" +
-        ProcessHandle.current().pid()
+      // per-corpus-per-JVM path (overwrite-reused within the process,
+      // disjoint across concurrent JVMs, shutdown-hook deleted)
+      val path = TempIndexDirs.jvmScoped("graft_q_ivfpq", dir)
       val (cents, _) = IvfStore.writePqTrained(emb, "vec_id", "embedding",
         path, m = 8, ksub = 32, iters = 2)
       val qv = emb.filter(col("vec_id") === 4L)

@@ -99,17 +99,24 @@ object IvfStore {
     * the index (posexplode + two-level agg), broadcast join against
     * the metadata-scale codebook. */
   def drift(spark: SparkSession, path: String, vecCol: String): DataFrame = {
-    // bucket mean AND row count from the SAME posexplode aggregation —
-    // a separate groupBy().count() would rescan the whole index (the
-    // count per bucket equals any position's element count, captured
-    // here at the first agg level and carried via max)
+    // bucket mean AND row count from the SAME aggregation pass — a
+    // separate groupBy().count() would rescan the whole index.
+    // posexplode_OUTER keeps rows whose vector is null/empty as one
+    // (null pos) row, so `n` counts every routed row (the retrain
+    // trigger's weight), not just rows that contributed elements; the
+    // null-pos group is excluded from the centroid mean.
     val current = spark.read.parquet(s"$path/data")
-      .select(col("bucket"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("bucket"),
+        posexplode_outer(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("bucket"), col("pos"))
       .agg(avg(col("v").cast("double")).as("cv"), count(lit(1)).as("cnt"))
       .groupBy(col("bucket"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"),
-        max(col("cnt")).as("n"))
+      .agg(array_sort(collect_list( // collect_list skips null structs
+          when(col("pos").isNotNull, struct(col("pos"), col("cv")))))
+          .as("pc"),
+        (coalesce(max(when(col("pos").isNotNull, col("cnt"))), lit(0L)) +
+          coalesce(max(when(col("pos").isNull, col("cnt"))), lit(0L)))
+          .as("n"))
       .select(col("bucket").cast("string").as("bucket_b"),
         transform(col("pc"), _.getField("cv")).as("cur"), col("n"))
     codebook(spark, path)

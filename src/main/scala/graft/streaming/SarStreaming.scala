@@ -189,16 +189,17 @@ object SarStreaming {
     * (graft.functions.Curation): the stateless quality/language gate —
     * the SAME column expressions, filters are stateless so they apply
     * to a stream unchanged — followed by watermarked exact prefix-key
-    * dedup. Keep-first is ARRIVAL order here (the batch path keeps the
-    * MIN id; the two agree whenever ids arrive in order — the normal
-    * shape for log-structured ingest, and what the equivalence spec
-    * arranges). For the near-dup stage pair this with
+    * dedup. Keep-first is ARRIVAL order here — no id column influences
+    * which duplicate survives (the batch path keeps the MIN id; the
+    * two agree whenever ids arrive in order — the normal shape for
+    * log-structured ingest, and what the equivalence spec arranges).
+    * For the near-dup stage pair this with
     * [[nearDupCandidates]]: a drop VERDICT needs all of a document's
     * band buckets (a second stateful aggregation downstream of the
     * bucket state, which streaming restricts); flagging candidate
     * pairs in-stream and anti-joining in the sink (foreachBatch) keeps
     * every stage at one stateful operator. */
-  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+  def curateStream(docs: DataFrame, textCol: String,
       tsCol: String, cfg: graft.functions.Curation.Config =
         graft.functions.Curation.Config(),
       delay: String = "1 hour"): DataFrame = {

@@ -80,12 +80,17 @@ class CurationSpec extends AnyFunSuite {
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
       5L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L)
     assert(got == want)
-    // chain diameter > maxIters leaves labels un-converged; fixpoint
-    // within the bound is exact — pin a long chain converges too
+    // a long chain converges within the bound...
     val chain = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
     val labs = Dedup.duplicateClusters(chain)
       .select("cluster").distinct().collect().map(_.getLong(0)).toSeq
     assert(labs == Seq(0L))
+    // ...and a diameter past maxIters THROWS instead of silently
+    // splitting the component into wrong clusters
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("curation decisions are insensitive to partitioning") {

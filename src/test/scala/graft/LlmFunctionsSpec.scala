@@ -80,7 +80,10 @@ class LlmFunctionsSpec extends AnyFunSuite {
     // the bench/production path runs (CacheManager would otherwise swap
     // the spec's cached docs in and break canonical equality between the
     // duplicate size branches)
-    docs.unpersist(blocking = true)
+    // the prefix run's persisted shingle frame would otherwise be
+    // CacheManager-substituted into the fresh plan below, breaking the
+    // canonical equality between the self-join branches
+    spark.catalog.clearCache()
     try {
       val plain = Tables.load(spark, dir, "documents")
       val fresh = Dedup.jaccardPairs(plain, "text", "doc_id", 3, 0.8)

@@ -66,7 +66,7 @@ class StreamingSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/in/b1").schema, s"$dir/in/*",
       Map("maxFilesPerTrigger" -> "1"))
     val survived = SarStreaming.runToMemory(
-      SarStreaming.curateStream(stream, "doc_id", "text", "ts"),
+      SarStreaming.curateStream(stream, "text", "ts"),
       "curate_out", org.apache.spark.sql.streaming.OutputMode.Append())
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val batch = Curation.dedupKeepFirst(
