@@ -99,6 +99,32 @@ object TextAnalysis {
     }
   }
 
+  /** Fraction of tokens that repeat an earlier token — the Gopher-style
+    * duplicate-content signal (1 − distinct/total; 0 when every token
+    * is unique, →1 for pure boilerplate loops). */
+  def dupWordFraction(text: Column): Column = {
+    val w = words(text)
+    lit(1.0) -
+      size(array_distinct(w)).cast("double") / size(w).cast("double")
+  }
+
+  /** Max over word n-grams of `occurrences × n-gram chars / total
+    * chars` — the "fraction of characters in the most repeated n-gram"
+    * repetition signal, made deterministic by maximizing the PRODUCT
+    * directly (an argmax-by-count would need a tie-break; the max of a
+    * scalar needs none). 0 for docs below n words or empty text.
+    * O(distinct·shingles) per row, like [[tokenEntropy]]. Callers
+    * composing several metrics should project the shingle array once
+    * (the q_fingerprint CollapseProject lesson). */
+  def topNgramCharFraction(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    when(size(sh) > 0 && length(text) > 0,
+      array_max(transform(array_distinct(sh),
+        x => (size(filter(sh, y => y === x)) * length(x)).cast("double")))
+        / length(text).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Word n-gram shingles ("a b c" windows); empty array below n words. */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = words(text)

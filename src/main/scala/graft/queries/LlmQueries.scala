@@ -206,6 +206,48 @@ object LlmQueries extends QueryPack {
           ORDER BY a, b"""
     }),
 
+    // ---- repetition signals (Gopher-style quality filters) ----------
+    // duplicate-word fraction + fraction of characters in the most
+    // repeated 3-gram (max of occurrences×chars — deterministic, no
+    // argmax tie-break). Both engines do identical integer counts and
+    // one double division; the shingle array is projected ONCE and the
+    // metrics derive from it (CollapseProject keeps the split — the
+    // q_fingerprint lesson).
+    QueryDef("q_repetition", (s, dir) => {
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.words(col("text")).as("w"),
+          TextAnalysis.shingles(col("text")).as("sh"))
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+            size(col("w")).cast("double"), 4).as("dup_word_frac"),
+          round(when(size(col("sh")) > 0 && length(col("text")) > 0,
+            array_max(transform(array_distinct(col("sh")),
+              x => (size(filter(col("sh"), y => y === x)) * length(x))
+                .cast("double"))) / length(col("text")).cast("double"))
+            .otherwise(lit(0.0)), 4).as("top3gram_frac"),
+          size(col("w")).as("n_words"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, text, ${wsSplit} AS w
+                     FROM documents WHERE doc_id < 100),
+          s AS (SELECT doc_id, text, w,
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' '))
+            ELSE [] END AS sh
+          FROM t)
+          SELECT doc_id,
+            round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+              AS dup_word_frac,
+            round(CASE WHEN len(sh) > 0 AND length(text) > 0 THEN
+              CAST(list_max(list_transform(list_distinct(sh),
+                x -> len(list_filter(sh, y -> y = x)) * length(x)))
+                AS DOUBLE) / length(text)
+              ELSE 0 END, 4) AS top3gram_frac,
+            CAST(len(w) AS INT) AS n_words
+          FROM s ORDER BY doc_id""")),
+
     // ---- transitive duplicate clusters ------------------------------
     // connected components of the LSH candidate graph: min-reachable-id
     // labels (unique fixpoint — deterministic), the cluster-level dedup

@@ -93,6 +93,26 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("repetition signals separate boilerplate loops from diverse text") {
+    import graft.functions.TextAnalysis
+    val d = docs(
+      0L -> "buy now click here buy now click here buy now click here",
+      1L -> "the quick brown fox jumps over a lazy dog near the river")
+    val m = d.select(col("doc_id"),
+        TextAnalysis.dupWordFraction(col("text")).as("dw"),
+        TextAnalysis.topNgramCharFraction(col("text")).as("tg"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(m(0L)._1 > 0.5 && m(1L)._1 < 0.2,
+      s"dup-word fraction must separate: $m")
+    assert(m(0L)._2 > 0.4 && m(1L)._2 < 0.35,
+      s"top-ngram char fraction must separate: $m")
+    // structural edges: below-n-words and empty text score 0
+    val z = docs(9L -> "two words", 10L -> "")
+    z.select(TextAnalysis.topNgramCharFraction(col("text")))
+      .collect().foreach(r => assert(r.getDouble(0) == 0.0))
+  }
+
   test("curation decisions are insensitive to partitioning") {
     val d = docs((0L to 40L).map(i =>
       i -> (if (i % 3 == 0) en + s" variant ${i / 3}"
