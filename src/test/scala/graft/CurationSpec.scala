@@ -93,6 +93,22 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("clustered near-dup removal keeps one doc per component where greedy keeps two") {
+    import graft.functions.Dedup
+    // three texts sharing enough shingles that LSH pairs (2,3) and
+    // (1,3) but NOT (1,2): construct via two distinct halves bridged
+    // by doc 3. Easier to pin the semantics directly on the pair graph:
+    val pairs = Seq((2L, 3L), (1L, 3L)).toDF("a", "b")
+    // greedy rule: drop ids appearing as the higher side -> drops only 3
+    val greedySurvivors = Set(1L, 2L)
+    val clusterSurvivors = Dedup.duplicateClusters(pairs)
+      .filter(col("node") === col("cluster"))
+      .collect().map(_.getLong(1)).toSet
+    assert(clusterSurvivors == Set(1L))
+    assert(greedySurvivors != clusterSurvivors,
+      "the two semantics must differ on chained pairs")
+  }
+
   test("repetition signals separate boilerplate loops from diverse text") {
     import graft.functions.TextAnalysis
     val d = docs(

@@ -75,6 +75,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(survived == batch)
   }
 
+  test("streaming PQ encode equals the batch codes (stateless projection)") {
+    import graft.functions.Quantize
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+      ksub = 16, iters = 2)
+    val dir = Files.createTempDirectory("graft_pq_stream").toString
+    emb.write.mode("overwrite").parquet(dir)
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(dir).schema, dir)
+    val streamed = SarStreaming.runToMemory(
+      Quantize.pqEncode(stream, "embedding", cb)
+        .select("vec_id", "pq_code"),
+      "pq_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Quantize.pqEncode(emb, "embedding", cb)
+      .select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization matches the batch window query") {
     import spark.implicits._
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
