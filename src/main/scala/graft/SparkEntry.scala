@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Query packs, one per operator family. */
   val packs: Seq[QueryPack] = Seq(
-    CoreQueries, OpsQueries, SarPipelineQueries, LlmQueries, VectorQueries)
+    CoreQueries, OpsQueries, SarPipelineQueries, LlmQueries, VectorQueries,
+    GovernanceQueries)
 
   lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

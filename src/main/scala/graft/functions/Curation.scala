@@ -93,4 +93,68 @@ object Curation {
       dedupKeepFirst(qualityGate(docs, textCol, cfg), idCol, textCol,
         cfg.dedupPrefixWords),
       textCol, idCol, cfg)
+
+  /** Domain-mixture sampling: keep exactly `quotas(d)` documents from
+    * each domain, chosen by md5(id) rank — the deterministic stand-in
+    * for "uniformly sample domain d down to its target mixture weight"
+    * that every re-run, re-partitioning, and engine reproduces
+    * identically.
+    *
+    * The rank is the GLOBAL per-domain md5 order, computed scalably:
+    * rows window-rank inside (domain, first-md5-byte) buckets — 256-way
+    * parallel per domain instead of one reducer per domain — and a
+    * driver-side prefix-sum over the tiny (domain × 256) bucket-count
+    * table turns local ranks into global ones via a broadcast join.
+    * Because the bucket IS a prefix of the sort key, bucket-local rank +
+    * bucket offset equals the global rank exactly (same construction as
+    * SarOps.downsampleStride). Two corpus passes (count + rank), both
+    * shuffle-light; no single-partition window at any scale.
+    */
+  def sampleMixture(docs: DataFrame, idCol: String, domainCol: String,
+      quotas: Map[String, Long]): DataFrame = {
+    require(quotas.nonEmpty, "at least one domain quota")
+    val spark = docs.sparkSession
+    val key = md5(col(idCol).cast("string"))
+    val withK = docs
+      .filter(col(domainCol).isin(quotas.keys.toSeq: _*))
+      .withColumn("__key", key)
+      .withColumn("__bkt", substring(col("__key"), 1, 2))
+    val counts = withK.groupBy(domainCol, "__bkt").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (d, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3))
+        .map { case (b, off) => (d, b, off) }
+    }
+    import spark.implicits._
+    val offDf = offsets.toDF(domainCol, "__bkt", "__off")
+    val quotaDf = quotas.toSeq.toDF(domainCol, "__quota")
+    val w = Window.partitionBy(col(domainCol), col("__bkt"))
+      .orderBy(col("__key"), col(idCol))
+    withK
+      .join(broadcast(offDf), Seq(domainCol, "__bkt"))
+      .join(broadcast(quotaDf), Seq(domainCol))
+      .withColumn("__rank", row_number().over(w).cast("long") + col("__off"))
+      .filter(col("__rank") <= col("__quota"))
+      .drop("__key", "__bkt", "__off", "__quota", "__rank")
+  }
+
+  /** Temperature-scaled mixture weights (the multilingual-pretraining
+    * standard): w_d ∝ count_d^alpha, normalized. alpha = 1 keeps natural
+    * proportions, alpha → 0 flattens toward uniform. Driver-side math
+    * over the per-domain count table (domains are few by definition). */
+  def temperatureWeights(counts: Map[String, Long],
+      alpha: Double): Map[String, Double] = {
+    require(counts.nonEmpty, "at least one domain")
+    val raw = counts.map { case (d, c) => d -> math.pow(c.toDouble, alpha) }
+    val z = raw.values.sum
+    raw.map { case (d, v) => d -> v / z }
+  }
+
+  /** Integer quotas for [[sampleMixture]]: percent-of-budget in pure
+    * integer arithmetic (floor division), so any engine recomputing the
+    * quota from the same counts lands on the same integer — no float
+    * rounding at the boundary. */
+  def mixtureQuotas(budget: Long, pct: Map[String, Long]): Map[String, Long] =
+    pct.map { case (d, p) => d -> budget * p / 100 }
 }

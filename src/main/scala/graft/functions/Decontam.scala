@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-pipeline step that flags
+  * corpus documents overlapping a held-out evaluation set (the GPT-3
+  * appendix-C / "Documenting contamination" procedure: word n-gram
+  * overlap between each training doc and any benchmark doc).
+  *
+  * Scale shape: the benchmark side is an eval set — thousands of docs,
+  * not terabytes — so its distinct shingle set is broadcast and the
+  * corpus is touched exactly twice, both embarrassingly parallel: one
+  * codegen'd projection for per-doc shingle totals (no explode, no
+  * shuffle) and one explode→broadcast-hash-join→per-doc count for the
+  * overlaps (shuffles one row per CONTAMINATED (doc, shingle), not per
+  * shingle). Nothing all-pairs; no corpus-side distinct.
+  */
+object Decontam {
+
+  /** Per-document contamination report: distinct-shingle overlap count,
+    * total distinct shingles, overlap fraction (6 dp), and a 0/1 flag at
+    * `flagThreshold` (compared on the ROUNDED fraction so an oracle
+    * recomputing it cannot flip the flag at the boundary). Documents with
+    * fewer than `n` words carry no shingles and are excluded — they can
+    * never evidence contamination.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, flagThreshold: Double = 0.2): DataFrame = {
+    val distinctSh = array_distinct(TextAnalysis.shingles(col(textCol), n))
+    val benchSh = bench
+      .select(explode(array_distinct(
+        TextAnalysis.shingles(col(textCol), n))).as("__sh"))
+      .distinct()
+    val overlap = corpus
+      .select(col(idCol), explode(distinctSh).as("__sh"))
+      .join(broadcast(benchSh), "__sh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .select(col(idCol), size(distinctSh).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+      .join(overlap, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") /
+          col("n_shingles").cast("double"), 6))
+      .withColumn("contaminated",
+        when(col("contamination") >= flagThreshold, 1).otherwise(0))
+      .select(col(idCol), col("n_overlap"), col("n_shingles"),
+        col("contamination"), col("contaminated"))
+  }
+
+  /** Corpus-level boilerplate mining: the `k` word-n-grams appearing in
+    * the most documents (document frequency over per-doc DISTINCT
+    * shingles, so a doc repeating a template line counts once). Total
+    * order (df desc, shingle asc) makes the cut deterministic; the plan
+    * is explode → partial hash-agg (map-side combine) → shuffle by
+    * shingle → TakeOrderedAndProject — a top-k, never a global sort.
+    * This is the feed for PPJoin-style prefix filtering and for
+    * template-stripping gates at web-corpus scale.
+    */
+  def topShinglesByDf(docs: DataFrame, textCol: String, n: Int = 3,
+      k: Int = 20): DataFrame =
+    docs
+      .select(explode(array_distinct(
+        TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("shingle"))
+      .limit(k)
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Curation, Decontam, Pii}
+
+/** Corpus-governance operators for the training-data pipeline:
+  * benchmark decontamination, PII scrubbing, domain-mixture sampling,
+  * boilerplate mining. Each is a FULL hash oracle — every one is pure
+  * deterministic column/relational math (md5 ranks, RE2-safe regexes,
+  * integer quotas), so DuckDB reproduces results bit-for-bit.
+  */
+object GovernanceQueries extends QueryPack {
+
+  /** Deterministic benchmark split: every 37th doc is the held-out eval
+    * set, the rest are the training corpus under decontamination. */
+  private val benchMod = 37
+
+  /** PII-augmentation fragment: the synthetic documents carry no PII, so
+    * the query plants one email, one IPv4, and one phone number per doc,
+    * derived from doc_id identically on both engines — the detector and
+    * redactor then have real work whose output is still hash-checkable. */
+  private val augSql =
+    """text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+       '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.org from 10.' ||
+       CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ||
+       '.4 tel 555-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') ||
+       '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')"""
+
+  private def augCol = concat(col("text"),
+    lit(" reach user"), col("doc_id").cast("string"),
+    lit("@mail"), (col("doc_id") % 7).cast("string"),
+    lit(".example.org from 10."), (col("doc_id") % 200).cast("string"),
+    lit("."), (col("doc_id") % 250).cast("string"),
+    lit(".4 tel 555-"),
+    lpad(((col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+    lit("-"),
+    lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0"))
+
+  /** Mixture targets: 40% of the corpus, split en-heavy. Integer percent
+    * arithmetic end to end (see Curation.mixtureQuotas). */
+  private val mixPct =
+    Seq("en" -> 50L, "es" -> 20L, "de" -> 10L, "fr" -> 10L, "zh" -> 10L)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- benchmark decontamination ----------------------------------
+    QueryDef("q_decontam", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Decontam.contamination(
+          docs.filter(col("doc_id") % benchMod =!= 0),
+          docs.filter(col("doc_id") % benchMod === 0),
+          "text", "doc_id", n = 3, flagThreshold = 0.2)
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH ${OracleSql.docShingleCte},
+          bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $benchMod = 0),
+          corpus AS (SELECT * FROM sh WHERE doc_id % $benchMod <> 0),
+          tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n_shingles
+                  FROM corpus GROUP BY 1),
+          ov AS (SELECT c.doc_id, count(*) AS n_overlap
+                 FROM corpus c JOIN bench b USING (sh) GROUP BY 1)
+          SELECT t.doc_id,
+            CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+            t.n_shingles,
+            round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles,
+                  6) AS contamination,
+            CASE WHEN round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
+                            / t.n_shingles, 6) >= 0.2
+                 THEN 1 ELSE 0 END AS contaminated
+          FROM tot t LEFT JOIN ov o USING (doc_id)
+          ORDER BY doc_id""")),
+
+    // ---- PII detection + redaction ----------------------------------
+    QueryDef("q_pii_redact", (s, dir) => {
+      Pii.piiReport(
+          Tables.load(s, dir, "documents").withColumn("aug", augCol),
+          "aug", "doc_id")
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH aug AS (SELECT doc_id, $augSql AS t FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t, '${Pii.emailPattern}')) AS INT)
+              AS n_emails,
+            CAST(len(regexp_extract_all(t, '${Pii.ipv4Pattern}')) AS INT)
+              AS n_ips,
+            CAST(len(regexp_extract_all(t, '${Pii.phonePattern}')) AS INT)
+              AS n_phones,
+            regexp_replace(regexp_replace(regexp_replace(t,
+              '${Pii.emailPattern}', '<EMAIL>', 'g'),
+              '${Pii.phonePattern}', '<PHONE>', 'g'),
+              '${Pii.ipv4Pattern}', '<IP>', 'g') AS redacted
+          FROM aug ORDER BY doc_id""")),
+
+    // ---- domain-mixture sampling ------------------------------------
+    QueryDef("q_domain_mix", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val budget = docs.count() * 40 / 100
+      Curation.sampleMixture(docs, "doc_id", "lang",
+          Curation.mixtureQuotas(budget, mixPct.toMap))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }, Some {
+      val vals = mixPct.map { case (d, p) => s"('$d', $p)" }.mkString(", ")
+      s"""WITH n AS (SELECT (count(*) * 40) // 100 AS budget FROM documents),
+          q AS (SELECT lang, ((SELECT budget FROM n) * pct) // 100 AS quota
+                FROM (VALUES $vals) t(lang, pct)),
+          r AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents)
+          SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+          WHERE rn <= q.quota ORDER BY doc_id"""
+    }),
+
+    // ---- boilerplate mining (top n-grams by document frequency) -----
+    QueryDef("q_top_ngrams", (s, dir) => {
+      Decontam.topShinglesByDf(
+        Tables.load(s, dir, "documents"), "text", n = 3, k = 20)
+    }, Some(
+      s"""WITH ${OracleSql.docShingleCte}
+          SELECT sh AS shingle, count(*) AS df FROM sh
+          GROUP BY 1 ORDER BY df DESC, shingle LIMIT 20""")))
+}

@@ -19,12 +19,7 @@ object LlmQueries extends QueryPack {
   private val wsSplit = "string_split_regex(text, '\\s+')" 
 
   // shared DuckDB fragments -------------------------------------------
-  private val shingleCte =
-    """w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
-       sh AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(range(len(w) - 2),
-                  i -> array_to_string(w[i+1:i+3], ' '))) AS sh
-              FROM w WHERE len(w) >= 3)"""
+  private val shingleCte = OracleSql.docShingleCte
 
   private def cosSqlD(a: String, b: String): String =
     OracleSql.cosD(a, b, dim)

@@ -48,6 +48,15 @@ trait QueryPack {
 /** Shared DuckDB oracle fragments used by more than one query pack. */
 private[queries] object OracleSql {
 
+  /** Distinct word-3-gram shingles per document (mirrors
+    * TextAnalysis.shingles(n = 3) over the documents table). */
+  val docShingleCte: String =
+    """w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(len(w) - 2),
+                  i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+              FROM w WHERE len(w) >= 3)"""
+
   /** Cosine of two fixed-dim numeric-list columns — double accumulation
     * in element order, mirroring Similarity.cosine. */
   def cosD(a: String, b: String, dim: Int): String = {

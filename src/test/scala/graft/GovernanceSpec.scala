@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Curation, Decontam, Pii}
+
+/** Corpus-governance operators: decontamination, PII scrub, mixture
+  * sampling, boilerplate mining (the composed queries are oracle-gated;
+  * these pin the operator contracts on hand-built corpora).
+  */
+class GovernanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---- PII ----------------------------------------------------------
+
+  test("Pii counts and redacts emails, IPv4s, and phones") {
+    val t = "write bob.smith+x@corp.example.org or call 555-123-4567 " +
+      "from 10.0.200.41 and 192.168.1.1"
+    val r = Seq((1L, t)).toDF("id", "t")
+      .select(Pii.emailCount($"t").as("e"), Pii.ipv4Count($"t").as("i"),
+        Pii.phoneCount($"t").as("p"), Pii.redact($"t").as("red"))
+      .head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2 && r.getInt(2) == 1)
+    assert(r.getString(3) ==
+      "write <EMAIL> or call <PHONE> from <IP> and <IP>")
+  }
+
+  test("Pii redaction is idempotent and placeholder-safe") {
+    val t = "mail a@b.co ip 1.2.3.4 tel 555-000-1111"
+    val once = Seq(t).toDF("t").select(Pii.redact($"t").as("r"))
+    val twice = once.select(Pii.redact($"r").as("r"))
+    assert(once.head().getString(0) == twice.head().getString(0))
+  }
+
+  test("Pii leaves clean text untouched") {
+    val t = "no personal data here just words and 42 numbers"
+    assert(Seq(t).toDF("t").select(Pii.redact($"t")).head().getString(0) == t)
+  }
+
+  // ---- decontamination ----------------------------------------------
+
+  def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+
+  test("contamination counts distinct overlapping shingles per doc") {
+    val bench = docs(100L -> "alpha beta gamma delta epsilon")
+    val corpus = docs(
+      // shares "alpha beta gamma" and "beta gamma delta" -> 2 of 4
+      1L -> "alpha beta gamma delta zeta eta",
+      // no 3-gram overlap
+      2L -> "one two three four five",
+      // repeats the contaminated shingle; distinct => 1 of 4 distinct
+      3L -> "alpha beta gamma x alpha beta gamma")
+    val r = Decontam.contamination(corpus, bench, "text", "doc_id",
+        n = 3, flagThreshold = 0.3)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 0L, 1L))   // n_overlap
+    assert(r.map(_.getInt(2)).toSeq == Seq(4, 3, 4))       // n_shingles
+    assert(r.map(_.getInt(4)).toSeq == Seq(1, 0, 0))       // flag at 0.3
+  }
+
+  test("contamination excludes docs below the shingle width") {
+    val r = Decontam.contamination(
+      docs(1L -> "too short"), docs(9L -> "alpha beta gamma"),
+      "text", "doc_id")
+    assert(r.count() == 0)
+  }
+
+  // ---- boilerplate mining -------------------------------------------
+
+  test("topShinglesByDf ranks by document frequency, once per doc") {
+    val d = docs(
+      1L -> "the same line here the same line here", // dup shingle: df 1
+      2L -> "the same line here plus extra words",
+      3L -> "the same line here plus extra words tail")
+    val top = Decontam.topShinglesByDf(d, "text", n = 3, k = 2).collect()
+    // df 3 for both "the same line" and "same line here" (doc 1 repeats
+    // them but distinct-per-doc counts once); tie broken by shingle asc
+    assert(top.head.getString(0) == "same line here" &&
+      top.head.getLong(1) == 3L)
+    assert(top(1).getString(0) == "the same line" &&
+      top(1).getLong(1) == 3L)
+  }
+
+  // ---- mixture sampling ---------------------------------------------
+
+  val domains = Seq("en", "de", "es")
+  def mixCorpus(n: Int): DataFrame =
+    (0 until n).map(i => (i.toLong, domains(i % 3), s"doc $i"))
+      .toDF("doc_id", "lang", "text")
+
+  test("sampleMixture keeps exactly the quota per domain") {
+    val kept = Curation.sampleMixture(mixCorpus(300), "doc_id", "lang",
+        Map("en" -> 40L, "de" -> 10L))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("en" -> 40L, "de" -> 10L)) // es: no quota -> dropped
+  }
+
+  test("sampleMixture bucket-offset rank equals the single-window rank") {
+    val d = mixCorpus(240)
+    val quotas = Map("en" -> 17L, "de" -> 5L, "es" -> 29L)
+    val got = Curation.sampleMixture(d, "doc_id", "lang", quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val naive = d.withColumn("rn", row_number().over(w))
+      .withColumn("q",
+        when($"lang" === "en", 17).when($"lang" === "de", 5).otherwise(29))
+      .filter($"rn" <= $"q").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == naive)
+  }
+
+  test("sampleMixture is partitioning-insensitive") {
+    val d = mixCorpus(240)
+    val quotas = Map("en" -> 20L, "es" -> 20L)
+    def ids(df: DataFrame) =
+      Curation.sampleMixture(df, "doc_id", "lang", quotas)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(d.repartition(13)) == ids(d.coalesce(1)))
+  }
+
+  test("sampleMixture caps at domain size when quota exceeds it") {
+    val kept = Curation.sampleMixture(mixCorpus(30), "doc_id", "lang",
+      Map("en" -> 1000L)).count()
+    assert(kept == 10)
+  }
+
+  test("temperatureWeights: alpha 1 natural, alpha 0 uniform") {
+    val c = Map("en" -> 900L, "de" -> 100L)
+    val nat = Curation.temperatureWeights(c, 1.0)
+    assert(math.abs(nat("en") - 0.9) < 1e-12)
+    val flat = Curation.temperatureWeights(c, 0.0)
+    assert(math.abs(flat("en") - 0.5) < 1e-12 &&
+      math.abs(flat("de") - 0.5) < 1e-12)
+  }
+
+  test("mixtureQuotas floors in integer arithmetic") {
+    assert(Curation.mixtureQuotas(199L, Map("a" -> 50L, "b" -> 33L)) ==
+      Map("a" -> 99L, "b" -> 65L))
+  }
+}
