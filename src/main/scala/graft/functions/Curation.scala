@@ -139,6 +139,41 @@ object Curation {
       .drop("__key", "__bkt", "__off", "__quota", "__rank")
   }
 
+  /** Token-budget corpus selection: keep documents in md5(id) order
+    * until the running token total reaches `budgetTokens` (a document is
+    * kept iff its INCLUSIVE running sum fits the budget) — "give me N
+    * billion training tokens, uniformly at random, reproducibly" as one
+    * deterministic op.
+    *
+    * Same bucket-offset construction as [[sampleMixture]], but the
+    * driver prefix-sum runs over per-bucket TOKEN sums instead of row
+    * counts: bucket-local running sum + bucket offset equals the global
+    * running sum exactly, because the bucket is a prefix of the sort
+    * key. 256-way parallel; no single-reducer global window.
+    */
+  def sampleToTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val withK = docs
+      .withColumn("__toks",
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("__key", md5(col(idCol).cast("string")))
+      .withColumn("__bkt", substring(col("__key"), 1, 2))
+    val sums = withK.groupBy("__bkt").agg(sum("__toks").as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sums.map(_._1).zip(sums.scanLeft(0L)(_ + _._2))
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__bkt", "__off")
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withK
+      .join(broadcast(offDf), "__bkt")
+      .withColumn("__cum", sum(col("__toks")).over(w) + col("__off"))
+      .filter(col("__cum") <= budgetTokens)
+      .drop("__toks", "__key", "__bkt", "__off", "__cum")
+  }
+
   /** Temperature-scaled mixture weights (the multilingual-pretraining
     * standard): w_d ∝ count_d^alpha, normalized. alpha = 1 keeps natural
     * proportions, alpha → 0 flattens toward uniform. Driver-side math

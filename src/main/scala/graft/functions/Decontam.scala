@@ -50,6 +50,44 @@ object Decontam {
         col("contamination"), col("contaminated"))
   }
 
+  /** Streaming-safe contamination scoring: the same per-document report
+    * as [[contamination]] but computed STATELESSLY — the benchmark's
+    * distinct shingle set is collected once and shipped as a literal
+    * array, and the overlap is `array_intersect` column math per row (no
+    * join, no aggregation), so the op runs inside a streaming query with
+    * zero state and no shuffle. Eval sets are small by definition; the
+    * `maxBenchShingles` guard refuses a benchmark too large to ship
+    * rather than silently degrading the stream. Row-for-row equal to
+    * [[contamination]] (pinned by spec).
+    */
+  def contaminationStateless(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      flagThreshold: Double = 0.2,
+      maxBenchShingles: Int = 2000000): DataFrame = {
+    val benchSh = bench
+      .select(explode(array_distinct(
+        TextAnalysis.shingles(col(textCol), n))).as("__sh"))
+      .distinct()
+      .limit(maxBenchShingles + 1)
+      .collect().map(_.getString(0))
+    require(benchSh.length <= maxBenchShingles,
+      s"benchmark shingle set exceeds $maxBenchShingles — use the " +
+        "batch contamination() join instead")
+    val sh = array_distinct(TextAnalysis.shingles(col(textCol), n))
+    corpus
+      .select(col(idCol), sh.as("__shd"))
+      .filter(size(col("__shd")) > 0)
+      .select(col(idCol),
+        size(array_intersect(col("__shd"), typedlit(benchSh.toSeq)))
+          .cast("long").as("n_overlap"),
+        size(col("__shd")).as("n_shingles"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") /
+          col("n_shingles").cast("double"), 6))
+      .withColumn("contaminated",
+        when(col("contamination") >= flagThreshold, 1).otherwise(0))
+  }
+
   /** Corpus-level boilerplate mining: the `k` word-n-grams appearing in
     * the most documents (document frequency over per-doc DISTINCT
     * shingles, so a doc repeating a template line counts once). Total

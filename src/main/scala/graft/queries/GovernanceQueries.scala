@@ -113,6 +113,29 @@ object GovernanceQueries extends QueryPack {
           WHERE rn <= q.quota ORDER BY doc_id"""
     }),
 
+    // ---- token-budget corpus selection ------------------------------
+    QueryDef("q_token_budget", (s, dir) => {
+      import graft.functions.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val total = docs.agg(
+        sum(TextAnalysis.wsTokenCount(col("text")).cast("long")))
+        .head().getLong(0)
+      Curation.sampleToTokenBudget(docs, "doc_id", "text",
+          total * 30 / 100)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS toks,
+            md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+          b AS (SELECT (sum(toks) * 30) // 100 AS budget FROM t),
+          c AS (SELECT doc_id, toks, sum(toks) OVER (ORDER BY k, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t)
+          SELECT doc_id, CAST(toks AS INT) AS n_tokens FROM c
+          WHERE cum <= (SELECT budget FROM b) ORDER BY doc_id""")),
+
     // ---- boilerplate mining (top n-grams by document frequency) -----
     QueryDef("q_top_ngrams", (s, dir) => {
       Decontam.topShinglesByDf(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Curation, Decontam, Pii}
+import graft.queries.Tables
 
 /** Corpus-governance operators: decontamination, PII scrub, mixture
   * sampling, boilerplate mining (the composed queries are oracle-gated;
@@ -136,6 +137,83 @@ class GovernanceSpec extends AnyFunSuite {
     val kept = Curation.sampleMixture(mixCorpus(30), "doc_id", "lang",
       Map("en" -> 1000L)).count()
     assert(kept == 10)
+  }
+
+  // ---- token-budget sampling ----------------------------------------
+
+  def tokCorpus(n: Int): DataFrame =
+    (0 until n).map(i => (i.toLong,
+      Seq.fill(3 + i % 7)("w").mkString(" "))).toDF("doc_id", "text")
+
+  test("sampleToTokenBudget keeps the md5-order prefix within budget") {
+    val d = tokCorpus(200)
+    val got = Curation.sampleToTokenBudget(d, "doc_id", "text", 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // naive single-window running sum as ground truth
+    val w = Window.orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d
+      .withColumn("cum", sum(size(split($"text", "\\s+")).cast("long")).over(w))
+      .filter($"cum" <= 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == naive && got.nonEmpty && got.size < 200)
+  }
+
+  test("sampleToTokenBudget keeps everything when the budget covers it") {
+    val d = tokCorpus(50)
+    assert(Curation.sampleToTokenBudget(d, "doc_id", "text", 100000L)
+      .count() == 50)
+  }
+
+  test("sampleToTokenBudget is partitioning-insensitive") {
+    val d = tokCorpus(200)
+    def ids(df: DataFrame) =
+      Curation.sampleToTokenBudget(df, "doc_id", "text", 400L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(d.repartition(17)) == ids(d.coalesce(1)))
+  }
+
+  // ---- stateless / streaming decontamination ------------------------
+
+  test("contaminationStateless equals the batch join version") {
+    val docs500 = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs500.filter($"doc_id" % 37 === 0)
+    val corpus = docs500.filter($"doc_id" % 37 =!= 0)
+    def rows(df: DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    val batch = rows(Decontam.contamination(
+      corpus, bench, "text", "doc_id"))
+    val stateless = rows(Decontam.contaminationStateless(
+      corpus, bench, "text", "doc_id"))
+    assert(stateless == batch && batch.nonEmpty)
+  }
+
+  test("contaminationStateless refuses an oversized benchmark") {
+    val bench = docs(1L -> "alpha beta gamma delta epsilon")
+    intercept[IllegalArgumentException] {
+      Decontam.contaminationStateless(docs(2L -> "alpha beta gamma"),
+        bench, "text", "doc_id", maxBenchShingles = 1)
+    }
+  }
+
+  test("contaminationStateless runs inside a streaming query, stateless") {
+    import graft.streaming.SarStreaming
+    val docs500 = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs500.filter($"doc_id" % 37 === 0)
+    val corpus = docs500.filter($"doc_id" % 37 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam")
+      .toString
+    corpus.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(s"$dir/in").schema, s"$dir/in")
+    val out = SarStreaming.runToMemory(
+      Decontam.contaminationStateless(stream, bench, "text", "doc_id"),
+      "decontam_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = Decontam.contamination(corpus, bench, "text", "doc_id")
+    assert(out.count() == batch.count())
+    assert(out.agg(sum("n_overlap")).head().getLong(0) ==
+      batch.agg(sum("n_overlap")).head().getLong(0))
   }
 
   test("temperatureWeights: alpha 1 natural, alpha 0 uniform") {
