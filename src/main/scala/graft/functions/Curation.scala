@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,29 +114,57 @@ object Curation {
       quotas: Map[String, Long]): DataFrame = {
     require(quotas.nonEmpty, "at least one domain quota")
     val spark = docs.sparkSession
-    val key = md5(col(idCol).cast("string"))
-    val withK = docs
-      .filter(col(domainCol).isin(quotas.keys.toSeq: _*))
-      .withColumn("__key", key)
-      .withColumn("__bkt", substring(col("__key"), 1, 2))
-    val counts = withK.groupBy(domainCol, "__bkt").count().collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (d, rows) =>
-      val sorted = rows.sortBy(_._2)
-      sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3))
-        .map { case (b, off) => (d, b, off) }
-    }
     import spark.implicits._
-    val offDf = offsets.toDF(domainCol, "__bkt", "__off")
+    val (withOff, _) = withBucketOffsets(
+      docs.filter(col(domainCol).isin(quotas.keys.toSeq: _*)),
+      idCol, Seq(domainCol), count(lit(1)))
     val quotaDf = quotas.toSeq.toDF(domainCol, "__quota")
     val w = Window.partitionBy(col(domainCol), col("__bkt"))
       .orderBy(col("__key"), col(idCol))
-    withK
-      .join(broadcast(offDf), Seq(domainCol, "__bkt"))
+    withOff
       .join(broadcast(quotaDf), Seq(domainCol))
       .withColumn("__rank", row_number().over(w).cast("long") + col("__off"))
       .filter(col("__rank") <= col("__quota"))
       .drop("__key", "__bkt", "__off", "__quota", "__rank")
+  }
+
+  /** The shared bucket-offset construction behind [[sampleMixture]] and
+    * [[sampleToTokenBudget]]: md5(id) sort key, first-key-byte bucket
+    * (256-way parallel per group), and a driver-side EXCLUSIVE
+    * prefix-sum of a per-(group, bucket) measure joined back by
+    * broadcast as `__off`. Because the bucket is a prefix of the sort
+    * key, a bucket-local rank or running sum plus `__off` equals the
+    * global per-group value exactly. `groupCols` must be string-typed
+    * (may be empty = one global group); `measure` must aggregate to a
+    * non-null long (a count, or a coalesced sum). Returns the docs with
+    * `__key`/`__bkt`/`__off` attached, plus the grand total of the
+    * measure (so callers deriving budgets from totals reuse this pass
+    * instead of scanning again). */
+  private def withBucketOffsets(docs: DataFrame, idCol: String,
+      groupCols: Seq[String], measure: Column): (DataFrame, Long) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = docs.sparkSession
+    val withK = docs
+      .withColumn("__key", md5(col(idCol).cast("string")))
+      .withColumn("__bkt", substring(col("__key"), 1, 2))
+    val aggRows = withK
+      .groupBy((groupCols :+ "__bkt").map(col): _*)
+      .agg(measure.as("__m")).collect()
+      .map(r => (groupCols.indices.map(r.getString),
+        r.getString(groupCols.length), r.getLong(groupCols.length + 1)))
+    val offRows = aggRows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3))
+        .map { case (b, off) => Row.fromSeq(g ++ Seq(b, off)) }
+    }
+    val schema = StructType(
+      groupCols.map(StructField(_, StringType)) ++
+        Seq(StructField("__bkt", StringType), StructField("__off", LongType)))
+    val offDf = spark.createDataFrame(offRows.asJava, schema)
+    (withK.join(broadcast(offDf), groupCols :+ "__bkt"),
+      aggRows.map(_._3).sum)
   }
 
   /** Token-budget corpus selection: keep documents in md5(id) order
@@ -145,32 +173,36 @@ object Curation {
     * billion training tokens, uniformly at random, reproducibly" as one
     * deterministic op.
     *
-    * Same bucket-offset construction as [[sampleMixture]], but the
-    * driver prefix-sum runs over per-bucket TOKEN sums instead of row
-    * counts: bucket-local running sum + bucket offset equals the global
-    * running sum exactly, because the bucket is a prefix of the sort
-    * key. 256-way parallel; no single-reducer global window.
-    */
+    * Same bucket-offset construction as [[sampleMixture]]
+    * ([[withBucketOffsets]]), but the driver prefix-sum runs over
+    * per-bucket TOKEN sums instead of row counts. 256-way parallel; no
+    * single-reducer global window. Null text counts zero tokens (kept
+    * for free, like near-empty text — a scrub gate runs before this). */
   def sampleToTokenBudget(docs: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Long): DataFrame = {
-    val spark = docs.sparkSession
-    val withK = docs
-      .withColumn("__toks",
-        TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
-      .withColumn("__key", md5(col(idCol).cast("string")))
-      .withColumn("__bkt", substring(col("__key"), 1, 2))
-    val sums = withK.groupBy("__bkt").agg(sum("__toks").as("s")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    val offsets = sums.map(_._1).zip(sums.scanLeft(0L)(_ + _._2))
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__bkt", "__off")
+      budgetTokens: Long): DataFrame =
+    tokenBudgetCore(docs, idCol, textCol, _ => budgetTokens)
+
+  /** [[sampleToTokenBudget]] with the budget as an integer percentage of
+    * the corpus's own token total ("keep 30% of the tokens"): the total
+    * is read from the bucket-sum pass the sampler already runs, so the
+    * whole selection costs one counting pass + one rank pass — no
+    * separate budget scan. */
+  def sampleToTokenFraction(docs: DataFrame, idCol: String, textCol: String,
+      pctOfTokens: Long): DataFrame =
+    tokenBudgetCore(docs, idCol, textCol, total => total * pctOfTokens / 100)
+
+  private def tokenBudgetCore(docs: DataFrame, idCol: String,
+      textCol: String, budget: Long => Long): DataFrame = {
+    val withT = docs.withColumn("__toks",
+      coalesce(TextAnalysis.wsTokenCount(col(textCol)).cast("long"), lit(0L)))
+    val (withOff, total) = withBucketOffsets(withT, idCol, Seq.empty,
+      coalesce(sum("__toks"), lit(0L)))
     val w = Window.partitionBy(col("__bkt"))
       .orderBy(col("__key"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withK
-      .join(broadcast(offDf), "__bkt")
+    withOff
       .withColumn("__cum", sum(col("__toks")).over(w) + col("__off"))
-      .filter(col("__cum") <= budgetTokens)
+      .filter(col("__cum") <= budget(total))
       .drop("__toks", "__key", "__bkt", "__off", "__cum")
   }
 

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-pipeline step that flags
@@ -19,76 +19,88 @@ import org.apache.spark.sql.functions._
   * (A first cut computed per-doc totals in a second branch; the pushed
   * filter re-inlined the O(words) shingle expression 3-4x per row —
   * measured 5x slower than this single-pass shape at sf0.1.)
+  *
+  * `idCol` must identify documents uniquely: the batch report merges
+  * rows sharing an id into one (union of their shingles, counted
+  * per-row-distinct) while the stateless variant reports per ROW — the
+  * row-for-row equality contract between them assumes keyed input.
   */
 object Decontam {
 
-  /** Per-document contamination report: distinct-shingle overlap count,
-    * total distinct shingles, overlap fraction (6 dp), and a 0/1 flag at
-    * `flagThreshold` (compared on the ROUNDED fraction so an oracle
-    * recomputing it cannot flip the flag at the boundary). Documents with
-    * fewer than `n` words carry no shingles and are excluded — they can
-    * never evidence contamination.
-    */
-  def contamination(corpus: DataFrame, bench: DataFrame, textCol: String,
-      idCol: String, n: Int = 3, flagThreshold: Double = 0.2): DataFrame = {
-    val distinctSh = array_distinct(TextAnalysis.shingles(col(textCol), n))
-    val benchSh = bench
-      .select(explode(array_distinct(
-        TextAnalysis.shingles(col(textCol), n))).as("__sh"))
-      .distinct()
-      .withColumn("__hit", lit(1))
-    corpus
-      .select(col(idCol), explode(distinctSh).as("__sh"))
-      .join(broadcast(benchSh), Seq("__sh"), "left")
-      .select(col(idCol), col("__hit"))
-      .groupBy(idCol)
-      .agg(count(col("__hit")).as("n_overlap"),
-        count(lit(1)).cast("int").as("n_shingles"))
-      .withColumn("contamination",
+  /** Distinct word-n-gram shingles of `textCol` (the one shingle
+    * expression every op in this object derives from). */
+  private def distinctShingles(textCol: String, n: Int): Column =
+    array_distinct(TextAnalysis.shingles(col(textCol), n))
+
+  /** Exploded distinct benchmark shingle set (one row per shingle). */
+  private def benchShingleSet(bench: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    bench.select(explode(distinctShingles(textCol, n)).as("__sh")).distinct()
+
+  /** The shared report tail: overlap fraction rounded to 6 dp and the
+    * 0/1 flag compared on the ROUNDED fraction, so an oracle
+    * recomputing the ratio cannot flip the flag at the threshold. */
+  private def withScore(df: DataFrame, flagThreshold: Double): DataFrame =
+    df.withColumn("contamination",
         round(col("n_overlap").cast("double") /
           col("n_shingles").cast("double"), 6))
       .withColumn("contaminated",
         when(col("contamination") >= flagThreshold, 1).otherwise(0))
+
+  /** Per-document contamination report: distinct-shingle overlap count,
+    * total distinct shingles, overlap fraction (6 dp), and a 0/1 flag
+    * at `flagThreshold`. Documents with fewer than `n` words carry no
+    * shingles and are excluded — they can never evidence contamination.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, flagThreshold: Double = 0.2): DataFrame =
+    withScore(
+      corpus
+        .select(col(idCol), explode(distinctShingles(textCol, n)).as("__sh"))
+        .join(broadcast(benchShingleSet(bench, textCol, n)
+          .withColumn("__hit", lit(1))), Seq("__sh"), "left")
+        .select(col(idCol), col("__hit"))
+        .groupBy(idCol)
+        .agg(count(col("__hit")).as("n_overlap"),
+          count(lit(1)).cast("int").as("n_shingles")),
+      flagThreshold)
       .select(col(idCol), col("n_overlap"), col("n_shingles"),
         col("contamination"), col("contaminated"))
-  }
 
   /** Streaming-safe contamination scoring: the same per-document report
     * as [[contamination]] but computed STATELESSLY — the benchmark's
     * distinct shingle set is collected once and shipped as a literal
-    * array, and the overlap is `array_intersect` column math per row (no
-    * join, no aggregation), so the op runs inside a streaming query with
-    * zero state and no shuffle. Eval sets are small by definition; the
-    * `maxBenchShingles` guard refuses a benchmark too large to ship
-    * rather than silently degrading the stream. Row-for-row equal to
-    * [[contamination]] (pinned by spec).
+    * array, and the overlap is `array_intersect` column math per row
+    * (no join, no aggregation), so the op runs inside a streaming query
+    * with zero state and no shuffle.
+    *
+    * The literal set costs O(|bench|) per ROW (`array_intersect`
+    * rebuilds its hash set per evaluation) plus |bench| strings in
+    * every serialized plan, so the guard is deliberately tight — past
+    * `maxBenchShingles` this formulation IS the degradation, and the
+    * op refuses loudly in favor of the batch join. Row-for-row equal
+    * to [[contamination]] on keyed input (pinned by spec).
     */
   def contaminationStateless(corpus: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
       flagThreshold: Double = 0.2,
-      maxBenchShingles: Int = 2000000): DataFrame = {
-    val benchSh = bench
-      .select(explode(array_distinct(
-        TextAnalysis.shingles(col(textCol), n))).as("__sh"))
-      .distinct()
+      maxBenchShingles: Int = 100000): DataFrame = {
+    val benchSh = benchShingleSet(bench, textCol, n)
       .limit(maxBenchShingles + 1)
       .collect().map(_.getString(0))
     require(benchSh.length <= maxBenchShingles,
-      s"benchmark shingle set exceeds $maxBenchShingles — use the " +
-        "batch contamination() join instead")
-    val sh = array_distinct(TextAnalysis.shingles(col(textCol), n))
-    corpus
-      .select(col(idCol), sh.as("__shd"))
-      .filter(size(col("__shd")) > 0)
-      .select(col(idCol),
-        size(array_intersect(col("__shd"), typedlit(benchSh.toSeq)))
-          .cast("long").as("n_overlap"),
-        size(col("__shd")).as("n_shingles"))
-      .withColumn("contamination",
-        round(col("n_overlap").cast("double") /
-          col("n_shingles").cast("double"), 6))
-      .withColumn("contaminated",
-        when(col("contamination") >= flagThreshold, 1).otherwise(0))
+      s"benchmark shingle set exceeds $maxBenchShingles (per-row cost " +
+        "is O(bench)) — use the batch contamination() join instead")
+    val sh = distinctShingles(textCol, n)
+    withScore(
+      corpus
+        .select(col(idCol), sh.as("__shd"))
+        .filter(size(col("__shd")) > 0)
+        .select(col(idCol),
+          size(array_intersect(col("__shd"), typedlit(benchSh.toSeq)))
+            .cast("long").as("n_overlap"),
+          size(col("__shd")).as("n_shingles")),
+      flagThreshold)
   }
 
   /** Corpus-level boilerplate mining: the `k` word-n-grams appearing in
@@ -103,8 +115,7 @@ object Decontam {
   def topShinglesByDf(docs: DataFrame, textCol: String, n: Int = 3,
       k: Int = 20): DataFrame =
     docs
-      .select(explode(array_distinct(
-        TextAnalysis.shingles(col(textCol), n))).as("shingle"))
+      .select(explode(distinctShingles(textCol, n)).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("shingle"))
       .limit(k)

@@ -116,12 +116,8 @@ object GovernanceQueries extends QueryPack {
     // ---- token-budget corpus selection ------------------------------
     QueryDef("q_token_budget", (s, dir) => {
       import graft.functions.TextAnalysis
-      val docs = Tables.load(s, dir, "documents")
-      val total = docs.agg(
-        sum(TextAnalysis.wsTokenCount(col("text")).cast("long")))
-        .head().getLong(0)
-      Curation.sampleToTokenBudget(docs, "doc_id", "text",
-          total * 30 / 100)
+      Curation.sampleToTokenFraction(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 30L)
         .select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")

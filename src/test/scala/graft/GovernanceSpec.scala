@@ -165,6 +165,26 @@ class GovernanceSpec extends AnyFunSuite {
       .count() == 50)
   }
 
+  test("sampleToTokenFraction equals an explicit budget of the same total") {
+    val d = tokCorpus(100)
+    val total = d.agg(sum(size(split($"text", "\\s+")).cast("long")))
+      .head().getLong(0)
+    def ids(df: DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Curation.sampleToTokenFraction(d, "doc_id", "text", 25L)) ==
+      ids(Curation.sampleToTokenBudget(d, "doc_id", "text", total * 25 / 100)))
+  }
+
+  test("sampleToTokenBudget treats null text as zero tokens, no NPE") {
+    val d = Seq((1L, "a b c d e"), (2L, null), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    assert(Curation.sampleToTokenBudget(d, "doc_id", "text", 1000L)
+      .count() == 3)
+    val allNull = Seq((9L, null: String)).toDF("doc_id", "text")
+    assert(Curation.sampleToTokenBudget(allNull, "doc_id", "text", 0L)
+      .count() == 1)
+  }
+
   test("sampleToTokenBudget is partitioning-insensitive") {
     val d = tokCorpus(200)
     def ids(df: DataFrame) =
