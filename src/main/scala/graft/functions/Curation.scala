@@ -206,6 +206,40 @@ object Curation {
       .drop("__toks", "__key", "__bkt", "__off", "__cum")
   }
 
+  /** Hex threshold for the first-two-md5-chars bucket space: lowercase
+    * hex pairs sort lexicographically in numeric order, so a `<`
+    * comparison against this literal selects exactly `n` of the 256
+    * buckets ("zz" when n covers all of them — no 2-char hex exceeds
+    * it). */
+  private def hexThreshold(n: Int): String =
+    if (n >= 256) "zz" else f"$n%02x"
+
+  /** Deterministic train/val/test assignment: the document's first
+    * md5(id) byte places it in one of 256 buckets; the lowest
+    * `256*testPct/100` buckets are test, the next `256*valPct/100` are
+    * val, the rest train. Pure column math (no shuffle, no state),
+    * stable across engines, partitionings, and corpus growth — a doc's
+    * split never changes when others are added, the property eval
+    * hygiene depends on. Granularity is 1/256 ≈ 0.4%. */
+  def assignSplit(docs: DataFrame, idCol: String, valPct: Int = 5,
+      testPct: Int = 5, splitCol: String = "split"): DataFrame = {
+    val (tEnd, vEnd) = splitThresholds(valPct, testPct)
+    val b = substring(md5(col(idCol).cast("string")), 1, 2)
+    docs.withColumn(splitCol,
+      when(b < lit(tEnd), "test")
+        .when(b < lit(vEnd), "val")
+        .otherwise("train"))
+  }
+
+  /** The (test, val) hex bucket thresholds [[assignSplit]] compares
+    * against — exposed so an oracle can interpolate the SAME literals. */
+  def splitThresholds(valPct: Int, testPct: Int): (String, String) = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      "percentages must be non-negative and sum to at most 100")
+    val t = 256 * testPct / 100
+    (hexThreshold(t), hexThreshold(t + 256 * valPct / 100))
+  }
+
   /** Temperature-scaled mixture weights (the multilingual-pretraining
     * standard): w_d ∝ count_d^alpha, normalized. alpha = 1 keeps natural
     * proportions, alpha → 0 flattens toward uniform. Driver-side math

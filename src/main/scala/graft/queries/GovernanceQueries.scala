@@ -132,6 +132,46 @@ object GovernanceQueries extends QueryPack {
           SELECT doc_id, CAST(toks AS INT) AS n_tokens FROM c
           WHERE cum <= (SELECT budget FROM b) ORDER BY doc_id""")),
 
+    // ---- incremental cross-batch dedup ------------------------------
+    // Seed the ledger with the even-id half, then ingest the WHOLE
+    // corpus: survivors are exactly the docs whose 8-word prefix key no
+    // even-id doc claimed. The ledger is (re)built inside the query so
+    // the oracle row covers write -> anti-join end to end.
+    QueryDef("q_dedup_ledger", (s, dir) => {
+      import graft.sources.DedupLedger
+      val docs = Tables.load(s, dir, "documents")
+      val path = TempIndexDirs.jvmScoped("graft_ledger", dir)
+      // bucketChars = 1: 16 dirs — the layout sized for a small corpus
+      // (256 dirs of a handful of keys each would be pure FS overhead)
+      DedupLedger.write(docs.filter(col("doc_id") % 2 === 0), "text",
+        path, bucketChars = 1)
+      DedupLedger.filterNew(s, docs, "text", path)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH k AS (SELECT doc_id, lang,
+           md5(array_to_string((string_split_regex(text, '\s+'))[1:8], ' '))
+             AS key FROM documents)
+         SELECT doc_id, lang FROM k
+         WHERE key NOT IN (SELECT key FROM k WHERE doc_id % 2 = 0)
+         ORDER BY doc_id""")),
+
+    // ---- deterministic train/val/test split -------------------------
+    QueryDef("q_split", (s, dir) => {
+      Curation.assignSplit(Tables.load(s, dir, "documents"),
+          "doc_id", valPct = 5, testPct = 5)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }, Some {
+      val (t, v) = Curation.splitThresholds(5, 5)
+      s"""SELECT doc_id,
+            CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$t'
+                 THEN 'test'
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$v'
+                 THEN 'val' ELSE 'train' END AS split
+          FROM documents ORDER BY doc_id"""
+    }),
+
     // ---- boilerplate mining (top n-grams by document frequency) -----
     QueryDef("q_top_ngrams", (s, dir) => {
       Decontam.topShinglesByDf(

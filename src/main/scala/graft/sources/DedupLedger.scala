@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Persistent dedup ledger — incremental EXACT dedup across ingestion
+  * batches: the set of already-ingested document keys as a columnar
+  * dataset, so deduplicating a new batch against a 100 TB corpus costs
+  * an anti-join against 16-byte KEYS (one per historical doc, column-
+  * pruned and partition-laid-out) instead of re-scanning corpus text.
+  *
+  * Key = md5 of the first-`prefixWords` whitespace-normalized words —
+  * the same prefix-key rule as `Curation.dedupKeepFirst`, so batch-mode
+  * and incremental-mode dedup make the SAME decisions. The ledger is
+  * partitioned by a hex prefix of the key: appends distribute evenly, a
+  * batch anti-join prunes nothing (md5 is uniform — the pruning is for
+  * point lookups/debugging) but shuffles only the keys and the incoming
+  * BATCH, never historical text. Cost per batch is
+  * O(batch + ledger keys), the incremental-pipeline design point.
+  *
+  * `bucketChars` sizes the layout to the corpus: 2 (256 dirs, default)
+  * for web-scale ledgers where each dir holds tens of MB of keys;
+  * 1 (16 dirs) for small corpora where 256 dirs would be all
+  * filesystem overhead and no parallelism. The choice is a physical
+  * layout knob only — results are identical; reads infer it from the
+  * directory structure, so only writers choose.
+  *
+  * `filterNew` does not dedup WITHIN the batch (two copies arriving in
+  * one batch both pass if their key is unseen) — compose with
+  * `Curation.dedupKeepFirst` for in-batch semantics; `append` stores
+  * each new key once regardless.
+  */
+object DedupLedger {
+
+  def key(textCol: Column, prefixWords: Int = 8): Column =
+    md5(array_join(slice(TextAnalysis.words(textCol), 1, prefixWords), " "))
+
+  private def keyed(docs: DataFrame, textCol: String,
+      prefixWords: Int): DataFrame =
+    docs.withColumn("__ledger_key", key(col(textCol), prefixWords))
+
+  /** Distinct (key, bucket) rows clustered so each partition dir
+    * receives ONE file per ingest — without the repartition every
+    * write task touches every bucket dir and a 32-task write strands
+    * tasks × buckets tiny files per batch (ledger file count must stay
+    * ∝ ingests). */
+  private def keyRows(docs: DataFrame, textCol: String,
+      prefixWords: Int, bucketChars: Int): DataFrame =
+    keyed(docs, textCol, prefixWords)
+      // the "b" prefix keeps all-digit hex buckets ("07", "38") from
+      // being type-inferred as integers on read, which would collapse
+      // leading zeros and split the layout between int and string dirs
+      .select(col("__ledger_key").as("key"),
+        concat(lit("b"),
+          substring(col("__ledger_key"), 1, bucketChars)).as("bucket"))
+      .distinct()
+      .repartition(col("bucket"))
+
+  /** Create/overwrite the ledger from a seed corpus. */
+  def write(docs: DataFrame, textCol: String, path: String,
+      prefixWords: Int = 8, bucketChars: Int = 2): Unit =
+    keyRows(docs, textCol, prefixWords, bucketChars)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/keys")
+
+  /** The stored layout's bucket width (appends must match the seed's,
+    * or a key could land in two dirs and point-lookup pruning breaks).
+    * Inferred from the data itself — filesystem-agnostic. The stored
+    * value carries the "b" type-guard prefix, hence the −1. */
+  private def storedBucketChars(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/keys")
+      .select(coalesce(max(length(col("bucket"))) - 1, lit(2)).cast("int"))
+      .head().getInt(0)
+
+  /** The batch rows whose key the ledger has not seen (anti-join over
+    * keys only; batch text rides along, historical text never moves). */
+  def filterNew(spark: SparkSession, docs: DataFrame, textCol: String,
+      path: String, prefixWords: Int = 8): DataFrame = {
+    val ledger = spark.read.parquet(s"$path/keys")
+      .select(col("key").as("__ledger_key"))
+    keyed(docs, textCol, prefixWords)
+      .join(ledger, Seq("__ledger_key"), "left_anti")
+      .drop("__ledger_key")
+  }
+
+  /** Ingest a batch: return the unseen rows AND record their keys (each
+    * once) so the next batch sees them. The survivors are CHECKPOINTED
+    * (lineage truncated) before the ledger mutates: the key write's
+    * refreshByPath invalidates any cached plan still READING the
+    * ledger path, so a merely-persisted result would silently
+    * re-evaluate against the post-append ledger and return empty.
+    * Reliable checkpoint when a checkpoint dir is configured (the
+    * cluster deployment), localCheckpoint otherwise. */
+  def append(spark: SparkSession, docs: DataFrame, textCol: String,
+      path: String, prefixWords: Int = 8): DataFrame = {
+    val survivors = filterNew(spark, docs, textCol, path, prefixWords)
+    val fresh =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        survivors.checkpoint(eager = true)
+      else survivors.localCheckpoint(eager = true)
+    keyRows(fresh, textCol, prefixWords,
+        storedBucketChars(spark, path))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/keys")
+    fresh
+  }
+}

@@ -236,6 +236,82 @@ class GovernanceSpec extends AnyFunSuite {
       batch.agg(sum("n_overlap")).head().getLong(0))
   }
 
+  // ---- dedup ledger --------------------------------------------------
+
+  test("DedupLedger: write, filterNew, append, idempotent re-append") {
+    import graft.sources.DedupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_ledger")
+      .toString
+    val seed = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota",
+      2L -> "one two three four five six seven eight nine")
+    DedupLedger.write(seed, "text", path)
+    val batch = docs(
+      // same 8-word prefix as seed doc 1 with a new tail -> seen
+      10L -> "alpha beta gamma delta epsilon zeta eta theta NEW TAIL",
+      11L -> "completely fresh document with eight leading words here")
+    val fresh = DedupLedger.append(spark, batch, "text", path)
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(11L))
+    // the batch's own keys are now sealed: re-ingesting returns nothing
+    val second = DedupLedger.append(spark, batch, "text", path)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(second == Set.empty[Long],
+      s"second append leaked $second; ledger = " +
+        spark.read.parquet(s"$path/keys").collect().mkString(", "))
+    // a third doc sharing 11's full 8-word prefix is also seen now
+    val again = docs(
+      12L -> "completely fresh document with eight leading words here TAIL")
+    assert(DedupLedger.filterNew(spark, again, "text", path).count() == 0)
+  }
+
+  test("DedupLedger append adopts the stored bucket width") {
+    import graft.sources.DedupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_ledger_w")
+      .toString
+    DedupLedger.write(docs(1L -> "alpha beta gamma delta"), "text", path,
+      bucketChars = 1)
+    DedupLedger.append(spark,
+      docs(2L -> "five six seven eight nine ten eleven twelve"), "text",
+      path)
+    val widths = spark.read.parquet(s"$path/keys")
+      .select(length($"bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(widths == Set(2)) // "b" + 1 hex char; no mixed widths
+    assert(DedupLedger.filterNew(spark,
+      docs(3L -> "five six seven eight nine ten eleven twelve TAIL"),
+      "text", path).count() == 0)
+  }
+
+  // ---- train/val/test split ------------------------------------------
+
+  test("assignSplit is exhaustive, deterministic, and growth-stable") {
+    val d = mixCorpus(500)
+    val split = Curation.assignSplit(d, "doc_id", valPct = 5, testPct = 5)
+    val byId = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size == 500 &&
+      byId.values.toSet.subsetOf(Set("train", "val", "test")))
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 400) // ~90% of 500
+    assert(counts.getOrElse("val", 0) + counts.getOrElse("test", 0) > 20)
+    // growth stability: the same doc keeps its split in a larger corpus
+    val grown = Curation.assignSplit(mixCorpus(1000), "doc_id", 5, 5)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("assignSplit edge percentages: zero and total") {
+    val d = mixCorpus(100)
+    val allTrain = Curation.assignSplit(d, "doc_id", 0, 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(allTrain == Set("train"))
+    val noTrain = Curation.assignSplit(d, "doc_id", 50, 50)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(!noTrain.contains("train") && noTrain.nonEmpty)
+  }
+
   test("temperatureWeights: alpha 1 natural, alpha 0 uniform") {
     val c = Map("en" -> 900L, "de" -> 100L)
     val nat = Curation.temperatureWeights(c, 1.0)
