@@ -72,7 +72,45 @@ object PipelineDemo {
     println(s"[pipeline] curation survivors: ${curated.count()} " +
       s"of ${docs.count()}")
 
-    // 8. multimodal: opaque binary payloads + REAL header/pixel decode
+    // 8. governance: decontamination, PII scrub, mixture + token
+    // budget sampling, split assignment, incremental dedup ledger
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+    val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+    val contaminated = graft.functions.Decontam
+      .contamination(corpus, bench, "text", "doc_id")
+      .filter(col("contaminated") === 1).count()
+    println(s"[pipeline] decontamination: $contaminated of " +
+      s"${corpus.count()} docs flagged vs ${bench.count()}-doc benchmark")
+
+    val pii = graft.functions.Pii.piiReport(
+      docs.withColumn("aug", concat(col("text"),
+        lit(" contact admin@site.example.org at 10.1.2.3"))),
+      "aug", "doc_id")
+    val piiTotals = pii.agg(sum("n_emails"), sum("n_ips")).head()
+    println(s"[pipeline] PII scrub: ${piiTotals.getLong(0)} emails, " +
+      s"${piiTotals.getLong(1)} IPs redacted")
+
+    val mixed = graft.functions.Curation.sampleMixture(docs, "doc_id",
+      "lang", graft.functions.Curation.mixtureQuotas(docs.count() * 40 / 100,
+        Map("en" -> 50L, "es" -> 20L, "de" -> 10L, "fr" -> 10L, "zh" -> 10L)))
+    val budgeted = graft.functions.Curation.sampleToTokenFraction(
+      docs, "doc_id", "text", 30L)
+    val splits = graft.functions.Curation.assignSplit(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    println(s"[pipeline] mixture sample: ${mixed.count()} docs; " +
+      s"30%-token budget: ${budgeted.count()} docs; splits: $splits")
+
+    val ledgerPath = java.nio.file.Files.createTempDirectory("ledger")
+      .toString
+    graft.sources.DedupLedger.write(corpus, "text", ledgerPath,
+      bucketChars = 1)
+    val freshNext = graft.sources.DedupLedger.filterNew(spark, docs,
+      "text", ledgerPath).count()
+    println(s"[pipeline] dedup ledger: ${docs.count()}-doc re-ingest -> " +
+      s"$freshNext unseen")
+
+    // 9. multimodal: opaque binary payloads + REAL header/pixel decode
     // (docs' text bytes stand in for an object-store read; a real PNG
     // generated in-process shows the JVM-codec path end-to-end)
     val png = {
