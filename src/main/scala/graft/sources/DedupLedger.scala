@@ -106,4 +106,34 @@ object DedupLedger {
       .parquet(s"$path/keys")
     fresh
   }
+
+  /** Compact the ledger: rewrite every bucket into one file. Appends
+    * add one file per bucket per batch — after thousands of ingests the
+    * listing itself dominates the anti-join, so periodic compaction is
+    * part of operating the ledger. Crash-safe the same way
+    * IvfStore.retrain is: write the compacted copy ASIDE, swap the live
+    * directory via two renames (live→old, new→live), delete old, and
+    * roll back the first rename if the second fails — at no point is
+    * the only copy of the keys mid-overwrite. Returns the key count. */
+  def compact(spark: SparkSession, path: String): Long = {
+    val keys = spark.read.parquet(s"$path/keys")
+      .select("key", "bucket")
+      .repartition(col("bucket"))
+    val tmp = s"$path/keys_compact_tmp"
+    keys.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$path/keys")
+    val fs = live.getFileSystem(conf)
+    val aside = new org.apache.hadoop.fs.Path(s"$path/keys_compact_old")
+    fs.delete(aside, true) // leftover from an earlier crashed swap
+    require(fs.rename(live, aside), s"swap failed: $live -> $aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+      fs.rename(aside, live) // roll back: the old ledger stays live
+      throw new IllegalStateException(s"swap failed: $tmp -> $live")
+    }
+    fs.delete(aside, true)
+    spark.catalog.refreshByPath(s"$path/keys")
+    n
+  }
 }

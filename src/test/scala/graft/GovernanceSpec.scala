@@ -265,6 +265,34 @@ class GovernanceSpec extends AnyFunSuite {
     assert(DedupLedger.filterNew(spark, again, "text", path).count() == 0)
   }
 
+  test("DedupLedger compact: one file per bucket, same keys") {
+    import graft.sources.DedupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_ledger_c")
+      .toString
+    DedupLedger.write(docs(1L -> "alpha beta gamma delta"), "text", path,
+      bucketChars = 1)
+    // three appends -> up to three files in any touched bucket dir
+    for (i <- 2 to 4)
+      DedupLedger.append(spark,
+        docs(i.toLong * 10 -> s"unique document number $i with words"),
+        "text", path)
+    val before = spark.read.parquet(s"$path/keys")
+      .select("key").collect().map(_.getString(0)).toSet
+    def filesPerDir = new java.io.File(s"$path/keys").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(DedupLedger.compact(spark, path) == before.size)
+    assert(filesPerDir.forall(_ == 1) && filesPerDir.nonEmpty)
+    val after = spark.read.parquet(s"$path/keys")
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(after == before)
+    // the compacted ledger still answers correctly (doc 1 has < 8
+    // words, so only an identical text shares its prefix key)
+    assert(DedupLedger.filterNew(spark,
+      docs(99L -> "alpha beta gamma delta"), "text", path)
+      .count() == 0)
+  }
+
   test("DedupLedger append adopts the stored bucket width") {
     import graft.sources.DedupLedger
     val path = java.nio.file.Files.createTempDirectory("graft_ledger_w")
