@@ -22,9 +22,8 @@ object PipelineDemo {
     val emb = Tables.load(spark, sfDir, "embeddings").cache()
     println(s"[pipeline] corpus: ${docs.count()} docs, ${emb.count()} vectors ($sfDir)")
 
-    // 1. exact dedup on a normalized prefix key
-    val keyed = docs.withColumn("k",
-      array_join(slice(TextAnalysis.words(col("text")), 1, 8), " "))
+    // 1. exact dedup on the shared normalized prefix key
+    val keyed = docs.withColumn("k", TextAnalysis.prefixKey(col("text")))
     val exactGroups = Dedup.exactDupGroups(keyed, "k", "doc_id").count()
     println(s"[pipeline] exact dup groups: $exactGroups")
 

@@ -47,8 +47,7 @@ object Curation {
     * web-corpus standard: boilerplate-suffixed copies still collapse. */
   def dedupKeepFirst(docs: DataFrame, idCol: String, textCol: String,
       prefixWords: Int = 8): DataFrame = {
-    val key = md5(array_join(
-      slice(TextAnalysis.words(col(textCol)), 1, prefixWords), " "))
+    val key = TextAnalysis.prefixKey(col(textCol), prefixWords)
     val w = Window.partitionBy(key).orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

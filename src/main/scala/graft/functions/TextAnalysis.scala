@@ -138,6 +138,20 @@ object TextAnalysis {
       .otherwise(array())
   }
 
+  /** The prefix dedup key shared by batch dedup
+    * (`Curation.dedupKeepFirst`), the incremental ledger
+    * (`sources.DedupLedger`), and their oracles: md5 of the
+    * first-`prefixWords` whitespace tokens. ONE definition on purpose —
+    * incremental and batch dedup must make the SAME decisions, and a
+    * normalization tweak applied to only one copy would silently split
+    * them. Null text keys like empty text (coalesced before hashing):
+    * md5(NULL) is NULL in every engine, and a NULL key matches nothing
+    * in an anti-join, so un-coalesced null-text docs would pass the
+    * ledger in every batch forever and poison a SQL oracle's NOT IN. */
+  def prefixKey(text: Column, prefixWords: Int = 8): Column =
+    md5(coalesce(array_join(slice(words(text), 1, prefixWords), " "),
+      lit("")))
+
   /** k-min-style document fingerprint: the lexicographic min md5 over the
     * doc's distinct shingles (portable rolling-hash stand-in — md5 exists
     * identically in every engine). */

@@ -150,8 +150,9 @@ object GovernanceQueries extends QueryPack {
         .orderBy("doc_id")
     }, Some(
       """WITH k AS (SELECT doc_id, lang,
-           md5(array_to_string((string_split_regex(text, '\s+'))[1:8], ' '))
-             AS key FROM documents)
+           md5(coalesce(
+             array_to_string((string_split_regex(text, '\s+'))[1:8], ' '),
+             '')) AS key FROM documents)
          SELECT doc_id, lang FROM k
          WHERE key NOT IN (SELECT key FROM k WHERE doc_id % 2 = 0)
          ORDER BY doc_id""")),

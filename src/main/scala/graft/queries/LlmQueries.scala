@@ -590,7 +590,7 @@ object LlmQueries extends QueryPack {
               AND pred = 'en'),
           ded AS (SELECT * FROM (
             SELECT *, row_number() OVER (
-              PARTITION BY md5(array_to_string(w[1:8], ' '))
+              PARTITION BY md5(coalesce(array_to_string(w[1:8], ' '), ''))
               ORDER BY doc_id) AS rn FROM gate) WHERE rn = 1),
           sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(range(len(w) - 2),

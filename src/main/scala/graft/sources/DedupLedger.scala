@@ -35,7 +35,7 @@ import graft.functions.TextAnalysis
 object DedupLedger {
 
   def key(textCol: Column, prefixWords: Int = 8): Column =
-    md5(array_join(slice(TextAnalysis.words(textCol), 1, prefixWords), " "))
+    TextAnalysis.prefixKey(textCol, prefixWords)
 
   private def keyed(docs: DataFrame, textCol: String,
       prefixWords: Int): DataFrame =
@@ -65,20 +65,32 @@ object DedupLedger {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/keys")
 
+  /** Ledger reads carry an explicit schema: an EMPTY seed write leaves
+    * only _SUCCESS behind (no parquet footer to infer from), and
+    * schema inference would throw on the very next call — with the
+    * schema pinned, an empty ledger is just an empty frame and the
+    * pipeline bootstraps cleanly from a day-one seed that matched
+    * nothing. */
+  private def readKeys(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema("key STRING, bucket STRING")
+      .parquet(s"$path/keys")
+
   /** The stored layout's bucket width (appends must match the seed's,
     * or a key could land in two dirs and point-lookup pruning breaks).
-    * Inferred from the data itself — filesystem-agnostic. The stored
-    * value carries the "b" type-guard prefix, hence the −1. */
+    * Read from ONE row — all stored widths are equal by invariant, so
+    * scanning the whole ledger for a max would pay a full pass per
+    * append for a constant. The stored value carries the "b"
+    * type-guard prefix, hence the −1. Empty ledger → default width. */
   private def storedBucketChars(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/keys")
-      .select(coalesce(max(length(col("bucket"))) - 1, lit(2)).cast("int"))
-      .head().getInt(0)
+    readKeys(spark, path)
+      .select((length(col("bucket")) - 1).cast("int"))
+      .take(1).headOption.map(_.getInt(0)).getOrElse(2)
 
   /** The batch rows whose key the ledger has not seen (anti-join over
     * keys only; batch text rides along, historical text never moves). */
   def filterNew(spark: SparkSession, docs: DataFrame, textCol: String,
       path: String, prefixWords: Int = 8): DataFrame = {
-    val ledger = spark.read.parquet(s"$path/keys")
+    val ledger = readKeys(spark, path)
       .select(col("key").as("__ledger_key"))
     keyed(docs, textCol, prefixWords)
       .join(ledger, Seq("__ledger_key"), "left_anti")
@@ -116,12 +128,13 @@ object DedupLedger {
     * roll back the first rename if the second fails — at no point is
     * the only copy of the keys mid-overwrite. Returns the key count. */
   def compact(spark: SparkSession, path: String): Long = {
-    val keys = spark.read.parquet(s"$path/keys")
+    val keys = readKeys(spark, path)
       .select("key", "bucket")
       .repartition(col("bucket"))
     val tmp = s"$path/keys_compact_tmp"
     keys.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
+    val n = spark.read.schema("key STRING, bucket STRING").parquet(tmp)
+      .count()
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(s"$path/keys")
     val fs = live.getFileSystem(conf)

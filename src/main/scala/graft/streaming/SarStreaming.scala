@@ -205,9 +205,8 @@ object SarStreaming {
       delay: String = "1 hour"): DataFrame = {
     import graft.functions.{Curation, TextAnalysis}
     Curation.qualityGate(docs, textCol, cfg)
-      .withColumn("__key", md5(array_join(
-        slice(TextAnalysis.words(col(textCol)), 1, cfg.dedupPrefixWords),
-        " ")))
+      .withColumn("__key",
+        TextAnalysis.prefixKey(col(textCol), cfg.dedupPrefixWords))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__key")
       .drop("__key")

@@ -265,6 +265,28 @@ class GovernanceSpec extends AnyFunSuite {
     assert(DedupLedger.filterNew(spark, again, "text", path).count() == 0)
   }
 
+  test("DedupLedger bootstraps from an empty seed and seals null text") {
+    import graft.sources.DedupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_ledger_e")
+      .toString
+    // day-one seed that matched nothing: only _SUCCESS on disk
+    DedupLedger.write(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", path, bucketChars = 1)
+    val b1 = Seq((1L, null: String), (2L, "real text with actual words"))
+      .toDF("doc_id", "text")
+    assert(DedupLedger.append(spark, b1, "text", path).count() == 2)
+    // the null-text key is a real (coalesced) key: later nulls are seen
+    assert(DedupLedger.filterNew(spark,
+      Seq((3L, null: String)).toDF("doc_id", "text"), "text", path)
+      .count() == 0)
+    // batch dedup agrees: one survivor among null-text docs
+    val batch = Curation.dedupKeepFirst(
+      Seq((7L, null: String), (4L, null: String), (9L, "other words here"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == Set(4L, 9L))
+  }
+
   test("DedupLedger compact: one file per bucket, same keys") {
     import graft.sources.DedupLedger
     val path = java.nio.file.Files.createTempDirectory("graft_ledger_c")
