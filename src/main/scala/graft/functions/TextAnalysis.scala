@@ -138,6 +138,14 @@ object TextAnalysis {
       .otherwise(array())
   }
 
+  /** Canonical text normalization for keying/matching: lowercase,
+    * non-alphanumerics to spaces, whitespace squeezed and trimmed —
+    * the standard pre-dedup canon so "Hello,  World!" and "hello
+    * world" key identically. Pure codegen'd column math with an exact
+    * DuckDB mirror (lower/regexp_replace/trim). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** The prefix dedup key shared by batch dedup
     * (`Curation.dedupKeepFirst`), the incremental ledger
     * (`sources.DedupLedger`), and their oracles: md5 of the

@@ -157,6 +157,53 @@ object GovernanceQueries extends QueryPack {
          WHERE key NOT IN (SELECT key FROM k WHERE doc_id % 2 = 0)
          ORDER BY doc_id""")),
 
+    // ---- per-source corpus report -----------------------------------
+    // The curation dashboard: per source, doc/token totals and the
+    // quality-gate pass count over NORMALIZED text. Every aggregate
+    // accumulates integers (counts, int token sums) — no float
+    // summation-order hazard; the only double is a ratio of two longs
+    // rounded at the end.
+    QueryDef("q_corpus_report", (s, dir) => {
+      import graft.functions.TextAnalysis
+      val norm = TextAnalysis.normalizeText(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.wsTokenCount(norm).cast("long").as("toks"),
+          when(TextAnalysis.qualityScore(norm) >= 0.5, 1L).otherwise(0L)
+            .as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("q")).as("n_quality"))
+        .withColumn("mean_tokens",
+          round(col("n_tokens").cast("double") /
+            col("n_docs").cast("double"), 4))
+        .orderBy("source")
+    }, Some(
+      """WITH n AS (SELECT source,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+           FROM documents),
+          tw AS (SELECT source, t, string_split_regex(t, '\s+') AS w
+                 FROM n),
+          d AS (SELECT source,
+           CAST(len(w) AS BIGINT) AS toks,
+           CASE WHEN round((
+               least(CAST(length(t) AS DOUBLE) / 500.0, 1.0)
+             + (1.0 - least(abs(
+                 CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                   / len(w) - 5.0) / 5.0, 1.0))
+             + (1.0 - least((CASE WHEN length(t) > 0
+                 THEN CAST(len(regexp_extract_all(t, '[^A-Za-z0-9 ]'))
+                      AS DOUBLE) / length(t)
+                 ELSE 0.0 END) * 10.0, 1.0))
+           ) / 3.0, 4) >= 0.5 THEN 1 ELSE 0 END AS q
+           FROM tw)
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(toks) AS BIGINT) AS n_tokens,
+            CAST(sum(q) AS BIGINT) AS n_quality,
+            round(CAST(sum(toks) AS DOUBLE) / count(*), 4) AS mean_tokens
+          FROM d GROUP BY source ORDER BY source""")),
+
     // ---- deterministic train/val/test split -------------------------
     QueryDef("q_split", (s, dir) => {
       Curation.assignSplit(Tables.load(s, dir, "documents"),

@@ -236,6 +236,27 @@ class GovernanceSpec extends AnyFunSuite {
       batch.agg(sum("n_overlap")).head().getLong(0))
   }
 
+  // ---- normalization --------------------------------------------------
+
+  test("normalizeText canonicalizes case, punctuation, and whitespace") {
+    import graft.functions.TextAnalysis
+    val cases = Seq(
+      "Hello,  World!" -> "hello world",
+      "  a--b__c  " -> "a b c",
+      "ALL CAPS 42" -> "all caps 42",
+      "!!!" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.normalizeText($"t")).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+    // normalized variants key identically for dedup
+    val k = Seq("Hello,  World! Extra words for the prefix key here OK",
+        "hello world extra words for the prefix key here ok")
+      .toDF("t")
+      .select(TextAnalysis.prefixKey(TextAnalysis.normalizeText($"t")))
+      .distinct().count()
+    assert(k == 1)
+  }
+
   // ---- dedup ledger --------------------------------------------------
 
   test("DedupLedger: write, filterNew, append, idempotent re-append") {
