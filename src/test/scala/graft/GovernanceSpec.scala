@@ -383,6 +383,54 @@ class GovernanceSpec extends AnyFunSuite {
     assert(!noTrain.contains("train") && noTrain.nonEmpty)
   }
 
+  // ---- randomized properties (batch-evaluated: one job per property) --
+
+  def randomTexts(n: Int, seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val chars = "abc XYZ 0123456789 .,!@-_:/()' "
+    (0 until n).map(i => (i.toLong,
+      (0 until rnd.nextInt(120)).map(_ => chars(rnd.nextInt(chars.length)))
+        .mkString))
+  }
+
+  test("property: redact and normalizeText are idempotent on noise") {
+    import graft.functions.TextAnalysis
+    val df = randomTexts(400, 42L).toDF("id", "t")
+    val r1 = Pii.redact($"t")
+    assert(df.filter(Pii.redact(r1) =!= r1).count() == 0)
+    val n1 = TextAnalysis.normalizeText($"t")
+    assert(df.filter(TextAnalysis.normalizeText(n1) =!= n1).count() == 0)
+  }
+
+  test("property: prefixKey depends only on the first 8 words") {
+    import graft.functions.TextAnalysis
+    val rnd = new scala.util.Random(7L)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rows = (0 until 200).map { i =>
+      val prefix = (0 until 8).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")
+      val tail = (0 until rnd.nextInt(10))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      (prefix, (prefix + " " + tail).trim)
+    }
+    val df = rows.toDF("prefix", "full")
+    assert(df.filter(TextAnalysis.prefixKey($"prefix") =!=
+      TextAnalysis.prefixKey($"full")).count() == 0)
+  }
+
+  test("property: sampleMixture hits arbitrary quotas exactly") {
+    val d = mixCorpus(300) // 100 docs per domain
+    val rnd = new scala.util.Random(11L)
+    for (_ <- 1 to 3) {
+      val quotas = domains.map(_ -> (rnd.nextInt(100) + 1).toLong).toMap
+      val got = Curation.sampleMixture(d, "doc_id", "lang", quotas)
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == quotas.filter(_._2 > 0), s"quotas $quotas -> $got")
+    }
+  }
+
   test("temperatureWeights: alpha 1 natural, alpha 0 uniform") {
     val c = Map("en" -> 900L, "de" -> 100L)
     val nat = Curation.temperatureWeights(c, 1.0)

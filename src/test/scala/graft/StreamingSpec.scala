@@ -214,4 +214,32 @@ class StreamingSpec extends AnyFunSuite {
     // surviving state would have produced (2,3)
     assert(u1 == Set((1L, 2L), (1L, 1L)), s"got $u1")
   }
+
+  test("stateless governance ops (PII, normalize, split) run in one streaming pass") {
+    import graft.functions.{Curation, Pii, TextAnalysis}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text",
+        concat(col("text"), lit(" mail "), col("doc_id").cast("string"),
+          lit("@x.example.io")))
+    val dir = Files.createTempDirectory("graft_gov_stream").toString
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(s"$dir/in").schema, s"$dir/in")
+    val scrubbed = Curation.assignSplit(
+      stream.withColumn("text", Pii.redact(col("text")))
+        .withColumn("norm", TextAnalysis.normalizeText(col("text"))),
+      "doc_id")
+    val out = SarStreaming.runToMemory(scrubbed, "gov_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(out.count() == docs.count())
+    // every email was redacted in-flight...
+    assert(out.filter(col("text").contains("@")).count() == 0)
+    // ...and the stream's split assignment equals the batch one
+    val batchSplits = Curation.assignSplit(docs, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val streamSplits = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamSplits == batchSplits)
+  }
 }
