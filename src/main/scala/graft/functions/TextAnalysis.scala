@@ -17,23 +17,71 @@ object TextAnalysis {
 
   def wsTokenCount(text: Column): Column = size(words(text))
 
+  /** Run-length fold over a SORTED array: applies `measure(runLength,
+    * element)` as each run of equal elements ends (in sorted order,
+    * left to right) and combines with `combine`. O(t log t) sort +
+    * O(t) fold, replacing the O(distinct·t) count-each-distinct scan —
+    * the difference between t² and t log t on real prose where most
+    * tokens are distinct. The accumulator carries (prev, run, acc);
+    * run = 0 marks "no element seen" so an empty-string element can't
+    * be confused with the initial state. */
+  private def sortedRunFold(arr: Column, init: Column,
+      measure: (Column, Column) => Column,
+      combine: (Column, Column) => Column): Column = {
+    val sorted = array_sort(arr)
+    val folded = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), init.as("acc")),
+      (st, x) => {
+        val prev = st.getField("prev")
+        val run = st.getField("run")
+        val acc = st.getField("acc")
+        when(run === 0L,
+          struct(x.as("prev"), lit(1L).as("run"), acc.as("acc")))
+          .when(x === prev,
+            struct(prev.as("prev"), (run + 1L).as("run"), acc.as("acc")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+            combine(acc, measure(run, prev)).as("acc")))
+      },
+      st => when(st.getField("run") === 0L, st.getField("acc"))
+        .otherwise(combine(st.getField("acc"),
+          measure(st.getField("run"), st.getField("prev")))))
+    folded
+  }
+
+  /** Per-row dispatch bound between the two distinct-count strategies:
+    * at or below this many distinct elements, the O(distinct·t)
+    * count-each-distinct scan beats the O(t log t) [[sortedRunFold]]
+    * (the fold's struct accumulator has a ~5x constant, measured on
+    * the bench corpus); real prose has distinct ≈ t and needs the
+    * fold or the scan goes quadratic. Both strategies add the same
+    * terms in the same sorted order, so the dispatch can never change
+    * a result — only the cost. */
+  private val runFoldDispatch = 64
+
   /** Shannon entropy (base 2) of the token distribution — the standard
     * gibberish/boilerplate signal: repeated boilerplate scores near 0,
     * natural text sits in the middle, random soup near log2(n_tokens).
     * Deterministic across engines AND partitionings by construction:
-    * counts are exact integers and the −Σ p·log2 p fold runs over the
-    * SORTED distinct tokens, so both sides sum in the identical order
-    * (a group-by entropy aggregate would sum floats in shuffle order).
-    * O(distinct·tokens) per row — fine for document-scale text. */
+    * counts are exact integers and the −Σ p·log2 p terms are added in
+    * SORTED-token order on both sides (a group-by entropy aggregate
+    * would sum floats in shuffle order) — under BOTH per-row
+    * strategies ([[runFoldDispatch]]), so the adaptive dispatch is
+    * invisible in the results. */
   def tokenEntropy(text: Column): Column = {
     val toks = words(text)
     val n = size(toks).cast("double")
     val uniq = array_sort(array_distinct(toks))
-    val ent = aggregate(uniq, lit(0.0), (acc, t) => {
+    val scan = aggregate(uniq, lit(0.0), (acc, t) => {
       val p = size(filter(toks, x => x === t)).cast("double") / n
       acc + p * log2(p)
     })
-    lit(0.0) - ent
+    val fold = sortedRunFold(toks, lit(0.0),
+      (run, _) => {
+        val p = run.cast("double") / n
+        p * log2(p)
+      },
+      (a, b) => a + b)
+    lit(0.0) - when(size(uniq) <= runFoldDispatch, scan).otherwise(fold)
   }
 
   /** BPE-ish token count: letter runs, single digits, single symbols. */
@@ -113,14 +161,22 @@ object TextAnalysis {
     * repetition signal, made deterministic by maximizing the PRODUCT
     * directly (an argmax-by-count would need a tie-break; the max of a
     * scalar needs none). 0 for docs below n words or empty text.
-    * O(distinct·shingles) per row, like [[tokenEntropy]]. Callers
-    * composing several metrics should project the shingle array once
-    * (the q_fingerprint CollapseProject lesson). */
+    * Same adaptive dispatch as [[tokenEntropy]]: count-each-distinct
+    * scan for small vocabularies, run-length fold over the sorted
+    * shingle array past [[runFoldDispatch]] distinct shingles (a max
+    * is order-insensitive, so the dispatch is invisible in results).
+    * Callers composing several metrics should project the shingle
+    * array once (the q_fingerprint CollapseProject lesson). */
   def topNgramCharFraction(text: Column, n: Int = 3): Column = {
     val sh = shingles(text, n)
+    val uniq = array_distinct(sh)
+    val scan = array_max(transform(uniq,
+      x => (size(filter(sh, y => y === x)) * length(x)).cast("double")))
+    val fold = sortedRunFold(sh, lit(0.0),
+      (run, x) => (run * length(x)).cast("double"),
+      (a, b) => greatest(a, b))
     when(size(sh) > 0 && length(text) > 0,
-      array_max(transform(array_distinct(sh),
-        x => (size(filter(sh, y => y === x)) * length(x)).cast("double")))
+      when(size(uniq) <= runFoldDispatch, scan).otherwise(fold)
         / length(text).cast("double"))
       .otherwise(lit(0.0))
   }

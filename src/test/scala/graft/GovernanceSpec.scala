@@ -393,6 +393,28 @@ class GovernanceSpec extends AnyFunSuite {
         .mkString))
   }
 
+  test("entropy/repetition fold branch (>64 distinct) matches closed forms") {
+    import graft.functions.TextAnalysis
+    // 100 distinct tokens, uniform -> entropy = log2(100) exactly
+    val vocab = (0 until 100).map(i => s"tok$i")
+    val uniform = vocab.mkString(" ")
+    val ent = Seq(uniform).toDF("t")
+      .select(TextAnalysis.tokenEntropy($"t")).head().getDouble(0)
+    assert(math.abs(ent - math.log(100) / math.log(2)) < 1e-9)
+    // >64 distinct shingles with one trigram repeated twice
+    val rep = uniform + " tok0 tok1 tok2"
+    val frac = Seq(rep).toDF("t")
+      .select(TextAnalysis.topNgramCharFraction($"t")).head().getDouble(0)
+    assert(math.abs(frac - 2.0 * "tok0 tok1 tok2".length / rep.length)
+      < 1e-12)
+    // small-vocab scan branch agrees with a hand-computed distribution:
+    // {a:3, b:1} -> -(0.75 log2 0.75 + 0.25 log2 0.25)
+    val small = Seq("a a a b").toDF("t")
+      .select(TextAnalysis.tokenEntropy($"t")).head().getDouble(0)
+    val exp = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)) / math.log(2)
+    assert(math.abs(small - exp) < 1e-12)
+  }
+
   test("property: redact and normalizeText are idempotent on noise") {
     import graft.functions.TextAnalysis
     val df = randomTexts(400, 42L).toDF("id", "t")
