@@ -42,12 +42,19 @@ object Curation {
       base.filter(TextAnalysis.langId(col(textCol)) === l))
   }
 
-  /** Stage 2 — exact dedup, keep-first: one survivor (min id) per md5 of
-    * the first-`prefixWords` normalized prefix. Prefix-key dedup is the
-    * web-corpus standard: boilerplate-suffixed copies still collapse. */
+  /** Stage 2 — exact dedup, keep-first: one survivor (min id) per md5
+    * of the first-`prefixWords` WHITESPACE-normalized prefix (the key
+    * collapses runs of whitespace but is case/punctuation-sensitive by
+    * default). Prefix-key dedup is the web-corpus standard:
+    * boilerplate-suffixed copies still collapse. `normalizeKeys` runs
+    * [[TextAnalysis.normalizeText]] before keying so "Hello,  World!"
+    * and "hello world" copies also collapse — a KEY choice only; the
+    * surviving document keeps its original text. */
   def dedupKeepFirst(docs: DataFrame, idCol: String, textCol: String,
-      prefixWords: Int = 8): DataFrame = {
-    val key = TextAnalysis.prefixKey(col(textCol), prefixWords)
+      prefixWords: Int = 8, normalizeKeys: Boolean = false): DataFrame = {
+    val keyText = if (normalizeKeys) TextAnalysis.normalizeText(col(textCol))
+      else col(textCol)
+    val key = TextAnalysis.prefixKey(keyText, prefixWords)
     val w = Window.partitionBy(key).orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -70,18 +70,22 @@ object TextAnalysis {
   def tokenEntropy(text: Column): Column = {
     val toks = words(text)
     val n = size(toks).cast("double")
-    val uniq = array_sort(array_distinct(toks))
-    val scan = aggregate(uniq, lit(0.0), (acc, t) => {
-      val p = size(filter(toks, x => x === t)).cast("double") / n
-      acc + p * log2(p)
-    })
+    val scan = aggregate(array_sort(array_distinct(toks)), lit(0.0),
+      (acc, t) => {
+        val p = size(filter(toks, x => x === t)).cast("double") / n
+        acc + p * log2(p)
+      })
     val fold = sortedRunFold(toks, lit(0.0),
       (run, _) => {
         val p = run.cast("double") / n
         p * log2(p)
       },
       (a, b) => a + b)
-    lit(0.0) - when(size(uniq) <= runFoldDispatch, scan).otherwise(fold)
+    // dispatch on the UNSORTED distinct count: the fold path (large
+    // docs) must not pay a distinct-array sort just to be chosen
+    lit(0.0) -
+      when(size(array_distinct(toks)) <= runFoldDispatch, scan)
+        .otherwise(fold)
   }
 
   /** BPE-ish token count: letter runs, single digits, single symbols. */
@@ -207,13 +211,26 @@ object TextAnalysis {
       .otherwise(array())
   }
 
+  /** Everything that is not a Unicode letter or digit, as one regex
+    * class shared with the DuckDB oracles (interpolated, never
+    * copied) — \p{L}/\p{Nd} behave identically in Java regex and RE2,
+    * so CJK text and accented letters survive normalization on both
+    * engines. */
+  val normalizePattern = """[^\p{L}\p{Nd}]+"""
+
   /** Canonical text normalization for keying/matching: lowercase,
-    * non-alphanumerics to spaces, whitespace squeezed and trimmed —
-    * the standard pre-dedup canon so "Hello,  World!" and "hello
-    * world" key identically. Pure codegen'd column math with an exact
-    * DuckDB mirror (lower/regexp_replace/trim). */
+    * non-letters/digits to spaces, whitespace squeezed and trimmed —
+    * the pre-dedup canon so "Hello,  World!" and "hello world" key
+    * identically (compose `prefixKey(normalizeText(c))`, or set
+    * `normalizeKeys` on Curation, for case/punct-insensitive dedup).
+    * Unicode-aware: CJK and accented letters are kept, so the canon
+    * works on the multilingual corpus, not just ASCII. Cross-engine
+    * caveat: a handful of full case mappings (e.g. U+0130 İ) lower
+    * differently under Java and utf8proc — identical on ASCII and on
+    * common Unicode, verified by the hash gate over the multilingual
+    * testdata, but not a bit-for-bit guarantee on every code point. */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    trim(regexp_replace(lower(text), normalizePattern, " "))
 
   /** The prefix dedup key shared by batch dedup
     * (`Curation.dedupKeepFirst`), the incremental ledger

@@ -158,19 +158,23 @@ object GovernanceQueries extends QueryPack {
          ORDER BY doc_id""")),
 
     // ---- per-source corpus report -----------------------------------
-    // The curation dashboard: per source, doc/token totals and the
-    // quality-gate pass count over NORMALIZED text. Every aggregate
-    // accumulates integers (counts, int token sums) — no float
-    // summation-order hazard; the only double is a ratio of two longs
-    // rounded at the end.
+    // The curation dashboard: per source, NORMALIZED-token totals
+    // (Unicode canon — CJK/accented text keeps its tokens; a doc whose
+    // canon is empty contributes ZERO tokens, not a phantom one) and
+    // the quality-gate pass count over the RAW text (the punctuation
+    // signal only exists pre-normalization). Every aggregate
+    // accumulates integers — no float summation-order hazard; the only
+    // double is a ratio of two longs rounded at the end.
     QueryDef("q_corpus_report", (s, dir) => {
       import graft.functions.TextAnalysis
       val norm = TextAnalysis.normalizeText(col("text"))
       Tables.load(s, dir, "documents")
         .select(col("source"),
-          TextAnalysis.wsTokenCount(norm).cast("long").as("toks"),
-          when(TextAnalysis.qualityScore(norm) >= 0.5, 1L).otherwise(0L)
-            .as("q"))
+          when(length(norm) === 0, 0L)
+            .otherwise(TextAnalysis.wsTokenCount(norm).cast("long"))
+            .as("toks"),
+          when(TextAnalysis.qualityScore(col("text")) >= 0.5, 1L)
+            .otherwise(0L).as("q"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("toks")).as("n_tokens"),
@@ -179,22 +183,26 @@ object GovernanceQueries extends QueryPack {
           round(col("n_tokens").cast("double") /
             col("n_docs").cast("double"), 4))
         .orderBy("source")
-    }, Some(
-      """WITH n AS (SELECT source,
-           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+    }, Some {
+      import graft.functions.TextAnalysis
+      s"""WITH n AS (SELECT source, text,
+           trim(regexp_replace(lower(text),
+             '${TextAnalysis.normalizePattern}', ' ', 'g')) AS t
            FROM documents),
-          tw AS (SELECT source, t, string_split_regex(t, '\s+') AS w
-                 FROM n),
+          tw AS (SELECT source, text, t,
+             string_split_regex(text, '\\s+') AS w FROM n),
           d AS (SELECT source,
-           CAST(len(w) AS BIGINT) AS toks,
+           CASE WHEN length(t) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(t, '\\s+')) AS BIGINT)
+           END AS toks,
            CASE WHEN round((
-               least(CAST(length(t) AS DOUBLE) / 500.0, 1.0)
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
              + (1.0 - least(abs(
                  CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
                    / len(w) - 5.0) / 5.0, 1.0))
-             + (1.0 - least((CASE WHEN length(t) > 0
-                 THEN CAST(len(regexp_extract_all(t, '[^A-Za-z0-9 ]'))
-                      AS DOUBLE) / length(t)
+             + (1.0 - least((CASE WHEN length(text) > 0
+                 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                      AS DOUBLE) / length(text)
                  ELSE 0.0 END) * 10.0, 1.0))
            ) / 3.0, 4) >= 0.5 THEN 1 ELSE 0 END AS q
            FROM tw)
@@ -202,7 +210,8 @@ object GovernanceQueries extends QueryPack {
             CAST(sum(toks) AS BIGINT) AS n_tokens,
             CAST(sum(q) AS BIGINT) AS n_quality,
             round(CAST(sum(toks) AS DOUBLE) / count(*), 4) AS mean_tokens
-          FROM d GROUP BY source ORDER BY source""")),
+          FROM d GROUP BY source ORDER BY source"""
+    }),
 
     // ---- deterministic train/val/test split -------------------------
     QueryDef("q_split", (s, dir) => {

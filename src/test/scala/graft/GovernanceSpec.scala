@@ -244,6 +244,9 @@ class GovernanceSpec extends AnyFunSuite {
       "Hello,  World!" -> "hello world",
       "  a--b__c  " -> "a b c",
       "ALL CAPS 42" -> "all caps 42",
+      // Unicode letters survive the canon — CJK and accents are text,
+      // not punctuation
+      "Héllo, Wörld! 的是在" -> "héllo wörld 的是在",
       "!!!" -> "")
     val got = cases.map(_._1).toDF("t")
       .select(TextAnalysis.normalizeText($"t")).collect().map(_.getString(0))
@@ -255,6 +258,20 @@ class GovernanceSpec extends AnyFunSuite {
       .select(TextAnalysis.prefixKey(TextAnalysis.normalizeText($"t")))
       .distinct().count()
     assert(k == 1)
+  }
+
+  test("dedupKeepFirst normalizeKeys collapses case/punct variants") {
+    val d = docs(
+      5L -> "Hello, World! Extra words for the prefix key here OK",
+      2L -> "hello world extra words for the prefix key here ok",
+      9L -> "a different document entirely with many other words")
+    val raw = Curation.dedupKeepFirst(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(raw == Set(2L, 5L, 9L)) // case-sensitive keys: no collapse
+    val norm = Curation.dedupKeepFirst(d, "doc_id", "text",
+        normalizeKeys = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(norm == Set(2L, 9L)) // variants collapse; min id survives
   }
 
   // ---- dedup ledger --------------------------------------------------
