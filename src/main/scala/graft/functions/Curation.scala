@@ -212,6 +212,49 @@ object Curation {
       .drop("__toks", "__key", "__bkt", "__off", "__cum")
   }
 
+  /** Quality-ranked corpus selection: keep exactly the top
+    * `n*pctKeep/100` documents by `(scoreCol desc, idCol asc)` — "keep
+    * the best 60% by quality score" as one deterministic op, the
+    * selection step behind every score-based filtering pipeline.
+    *
+    * Exact global rank without a one-reducer window: rows bucket by
+    * approximate score quantiles (the SarOps.downsampleStride value
+    * buckets — equal scores always land in ONE bucket, so cross-bucket
+    * ties are impossible), bucket counts prefix-sum on the driver in
+    * DESCENDING bucket order, and the bucket-local window rank plus
+    * broadcast offset is the exact global rank. Skewed score
+    * distributions degrade parallelism (many equal scores = one big
+    * bucket), never correctness. `scoreCol` must be non-null; ties
+    * break on id, so re-runs keep the SAME documents. */
+  def keepTopFraction(docs: DataFrame, idCol: String, scoreCol: String,
+      pctKeep: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keepN = docs.count() * pctKeep / 100
+    val nb = spark.sessionState.conf.numShufflePartitions
+    val fracs = (1 until nb).map(_.toDouble / nb)
+    val bRow = docs.select(percentile_approx(col(scoreCol).cast("double"),
+      typedlit(fracs), lit(10000)).as("b")).head()
+    val bounds: Seq[Double] =
+      if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Double](0)
+    val bucketOf = bounds.distinct.zipWithIndex
+      .foldRight(lit(bounds.distinct.length)) { case ((b, i), els) =>
+        when(col(scoreCol).cast("double") <= b, lit(i)).otherwise(els)
+      }
+    val withB = docs.withColumn("__qb", bucketOf)
+    val counts = withB.groupBy("__qb").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
+    val offDf = offsets.toSeq.toDF("__qb", "__off")
+    val w = Window.partitionBy(col("__qb"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    withB
+      .join(broadcast(offDf), "__qb")
+      .withColumn("__rank", row_number().over(w).cast("long") + col("__off"))
+      .filter(col("__rank") <= keepN)
+      .drop("__qb", "__off", "__rank")
+  }
+
   /** Hex threshold for the first-two-md5-chars bucket space: lowercase
     * hex pairs sort lexicographically in numeric order, so a `<`
     * comparison against this literal selects exactly `n` of the 256

@@ -119,13 +119,22 @@ object TextAnalysis {
         length(text).cast("double")).otherwise(lit(0.0))
 
   /** Composite quality score in [0,1]: long-enough docs with normal word
-    * length, few symbols, and some (but not only) stopwords score high. */
+    * length, few symbols, and some (but not only) stopwords score high.
+    * Rounded to 4 dp via `floor(x·10⁴ + 0.5)/10⁴` — pure double math
+    * that is bit-identical in every engine, unlike round(): Spark
+    * rounds HALF_UP on the double's exact binary expansion while
+    * DuckDB multiplies first, and a score landing on a decimal .5
+    * boundary (easy here — the terms are small-integer ratios) flips
+    * the last digit between them (caught by the q_quality_select hash
+    * at sf0.1: one doc in 5000). Non-negative input, so the +0.5 floor
+    * IS half-up. */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val wordScore = lit(1.0) -
       least(abs(avgWordLen(text) - lit(5.0)) / lit(5.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
-    round((lenScore + wordScore + punctScore) / 3.0, 4)
+    floor((lenScore + wordScore + punctScore) / 3.0 * 10000.0 + 0.5) /
+      10000.0
   }
 
   /** Stopword profiles for the n-gram/stopword-heuristic language ID. */

@@ -42,6 +42,24 @@ object GovernanceQueries extends QueryPack {
   private val mixPct =
     Seq("en" -> 50L, "es" -> 20L, "de" -> 10L, "fr" -> 10L, "zh" -> 10L)
 
+  /** DuckDB mirror of TextAnalysis.qualityScore over columns `text`
+    * (raw) and `w` (its whitespace split) — ONE fragment shared by
+    * every oracle that scores quality, so the Scala formula and its
+    * mirror cannot drift apart one query at a time. The floor-based
+    * 4 dp rounding mirrors qualityScore's engine-portable rounding
+    * (round() itself differs between the engines at .5 boundaries). */
+  private val qualityExprSql =
+    """(floor((
+        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      + (1.0 - least(abs(
+          CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+            / len(w) - 5.0) / 5.0, 1.0))
+      + (1.0 - least((CASE WHEN length(text) > 0
+          THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+               AS DOUBLE) / length(text)
+          ELSE 0.0 END) * 10.0, 1.0))
+      ) / 3.0 * 10000.0 + 0.5) / 10000.0)"""
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---- benchmark decontamination ----------------------------------
@@ -195,16 +213,7 @@ object GovernanceQueries extends QueryPack {
            CASE WHEN length(t) = 0 THEN 0
                 ELSE CAST(len(string_split_regex(t, '\\s+')) AS BIGINT)
            END AS toks,
-           CASE WHEN round((
-               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-             + (1.0 - least(abs(
-                 CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
-                   / len(w) - 5.0) / 5.0, 1.0))
-             + (1.0 - least((CASE WHEN length(text) > 0
-                 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
-                      AS DOUBLE) / length(text)
-                 ELSE 0.0 END) * 10.0, 1.0))
-           ) / 3.0, 4) >= 0.5 THEN 1 ELSE 0 END AS q
+           CASE WHEN $qualityExprSql >= 0.5 THEN 1 ELSE 0 END AS q
            FROM tw)
           SELECT source, count(*) AS n_docs,
             CAST(sum(toks) AS BIGINT) AS n_tokens,
@@ -228,6 +237,24 @@ object GovernanceQueries extends QueryPack {
                  THEN 'val' ELSE 'train' END AS split
           FROM documents ORDER BY doc_id"""
     }),
+
+    // ---- quality-ranked selection ------------------------------------
+    QueryDef("q_quality_select", (s, dir) => {
+      import graft.functions.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      Curation.keepTopFraction(docs, "doc_id", "quality", 60L)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH tw AS (SELECT doc_id, text,
+            string_split_regex(text, '\\s+') AS w FROM documents),
+          sc AS (SELECT doc_id, $qualityExprSql AS quality FROM tw),
+          r AS (SELECT doc_id, quality, row_number() OVER
+                  (ORDER BY quality DESC, doc_id) AS rn FROM sc)
+          SELECT doc_id, quality FROM r
+          WHERE rn <= (SELECT (count(*) * 60) // 100 FROM documents)
+          ORDER BY doc_id""")),
 
     // ---- boilerplate mining (top n-grams by document frequency) -----
     QueryDef("q_top_ngrams", (s, dir) => {

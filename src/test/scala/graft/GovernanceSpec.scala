@@ -470,6 +470,32 @@ class GovernanceSpec extends AnyFunSuite {
     }
   }
 
+  test("keepTopFraction equals the single-window top-N rank") {
+    val rnd = new scala.util.Random(5L)
+    // heavy score ties (3 decimal values over 200 rows) + unique ids
+    val d = (0 until 200).map(i =>
+      (i.toLong, math.floor(rnd.nextDouble() * 3) / 3.0))
+      .toDF("doc_id", "score")
+    val got = Curation.keepTopFraction(d, "doc_id", "score", 40L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    val naive = d.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 200L * 40 / 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == naive && got.size == 80)
+  }
+
+  test("keepTopFraction is partitioning-insensitive and caps at corpus") {
+    val d = (0 until 90).map(i => (i.toLong, (i % 7).toDouble))
+      .toDF("doc_id", "score")
+    def ids(df: DataFrame) =
+      Curation.keepTopFraction(df, "doc_id", "score", 30L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(d.repartition(11)) == ids(d.coalesce(1)))
+    assert(Curation.keepTopFraction(d, "doc_id", "score", 100L)
+      .count() == 90)
+  }
+
   test("temperatureWeights: alpha 1 natural, alpha 0 uniform") {
     val c = Map("en" -> 900L, "de" -> 100L)
     val nat = Curation.temperatureWeights(c, 1.0)
