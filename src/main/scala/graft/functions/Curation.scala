@@ -222,18 +222,23 @@ object Curation {
     * buckets — equal scores always land in ONE bucket, so cross-bucket
     * ties are impossible), bucket counts prefix-sum on the driver in
     * DESCENDING bucket order, and the bucket-local window rank plus
-    * broadcast offset is the exact global rank. Skewed score
+    * broadcast offset is the exact global rank. The keep count derives
+    * from that same bucket pass (no separate count job). Skewed score
     * distributions degrade parallelism (many equal scores = one big
-    * bucket), never correctness. `scoreCol` must be non-null; ties
-    * break on id, so re-runs keep the SAME documents. */
+    * bucket; row_number caps a single bucket at 2³¹ rows — repartition
+    * the score's granularity before that, e.g. more rounding digits).
+    * Rows with a NULL score are EXCLUDED — a null compares into no
+    * quantile bucket, and "unknown quality" must never outrank a
+    * scored document. Ties break on id, so re-runs keep the SAME
+    * documents. */
   def keepTopFraction(docs: DataFrame, idCol: String, scoreCol: String,
       pctKeep: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val keepN = docs.count() * pctKeep / 100
+    val scored = docs.filter(col(scoreCol).isNotNull)
     val nb = spark.sessionState.conf.numShufflePartitions
     val fracs = (1 until nb).map(_.toDouble / nb)
-    val bRow = docs.select(percentile_approx(col(scoreCol).cast("double"),
+    val bRow = scored.select(percentile_approx(col(scoreCol).cast("double"),
       typedlit(fracs), lit(10000)).as("b")).head()
     val bounds: Seq[Double] =
       if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Double](0)
@@ -241,9 +246,10 @@ object Curation {
       .foldRight(lit(bounds.distinct.length)) { case ((b, i), els) =>
         when(col(scoreCol).cast("double") <= b, lit(i)).otherwise(els)
       }
-    val withB = docs.withColumn("__qb", bucketOf)
+    val withB = scored.withColumn("__qb", bucketOf)
     val counts = withB.groupBy("__qb").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    val keepN = counts.map(_._2).sum * pctKeep / 100
     val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
     val offDf = offsets.toSeq.toDF("__qb", "__off")
     val w = Window.partitionBy(col("__qb"))

@@ -249,11 +249,12 @@ object GovernanceQueries extends QueryPack {
     }, Some(
       s"""WITH tw AS (SELECT doc_id, text,
             string_split_regex(text, '\\s+') AS w FROM documents),
-          sc AS (SELECT doc_id, $qualityExprSql AS quality FROM tw),
+          sc AS (SELECT doc_id, $qualityExprSql AS quality FROM tw
+                 WHERE $qualityExprSql IS NOT NULL),
           r AS (SELECT doc_id, quality, row_number() OVER
                   (ORDER BY quality DESC, doc_id) AS rn FROM sc)
           SELECT doc_id, quality FROM r
-          WHERE rn <= (SELECT (count(*) * 60) // 100 FROM documents)
+          WHERE rn <= (SELECT (count(*) * 60) // 100 FROM sc)
           ORDER BY doc_id""")),
 
     // ---- boilerplate mining (top n-grams by document frequency) -----
