@@ -199,6 +199,20 @@ object Curation {
 
   private def tokenBudgetCore(docs: DataFrame, idCol: String,
       textCol: String, budget: Long => Long): DataFrame = {
+    val (withCum, total) = withRunningTokens(docs, idCol, textCol)
+    withCum
+      .filter(col("__cum") <= budget(total))
+      .drop("__toks", "__key", "__bkt", "__off", "__cum")
+  }
+
+  /** The shared running-token-sum frame behind [[sampleToTokenBudget]]
+    * and [[packShards]]: every doc annotated with its token count
+    * (`__toks`) and INCLUSIVE global running sum (`__cum`) in
+    * `(md5(id), id)` order, plus the corpus token total. Built on
+    * [[withBucketOffsets]] — 256-way parallel, no single-reducer
+    * window. */
+  private def withRunningTokens(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, Long) = {
     val withT = docs.withColumn("__toks",
       coalesce(TextAnalysis.wsTokenCount(col(textCol)).cast("long"), lit(0L)))
     val (withOff, total) = withBucketOffsets(withT, idCol, Seq.empty,
@@ -206,9 +220,28 @@ object Curation {
     val w = Window.partitionBy(col("__bkt"))
       .orderBy(col("__key"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withOff
-      .withColumn("__cum", sum(col("__toks")).over(w) + col("__off"))
-      .filter(col("__cum") <= budget(total))
+    (withOff.withColumn("__cum", sum(col("__toks")).over(w) + col("__off")),
+      total)
+  }
+
+  /** Contiguous token-budget shards — the corpus-sharding step before
+    * sequence packing: documents in deterministic `(md5(id), id)` order
+    * are cut into shards of ~`shardTokens` tokens; a document's shard is
+    * the number of whole budgets its EXCLUSIVE running sum has filled
+    * (`(cum − toks) div budget` — integral division, no float at any
+    * corpus size). A shard may overrun the budget by at most one
+    * document (docs are atomic — the training-shard convention); a doc
+    * larger than the budget owns the overrun of its own shard. Shard
+    * ids are dense from 0 and stable under repartitioning/engines; new
+    * corpus members shift later shards (sharding is an ordered cut, not
+    * a hash — use [[assignSplit]] where growth-stability matters). */
+  def packShards(docs: DataFrame, idCol: String, textCol: String,
+      shardTokens: Long, shardCol: String = "shard"): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    val (withCum, _) = withRunningTokens(docs, idCol, textCol)
+    withCum
+      .withColumn(shardCol,
+        expr(s"(__cum - __toks) div ${shardTokens}L"))
       .drop("__toks", "__key", "__bkt", "__off", "__cum")
   }
 

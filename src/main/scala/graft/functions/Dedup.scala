@@ -397,6 +397,37 @@ object Dedup {
     labels.select(col("label").as("cluster"), col("node"))
   }
 
+  /** SemDeDup-style semantic deduplication over an embedding column
+    * (Abbas et al. 2023): connected components of the cosine ≥
+    * `threshold` pair graph, one survivor (the component-minimum id)
+    * per semantic cluster. Returns EVERY input id with its `cluster`
+    * label (singletons label themselves) and `keep` ∈ {0,1} —
+    * `filter(keep = 1)` is the deduplicated corpus; the full labeling
+    * feeds audit/reporting.
+    *
+    * The pair graph comes from [[cosineDupPairsTrained]] (centroid-
+    * blocked — k≈√n trained buckets, keyed joins only, the path that
+    * survives a 100 TB corpus) or, with `exact = true`, from the
+    * labeled O(n²) [[cosineDupPairsExact]] baseline. Components resolve
+    * via [[duplicateClusters]] (min-label fixpoint — deterministic).
+    * Distinct from text-level clustering ([[duplicateClusters]] over
+    * [[lshCandidatePairs]]): the semantic graph links paraphrases and
+    * near-translations that share no n-grams. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, exact: Boolean = false, probes: Int = 8,
+      iters: Int = 5): DataFrame = {
+    val pairs =
+      if (exact) cosineDupPairsExact(df, idCol, vecCol, threshold)
+      else cosineDupPairsTrained(df, idCol, vecCol, threshold, probes, iters)
+    val clusters = duplicateClusters(pairs)
+      .withColumnRenamed("node", idCol)
+    df.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("keep",
+        (col(idCol) === col("cluster")).cast("int"))
+  }
+
   /** 16-bit SimHash over distinct whitespace tokens; bit j comes from the
     * high bit of hex digit j of md5(token) (portable across engines). */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -150,6 +150,29 @@ object GovernanceQueries extends QueryPack {
           SELECT doc_id, CAST(toks AS INT) AS n_tokens FROM c
           WHERE cum <= (SELECT budget FROM b) ORDER BY doc_id""")),
 
+    // ---- token-budget corpus sharding -------------------------------
+    // the shard cut before sequence packing: shard = whole budgets the
+    // EXCLUSIVE running token sum has filled, in (md5(id), id) order —
+    // integral division end to end, same bucket-offset running sum as
+    // q_token_budget.
+    QueryDef("q_pack_shards", (s, dir) => {
+      import graft.functions.TextAnalysis
+      Curation.packShards(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 2000L)
+        .select(col("doc_id"), col("shard"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS toks,
+            md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+          c AS (SELECT doc_id, toks, sum(toks) OVER (ORDER BY k, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t)
+          SELECT doc_id, CAST((cum - toks) // 2000 AS BIGINT) AS shard,
+            CAST(toks AS INT) AS n_tokens
+          FROM c ORDER BY doc_id""")),
+
     // ---- incremental cross-batch dedup ------------------------------
     // Seed the ledger with the even-id half, then ingest the WHOLE
     // corpus: survivors are exactly the docs whose 8-word prefix key no

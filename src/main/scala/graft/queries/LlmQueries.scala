@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Dedup, LangModel, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -286,6 +286,70 @@ object LlmQueries extends QueryPack {
             string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
           FROM lab GROUP BY cluster ORDER BY cluster"""
     }),
+
+    // ---- semantic dedup (SemDeDup) ----------------------------------
+    // connected components of the cosine>=t pair graph over embeddings,
+    // keep the component minimum. The pair source is the TRAINED
+    // centroid-blocked path — the same graph q_dedup_cosine_blocked
+    // already gates pair-for-pair against the exact SQL (probes=8,
+    // recall-complete with margin at all three SFs per calibration), so
+    // this row gates the component/keep composition on top of it.
+    QueryDef("q_semantic_dedup", (s, dir) => {
+      Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45)
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH RECURSIVE p AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(${cosSqlD("a.embedding", "b.embedding")}, 4) >= 0.45),
+          e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+          r AS (SELECT src AS node, src AS reach FROM e
+                UNION
+                SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
+          lab AS (SELECT node, min(reach) AS cluster FROM r GROUP BY node)
+          SELECT v.vec_id, coalesce(lab.cluster, v.vec_id) AS cluster,
+            CAST(CASE WHEN lab.cluster IS NULL OR lab.cluster = v.vec_id
+              THEN 1 ELSE 0 END AS INT) AS keep
+          FROM embeddings v LEFT JOIN lab ON v.vec_id = lab.node
+          ORDER BY v.vec_id""")),
+
+    // ---- unigram LM cross-entropy (perplexity-proxy quality) --------
+    // train on the doc_id % 3 != 0 split, score the WHOLE corpus. The
+    // per-token NLLs are integral micro-nats (one ln + half-up round per
+    // DISTINCT token); each doc's loss is an integer dot product — no
+    // float summation-order hazard anywhere (see LangModel scaladoc).
+    QueryDef("q_lm_score", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = LangModel.trainUnigram(
+        docs.filter(col("doc_id") % 3 =!= 0), "text")
+      LangModel.crossEntropy(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH tr AS (SELECT unnest(${wsSplit}) AS token
+            FROM documents WHERE doc_id % 3 <> 0),
+          cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tr
+                  WHERE length(token) > 0 GROUP BY token),
+          nv AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom
+                 FROM cnt),
+          nll AS (SELECT token,
+              CAST(floor(-ln(CAST(c + 1 AS DOUBLE) /
+                (SELECT denom FROM nv)) * 1000000 + 0.5) AS BIGINT) AS nm
+            FROM cnt),
+          oov AS (SELECT CAST(floor(-ln(1.0 / (SELECT denom FROM nv))
+              * 1000000 + 0.5) AS BIGINT) AS nm),
+          dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, unnest(${wsSplit}) AS token FROM documents)
+            WHERE length(token) > 0 GROUP BY doc_id, token),
+          j AS (SELECT doc_id,
+              sum(n * coalesce(nll.nm, (SELECT nm FROM oov))) AS cem,
+              sum(n) AS len
+            FROM dt LEFT JOIN nll USING (token) GROUP BY doc_id)
+          SELECT doc_id,
+            floor(CAST(cem AS DOUBLE) / 1000000.0 / CAST(len AS DOUBLE)
+              * 10000 + 0.5) / 10000 AS cross_entropy,
+            CAST(len AS INT) AS n_tokens
+          FROM j ORDER BY doc_id""")),
 
     // ---- SimHash ----------------------------------------------------
     QueryDef("q_simhash", (s, dir) => {

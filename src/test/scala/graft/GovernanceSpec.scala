@@ -193,6 +193,60 @@ class GovernanceSpec extends AnyFunSuite {
     assert(ids(d.repartition(17)) == ids(d.coalesce(1)))
   }
 
+  // ---- token-budget sharding ----------------------------------------
+
+  /** Reference shard assignment: driver-side fold over (md5(id), id)
+    * order — the semantics packShards must reproduce distributed. */
+  private def foldShards(rows: Seq[(Long, Int)],
+      budget: Long): Map[Long, Long] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    var cum = 0L
+    rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .map { case (id, toks) =>
+        val shard = cum / budget; cum += toks; id -> shard
+      }.toMap
+  }
+
+  test("packShards matches the driver-side exclusive-cumsum fold") {
+    val rows = (0L to 30L).map(i => i -> (i % 7 + 1).toInt)
+    val d = docs(rows.map { case (i, n) =>
+      i -> Seq.fill(n)("tok").mkString(" ") }: _*)
+    val got = Curation.packShards(d, "doc_id", "text", 10L)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == foldShards(rows, 10L))
+    // shard ids are dense from 0
+    val ids = got.values.toSet
+    assert(ids == (0L until ids.size).toSet)
+  }
+
+  test("packShards: a budget beyond the corpus is one shard 0") {
+    val d = docs(1L -> "a b c", 2L -> "d e")
+    val shards = Curation.packShards(d, "doc_id", "text", 1000L)
+      .select("shard").collect().map(_.getLong(0)).toSet
+    assert(shards == Set(0L))
+  }
+
+  test("packShards: null text counts zero tokens and still lands in a shard") {
+    val d = Seq((1L, "a b c"), (2L, null: String), (3L, "d e f"))
+      .toDF("doc_id", "text")
+    val got = Curation.packShards(d, "doc_id", "text", 4L)
+    assert(got.count() == 3)
+    assert(got.filter($"doc_id" === 2L).select("shard").head().getLong(0) >= 0)
+  }
+
+  test("packShards is insensitive to partitioning") {
+    val d = docs((0L to 40L).map(i =>
+      i -> Seq.fill((i % 5 + 1).toInt)("w").mkString(" ")): _*)
+    def run(parts: Int): Map[Long, Long] =
+      Curation.packShards(d.repartition(parts), "doc_id", "text", 7L)
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(11))
+  }
+
   // ---- stateless / streaming decontamination ------------------------
 
   test("contaminationStateless equals the batch join version") {

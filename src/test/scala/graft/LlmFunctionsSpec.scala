@@ -188,6 +188,33 @@ class LlmFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup keeps one survivor per transitive cosine component") {
+    import spark.implicits._
+    // unit vectors at 0°, 40°, 80°, 170°: cos 40° ≈ 0.766 links adjacent
+    // pairs, cos 80° ≈ 0.17 does NOT link the endpoints — the component
+    // {5,2,9} exists only transitively; 7 is a singleton
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val emb = Seq((5L, v(0)), (2L, v(40)), (9L, v(80)), (7L, v(170)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.7, exact = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(got == Map(
+      5L -> ((2L, 0)), 2L -> ((2L, 1)), 9L -> ((2L, 0)), 7L -> ((7L, 1))))
+    // the trained (centroid-blocked) pair source reproduces the same
+    // labeling: k = max(4, √4) buckets with probes clamped to k is
+    // exhaustive routing — recall 1 by construction on this corpus
+    val trained = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(trained == got)
+  }
+
   test("vector simhash: near-dup pairs land close in hamming distance") {
     val emb = Tables.load(spark, dir, "embeddings")
     val sig = Similarity.vectorSimhash(emb, "vec_id", "embedding")
