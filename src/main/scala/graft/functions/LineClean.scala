@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line-level structural cleaning — the C4 / RefinedWeb family of
+  * filters that operate on a document's LINES rather than its tokens:
+  * per-line rule filtering (too-short lines, boilerplate phrases,
+  * missing terminal punctuation), corpus-level frequent-line removal
+  * (navigation chrome appearing across many documents), and the two
+  * line-shape Gopher rules (bullet-start / ellipsis-end fractions) that
+  * [[TextAnalysis.gopherPass]] deliberately leaves out.
+  *
+  * Everything per-document is pure Column math over the split-line
+  * array (codegen'd, deterministic on any engine/partitioning).
+  * [[dropFrequentLines]] is relational: one (doc, line) explode, a
+  * document-frequency aggregate, an anti-join, and an ordered
+  * reassembly — the frequent-line table is tiny by construction
+  * (lines crossing the threshold), so the anti-join broadcasts.
+  */
+object LineClean {
+
+  /** Newline-split lines (one empty line for empty text — callers'
+    * rules treat it like any other too-short line). */
+  def lines(text: Column): Column = split(text, "\n")
+
+  /** Phrases whose presence (case-insensitive) drops a line — the C4
+    * boilerplate list shape. */
+  val defaultBlocklist: Seq[String] =
+    Seq("lorem ipsum", "javascript", "cookie policy", "terms of use")
+
+  /** Fraction of lines starting with a bullet glyph (Gopher line rule:
+    * docs that are mostly bullet lists are not prose). 0 for empty. */
+  def bulletLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    size(filter(ls, l => l.rlike("^[-*•]"))).cast("double") /
+      size(ls).cast("double")
+  }
+
+  /** Fraction of lines ending in an ellipsis ('...' or '…') — the
+    * truncated-content signal. */
+  def ellipsisLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    size(filter(ls, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") /
+      size(ls).cast("double")
+  }
+
+  /** Per-line C4 cleaning: keep lines with at least `minWords`
+    * whitespace tokens, containing no blocklisted phrase
+    * (case-insensitive substring), and — when `requireTerminal` — ending
+    * in terminal punctuation. Kept lines re-join with '\n' in original
+    * order; a document losing every line becomes the empty string (a
+    * downstream [[Curation.qualityGate]] removes those). */
+  def cleanLines(text: Column, minWords: Int = 3,
+      requireTerminal: Boolean = false,
+      blocklist: Seq[String] = defaultBlocklist): Column = {
+    val keep = (l: Column) => {
+      val base = size(split(l, "\\s+")) >= minWords &&
+        !exists(typedlit(blocklist), p => contains(lower(l), p))
+      if (requireTerminal) base && l.rlike("[.!?]$") else base
+    }
+    array_join(filter(lines(text), keep), "\n")
+  }
+
+  /** Corpus-level frequent-line removal: delete from EVERY document the
+    * lines occurring in more than `maxDocs` distinct documents — the
+    * RefinedWeb-style boilerplate pass that catches navigation chrome /
+    * footers which per-document rules cannot see. Returns `docs` with
+    * `textCol` rewritten (all other columns preserved); a document
+    * losing every line keeps an empty string.
+    *
+    * Scale shape: one (doc, pos, line) explode; the document-frequency
+    * aggregate keys on md5(line) so the shuffle carries 16-byte keys,
+    * not line text; lines above the threshold are few by construction →
+    * broadcast anti-join; reassembly is one (doc) aggregate with an
+    * in-group sort by position (deterministic — never a window over a
+    * global order). */
+  def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
+      maxDocs: Long): DataFrame = {
+    val ex = docs.select(col(idCol),
+      posexplode(lines(col(textCol))).as(Seq("__pos", "__line")))
+    val frequent = ex
+      .groupBy(md5(col("__line")).as("__lh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("__lh")
+    val kept = ex.withColumn("__lh", md5(col("__line")))
+      .join(broadcast(frequent), Seq("__lh"), "left_anti")
+    val rebuilt = kept
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line")), "\n").as("__cleaned"))
+    docs
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
+      .drop("__cleaned")
+  }
+}

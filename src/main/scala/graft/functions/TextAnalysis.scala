@@ -260,4 +260,63 @@ object TextAnalysis {
     * identically in every engine). */
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(array_distinct(shingles(text, n)), sh => md5(sh)))
+
+  // ---- Gopher-style rule filters (Rae et al. 2021, MassiveText C.1) --
+
+  /** Symbol-to-word ratio: occurrences of '#' or ellipsis ('...' or
+    * '…') per token — the symbol-spam signal. Non-overlapping regex
+    * counts with the same alternation order on both engines. */
+  def symbolWordRatio(text: Column): Column = {
+    val syms = regexp_count(text, lit("#|\\.\\.\\.|…"))
+    syms.cast("double") / wsTokenCount(text).cast("double")
+  }
+
+  /** Fraction of tokens containing at least one letter (Unicode-aware:
+    * \p{L} matches CJK and accented letters under both Java regex and
+    * RE2). 0 for empty text. */
+  def alphaWordFraction(text: Column): Column = {
+    val w = words(text)
+    when(size(w) > 0,
+      size(filter(w, t => t.rlike("\\p{L}"))).cast("double") /
+        size(w).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Gopher's required-stopword list: a doc of real running English
+    * prose contains at least [[gopherMinStopwords]] of these. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val gopherMinStopwords = 2
+
+  /** How many of `stops` occur in the text at least once (distinct
+    * stopwords hit, not total occurrences). */
+  def stopwordsPresent(text: Column,
+      stops: Seq[String] = gopherStopwords): Column = {
+    val w = words(text)
+    size(filter(typedlit(stops), s => array_contains(w, s)))
+  }
+
+  /** The Gopher quality-rule conjunction over one text column (the
+    * document-shape subset — the two line-shape rules, bullet-start and
+    * ellipsis-end fractions, live with the line operators in
+    * [[LineClean]] since they need a line structure to inspect):
+    * word count within bounds, mean word length in [3, 10],
+    * symbol-to-word ratio ≤ 0.1, ≥ 80% words with a letter, ≥ 2
+    * required stopwords, duplicate-word fraction ≤ 0.3 and top-3-gram
+    * char fraction ≤ 0.2 (this package's forms of the paper's
+    * duplicate-content family).
+    *
+    * Every threshold comparison happens on a SINGLE IEEE division of
+    * exact integer counts — bit-identical across engines, so the
+    * boolean is hash-stable without any rounding step. */
+  def gopherPass(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val n = wsTokenCount(text)
+    n.between(minWords, maxWords) &&
+      avgWordLen(text).between(3.0, 10.0) &&
+      symbolWordRatio(text) <= 0.1 &&
+      alphaWordFraction(text) >= 0.8 &&
+      stopwordsPresent(text) >= gopherMinStopwords &&
+      dupWordFraction(text) <= 0.3 &&
+      topNgramCharFraction(text) <= 0.2
+  }
 }

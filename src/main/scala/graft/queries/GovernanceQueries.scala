@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Curation, Decontam, Pii}
+import graft.functions.{Curation, Decontam, LineClean, Pii}
 
 /** Corpus-governance operators for the training-data pipeline:
   * benchmark decontamination, PII scrubbing, domain-mixture sampling,
@@ -59,6 +59,50 @@ object GovernanceQueries extends QueryPack {
                AS DOUBLE) / length(text)
           ELSE 0.0 END) * 10.0, 1.0))
       ) / 3.0 * 10000.0 + 0.5) / 10000.0)"""
+
+  /** The line-op corpus: the flat synthetic text has no newlines, so —
+    * like the PII query plants PII — both engines deterministically
+    * rebuild each doc as 5-word lines and plant, by doc_id: a shared
+    * footer (every 3rd doc — corpus-frequent), a too-short line (every
+    * 4th), a blocklisted line (every 5th), and a bullet+ellipsis line
+    * (every 7th). The line operators then have real work whose output
+    * is still hash-checkable. */
+  private def plantedLinesDf(docs: org.apache.spark.sql.DataFrame) = {
+    import graft.functions.TextAnalysis
+    docs
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
+      .withColumn("__nl", expr("(size(w) + 4) div 5"))
+      .withColumn("text", concat(
+        concat_ws("\n", transform(sequence(lit(0), col("__nl") - 1),
+          i => array_join(slice(col("w"), i * lit(5) + 1, lit(5)), " "))),
+        when(col("doc_id") % 3 === 0,
+          lit("\nshared footer boilerplate all rights reserved"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\nok")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nthis site uses javascript and a cookie policy banner"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\n- bullet item continues...")).otherwise(lit(""))))
+      .select("doc_id", "text")
+  }
+
+  /** DuckDB mirror of [[plantedLinesDf]] (emits doc_id, txt). */
+  private val plantedLinesSql =
+    """pw AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+             FROM documents),
+       p AS (SELECT doc_id,
+         array_to_string(list_transform(range((len(w) + 4) // 5),
+           i -> array_to_string(w[i*5+1:i*5+5], ' ')), chr(10)) ||
+         CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+           'shared footer boilerplate all rights reserved' ELSE '' END ||
+         CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'ok' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+           'this site uses javascript and a cookie policy banner'
+           ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+           '- bullet item continues...' ELSE '' END AS txt
+       FROM pw)"""
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -172,6 +216,82 @@ object GovernanceQueries extends QueryPack {
           SELECT doc_id, CAST((cum - toks) // 2000 AS BIGINT) AS shard,
             CAST(toks AS INT) AS n_tokens
           FROM c ORDER BY doc_id""")),
+
+    // ---- per-line C4 cleaning + line-shape Gopher fractions ---------
+    QueryDef("q_line_clean", (s, dir) => {
+      val planted = plantedLinesDf(Tables.load(s, dir, "documents"))
+      planted.select(col("doc_id"),
+          size(LineClean.lines(col("text"))).as("n_lines_raw"),
+          LineClean.cleanLines(col("text")).as("__clean"),
+          round(LineClean.bulletLineFraction(col("text")), 4)
+            .as("bullet_frac"),
+          round(LineClean.ellipsisLineFraction(col("text")), 4)
+            .as("ellipsis_frac"))
+        .select(col("doc_id"), col("n_lines_raw"),
+          when(length(col("__clean")) === 0, 0)
+            .otherwise(size(LineClean.lines(col("__clean"))))
+            .as("n_lines_clean"),
+          md5(col("__clean")).as("clean_md5"),
+          col("bullet_frac"), col("ellipsis_frac"))
+        .orderBy("doc_id")
+    }, Some {
+      val blk = LineClean.defaultBlocklist
+        .map(b => s"'$b'").mkString("[", ", ", "]")
+      s"""WITH $plantedLinesSql,
+          ls AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS ls
+                 FROM p),
+          k AS (SELECT doc_id, ls,
+            list_filter(ls, l ->
+              len(string_split_regex(l, '\\s+')) >= 3 AND
+              len(list_filter($blk, b -> contains(lower(l), b))) = 0)
+              AS kept
+          FROM ls)
+          SELECT doc_id,
+            CAST(len(ls) AS INT) AS n_lines_raw,
+            CAST(CASE WHEN array_to_string(kept, chr(10)) = '' THEN 0
+              ELSE len(kept) END AS INT) AS n_lines_clean,
+            md5(array_to_string(kept, chr(10))) AS clean_md5,
+            round(CAST(len(list_filter(ls, l ->
+              regexp_matches(l, '^[-*•]'))) AS DOUBLE) / len(ls), 4)
+              AS bullet_frac,
+            round(CAST(len(list_filter(ls, l ->
+              regexp_matches(l, '(\\.\\.\\.|…)${"$"}'))) AS DOUBLE)
+              / len(ls), 4) AS ellipsis_frac
+          FROM k ORDER BY doc_id"""
+    }),
+
+    // ---- corpus-level frequent-line removal -------------------------
+    // the RefinedWeb boilerplate pass: the planted footer appears in a
+    // third of the corpus and must vanish from every doc; natural 5-word
+    // chunks that happen to repeat past the threshold go with it (both
+    // engines compute the same document frequencies, so the hash pins
+    // whatever the data contains).
+    QueryDef("q_line_dedup", (s, dir) => {
+      val planted = plantedLinesDf(Tables.load(s, dir, "documents"))
+      LineClean.dropFrequentLines(planted, "doc_id", "text", maxDocs = 5)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          when(length(col("text")) === 0, 0)
+            .otherwise(size(LineClean.lines(col("text")))).as("n_lines"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH $plantedLinesSql,
+          ex AS (SELECT doc_id, generate_subscripts(ls, 1) AS o,
+                   unnest(ls) AS l
+                 FROM (SELECT doc_id, string_split(txt, chr(10)) AS ls
+                       FROM p)),
+          freq AS (SELECT l FROM (SELECT l, count(DISTINCT doc_id) AS nd
+                                  FROM ex GROUP BY l) WHERE nd > 5),
+          kept AS (SELECT doc_id, o, l FROM ex
+                   WHERE l NOT IN (SELECT l FROM freq)),
+          re AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY o)
+                   AS cleaned
+                 FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, md5(coalesce(r.cleaned, '')) AS text_md5,
+            CAST(CASE WHEN coalesce(r.cleaned, '') = '' THEN 0
+              ELSE len(string_split(coalesce(r.cleaned, ''), chr(10)))
+              END AS INT) AS n_lines
+          FROM p d LEFT JOIN re r USING (doc_id)
+          ORDER BY d.doc_id""")),
 
     // ---- incremental cross-batch dedup ------------------------------
     // Seed the ledger with the even-id half, then ingest the WHOLE

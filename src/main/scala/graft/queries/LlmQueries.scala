@@ -243,6 +243,95 @@ object LlmQueries extends QueryPack {
             CAST(len(w) AS INT) AS n_words
           FROM s ORDER BY doc_id""")),
 
+    // ---- Gopher rule filter (document-shape subset) -----------------
+    // the published MassiveText quality conjunction, one flag per rule
+    // plus the conjunction. Every threshold compares a SINGLE IEEE
+    // division of exact integer counts — bit-identical across engines,
+    // so the flags need no rounding step. The w/sh arrays are projected
+    // once and every rule derives from them (the q_fingerprint lesson);
+    // TextAnalysis.gopherPass is the one-call form of the same
+    // conjunction (agreement spec-pinned).
+    QueryDef("q_gopher_rules", (s, dir) => {
+      val w = col("w"); val sh = col("sh"); val t = col("text")
+      val n = size(w).cast("double")
+      val mwl = aggregate(w, lit(0L), (a, x) => a + length(x))
+        .cast("double") / n
+      val symr = regexp_count(t, lit("#|\\.\\.\\.|…")).cast("double") / n
+      val alpha = size(filter(w, x => x.rlike("\\p{L}")))
+        .cast("double") / n
+      val stops = size(filter(typedlit(TextAnalysis.gopherStopwords),
+        s0 => array_contains(w, s0)))
+      val dupf = lit(1.0) -
+        size(array_distinct(w)).cast("double") / n
+      val topf = when(size(sh) > 0 && length(t) > 0,
+        array_max(transform(array_distinct(sh),
+          x => (size(filter(sh, y => y === x)) * length(x))
+            .cast("double"))) / length(t).cast("double"))
+        .otherwise(lit(0.0))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), t,
+          TextAnalysis.words(t).as("w"),
+          TextAnalysis.shingles(t).as("sh"))
+        .select(col("doc_id"),
+          size(w).as("n_words"), stops.as("n_stops"),
+          size(w).between(50, 100000).cast("int").as("r_words"),
+          mwl.between(3.0, 10.0).cast("int").as("r_wordlen"),
+          (symr <= 0.1).cast("int").as("r_symbol"),
+          (alpha >= 0.8).cast("int").as("r_alpha"),
+          (stops >= TextAnalysis.gopherMinStopwords).cast("int")
+            .as("r_stops"),
+          (dupf <= 0.3).cast("int").as("r_dupword"),
+          (topf <= 0.2).cast("int").as("r_topgram"))
+        .withColumn("pass",
+          (col("r_words") === 1 && col("r_wordlen") === 1 &&
+            col("r_symbol") === 1 && col("r_alpha") === 1 &&
+            col("r_stops") === 1 && col("r_dupword") === 1 &&
+            col("r_topgram") === 1).cast("int"))
+        .orderBy("doc_id")
+    }, Some {
+      val stopList = TextAnalysis.gopherStopwords
+        .map(s0 => s"'$s0'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, ${wsSplit} AS w FROM documents),
+          s AS (SELECT doc_id, text, w,
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' '))
+            ELSE [] END AS sh
+          FROM t),
+          m AS (SELECT doc_id, text, w, sh,
+            CAST(len(w) AS DOUBLE) AS n,
+            CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) AS wlen,
+            CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+              AS nsym,
+            CAST(len(list_filter(w, x -> regexp_matches(x, '\\p{L}')))
+              AS DOUBLE) AS nalpha,
+            len(list_filter($stopList, st -> list_contains(w, st)))
+              AS nstops,
+            CAST(len(list_distinct(w)) AS DOUBLE) AS ndist,
+            CASE WHEN len(sh) > 0 AND length(text) > 0 THEN
+              CAST(list_max(list_transform(list_distinct(sh),
+                x -> len(list_filter(sh, y -> y = x)) * length(x)))
+                AS DOUBLE) / length(text)
+            ELSE 0.0 END AS topf
+          FROM s)
+          SELECT doc_id,
+            CAST(n AS INT) AS n_words, CAST(nstops AS INT) AS n_stops,
+            CAST(n BETWEEN 50 AND 100000 AS INT) AS r_words,
+            CAST(wlen / n BETWEEN 3.0 AND 10.0 AS INT) AS r_wordlen,
+            CAST(nsym / n <= 0.1 AS INT) AS r_symbol,
+            CAST(nalpha / n >= 0.8 AS INT) AS r_alpha,
+            CAST(nstops >= ${TextAnalysis.gopherMinStopwords} AS INT)
+              AS r_stops,
+            CAST((1.0 - ndist / n) <= 0.3 AS INT) AS r_dupword,
+            CAST(topf <= 0.2 AS INT) AS r_topgram,
+            CAST((n BETWEEN 50 AND 100000)
+              AND (wlen / n BETWEEN 3.0 AND 10.0)
+              AND nsym / n <= 0.1 AND nalpha / n >= 0.8
+              AND nstops >= ${TextAnalysis.gopherMinStopwords}
+              AND (1.0 - ndist / n) <= 0.3 AND topf <= 0.2 AS INT) AS pass
+          FROM m ORDER BY doc_id"""
+    }),
+
     // ---- transitive duplicate clusters ------------------------------
     // connected components of the LSH candidate graph: min-reachable-id
     // labels (unique fixpoint — deterministic), the cluster-level dedup
