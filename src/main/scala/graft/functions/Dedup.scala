@@ -428,6 +428,63 @@ object Dedup {
         (col(idCol) === col("cluster")).cast("int"))
   }
 
+  /** Repeated k-gram span detection — the tractable Spark form of exact
+    * substring deduplication (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): a token position is
+    * DUPLICATED if the k-gram starting there occurs at least `minCount`
+    * times in the whole corpus (another document, or elsewhere in the
+    * same one — self-repetition is duplication too). Per document,
+    * duplicated k-gram starts merge into maximal spans (consecutive
+    * starts within k tokens fuse — overlap or adjacency), and the
+    * result reports `n_spans`, `n_dup_tokens` (the exact size of the
+    * interval union) and the doc's token count. Callers scrub or drop
+    * by thresholding `n_dup_tokens / n_tokens`.
+    *
+    * The interval union needs no fold: for sorted starts p₁..pₘ each
+    * covering [pᵢ, pᵢ+k−1], union size = k + Σ min(k, pᵢ₊₁ − pᵢ) and
+    * span count = 1 + |{i : pᵢ₊₁ − pᵢ > k}| — both computed with one
+    * zip_with over the shifted start array (the shingle-rewrite
+    * pattern), so the whole per-doc step is column math an oracle
+    * reproduces exactly.
+    *
+    * Scale shape: one (doc, pos, md5(k-gram)) explode, one count
+    * aggregate keyed on the 16-byte digest, one keyed join back, one
+    * per-doc aggregate. Nothing all-pairs; the suffix-array approach
+    * this approximates cannot shard this way. Granularity is the k-gram:
+    * spans shorter than k tokens are invisible — choose k as the
+    * shortest run worth deduplicating (the paper uses 50 BPE tokens;
+    * the default here is 8 words). */
+  def repeatedKgramSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minCount: Long = 2): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val positions = df.select(col(idCol),
+        posexplode(TextAnalysis.shingles(col(textCol), k))
+          .as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
+    val dupHashes = positions.groupBy("h")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select("h")
+    val perDoc = positions.join(dupHashes, Seq("h"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(col("pos"))).as("ps"))
+    val ps = col("ps")
+    val gaps = zip_with(slice(ps, lit(2), size(ps)), ps, (a, b) => a - b)
+      // zip_with pads the exhausted shifted side with null; cut the tail
+    val diffs = slice(gaps, lit(1), size(ps) - 1)
+    val spans = perDoc.select(col(idCol),
+      (lit(1) + size(filter(diffs, d => d > k))).as("n_spans"),
+      (lit(k) + coalesce(aggregate(diffs, lit(0),
+        (acc, d) => acc + least(d, lit(k))), lit(0))).as("n_dup_tokens"))
+    df.select(col(idCol),
+        TextAnalysis.wsTokenCount(col(textCol)).as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0)).as("n_dup_tokens"),
+        col("n_tokens"))
+  }
+
   /** 16-bit SimHash over distinct whitespace tokens; bit j comes from the
     * high bit of hex digit j of md5(token) (portable across engines). */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {

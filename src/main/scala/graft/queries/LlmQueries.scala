@@ -243,6 +243,46 @@ object LlmQueries extends QueryPack {
             CAST(len(w) AS INT) AS n_words
           FROM s ORDER BY doc_id""")),
 
+    // ---- repeated k-gram spans (exact-substring dedup signal) -------
+    // a position is duplicated when its 8-gram occurs >= 2 times in the
+    // corpus; spans are merged duplicated starts, the union size is the
+    // shifted-difference sum (no fold — see Dedup.repeatedKgramSpans).
+    QueryDef("q_repeated_spans", (s, dir) => {
+      Dedup.repeatedKgramSpans(
+          Tables.load(s, dir, "documents"), "text", "doc_id", k = 8)
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH w AS (SELECT doc_id, ${wsSplit} AS w FROM documents),
+          s AS (SELECT doc_id,
+            CASE WHEN len(w) >= 8 THEN
+              list_transform(range(len(w) - 7),
+                i -> array_to_string(w[i+1:i+8], ' '))
+            ELSE [] END AS sh,
+            len(w) AS nt
+          FROM w),
+          px AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos,
+                   unnest(sh) AS g
+                 FROM s),
+          ph AS (SELECT doc_id, pos, md5(g) AS h FROM px),
+          cnt AS (SELECT h FROM (SELECT h, count(*) AS n FROM ph
+                                 GROUP BY h) WHERE n >= 2),
+          dp AS (SELECT doc_id, pos FROM ph JOIN cnt USING (h)),
+          agg AS (SELECT doc_id, list_sort(list(pos)) AS ps
+                  FROM dp GROUP BY doc_id),
+          sp AS (SELECT doc_id,
+            1 + len(list_filter(list_transform(range(len(ps) - 1),
+              i -> ps[i+2] - ps[i+1]), d -> d > 8)) AS n_spans,
+            8 + coalesce(list_sum(list_transform(
+              list_transform(range(len(ps) - 1), i -> ps[i+2] - ps[i+1]),
+              d -> least(d, 8))), 0) AS n_dup_tokens
+          FROM agg)
+          SELECT s.doc_id,
+            CAST(coalesce(sp.n_spans, 0) AS INT) AS n_spans,
+            CAST(coalesce(sp.n_dup_tokens, 0) AS INT) AS n_dup_tokens,
+            CAST(s.nt AS INT) AS n_tokens
+          FROM s LEFT JOIN sp USING (doc_id)
+          ORDER BY s.doc_id""")),
+
     // ---- Gopher rule filter (document-shape subset) -----------------
     // the published MassiveText quality conjunction, one flag per rule
     // plus the conjunction. Every threshold compares a SINGLE IEEE

@@ -247,6 +247,30 @@ class GovernanceSpec extends AnyFunSuite {
     assert(run(1) == run(11))
   }
 
+  test("ShardStore round-trips packShards with one file per shard dir") {
+    import graft.sources.ShardStore
+    val d = docs((0L to 40L).map(i =>
+      i -> Seq.fill((i % 5 + 1).toInt)("w").mkString(" ")): _*)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    val n = ShardStore.write(d, "doc_id", "text", path, shardTokens = 20L)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length == n)
+    dirs.foreach { dir =>
+      val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${dir.getName}: ${parts.length} files")
+    }
+    // membership round-trips exactly against the in-memory packer
+    val want = Curation.packShards(d, "doc_id", "text", 20L)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = ShardStore.read(spark, path)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   // ---- stateless / streaming decontamination ------------------------
 
   test("contaminationStateless equals the batch join version") {

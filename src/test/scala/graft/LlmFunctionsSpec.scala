@@ -188,6 +188,34 @@ class LlmFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("repeatedKgramSpans: cross-doc, self-repetition, and merge cases") {
+    import spark.implicits._
+    val d = Seq(
+      1L -> "p q r s t u v",          // shares "p q r" with doc 2
+      2L -> "x y p q r z w",
+      3L -> "m n o m n o m n o",      // pure self-repetition
+      4L -> "entirely unique words here nothing repeats at all")
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedKgramSpans(d, "text", "doc_id", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    // docs 1/2: exactly the shared trigram -> one 3-token span each
+    assert(got(1L) == ((1, 3, 7)) && got(2L) == ((1, 3, 7)))
+    // doc 3: every trigram occurs twice+ -> starts 0..6 merge into ONE
+    // span covering all 9 tokens (union = 3 + 6 * min(1,3))
+    assert(got(3L) == ((1, 9, 9)))
+    assert(got(4L) == ((0, 0, 8)))
+    // a gap wider than k splits spans: plant two far-apart repeats
+    val far = Seq(
+      10L -> "a b c 1 2 3 4 5 6 7 8 9 a b c",
+      11L -> "a b c q w e r t y u i o a b c")
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedKgramSpans(far, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(spans(10L) == 2 && spans(11L) == 2)
+  }
+
   test("semanticDedup keeps one survivor per transitive cosine component") {
     import spark.implicits._
     // unit vectors at 0°, 40°, 80°, 170°: cos 40° ≈ 0.766 links adjacent
