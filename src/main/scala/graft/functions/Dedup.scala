@@ -457,10 +457,15 @@ object Dedup {
   def repeatedKgramSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, minCount: Long = 2): DataFrame = {
     require(k >= 1, "k must be at least 1")
+    // the (doc, pos, hash) frame feeds BOTH the count aggregate and the
+    // join back; persist computes the k-gram explode once (recomputable
+    // on executor loss, ContextCleaner-reclaimed — the jaccardPairsPrefix
+    // materialization rationale)
     val positions = df.select(col(idCol),
         posexplode(TextAnalysis.shingles(col(textCol), k))
           .as(Seq("pos", "sh")))
       .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupHashes = positions.groupBy("h")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount)

@@ -292,7 +292,7 @@ object LlmQueries extends QueryPack {
     // TextAnalysis.gopherPass is the one-call form of the same
     // conjunction (agreement spec-pinned).
     QueryDef("q_gopher_rules", (s, dir) => {
-      val w = col("w"); val sh = col("sh"); val t = col("text")
+      val w = col("w"); val t = col("text")
       val n = size(w).cast("double")
       val mwl = aggregate(w, lit(0L), (a, x) => a + length(x))
         .cast("double") / n
@@ -303,15 +303,27 @@ object LlmQueries extends QueryPack {
         s0 => array_contains(w, s0)))
       val dupf = lit(1.0) -
         size(array_distinct(w)).cast("double") / n
-      val topf = when(size(sh) > 0 && length(t) > 0,
-        array_max(transform(array_distinct(sh),
-          x => (size(filter(sh, y => y === x)) * length(x))
-            .cast("double"))) / length(t).cast("double"))
-        .otherwise(lit(0.0))
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), t,
-          TextAnalysis.words(t).as("w"),
-          TextAnalysis.shingles(t).as("sh"))
+      val docs = Tables.load(s, dir, "documents")
+      // corpus-wide top-3-gram term RELATIONALLY (explode → per-(doc,
+      // shingle) count → max of count×chars): one shuffle with map-side
+      // combine — the q_top_ngrams shape. The per-row array-lambda scan
+      // (O(distinct·t) per doc) measured 4× slower over the full corpus;
+      // the lambda form stays right for per-row use (gopherPass,
+      // q_repetition's 100-doc slice), the relational form for corpus
+      // sweeps.
+      val topProd = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingles(t)).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("__c"))
+        .groupBy("doc_id")
+        .agg(max(col("__c") * length(col("sh"))).as("__maxprod"))
+      docs
+        .select(col("doc_id"), t, TextAnalysis.words(t).as("w"))
+        .join(topProd, Seq("doc_id"), "left")
+        .withColumn("__topf",
+          when(col("__maxprod").isNotNull && length(t) > 0,
+            col("__maxprod").cast("double") / length(t).cast("double"))
+            .otherwise(lit(0.0)))
         .select(col("doc_id"),
           size(w).as("n_words"), stops.as("n_stops"),
           size(w).between(50, 100000).cast("int").as("r_words"),
@@ -321,7 +333,7 @@ object LlmQueries extends QueryPack {
           (stops >= TextAnalysis.gopherMinStopwords).cast("int")
             .as("r_stops"),
           (dupf <= 0.3).cast("int").as("r_dupword"),
-          (topf <= 0.2).cast("int").as("r_topgram"))
+          (col("__topf") <= 0.2).cast("int").as("r_topgram"))
         .withColumn("pass",
           (col("r_words") === 1 && col("r_wordlen") === 1 &&
             col("r_symbol") === 1 && col("r_alpha") === 1 &&
