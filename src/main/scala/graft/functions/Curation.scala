@@ -226,23 +226,33 @@ object Curation {
 
   /** Contiguous token-budget shards — the corpus-sharding step before
     * sequence packing: documents in deterministic `(md5(id), id)` order
-    * are cut into shards of ~`shardTokens` tokens; a document's shard is
-    * the number of whole budgets its EXCLUSIVE running sum has filled
-    * (`(cum − toks) div budget` — integral division, no float at any
-    * corpus size). A shard may overrun the budget by at most one
+    * are cut into shards of ~`shardTokens` tokens; a document's RAW cut
+    * is the number of whole budgets its EXCLUSIVE running sum has
+    * filled (`(cum − toks) div budget` — integral division, no float at
+    * any corpus size). A shard may overrun the budget by at most one
     * document (docs are atomic — the training-shard convention); a doc
-    * larger than the budget owns the overrun of its own shard. Shard
-    * ids are dense from 0 and stable under repartitioning/engines; new
-    * corpus members shift later shards (sharding is an ordered cut, not
-    * a hash — use [[assignSplit]] where growth-stability matters). */
+    * larger than the budget would leave raw gaps behind it, so raw cuts
+    * are densified through a driver-side sorted remap (one long per
+    * OCCUPIED shard — shard-scale, not corpus-scale) and the returned
+    * ids are DENSE from 0, the property `ShardStore`'s stream-shards-
+    * in-order consumers rely on. Stable under repartitioning/engines;
+    * new corpus members shift later shards (sharding is an ordered cut,
+    * not a hash — use [[assignSplit]] where growth-stability
+    * matters). */
   def packShards(docs: DataFrame, idCol: String, textCol: String,
       shardTokens: Long, shardCol: String = "shard"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     require(shardTokens > 0, "shardTokens must be positive")
     val (withCum, _) = withRunningTokens(docs, idCol, textCol)
-    withCum
-      .withColumn(shardCol,
-        expr(s"(__cum - __toks) div ${shardTokens}L"))
-      .drop("__toks", "__key", "__bkt", "__off", "__cum")
+    val raw = withCum
+      .withColumn("__raw", expr(s"(__cum - __toks) div ${shardTokens}L"))
+    val occupied = raw.select("__raw").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val remap = occupied.zipWithIndex
+      .map { case (r, i) => (r, i.toLong) }.toSeq.toDF("__raw", shardCol)
+    raw.join(broadcast(remap), Seq("__raw"))
+      .drop("__raw", "__toks", "__key", "__bkt", "__off", "__cum")
   }
 
   /** Quality-ranked corpus selection: keep exactly the top

@@ -481,8 +481,12 @@ object Dedup {
       (lit(1) + size(filter(diffs, d => d > k))).as("n_spans"),
       (lit(k) + coalesce(aggregate(diffs, lit(0),
         (acc, d) => acc + least(d, lit(k))), lit(0))).as("n_dup_tokens"))
+    // n_tokens coalesces too: a null-text doc must report 0, not null —
+    // the documented n_dup_tokens/n_tokens threshold would otherwise
+    // null out and silently drop an undup'd document from a keep-filter
     df.select(col(idCol),
-        TextAnalysis.wsTokenCount(col(textCol)).as("n_tokens"))
+        coalesce(TextAnalysis.wsTokenCount(col(textCol)), lit(0))
+          .as("n_tokens"))
       .join(spans, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_spans"), lit(0)).as("n_spans"),

@@ -67,9 +67,14 @@ object LangModel {
     * one OOV pseudo-type, so unseen tokens at scoring time get
     * `-ln(1/(N+V+1))` rather than an infinity). */
   def trainUnigram(ref: DataFrame, textCol: String): Unigram = {
+    // the count table feeds the totals action here AND the vocabulary
+    // join in every later crossEntropy call — persist so the reference
+    // corpus is scanned once, not once per consumer (recomputable on
+    // executor loss, ContextCleaner-reclaimed)
     val counts = ref
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totRow = counts
       .agg(coalesce(sum("c"), lit(0L)), count(lit(1))).head()
     val (total, vocab) = (totRow.getLong(0), totRow.getLong(1))

@@ -54,9 +54,12 @@ object LineClean {
   def cleanLines(text: Column, minWords: Int = 3,
       requireTerminal: Boolean = false,
       blocklist: Seq[String] = defaultBlocklist): Column = {
+    // lowercase the phrases too — matching is lower(line) CONTAINS
+    // phrase, so a mixed-case caller entry would silently never match
+    val phrases = blocklist.map(_.toLowerCase)
     val keep = (l: Column) => {
       val base = size(split(l, "\\s+")) >= minWords &&
-        !exists(typedlit(blocklist), p => contains(lower(l), p))
+        !exists(typedlit(phrases), p => contains(lower(l), p))
       if (requireTerminal) base && l.rlike("[.!?]$") else base
     }
     array_join(filter(lines(text), keep), "\n")
@@ -77,8 +80,12 @@ object LineClean {
     * global order). */
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
       maxDocs: Long): DataFrame = {
+    // the explode feeds BOTH the frequency aggregate and the anti-join;
+    // persist so the corpus is scanned and exploded once (the
+    // repeatedKgramSpans materialization rationale)
     val ex = docs.select(col(idCol),
-      posexplode(lines(col(textCol))).as(Seq("__pos", "__line")))
+        posexplode(lines(col(textCol))).as(Seq("__pos", "__line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val frequent = ex
       .groupBy(md5(col("__line")).as("__lh"))
       .agg(countDistinct(col(idCol)).as("__nd"))

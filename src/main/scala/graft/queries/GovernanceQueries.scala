@@ -70,7 +70,11 @@ object GovernanceQueries extends QueryPack {
   private def plantedLinesDf(docs: org.apache.spark.sql.DataFrame) = {
     import graft.functions.TextAnalysis
     docs
-      .select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
+      // null text coalesces to '' BEFORE splitting on both engines —
+      // without it Spark's concat_ws skips the null array (footer-only
+      // text) while DuckDB's || propagates NULL, and the hashes split
+      .select(col("doc_id"),
+        TextAnalysis.words(coalesce(col("text"), lit(""))).as("w"))
       .withColumn("__nl", expr("(size(w) + 4) div 5"))
       .withColumn("text", concat(
         concat_ws("\n", transform(sequence(lit(0), col("__nl") - 1),
@@ -89,7 +93,8 @@ object GovernanceQueries extends QueryPack {
 
   /** DuckDB mirror of [[plantedLinesDf]] (emits doc_id, txt). */
   private val plantedLinesSql =
-    """pw AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+    """pw AS (SELECT doc_id,
+               string_split_regex(coalesce(text, ''), '\s+') AS w
              FROM documents),
        p AS (SELECT doc_id,
          array_to_string(list_transform(range((len(w) + 4) // 5),
@@ -204,29 +209,35 @@ object GovernanceQueries extends QueryPack {
       Curation.packShards(
           Tables.load(s, dir, "documents"), "doc_id", "text", 2000L)
         .select(col("doc_id"), col("shard"),
-          TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+          coalesce(TextAnalysis.wsTokenCount(col("text")), lit(0))
+            .as("n_tokens"))
         .orderBy("doc_id")
     }, Some(
       s"""WITH t AS (SELECT doc_id,
-            CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS toks,
+            CAST(coalesce(len(string_split_regex(text, '\\s+')), 0)
+              AS BIGINT) AS toks,
             md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
           c AS (SELECT doc_id, toks, sum(toks) OVER (ORDER BY k, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                 FROM t)
-          SELECT doc_id, CAST((cum - toks) // 2000 AS BIGINT) AS shard,
+          SELECT doc_id,
+            CAST(dense_rank() OVER (ORDER BY (cum - toks) // 2000) - 1
+              AS BIGINT) AS shard,
             CAST(toks AS INT) AS n_tokens
           FROM c ORDER BY doc_id""")),
 
     // ---- per-line C4 cleaning + line-shape Gopher fractions ---------
     QueryDef("q_line_clean", (s, dir) => {
       val planted = plantedLinesDf(Tables.load(s, dir, "documents"))
+      // floor-based 4 dp rounding, not round() — the engine-portable
+      // convention (see TextAnalysis.qualityScore)
       planted.select(col("doc_id"),
           size(LineClean.lines(col("text"))).as("n_lines_raw"),
           LineClean.cleanLines(col("text")).as("__clean"),
-          round(LineClean.bulletLineFraction(col("text")), 4)
-            .as("bullet_frac"),
-          round(LineClean.ellipsisLineFraction(col("text")), 4)
-            .as("ellipsis_frac"))
+          (floor(LineClean.bulletLineFraction(col("text")) * 10000.0
+            + 0.5) / 10000.0).as("bullet_frac"),
+          (floor(LineClean.ellipsisLineFraction(col("text")) * 10000.0
+            + 0.5) / 10000.0).as("ellipsis_frac"))
         .select(col("doc_id"), col("n_lines_raw"),
           when(length(col("__clean")) === 0, 0)
             .otherwise(size(LineClean.lines(col("__clean"))))
@@ -251,12 +262,12 @@ object GovernanceQueries extends QueryPack {
             CAST(CASE WHEN array_to_string(kept, chr(10)) = '' THEN 0
               ELSE len(kept) END AS INT) AS n_lines_clean,
             md5(array_to_string(kept, chr(10))) AS clean_md5,
-            round(CAST(len(list_filter(ls, l ->
-              regexp_matches(l, '^[-*•]'))) AS DOUBLE) / len(ls), 4)
-              AS bullet_frac,
-            round(CAST(len(list_filter(ls, l ->
+            floor(CAST(len(list_filter(ls, l ->
+              regexp_matches(l, '^[-*•]'))) AS DOUBLE) / len(ls)
+              * 10000 + 0.5) / 10000 AS bullet_frac,
+            floor(CAST(len(list_filter(ls, l ->
               regexp_matches(l, '(\\.\\.\\.|…)${"$"}'))) AS DOUBLE)
-              / len(ls), 4) AS ellipsis_frac
+              / len(ls) * 10000 + 0.5) / 10000 AS ellipsis_frac
           FROM k ORDER BY doc_id"""
     }),
 

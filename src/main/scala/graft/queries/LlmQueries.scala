@@ -258,7 +258,7 @@ object LlmQueries extends QueryPack {
               list_transform(range(len(w) - 7),
                 i -> array_to_string(w[i+1:i+8], ' '))
             ELSE [] END AS sh,
-            len(w) AS nt
+            coalesce(len(w), 0) AS nt
           FROM w),
           px AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos,
                    unnest(sh) AS g

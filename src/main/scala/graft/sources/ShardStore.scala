@@ -25,7 +25,9 @@ import graft.functions.Curation
 object ShardStore {
 
   /** Pack `docs` into token-budget shards and write them partitioned by
-    * shard id. Returns the shard count. */
+    * shard id. Returns the shard count — read from the written
+    * directory listing (one driver-side FS call, no extra Spark job,
+    * and 0 for an empty corpus instead of a schema-inference crash). */
   def write(docs: DataFrame, idCol: String, textCol: String,
       path: String, shardTokens: Long): Long = {
     val packed = Curation.packShards(docs, idCol, textCol, shardTokens)
@@ -34,8 +36,12 @@ object ShardStore {
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(path)
-    packed.sparkSession.read.parquet(path)
-      .select(countDistinct(col("shard"))).head().getLong(0)
+    val spark = packed.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("shard=")).toLong
   }
 
   /** Read the shard store back (all shards, or one via

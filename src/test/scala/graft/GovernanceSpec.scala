@@ -196,17 +196,20 @@ class GovernanceSpec extends AnyFunSuite {
   // ---- token-budget sharding ----------------------------------------
 
   /** Reference shard assignment: driver-side fold over (md5(id), id)
-    * order — the semantics packShards must reproduce distributed. */
+    * order, raw cuts densified — the semantics packShards must
+    * reproduce distributed. */
   private def foldShards(rows: Seq[(Long, Int)],
       budget: Long): Map[Long, Long] = {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
         .map("%02x".format(_)).mkString
     var cum = 0L
-    rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val raw = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
       .map { case (id, toks) =>
         val shard = cum / budget; cum += toks; id -> shard
-      }.toMap
+      }
+    val dense = raw.map(_._2).distinct.sorted.zipWithIndex.toMap
+    raw.map { case (id, s) => id -> dense(s).toLong }.toMap
   }
 
   test("packShards matches the driver-side exclusive-cumsum fold") {
@@ -220,6 +223,22 @@ class GovernanceSpec extends AnyFunSuite {
     // shard ids are dense from 0
     val ids = got.values.toSet
     assert(ids == (0L until ids.size).toSet)
+  }
+
+  test("packShards: oversized docs keep shard ids dense") {
+    // one doc far larger than the budget would leave raw gaps behind
+    // it — the dense remap must close them (the ShardStore stream-
+    // shards-in-order contract)
+    val rows = (0L to 12L).map(i =>
+      i -> (if (i % 4 == 0) 35 else (i % 5 + 1)).toInt)
+    val d = docs(rows.map { case (i, n) =>
+      i -> Seq.fill(n)("tok").mkString(" ") }: _*)
+    val got = Curation.packShards(d, "doc_id", "text", 10L)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == foldShards(rows, 10L))
+    val ids = got.values.toSet
+    assert(ids == (0L until ids.size).toSet, s"not dense: $ids")
   }
 
   test("packShards: a budget beyond the corpus is one shard 0") {

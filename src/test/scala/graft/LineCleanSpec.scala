@@ -42,6 +42,10 @@ class LineCleanSpec extends AnyFunSuite {
       "a proper sentence ends here.")
     // losing every line yields the empty string, not null
     assert(one(docs(3L -> "ok"), LineClean.cleanLines(col("text"))) == "")
+    // caller-supplied MIXED-CASE blocklist phrases still match
+    assert(one(docs(4L -> "please Enable JavaScript to view this site"),
+      LineClean.cleanLines(col("text"),
+        blocklist = Seq("JavaScript"))) == "")
   }
 
   test("bullet and ellipsis line fractions, hand-checked") {
