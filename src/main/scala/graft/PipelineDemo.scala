@@ -109,7 +109,51 @@ object PipelineDemo {
     println(s"[pipeline] dedup ledger: ${docs.count()}-doc re-ingest -> " +
       s"$freshNext unseen")
 
-    // 9. multimodal: opaque binary payloads + REAL header/pixel decode
+    // 9. quality & dedup signals: Gopher rules, unigram LM scoring,
+    // repeated k-gram spans, semantic dedup over embeddings
+    // the synthetic vocab carries no Gopher stopwords, so the full
+    // conjunction correctly rejects everything — report the informative
+    // per-rule signals instead
+    val gopherPass = docs.filter(
+      TextAnalysis.alphaWordFraction(col("text")) >= 0.8 &&
+        TextAnalysis.symbolWordRatio(col("text")) <= 0.1 &&
+        TextAnalysis.wsTokenCount(col("text")) >= 20).count()
+    val lm = graft.functions.LangModel.trainUnigram(
+      docs.filter(col("doc_id") % 3 =!= 0), "text")
+    val ceStats = graft.functions.LangModel
+      .crossEntropy(docs, "doc_id", "text", lm)
+      .agg(min("cross_entropy"), max("cross_entropy")).head()
+    val spanned = Dedup.repeatedKgramSpans(docs, "text", "doc_id")
+      .filter(col("n_spans") > 0).count()
+    val semantic = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.45, probes = 4, iters = 2)
+      .filter(col("keep") === 0).count()
+    println(s"[pipeline] gopher shape rules pass: $gopherPass docs " +
+      s"(full conjunction 0 — no English stopwords in synthetic " +
+      s"vocab); LM cross-entropy " +
+      f"range [${ceStats.getDouble(0)}%.3f, ${ceStats.getDouble(1)}%.3f]; " +
+      s"$spanned docs with repeated 8-gram spans; " +
+      s"$semantic semantic near-dups dropped")
+
+    // 10. line-level structural cleaning + token-budget sharding
+    val lined = docs.withColumn("text",
+      concat_ws("\n", col("text"), lit("all rights reserved footer"),
+        lit("ok")))
+    val lineCleaned = lined.withColumn("text",
+      graft.functions.LineClean.cleanLines(col("text")))
+    val deFootered = graft.functions.LineClean.dropFrequentLines(
+      lined, "doc_id", "text", maxDocs = 5)
+    val nFooter = deFootered
+      .filter(col("text").contains("all rights reserved")).count()
+    val shardPath = java.nio.file.Files.createTempDirectory("shards")
+      .toString
+    val nShards = graft.sources.ShardStore.write(docs, "doc_id", "text",
+      shardPath, shardTokens = 2000L)
+    println(s"[pipeline] line clean: short+footer lines dropped " +
+      s"(${lineCleaned.count()} docs); frequent-line pass leaves " +
+      s"$nFooter footers; shard store: $nShards shards of ~2000 tokens")
+
+    // 11. multimodal: opaque binary payloads + REAL header/pixel decode
     // (docs' text bytes stand in for an object-store read; a real PNG
     // generated in-process shows the JVM-codec path end-to-end)
     val png = {

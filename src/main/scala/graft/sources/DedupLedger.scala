@@ -97,6 +97,41 @@ object DedupLedger {
       .drop("__ledger_key")
   }
 
+  /** [[filterNew]] behind a Bloom pre-gate — the web-scale shape for
+    * MOSTLY-NEW batches: a Bloom filter over the ledger's keys splits
+    * the batch into DEFINITELY-new rows (no false negatives — they
+    * bypass the anti-join entirely) and maybe-seen rows (≈ fpp × new +
+    * true duplicates), and only the maybe set pays the join shuffle.
+    * Results are EXACTLY [[filterNew]]'s — the Bloom only routes.
+    *
+    * The gate is built per call (one ledger key scan) so it can never
+    * be stale — a cached Bloom missing later-appended keys would wave
+    * duplicates through as "definitely new", the one failure mode this
+    * path must never have. Amortize across batches by holding the
+    * ledger in a process and compacting periodically, not by caching
+    * the Bloom past an append. Sizing: ~9.6 bits/key at fpp 0.01 — the
+    * executor-broadcast gate fits ledgers to ~10⁸ keys; beyond that
+    * stay on the plain anti-join (keys-only shuffles scale further).
+    * The membership probe is a UDF: Spark's BloomFilterMightContain
+    * expression is internal to runtime filtering, and the probe runs
+    * once per batch row OUTSIDE any join, so codegen loss is
+    * immaterial next to the saved shuffle. */
+  def filterNewBloom(spark: SparkSession, docs: DataFrame,
+      textCol: String, path: String, prefixWords: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val ledger = readKeys(spark, path)
+    val nKeys = ledger.count()
+    if (nKeys == 0) return docs
+    val bloom = ledger.stat.bloomFilter("key", nKeys, fpp)
+    val might = udf((k: String) => bloom.mightContainString(k))
+    val batch = keyed(docs, textCol, prefixWords)
+    val definitelyNew = batch.filter(!might(col("__ledger_key")))
+    val maybeSeen = batch.filter(might(col("__ledger_key")))
+      .join(ledger.select(col("key").as("__ledger_key")),
+        Seq("__ledger_key"), "left_anti")
+    definitelyNew.unionByName(maybeSeen).drop("__ledger_key")
+  }
+
   /** Ingest a batch: return the unseen rows AND record their keys (each
     * once) so the next batch sees them. The survivors are CHECKPOINTED
     * (lineage truncated) before the ledger mutates: the key write's

@@ -400,6 +400,39 @@ class GovernanceSpec extends AnyFunSuite {
     assert(DedupLedger.filterNew(spark, again, "text", path).count() == 0)
   }
 
+  test("DedupLedger bloom gate equals the plain anti-join exactly") {
+    import graft.sources.DedupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_bloom")
+      .toString
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    DedupLedger.write(d.filter($"doc_id" % 2 === 0), "text", path)
+    def ids(df: DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = ids(DedupLedger.filterNew(spark, d, "text", path))
+    val bloom = ids(DedupLedger.filterNewBloom(spark, d, "text", path))
+    assert(bloom == plain && plain.nonEmpty)
+    // NO false negatives even at an absurd fpp: every seen key is
+    // still caught by the residual anti-join
+    val sloppy = ids(DedupLedger.filterNewBloom(spark, d, "text", path,
+      fpp = 0.5))
+    assert(sloppy == plain)
+    // after an append, a fresh gate reflects the new keys
+    DedupLedger.append(spark,
+      docs(9001L -> "brand new nine word document for the bloom test"),
+      "text", path)
+    val after = ids(DedupLedger.filterNewBloom(spark,
+      docs(9002L ->
+        "brand new nine word document for the bloom test AGAIN"),
+      "text", path))
+    assert(after == Set.empty[Long])
+    // an empty ledger passes everything through
+    val empty = java.nio.file.Files.createTempDirectory("graft_bloom0")
+      .toString
+    DedupLedger.write(docs(), "text", empty)
+    assert(ids(DedupLedger.filterNewBloom(spark, d, "text", empty)) ==
+      ids(d))
+  }
+
   test("DedupLedger bootstraps from an empty seed and seals null text") {
     import graft.sources.DedupLedger
     val path = java.nio.file.Files.createTempDirectory("graft_ledger_e")
