@@ -92,13 +92,14 @@ object LangModel {
   private def scalarNllMicro(p: Double): Long =
     math.floor(-math.log(p) * 1e6 + 0.5).toLong
 
-  /** Score `docs`: mean token cross-entropy in nats, 4 dp
-    * (`ceCol`), plus the token count (`n_tokens`). Documents with zero
-    * tokens (null / empty / all-whitespace text) have no defined mean
-    * and are ABSENT from the result — left-join against the corpus if
-    * every id must appear. */
-  def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
-      model: Unigram, ceCol: String = "cross_entropy"): DataFrame = {
+  /** The exact integer form of [[crossEntropy]]: per document, the
+    * micro-nat loss SUM (`ce_micro`, long) and token count (`len`,
+    * long) — the representation downstream aggregations should sum
+    * (corpus/source-level means stay order-free integer math; dividing
+    * per-doc first would round too early). Zero-token documents are
+    * absent. */
+  def tokenLogLoss(docs: DataFrame, idCol: String, textCol: String,
+      model: Unigram): DataFrame = {
     val perTok = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("__n"))
@@ -106,13 +107,22 @@ object LangModel {
       .join(model.table, Seq("token"), "left")
       .withColumn("__nll", coalesce(col("nll_micro"), lit(model.oovMicro)))
       .groupBy(idCol)
-      .agg(sum(col("__n") * col("__nll")).as("__ce_micro"),
-        sum("__n").as("__len"))
-      .select(col(idCol),
-        round4(col("__ce_micro").cast("double") / 1e6 /
-          col("__len").cast("double")).as(ceCol),
-        col("__len").cast("int").as("n_tokens"))
+      .agg(sum(col("__n") * col("__nll")).as("ce_micro"),
+        sum("__n").as("len"))
   }
+
+  /** Score `docs`: mean token cross-entropy in nats, 4 dp
+    * (`ceCol`), plus the token count (`n_tokens`). Documents with zero
+    * tokens (null / empty / all-whitespace text) have no defined mean
+    * and are ABSENT from the result — left-join against the corpus if
+    * every id must appear. */
+  def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      model: Unigram, ceCol: String = "cross_entropy"): DataFrame =
+    tokenLogLoss(docs, idCol, textCol, model)
+      .select(col(idCol),
+        round4(col("ce_micro").cast("double") / 1e6 /
+          col("len").cast("double")).as(ceCol),
+        col("len").cast("int").as("n_tokens"))
 
   /** Zero-state scoring column for streaming: the vocabulary as a
     * LITERAL map folded over the token array with integer

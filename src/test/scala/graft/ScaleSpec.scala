@@ -80,6 +80,33 @@ class ScaleSpec extends AnyFunSuite {
       s"semi/anti not planned natively:\n$saPlan")
   }
 
+  test("new-op plan shapes: broadcast anti-join, no global sort, no nested loop") {
+    import graft.functions.{Curation, LineClean}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // frequent-line removal: the anti-join against the (tiny by
+    // construction) frequent table must broadcast, never shuffle both
+    // sides or nested-loop
+    val dfl = LineClean.dropFrequentLines(docs, "doc_id", "text", 5)
+    val dflPlan = dfl.queryExecution.executedPlan.toString
+    assert(dflPlan.contains("BroadcastHashJoin") &&
+      dflPlan.contains("LeftAnti"),
+      s"frequent-line anti-join not broadcast:\n$dflPlan")
+    assert(!dflPlan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in line dedup:\n$dflPlan")
+    // shard packing: the running sum must come from bucket-local
+    // windows + broadcast offsets — never a single global Sort over
+    // the corpus (the one-reducer window this construction replaces)
+    val packed = Curation.packShards(docs, "doc_id", "text", 2000L)
+    val pPlan = packed.queryExecution.executedPlan.toString
+    // window sorts are partition-LOCAL (`Sort [...], false`); a global
+    // sort (`Sort [...], true`) would mean the one-reducer ordering
+    // this construction exists to avoid
+    assert(!pPlan.matches("(?s).*Sort \\[[^\\]]*\\], true.*"),
+      s"global sort in packShards:\n$pPlan")
+    assert(pPlan.contains("BroadcastHashJoin"),
+      s"offsets not broadcast:\n$pPlan")
+  }
+
   test("approx_count_distinct tracks exact distinct counts within rsd") {
     val ord = Tables.load(spark, "/root/testdata/sf0.01", "orders")
     val both = ord.agg(

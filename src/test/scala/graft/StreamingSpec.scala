@@ -242,4 +242,28 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(streamSplits == batchSplits)
   }
+
+  test("line cleaning and gopher rules run stateless in a stream, equal batch") {
+    import graft.functions.{LineClean, TextAnalysis}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text", concat_ws("\n",
+        col("text"), lit("ok"), lit("lorem ipsum dolor sit amet")))
+    val dir = Files.createTempDirectory("graft_line_stream").toString
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(s"$dir/in").schema, s"$dir/in")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        LineClean.cleanLines(col("text")).as("clean"),
+        TextAnalysis.gopherPass(col("text"), minWords = 20).as("g"))
+    val out = SarStreaming.runToMemory(shape(stream), "line_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = shape(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    val streamed = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the planted short + blocklist lines really were dropped in-flight
+    assert(out.filter(col("clean").contains("lorem ipsum")).count() == 0)
+  }
 }
