@@ -24,6 +24,9 @@ object LlmQueries extends QueryPack {
   private def cosSqlD(a: String, b: String): String =
     OracleSql.cosD(a, b, dim)
 
+  /** q_bm25's literal query — tokens present in the synthetic vocab. */
+  private val bm25Query = Seq("spark", "join", "stream", "table")
+
   /** Shared oracle for both declared Jaccard paths (direct self-join and
     * prefix-filtered): identical result sets, so identical SQL. */
   private val jaccardSql =
@@ -242,6 +245,55 @@ object LlmQueries extends QueryPack {
               ELSE 0 END, 4) AS top3gram_frac,
             CAST(len(w) AS INT) AS n_words
           FROM s ORDER BY doc_id""")),
+
+    // ---- BM25 text retrieval ----------------------------------------
+    // Okapi BM25 with integer micro-point terms (the LangModel trick):
+    // per-(token, doc) terms floor to longs, per-doc scores are
+    // order-free integer sums, ranking ties break on doc id. The float
+    // constants are interpolated from the SAME Scala doubles the
+    // engine uses — Double.toString round-trips, so both engines parse
+    // bit-identical literals.
+    QueryDef("q_bm25", (s, dir) => {
+      import graft.functions.TextRetrieval
+      val idx = TextRetrieval.buildBm25(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      TextRetrieval.bm25Search(idx, bm25Query, k = 15)
+    }, Some {
+      val k1 = 1.2; val b = 0.75
+      val inList = bm25Query.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH tk AS (SELECT doc_id AS doc,
+            unnest(${wsSplit}) AS token FROM documents),
+          ft AS (SELECT doc, token FROM tk WHERE length(token) > 0),
+          p AS (SELECT doc, token, CAST(count(*) AS BIGINT) AS tf
+                FROM ft GROUP BY doc, token),
+          l AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS len
+                FROM p GROUP BY doc),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(len) AS BIGINT) AS tot FROM l),
+          dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p
+                  WHERE token IN $inList GROUP BY token),
+          idf AS (SELECT token, CAST(floor(ln(
+              (CAST((SELECT n FROM stats) AS DOUBLE)
+                - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+              * 1000000 + 0.5) AS BIGINT) AS idf_micro
+            FROM dfq),
+          m AS (SELECT p.doc, p.token, p.tf, l.len FROM p
+                JOIN l USING (doc) WHERE p.token IN $inList),
+          t AS (SELECT m.doc, CAST(floor(
+              (CAST(idf_micro AS DOUBLE) / 1000000.0) *
+              (CAST(tf AS DOUBLE) * ${k1 + 1.0} /
+                (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+                  CAST(len AS DOUBLE) /
+                  (CAST((SELECT tot FROM stats) AS DOUBLE) /
+                   CAST((SELECT n FROM stats) AS DOUBLE)))))
+              * 1000000 + 0.5) AS BIGINT) AS tm
+            FROM m JOIN idf USING (token)),
+          sc AS (SELECT doc, CAST(sum(tm) AS BIGINT) AS score_micro
+                 FROM t GROUP BY doc)
+          SELECT doc, score_micro,
+            CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+          FROM sc ORDER BY score_micro DESC, doc LIMIT 15"""
+    }),
 
     // ---- repeated k-gram spans (exact-substring dedup signal) -------
     // a position is duplicated when its 8-gram occurs >= 2 times in the

@@ -188,6 +188,42 @@ class LlmFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: hand-computed score, rare-term dominance, determinism") {
+    import spark.implicits._
+    import graft.functions.TextRetrieval
+    val d = Seq(
+      1L -> "spark spark engine",            // tf(spark)=2, len 3
+      2L -> "spark rows",                    // tf(spark)=1, len 2
+      3L -> "data only here",
+      4L -> "nothing relevant at all")
+      .toDF("doc_id", "text")
+    val idx = TextRetrieval.buildBm25(d, "doc_id", "text")
+    assert(idx.nDocs == 4 && idx.totalTokens == 12)
+    val got = TextRetrieval.bm25Search(idx, Seq("spark"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-compute doc 1: idf = ln((4-2+0.5)/(2+0.5)) = 0 -> micro 0
+    // (spark is in half the corpus: idf exactly ln(1)=0)
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+    // a rarer term (df=1) scores positive and ranks its doc first
+    val rare = TextRetrieval.bm25Search(idx, Seq("engine"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rare.head._1 == 1L && rare.head._2 > 0,
+      s"rare-term ranking: ${rare.toSeq}")
+    // multi-term queries sum terms: doc 2's rare 'rows' (df=1) term
+    // outranks doc 1's zero-idf 'spark' terms
+    val multi = TextRetrieval.bm25Search(idx, Seq("spark", "rows"), 10)
+      .collect().map(_.getLong(0))
+    assert(multi.head == 2L, s"got ${multi.toSeq}")
+    // partitioning insensitivity
+    val a = TextRetrieval.bm25Search(TextRetrieval.buildBm25(
+      d.repartition(7), "doc_id", "text"), Seq("spark", "rows"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = TextRetrieval.bm25Search(TextRetrieval.buildBm25(
+      d.coalesce(1), "doc_id", "text"), Seq("spark", "rows"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
   test("repeatedKgramSpans: cross-doc, self-repetition, and merge cases") {
     import spark.implicits._
     val d = Seq(
