@@ -139,8 +139,12 @@ object PipelineDemo {
     val lined = docs.withColumn("text",
       concat_ws("\n", col("text"), lit("all rights reserved footer"),
         lit("ok")))
-    val lineCleaned = lined.withColumn("text",
-      graft.functions.LineClean.cleanLines(col("text")))
+    // count docs whose text the cleaner actually CHANGED — a raw
+    // count() would print the constant corpus size whether or not the
+    // operator did anything
+    val nCleaned = lined
+      .filter(graft.functions.LineClean.cleanLines(col("text"))
+        =!= col("text")).count()
     val deFootered = graft.functions.LineClean.dropFrequentLines(
       lined, "doc_id", "text", maxDocs = 5)
     val nFooter = deFootered
@@ -149,9 +153,9 @@ object PipelineDemo {
       .toString
     val nShards = graft.sources.ShardStore.write(docs, "doc_id", "text",
       shardPath, shardTokens = 2000L)
-    println(s"[pipeline] line clean: short+footer lines dropped " +
-      s"(${lineCleaned.count()} docs); frequent-line pass leaves " +
-      s"$nFooter footers; shard store: $nShards shards of ~2000 tokens")
+    println(s"[pipeline] line clean rewrote $nCleaned/${docs.count()} " +
+      s"docs; frequent-line pass leaves $nFooter docs with the footer; " +
+      s"shard store: $nShards shards of ~2000 tokens")
 
     // 11. multimodal: opaque binary payloads + REAL header/pixel decode
     // (docs' text bytes stand in for an object-store read; a real PNG

@@ -245,8 +245,11 @@ object Curation {
     import spark.implicits._
     require(shardTokens > 0, "shardTokens must be positive")
     val (withCum, _) = withRunningTokens(docs, idCol, textCol)
+    // the raw-cut frame feeds BOTH the occupied-shard collect and the
+    // returned join — persist so the token scan + window run once
     val raw = withCum
       .withColumn("__raw", expr(s"(__cum - __toks) div ${shardTokens}L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occupied = raw.select("__raw").distinct()
       .collect().map(_.getLong(0)).sorted
     val remap = occupied.zipWithIndex

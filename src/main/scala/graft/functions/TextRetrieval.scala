@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * orders by (score_micro desc, doc asc) — fully deterministic on any
   * engine or partitioning. IDF uses the raw Robertson form
   * `ln((N − df + 0.5)/(df + 0.5))`, which goes NEGATIVE for tokens in
-  * more than half the corpus — the floor is a plain floor there, not
-  * half-up, on BOTH engines, so parity holds.
+  * more than half the corpus. Rounding is `floor(x·10⁶ + 0.5)`
+  * UNIFORMLY — round-half-up toward +∞ for every sign (for negative
+  * values that is NOT half-away-from-zero); any mirror must apply the
+  * identical expression to every term, positive or negative.
   *
   * Scale shape: the index is one explode + two aggregations (postings
   * keyed by (doc, token) with map-side combine; doc lengths ride the

@@ -399,63 +399,32 @@ object GovernanceQueries extends QueryPack {
           ((TextAnalysis.alphaWordFraction(t) >= 0.8) &&
             (TextAnalysis.symbolWordRatio(t) <= 0.1) &&
             (TextAnalysis.wsTokenCount(t) >= 20)).cast("long").as("shape"))
-        .join(lm, Seq("doc_id"))
-        .join(spans, Seq("doc_id"))
+        // LEFT joins: a zero-token doc is absent from tokenLogLoss, but
+        // a health report that silently drops exactly the empty
+        // documents would undercount the unhealthiest source
+        .join(lm, Seq("doc_id"), "left")
+        .join(spans, Seq("doc_id"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("shape")).as("n_shape_pass"),
-          sum(col("ce_micro")).as("__cem"),
-          sum(col("len")).as("__len"),
-          sum(col("spanned")).as("n_spanned"),
-          sum(col("dup_toks")).as("__dup"))
+          sum(coalesce(col("ce_micro"), lit(0L))).as("__cem"),
+          sum(coalesce(col("len"), lit(0L))).as("__len"),
+          sum(coalesce(col("spanned"), lit(0L))).as("n_spanned"),
+          sum(coalesce(col("dup_toks"), lit(0L))).as("__dup"))
         .select(col("source"), col("n_docs"), col("n_shape_pass"),
-          (floor(col("__cem").cast("double") / 1e6 /
-            col("__len").cast("double") * 10000.0 + 0.5) / 10000.0)
-            .as("mean_ce"),
+          when(col("__len") > 0,
+            floor(col("__cem").cast("double") / 1e6 /
+              col("__len").cast("double") * 10000.0 + 0.5) / 10000.0)
+            .otherwise(lit(0.0)).as("mean_ce"),
           col("n_spanned"),
-          (floor(col("__dup").cast("double") /
-            col("__len").cast("double") * 10000.0 + 0.5) / 10000.0)
-            .as("dup_frac"))
+          when(col("__len") > 0,
+            floor(col("__dup").cast("double") /
+              col("__len").cast("double") * 10000.0 + 0.5) / 10000.0)
+            .otherwise(lit(0.0)).as("dup_frac"))
         .orderBy("source")
     }, Some(
-      s"""WITH tr AS (SELECT unnest(string_split_regex(text, '\\s+'))
-              AS token
-            FROM documents WHERE doc_id % 3 <> 0),
-          cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tr
-                  WHERE length(token) > 0 GROUP BY token),
-          nv AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom
-                 FROM cnt),
-          nll AS (SELECT token,
-              CAST(floor(-ln(CAST(c + 1 AS DOUBLE) /
-                (SELECT denom FROM nv)) * 1000000 + 0.5) AS BIGINT) AS nm
-            FROM cnt),
-          oov AS (SELECT CAST(floor(-ln(1.0 / (SELECT denom FROM nv))
-              * 1000000 + 0.5) AS BIGINT) AS nm),
-          dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
-            FROM (SELECT doc_id,
-                    unnest(string_split_regex(text, '\\s+')) AS token
-                  FROM documents)
-            WHERE length(token) > 0 GROUP BY doc_id, token),
-          lm AS (SELECT doc_id,
-              sum(n * coalesce(nll.nm, (SELECT nm FROM oov))) AS cem,
-              sum(n) AS len
-            FROM dt LEFT JOIN nll USING (token) GROUP BY doc_id),
-          w8 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
-                 FROM documents),
-          s8 AS (SELECT doc_id,
-            CASE WHEN len(w) >= 8 THEN
-              list_transform(range(len(w) - 7),
-                i -> array_to_string(w[i+1:i+8], ' '))
-            ELSE [] END AS sh
-          FROM w8),
-          ph AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos,
-                   md5(unnest(sh)) AS h
-                 FROM s8),
-          hot AS (SELECT h FROM (SELECT h, count(*) AS n FROM ph
-                                 GROUP BY h) WHERE n >= 2),
-          dp AS (SELECT doc_id, pos FROM ph JOIN hot USING (h)),
-          spag AS (SELECT doc_id, list_sort(list(pos)) AS ps
-                   FROM dp GROUP BY doc_id),
+      s"""WITH ${OracleSql.lmLossCtes},
+          ${OracleSql.dupSpanCtes},
           sp AS (SELECT doc_id, 1 AS spanned,
             8 + coalesce(list_sum(list_transform(
               list_transform(range(len(ps) - 1), i -> ps[i+2] - ps[i+1]),
@@ -471,19 +440,24 @@ object GovernanceQueries extends QueryPack {
             THEN 1 ELSE 0 END AS shp
           FROM (SELECT doc_id, source, text,
                   string_split_regex(text, '\\s+') AS w FROM documents)),
-          j AS (SELECT s.source, s.shp, lm.cem, lm.len,
+          j AS (SELECT s.source, s.shp,
+                  coalesce(lm.cem, 0) AS cem, coalesce(lm.len, 0) AS len,
                   coalesce(sp.spanned, 0) AS spanned,
                   coalesce(sp.dup_toks, 0) AS dup_toks
-                FROM shape s JOIN lm USING (doc_id)
+                FROM shape s LEFT JOIN lm USING (doc_id)
                 LEFT JOIN sp USING (doc_id))
           SELECT source,
             CAST(count(*) AS BIGINT) AS n_docs,
             CAST(sum(shp) AS BIGINT) AS n_shape_pass,
-            floor(CAST(sum(cem) AS DOUBLE) / 1000000.0 /
-              CAST(sum(len) AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_ce,
+            CASE WHEN sum(len) > 0 THEN
+              floor(CAST(sum(cem) AS DOUBLE) / 1000000.0 /
+                CAST(sum(len) AS DOUBLE) * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS mean_ce,
             CAST(sum(spanned) AS BIGINT) AS n_spanned,
-            floor(CAST(sum(dup_toks) AS DOUBLE) /
-              CAST(sum(len) AS DOUBLE) * 10000 + 0.5) / 10000 AS dup_frac
+            CASE WHEN sum(len) > 0 THEN
+              floor(CAST(sum(dup_toks) AS DOUBLE) /
+                CAST(sum(len) AS DOUBLE) * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS dup_frac
           FROM j GROUP BY source ORDER BY source""")),
 
     // ---- deterministic train/val/test split -------------------------

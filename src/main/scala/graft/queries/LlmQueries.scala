@@ -304,36 +304,20 @@ object LlmQueries extends QueryPack {
           Tables.load(s, dir, "documents"), "text", "doc_id", k = 8)
         .orderBy("doc_id")
     }, Some(
-      s"""WITH w AS (SELECT doc_id, ${wsSplit} AS w FROM documents),
-          s AS (SELECT doc_id,
-            CASE WHEN len(w) >= 8 THEN
-              list_transform(range(len(w) - 7),
-                i -> array_to_string(w[i+1:i+8], ' '))
-            ELSE [] END AS sh,
-            coalesce(len(w), 0) AS nt
-          FROM w),
-          px AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos,
-                   unnest(sh) AS g
-                 FROM s),
-          ph AS (SELECT doc_id, pos, md5(g) AS h FROM px),
-          cnt AS (SELECT h FROM (SELECT h, count(*) AS n FROM ph
-                                 GROUP BY h) WHERE n >= 2),
-          dp AS (SELECT doc_id, pos FROM ph JOIN cnt USING (h)),
-          agg AS (SELECT doc_id, list_sort(list(pos)) AS ps
-                  FROM dp GROUP BY doc_id),
+      s"""WITH ${OracleSql.dupSpanCtes},
           sp AS (SELECT doc_id,
             1 + len(list_filter(list_transform(range(len(ps) - 1),
               i -> ps[i+2] - ps[i+1]), d -> d > 8)) AS n_spans,
             8 + coalesce(list_sum(list_transform(
               list_transform(range(len(ps) - 1), i -> ps[i+2] - ps[i+1]),
               d -> least(d, 8))), 0) AS n_dup_tokens
-          FROM agg)
-          SELECT s.doc_id,
+          FROM spag)
+          SELECT s8.doc_id,
             CAST(coalesce(sp.n_spans, 0) AS INT) AS n_spans,
             CAST(coalesce(sp.n_dup_tokens, 0) AS INT) AS n_dup_tokens,
-            CAST(s.nt AS INT) AS n_tokens
-          FROM s LEFT JOIN sp USING (doc_id)
-          ORDER BY s.doc_id""")),
+            CAST(s8.nt AS INT) AS n_tokens
+          FROM s8 LEFT JOIN sp USING (doc_id)
+          ORDER BY s8.doc_id""")),
 
     // ---- Gopher rule filter (document-shape subset) -----------------
     // the published MassiveText quality conjunction, one flag per rule
@@ -519,30 +503,12 @@ object LlmQueries extends QueryPack {
       LangModel.crossEntropy(docs, "doc_id", "text", model)
         .orderBy("doc_id")
     }, Some(
-      s"""WITH tr AS (SELECT unnest(${wsSplit}) AS token
-            FROM documents WHERE doc_id % 3 <> 0),
-          cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tr
-                  WHERE length(token) > 0 GROUP BY token),
-          nv AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom
-                 FROM cnt),
-          nll AS (SELECT token,
-              CAST(floor(-ln(CAST(c + 1 AS DOUBLE) /
-                (SELECT denom FROM nv)) * 1000000 + 0.5) AS BIGINT) AS nm
-            FROM cnt),
-          oov AS (SELECT CAST(floor(-ln(1.0 / (SELECT denom FROM nv))
-              * 1000000 + 0.5) AS BIGINT) AS nm),
-          dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
-            FROM (SELECT doc_id, unnest(${wsSplit}) AS token FROM documents)
-            WHERE length(token) > 0 GROUP BY doc_id, token),
-          j AS (SELECT doc_id,
-              sum(n * coalesce(nll.nm, (SELECT nm FROM oov))) AS cem,
-              sum(n) AS len
-            FROM dt LEFT JOIN nll USING (token) GROUP BY doc_id)
+      s"""WITH ${OracleSql.lmLossCtes}
           SELECT doc_id,
             floor(CAST(cem AS DOUBLE) / 1000000.0 / CAST(len AS DOUBLE)
               * 10000 + 0.5) / 10000 AS cross_entropy,
             CAST(len AS INT) AS n_tokens
-          FROM j ORDER BY doc_id""")),
+          FROM lm ORDER BY doc_id""")),
 
     // ---- SimHash ----------------------------------------------------
     QueryDef("q_simhash", (s, dir) => {

@@ -57,6 +57,59 @@ private[queries] object OracleSql {
                   i -> array_to_string(w[i+1:i+3], ' '))) AS sh
               FROM w WHERE len(w) >= 3)"""
 
+  /** Per-doc unigram LM loss, trained on the doc_id % 3 != 0 split
+    * (mirrors LangModel.trainUnigram + tokenLogLoss): CTE chain ending
+    * in `lm(doc_id, cem, len)` with integral micro-nat sums. ONE copy
+    * shared by q_lm_score and q_corpus_health — a tokenizer or
+    * smoothing tweak applied to a single copy would silently split
+    * the two oracles. */
+  val lmLossCtes: String =
+    """tr AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+          FROM documents WHERE doc_id % 3 <> 0),
+        cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tr
+                WHERE length(token) > 0 GROUP BY token),
+        nv AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom
+               FROM cnt),
+        nll AS (SELECT token,
+            CAST(floor(-ln(CAST(c + 1 AS DOUBLE) /
+              (SELECT denom FROM nv)) * 1000000 + 0.5) AS BIGINT) AS nm
+          FROM cnt),
+        oov AS (SELECT CAST(floor(-ln(1.0 / (SELECT denom FROM nv))
+            * 1000000 + 0.5) AS BIGINT) AS nm),
+        dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT doc_id,
+                  unnest(string_split_regex(text, '\s+')) AS token
+                FROM documents)
+          WHERE length(token) > 0 GROUP BY doc_id, token),
+        lm AS (SELECT doc_id,
+            sum(n * coalesce(nll.nm, (SELECT nm FROM oov))) AS cem,
+            sum(n) AS len
+          FROM dt LEFT JOIN nll USING (token) GROUP BY doc_id)"""
+
+  /** Duplicated 8-gram start positions per doc (mirrors
+    * Dedup.repeatedKgramSpans' position pass): chain ending in
+    * `spag(doc_id, ps)` (sorted duplicated starts, spanned docs only)
+    * with `s8(doc_id, sh, nt)` carrying the token count. Shared by
+    * q_repeated_spans and q_corpus_health. */
+  val dupSpanCtes: String =
+    """w8 AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+          FROM documents),
+        s8 AS (SELECT doc_id,
+          CASE WHEN len(w) >= 8 THEN
+            list_transform(range(len(w) - 7),
+              i -> array_to_string(w[i+1:i+8], ' '))
+          ELSE [] END AS sh,
+          coalesce(len(w), 0) AS nt
+        FROM w8),
+        ph AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos,
+                 md5(unnest(sh)) AS h
+               FROM s8),
+        hot AS (SELECT h FROM (SELECT h, count(*) AS n FROM ph
+                               GROUP BY h) WHERE n >= 2),
+        dp AS (SELECT doc_id, pos FROM ph JOIN hot USING (h)),
+        spag AS (SELECT doc_id, list_sort(list(pos)) AS ps
+                 FROM dp GROUP BY doc_id)"""
+
   /** Cosine of two fixed-dim numeric-list columns — double accumulation
     * in element order, mirroring Similarity.cosine. */
   def cosD(a: String, b: String, dim: Int): String = {

@@ -104,18 +104,24 @@ object DedupLedger {
     * true duplicates), and only the maybe set pays the join shuffle.
     * Results are EXACTLY [[filterNew]]'s — the Bloom only routes.
     *
-    * The gate is built per call (one ledger key scan) so it can never
-    * be stale — a cached Bloom missing later-appended keys would wave
-    * duplicates through as "definitely new", the one failure mode this
-    * path must never have. Amortize across batches by holding the
-    * ledger in a process and compacting periodically, not by caching
-    * the Bloom past an append. Sizing: ~9.6 bits/key at fpp 0.01 — the
-    * executor-broadcast gate fits ledgers to ~10⁸ keys; beyond that
-    * stay on the plain anti-join (keys-only shuffles scale further).
-    * The membership probe is a UDF: Spark's BloomFilterMightContain
-    * expression is internal to runtime filtering, and the probe runs
-    * once per batch row OUTSIDE any join, so codegen loss is
-    * immaterial next to the saved shuffle. */
+    * The gate is built per call so it can never be stale — a cached
+    * Bloom missing later-appended keys would wave duplicates through
+    * as "definitely new", the one failure mode this path must never
+    * have. Honest cost: the ledger KEY COLUMN is aggregated twice
+    * (count to size the filter, then the Bloom build — both
+    * column-pruned 16-byte scans) and the maybe-set anti-join reads it
+    * once more; the batch is keyed ONCE (persisted — it feeds both
+    * route branches). What the gate saves is the expensive side:
+    * shuffling the whole BATCH through the anti-join. Amortize across
+    * batches by holding the ledger in a process and compacting
+    * periodically, not by caching the Bloom past an append. Sizing:
+    * ~9.6 bits/key at fpp 0.01 — the executor-broadcast gate fits
+    * ledgers to ~10⁸ keys; beyond that stay on the plain anti-join
+    * (keys-only shuffles scale further). The membership probe is a
+    * UDF: Spark's BloomFilterMightContain expression is internal to
+    * runtime filtering, and the probe runs once per batch row OUTSIDE
+    * any join, so codegen loss is immaterial next to the saved
+    * shuffle. */
   def filterNewBloom(spark: SparkSession, docs: DataFrame,
       textCol: String, path: String, prefixWords: Int = 8,
       fpp: Double = 0.01): DataFrame = {
@@ -125,6 +131,7 @@ object DedupLedger {
     val bloom = ledger.stat.bloomFilter("key", nKeys, fpp)
     val might = udf((k: String) => bloom.mightContainString(k))
     val batch = keyed(docs, textCol, prefixWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = batch.filter(!might(col("__ledger_key")))
     val maybeSeen = batch.filter(might(col("__ledger_key")))
       .join(ledger.select(col("key").as("__ledger_key")),

@@ -88,8 +88,12 @@ class ScaleSpec extends AnyFunSuite {
     // sides or nested-loop
     val dfl = LineClean.dropFrequentLines(docs, "doc_id", "text", 5)
     val dflPlan = dfl.queryExecution.executedPlan.toString
-    assert(dflPlan.contains("BroadcastHashJoin") &&
-      dflPlan.contains("LeftAnti"),
+    // the ANTI join itself must be the broadcast one (same plan line) —
+    // two independent contains() would also pass for a shuffled
+    // anti-join next to some other broadcast join. The final
+    // reassembly join (docs ⟕ rebuilt) is corpus-to-corpus and
+    // legitimately sort-merges.
+    assert(dflPlan.matches("(?s).*BroadcastHashJoin [^\\n]*LeftAnti.*"),
       s"frequent-line anti-join not broadcast:\n$dflPlan")
     assert(!dflPlan.contains("BroadcastNestedLoopJoin"),
       s"nested loop in line dedup:\n$dflPlan")
@@ -103,8 +107,13 @@ class ScaleSpec extends AnyFunSuite {
     // this construction exists to avoid
     assert(!pPlan.matches("(?s).*Sort \\[[^\\]]*\\], true.*"),
       s"global sort in packShards:\n$pPlan")
-    assert(pPlan.contains("BroadcastHashJoin"),
-      s"offsets not broadcast:\n$pPlan")
+    // BOTH joins (bucket offsets + dense remap) must broadcast — a
+    // contains() alone would let one regress to a shuffle join behind
+    // the other's broadcast
+    assert(pPlan.contains("BroadcastHashJoin") &&
+      !pPlan.contains("SortMergeJoin") &&
+      !pPlan.contains("ShuffledHashJoin"),
+      s"non-broadcast join in packShards:\n$pPlan")
   }
 
   test("approx_count_distinct tracks exact distinct counts within rsd") {
