@@ -454,8 +454,11 @@ object Dedup {
     * spans shorter than k tokens are invisible — choose k as the
     * shortest run worth deduplicating (the paper uses 50 BPE tokens;
     * the default here is 8 words). */
-  def repeatedKgramSpans(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, minCount: Long = 2): DataFrame = {
+  /** Sorted duplicated k-gram start positions per doc (`ps`; docs with
+    * none are absent) — the shared middle of [[repeatedKgramSpans]]
+    * (measure) and [[scrubRepeatedSpans]] (act). */
+  private def dupStartPositions(df: DataFrame, textCol: String,
+      idCol: String, k: Int, minCount: Long): DataFrame = {
     require(k >= 1, "k must be at least 1")
     // the (doc, pos, hash) frame feeds BOTH the count aggregate and the
     // join back; persist computes the k-gram explode once (recomputable
@@ -470,9 +473,14 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount)
       .select("h")
-    val perDoc = positions.join(dupHashes, Seq("h"))
+    positions.join(dupHashes, Seq("h"))
       .groupBy(idCol)
       .agg(array_sort(collect_list(col("pos"))).as("ps"))
+  }
+
+  def repeatedKgramSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minCount: Long = 2): DataFrame = {
+    val perDoc = dupStartPositions(df, textCol, idCol, k, minCount)
     val ps = col("ps")
     val gaps = zip_with(slice(ps, lit(2), size(ps)), ps, (a, b) => a - b)
       // zip_with pads the exhausted shifted side with null; cut the tail
@@ -492,6 +500,39 @@ object Dedup {
         coalesce(col("n_spans"), lit(0)).as("n_spans"),
         coalesce(col("n_dup_tokens"), lit(0)).as("n_dup_tokens"),
         col("n_tokens"))
+  }
+
+  /** ACT on [[repeatedKgramSpans]]' signal: rewrite `textCol` with
+    * every token covered by a repeated k-gram span REMOVED (the
+    * Lee-et-al substring-dedup action at k-gram granularity), plus an
+    * `n_scrubbed` removed-token count. Documents with no spans keep
+    * their text byte-identical; scrubbed documents are rebuilt by
+    * joining surviving tokens with single spaces (whitespace
+    * normalization — span boundaries make the original inter-token
+    * whitespace unrecoverable); a fully-duplicated document becomes
+    * the empty string. The per-token coverage test folds the doc's
+    * OWN duplicated-start list (span-scale, not corpus-scale); cost
+    * rides the same one-explode + count + join as the measure. */
+  def scrubRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minCount: Long = 2): DataFrame = {
+    val perDoc = dupStartPositions(df, textCol, idCol, k, minCount)
+    val w = TextAnalysis.words(col(textCol))
+    val kept = filter(
+      zip_with(w, sequence(lit(0), size(w) - 1),
+        (t, i) => when(!exists(col("ps"),
+          p => i >= p && i <= p + (k - 1)), t)),
+      x => x.isNotNull)
+    val hasSpans = col("ps").isNotNull
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("__kept", when(hasSpans, kept))
+      .withColumn("n_scrubbed",
+        when(hasSpans,
+          TextAnalysis.wsTokenCount(col(textCol)) - size(col("__kept")))
+          .otherwise(lit(0)))
+      .withColumn(textCol,
+        when(hasSpans, array_join(col("__kept"), " "))
+          .otherwise(col(textCol)))
+      .drop("ps", "__kept")
   }
 
   /** 16-bit SimHash over distinct whitespace tokens; bit j comes from the

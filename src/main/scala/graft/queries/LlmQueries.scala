@@ -319,6 +319,38 @@ object LlmQueries extends QueryPack {
           FROM s8 LEFT JOIN sp USING (doc_id)
           ORDER BY s8.doc_id""")),
 
+    // ---- repeated-span scrubbing (the ACT to q_repeated_spans) ------
+    // tokens covered by any repeated 8-gram are removed; span-free
+    // docs keep their text byte-identical. The oracle's per-token
+    // coverage test uses DuckDB's 1-based index lambda (i-1 matches
+    // Spark's 0-based positions).
+    QueryDef("q_scrub_spans", (s, dir) => {
+      Dedup.scrubRepeatedSpans(
+          Tables.load(s, dir, "documents"), "text", "doc_id", k = 8)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_scrubbed"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH ${OracleSql.dupSpanCtes},
+          sc AS (SELECT w8.doc_id, w8.w, d.text, spag.ps
+                 FROM w8 JOIN documents d USING (doc_id)
+                 LEFT JOIN spag USING (doc_id)),
+          r AS (SELECT doc_id, text, w, ps,
+            CASE WHEN ps IS NULL THEN NULL ELSE
+              list_filter(list_transform(w, (x, i) ->
+                CASE WHEN len(list_filter(ps,
+                  p -> i - 1 >= p AND i - 1 <= p + 7)) > 0
+                THEN NULL ELSE x END), y -> y IS NOT NULL)
+            END AS kept
+          FROM sc)
+          SELECT doc_id,
+            md5(CASE WHEN kept IS NULL THEN text
+                ELSE coalesce(array_to_string(kept, ' '), '')
+                END) AS text_md5,
+            CAST(CASE WHEN kept IS NULL THEN 0
+              ELSE len(w) - len(kept) END AS INT) AS n_scrubbed
+          FROM r ORDER BY doc_id""")),
+
     // ---- Gopher rule filter (document-shape subset) -----------------
     // the published MassiveText quality conjunction, one flag per rule
     // plus the conjunction. Every threshold compares a SINGLE IEEE

@@ -252,6 +252,29 @@ class LlmFunctionsSpec extends AnyFunSuite {
     assert(spans(10L) == 2 && spans(11L) == 2)
   }
 
+  test("scrubRepeatedSpans removes exactly the covered tokens") {
+    import spark.implicits._
+    val d = Seq(
+      1L -> "p q r s t u v",          // "p q r" shared with doc 2
+      2L -> "x y p q r z w",
+      3L -> "m n o m n o m n o",      // fully duplicated -> empty
+      4L -> "all fresh tokens nothing here repeats")
+      .toDF("doc_id", "text")
+    val got = Dedup.scrubRepeatedSpans(d, "text", "doc_id", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got(1L) == (("s t u v", 3)))
+    assert(got(2L) == (("x y z w", 3)))
+    assert(got(3L) == (("", 9)))
+    // span-free docs keep their text BYTE-identical, n_scrubbed 0
+    assert(got(4L) == (("all fresh tokens nothing here repeats", 0)))
+    // measure/act consistency: n_scrubbed equals the measure's
+    // n_dup_tokens on every doc
+    val measured = Dedup.repeatedKgramSpans(d, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got.map { case (id, (_, n)) => id -> n } == measured)
+  }
+
   test("semanticDedup keeps one survivor per transitive cosine component") {
     import spark.implicits._
     // unit vectors at 0°, 40°, 80°, 170°: cos 40° ≈ 0.766 links adjacent
