@@ -13,7 +13,7 @@ object SparkEntry {
   /** Query packs, one per operator family. */
   val packs: Seq[QueryPack] = Seq(
     CoreQueries, OpsQueries, SarPipelineQueries, LlmQueries, VectorQueries,
-    GovernanceQueries)
+    GovernanceQueries, CorpusQueries)
 
   lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

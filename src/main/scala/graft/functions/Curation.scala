@@ -307,6 +307,100 @@ object Curation {
       .drop("__qb", "__off", "__rank")
   }
 
+  /** Per-group document cap — the RefinedWeb/Dolma "at most N pages per
+    * registered domain" rule as a deterministic op: within each group,
+    * keep the `cap` documents that rank first in `(md5(id), id)` order
+    * (a reproducible uniform sample, the same order every sampler in
+    * this package uses). Built on [[withBucketOffsets]], so the rank is
+    * exact and 256-way parallel per group — no one-reducer-per-domain
+    * window even when one domain holds half the corpus. */
+  def capPerGroup(docs: DataFrame, idCol: String, groupCols: Seq[String],
+      cap: Long): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(cap >= 0, "cap must be non-negative")
+    val (withOff, _) =
+      withBucketOffsets(docs, idCol, groupCols, count(lit(1)))
+    val w = Window.partitionBy((groupCols :+ "__bkt").map(col): _*)
+      .orderBy(col("__key"), col(idCol))
+    withOff
+      .withColumn("__rank", row_number().over(w).cast("long") + col("__off"))
+      .filter(col("__rank") <= cap)
+      .drop("__key", "__bkt", "__off", "__rank")
+  }
+
+  /** Exact per-group quantile-bucket assignment — the CCNet
+    * head/middle/tail construction generalized: within each group (CCNet
+    * partitions per language), rank rows by `(scoreCol asc, id asc)` and
+    * assign bucket `(rank−1)·nBuckets div groupCount` ∈ [0, nBuckets),
+    * so bucket sizes differ by at most one row and the split is EXACT —
+    * not an approximate-percentile threshold that drifts with sketch
+    * resolution.
+    *
+    * Scale shape: same two-pass construction as [[keepTopFraction]] —
+    * approximate GLOBAL score quantiles carve the score axis into
+    * `numShufflePartitions` contiguous sub-buckets (any global carve
+    * keeps each group's score order contiguous, so per-group bucket-local
+    * rank + a per-(group, sub-bucket) driver prefix-sum offset is the
+    * exact per-group rank); no single-reducer window per group. The
+    * collected count table is (groups × sub-buckets) — groups must be
+    * low-cardinality (languages, sources), which is what the CCNet
+    * construction partitions by. NULL scores are excluded (an unscored
+    * row belongs to no quantile). Ties rank by id, so re-runs and other
+    * engines land identical buckets. */
+  def quantileBuckets(docs: DataFrame, idCol: String, scoreCol: String,
+      groupCols: Seq[String], nBuckets: Int,
+      bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 1, "at least one bucket")
+    require(groupCols.nonEmpty, "at least one group column")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = docs.sparkSession
+    val scored = docs.filter(col(scoreCol).isNotNull)
+    val nb = spark.sessionState.conf.numShufflePartitions
+    val fracs = (1 until nb).map(_.toDouble / nb)
+    val bRow = scored.select(percentile_approx(col(scoreCol).cast("double"),
+      typedlit(fracs), lit(10000)).as("b")).head()
+    val bounds: Seq[Double] =
+      if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Double](0)
+    val bucketOf = bounds.distinct.zipWithIndex
+      .foldRight(lit(bounds.distinct.length)) { case ((b, i), els) =>
+        when(col(scoreCol).cast("double") <= b, lit(i)).otherwise(els)
+      }
+    val withB = scored.withColumn("__qb", bucketOf)
+    // per-(group, sub-bucket) counts -> per-group ASCENDING prefix sums
+    // (rank 1 = lowest score) + per-group totals, joined back broadcast
+    val aggRows = withB
+      .groupBy((groupCols.map(col) :+ col("__qb")): _*)
+      .agg(count(lit(1)).as("__m")).collect()
+      .map(r => (groupCols.indices.map(r.getString),
+        r.getInt(groupCols.length), r.getLong(groupCols.length + 1)))
+    val offRows = aggRows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val total = rs.map(_._3).sum
+      sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3))
+        // Seq[Any], not Seq(qb, …): an all-numeric Seq(Int, Long, Long)
+        // infers Seq[Long] and silently widens the Int bucket id, which
+        // the IntegerType schema then unboxes into a ClassCastException
+        .map { case (qb, off) => Row.fromSeq(g ++ Seq[Any](qb, off, total)) }
+    }
+    val schema = StructType(
+      groupCols.map(StructField(_, StringType)) ++ Seq(
+        StructField("__qb", IntegerType), StructField("__off", LongType),
+        StructField("__tot", LongType)))
+    val offDf = spark.createDataFrame(offRows.asJava, schema)
+    val w = Window.partitionBy((groupCols :+ "__qb").map(col): _*)
+      .orderBy(col(scoreCol), col(idCol))
+    withB
+      .join(broadcast(offDf), groupCols :+ "__qb")
+      .withColumn("__rank", row_number().over(w).cast("long") + col("__off"))
+      // integral division (`div`, never `/`): rank·n can pass 2^53 on a
+      // web-scale group, where double division would misbucket
+      .withColumn(bucketCol,
+        expr(s"CAST(((__rank - 1) * $nBuckets) div __tot AS INT)"))
+      .drop("__qb", "__off", "__tot", "__rank")
+  }
+
   /** Hex threshold for the first-two-md5-chars bucket space: lowercase
     * hex pairs sort lexicographically in numeric order, so a `<`
     * comparison against this literal selects exactly `n` of the 256

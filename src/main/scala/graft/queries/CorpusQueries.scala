@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Curation, Dsir, LangModel, TextAnalysis, UrlOps}
+import graft.sources.JsonlStore
+
+/** Corpus-selection and interchange operators — the published-pipeline
+  * selection layer above the governance pack: CCNet perplexity
+  * partitioning, DSIR importance resampling, RefinedWeb-style URL/domain
+  * gating, HLL vocabulary estimation, and the JSONL corpus boundary.
+  * Every query is a FULL hash oracle except the HLL sketch, whose
+  * estimate is gated by an error-bound flag (the recall-floor pattern).
+  */
+object CorpusQueries extends QueryPack {
+
+  /** URL-augmentation fragment: the synthetic documents carry no URLs,
+    * so the query plants one absolute URL per doc from doc_id on both
+    * engines — mixed-case schemes, www prefixes, ports, and 21
+    * registered domains (d0–d6 × com/org/net) — and the host/domain
+    * extraction has real work whose output is still hash-checkable
+    * (the q_pii_redact pattern). */
+  private val urlSql =
+    """(CASE WHEN doc_id % 13 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+       (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||
+       'd' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+       (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
+       (CASE WHEN doc_id % 11 = 0 THEN ':8443' ELSE '' END) ||
+       '/p/' || CAST(doc_id AS VARCHAR)"""
+
+  private def urlCol = concat(
+    when(col("doc_id") % 13 === 0, "HTTPS://").otherwise("https://"),
+    when(col("doc_id") % 4 === 0, "www.").otherwise(""),
+    lit("d"), (col("doc_id") % 7).cast("string"), lit("."),
+    when(col("doc_id") % 3 === 0, "com")
+      .when(col("doc_id") % 3 === 1, "org").otherwise("net"),
+    when(col("doc_id") % 11 === 0, ":8443").otherwise(""),
+    lit("/p/"), col("doc_id").cast("string"))
+
+  private val urlBlocklist = Seq("d3.com", "d5.org", "d1.net")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- CCNet perplexity partition ---------------------------------
+    // Head/middle/tail by per-language cross-entropy terciles: EXACT
+    // rank-based split (Curation.quantileBuckets), not an approximate
+    // percentile threshold. Shares the unigram-LM CTE chain with
+    // q_lm_score/q_corpus_health — one tokenizer definition.
+    QueryDef("q_ppl_buckets", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = LangModel.trainUnigram(
+        docs.filter(col("doc_id") % 3 =!= 0), "text")
+      val scored = LangModel.crossEntropy(docs, "doc_id", "text", model)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      Curation.quantileBuckets(scored, "doc_id", "cross_entropy",
+          Seq("lang"), nBuckets = 3, bucketCol = "__b")
+        .select(col("doc_id"), col("lang"), col("cross_entropy"),
+          when(col("__b") === 0, "head").when(col("__b") === 1, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH ${OracleSql.lmLossCtes},
+          ce AS (SELECT doc_id,
+              floor(CAST(cem AS DOUBLE) / 1000000.0 / CAST(len AS DOUBLE)
+                * 10000 + 0.5) / 10000 AS cross_entropy
+            FROM lm),
+          j AS (SELECT d.doc_id, d.lang, ce.cross_entropy
+                FROM documents d JOIN ce USING (doc_id)),
+          r AS (SELECT doc_id, lang, cross_entropy,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY cross_entropy, doc_id) AS rn,
+              count(*) OVER (PARTITION BY lang) AS cnt
+            FROM j)
+          SELECT doc_id, lang, cross_entropy,
+            CASE ((rn - 1) * 3) // cnt WHEN 0 THEN 'head'
+              WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+          FROM r ORDER BY doc_id""")),
+
+    // ---- DSIR importance weights ------------------------------------
+    // Target = the English split, raw = the whole corpus: w_micro > 0
+    // means "more target-like than average". Every bucket a corpus doc
+    // hashes into is observed in raw by construction, so the default-λ
+    // path is structurally unreachable here (it exists for scoring
+    // out-of-corpus docs).
+    QueryDef("q_dsir", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = Dsir.trainHashedRatio(
+        docs.filter(col("lang") === "en"), docs, "text")
+      docs.select("doc_id")
+        .join(Dsir.importanceWeights(docs, "doc_id", "text", model),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("w_micro"), lit(0L)).as("w_micro"),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH w2 AS (SELECT doc_id, lang,
+            string_split_regex(text, '\s+') AS w FROM documents),
+          bg AS (SELECT doc_id, lang,
+              substring(md5(unnest(list_transform(range(len(w) - 1),
+                i -> array_to_string(w[i+1:i+2], ' ')))), 1, 3) AS bkt
+            FROM w2 WHERE len(w) >= 2),
+          ct AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM bg
+                 WHERE lang = 'en' GROUP BY bkt),
+          cr AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM bg
+                 GROUP BY bkt),
+          dn AS (SELECT
+              CAST((SELECT sum(c) FROM ct) AS DOUBLE) + 4096.0 AS dt,
+              CAST((SELECT sum(c) FROM cr) AS DOUBLE) + 4096.0 AS dr),
+          lam AS (SELECT cr.bkt,
+              CAST(floor((ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) /
+                    (SELECT dt FROM dn))
+                - ln(CAST(cr.c + 1 AS DOUBLE) / (SELECT dr FROM dn)))
+                * 1000000 + 0.5) AS BIGINT) AS lm
+            FROM cr LEFT JOIN ct USING (bkt)),
+          db AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS n
+                 FROM bg GROUP BY doc_id, bkt),
+          ws AS (SELECT doc_id, sum(n * lm) AS w_micro,
+                   sum(n) AS n_feats
+                 FROM db JOIN lam USING (bkt) GROUP BY doc_id)
+          SELECT d.doc_id,
+            CAST(coalesce(w_micro, 0) AS BIGINT) AS w_micro,
+            CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats
+          FROM documents d LEFT JOIN ws USING (doc_id)
+          ORDER BY doc_id""")),
+
+    // ---- URL/domain provenance gate ---------------------------------
+    // Blocklist drops 3 of the 21 planted domains; the per-domain cap
+    // keeps 15 docs per survivor in md5(id) order. Output is the
+    // per-domain survivor profile (count + id checksum).
+    QueryDef("q_url_filter", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), urlCol.as("url"))
+      val s2 = s
+      import s2.implicits._
+      val block = urlBlocklist.toDF("domain")
+      UrlOps.domainGate(docs, "doc_id", "url", block, capPerDomain = 15)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+        .orderBy("domain")
+    }, Some(
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+          h AS (SELECT doc_id, lower(regexp_extract(url,
+              '${UrlOps.hostPattern}', 1)) AS host FROM u),
+          dom AS (SELECT doc_id,
+              coalesce(nullif(regexp_extract(host,
+                '${UrlOps.regDomainPattern}', 1), ''), host) AS domain
+            FROM h WHERE length(host) > 0),
+          keep AS (SELECT doc_id, domain FROM dom
+            WHERE domain NOT IN
+              (${urlBlocklist.map(d => s"'$d'").mkString(", ")})),
+          capd AS (SELECT doc_id, domain FROM (SELECT doc_id, domain,
+              row_number() OVER (PARTITION BY domain
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM keep) WHERE rn <= 15)
+          SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          FROM capd GROUP BY domain ORDER BY domain""")),
+
+    // ---- HLL vocabulary estimate ------------------------------------
+    // The 100 TB vocabulary question ("how many distinct tokens per
+    // source?") answered two ways in one pass: exact (the oracle-checked
+    // number) and HLL++ at rsd 0.02 (the only way to answer it in one
+    // pass over a web-scale corpus), gated by a 5% error-bound flag —
+    // if the sketch drifts past the bound the flag flips and the hash
+    // gate fails.
+    QueryDef("q_hll_vocab", (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source")
+        .agg(countDistinct(col("tok")).as("n_exact"),
+          approx_count_distinct(col("tok"), 0.02).as("__est"))
+        .select(col("source"), col("n_exact"),
+          (abs(col("__est") - col("n_exact")) * 20 <= col("n_exact"))
+            .cast("int").as("within_5pct"))
+        .orderBy("source")
+    }, Some(
+      """SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_exact,
+           1 AS within_5pct
+         FROM (SELECT source,
+                 unnest(string_split_regex(text, '\s+')) AS token
+               FROM documents)
+         WHERE length(token) > 0
+         GROUP BY source ORDER BY source""")),
+
+    // ---- JSONL round-trip -------------------------------------------
+    // Writes the corpus as gzipped JSONL, reads it back with the strict
+    // schema, and profiles per source; the oracle profiles the PARQUET
+    // original — the hash gate passes only if the JSONL boundary
+    // preserved every row, every char, and every null.
+    QueryDef("q_jsonl_roundtrip", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = TempIndexDirs.jvmScoped("graft_jsonl", dir)
+      JsonlStore.write(docs, path, codec = Some("gzip"))
+      JsonlStore.read(s, path, docs.schema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(length(col("text")), lit(0))).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_text_md5"),
+          min(md5(col("text"))).as("min_md5"),
+          max(md5(col("text"))).as("max_md5"),
+          sum("n_chars").as("sum_n_chars"))
+        .orderBy("source")
+    }, Some(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_text_md5,
+           min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+         FROM documents GROUP BY source ORDER BY source"""))
+  )
+}

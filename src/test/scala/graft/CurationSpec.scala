@@ -139,4 +139,80 @@ class CurationSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(run(1) == run(7))
   }
+
+  // ---- quantileBuckets -----------------------------------------------
+
+  def scored(rows: (Long, String, java.lang.Double)*): DataFrame =
+    rows.toDF("id", "grp", "score")
+
+  test("quantileBuckets equals the naive per-group window rank split") {
+    // adversarial scores: heavy ties (forces the id tie-break), two
+    // groups of coprime sizes (13, 29) against 3 buckets
+    val rows = (0L until 42L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b",
+        java.lang.Double.valueOf((i % 5).toDouble)))
+    val d = scored(rows: _*)
+    val got = Curation.quantileBuckets(d, "id", "score", Seq("grp"), 3)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy(col("score"), col("id"))
+    val naive = d
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("grp")))
+      .select(col("id"),
+        expr("CAST(((rn - 1) * 3) div cnt AS INT)").as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == naive)
+  }
+
+  test("quantileBuckets: exact near-equal tercile sizes per group") {
+    val d = scored((0L until 31L).map(i =>
+      (i, "g", java.lang.Double.valueOf(i.toDouble * 0.1))): _*)
+    val sizes = Curation.quantileBuckets(d, "id", "score", Seq("grp"), 3)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 31 = 11 + 10 + 10, largest remainder first
+    assert(sizes == Map(0 -> 11L, 1 -> 10L, 2 -> 10L))
+    // bucket 0 holds the LOWEST scores
+    val b0max = Curation.quantileBuckets(d, "id", "score", Seq("grp"), 3)
+      .filter(col("bucket") === 0).agg(max("id")).head().getLong(0)
+    assert(b0max == 10L)
+  }
+
+  test("quantileBuckets excludes null scores and survives repartitioning") {
+    val d = scored((0L until 20L).map(i =>
+      (i, "g", if (i % 4 == 0) null
+        else java.lang.Double.valueOf(i.toDouble))): _*)
+    def run(parts: Int): Map[Long, Int] =
+      Curation.quantileBuckets(d.repartition(parts), "id", "score",
+        Seq("grp"), 4).select("id", "bucket")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r1 = run(1)
+    assert(!r1.keySet.exists(_ % 4 == 0), "null-scored ids must be absent")
+    assert(r1.size == 15)
+    assert(r1 == run(7))
+  }
+
+  // ---- capPerGroup ---------------------------------------------------
+
+  test("capPerGroup keeps exactly cap docs per group, md5-deterministic") {
+    val d = scored((0L until 50L).map(i =>
+      (i, if (i < 40) "big" else "small", java.lang.Double.valueOf(0.0))): _*)
+    def run(parts: Int): Map[String, Set[Long]] =
+      Curation.capPerGroup(d.repartition(parts), "id", Seq("grp"), 12)
+        .select("grp", "id").collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val r = run(1)
+    assert(r("big").size == 12, "over-cap group is capped")
+    assert(r("small") == (40L until 50L).toSet, "under-cap group untouched")
+    assert(r == run(7), "selection is partitioning-insensitive")
+    // the kept set is the md5-rank prefix, not the id prefix
+    val md5Order = (0L until 40L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(r("big") == md5Order.take(12).toSet)
+  }
 }
