@@ -258,6 +258,80 @@ object Curation {
       .drop("__raw", "__toks", "__key", "__bkt", "__off", "__cum")
   }
 
+  /** Token-granular sequence packing — the context-window step AFTER
+    * [[packShards]]'s document-granular sharding: the corpus token
+    * stream, in the same deterministic `(md5(id), id)` order, is cut
+    * into fixed `seqLen`-token training sequences, and documents SPLIT
+    * at window boundaries (the pretraining convention packShards
+    * deliberately avoids for shard files). Returns one row per
+    * (sequence, document) span: `seq_id`, the doc id, `doc_offset`
+    * (first packed token within the doc), `seq_offset` (its position
+    * inside the sequence — the attention-boundary metadata a
+    * concat-and-mask loader needs), `n_tokens` (span length). The last
+    * sequence may be short; zero-token docs pack nothing and are
+    * absent.
+    *
+    * Pure integer column math over the [[withRunningTokens]] frame: a
+    * doc starting at exclusive running sum `start` covers sequences
+    * `start div L .. (cum−1) div L`, exploded via `sequence()` — no
+    * window beyond the shared 256-way running-sum construction, no
+    * driver state at all (seq ids are dense by construction because
+    * every token is packed — the gap problem packShards remaps away
+    * cannot occur here). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val (withCum, _) = withRunningTokens(docs, idCol, textCol)
+    withCum
+      .filter(col("__toks") > 0L)
+      .withColumn("__start", col("__cum") - col("__toks"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start div ${seqLen}L"),
+        expr(s"(__cum - 1) div ${seqLen}L"))))
+      .withColumn("__sbase", col("seq_id") * seqLen)
+      .withColumn("__pstart", greatest(col("__start"), col("__sbase")))
+      .withColumn("__pend", least(col("__cum"), col("__sbase") + seqLen))
+      .select(col("seq_id"), col(idCol),
+        (col("__pstart") - col("__start")).as("doc_offset"),
+        (col("__pstart") - col("__sbase")).as("seq_offset"),
+        (col("__pend") - col("__pstart")).as("n_tokens"))
+  }
+
+  /** The Efraimidis–Spirakis sampling key, derandomized: a uniform
+    * `u ∈ (0,1)` from the first 13 md5 hex chars of the id (52 bits —
+    * exact in a double; `+0.5` keeps u off 0 and off 1), transformed to
+    * `ln(u)/w` — a monotone image of the textbook `u^(1/w)`, so ranking
+    * by it descending IS weighted sampling without replacement — and
+    * floored to integral micro-units so both engines land the same key
+    * (ties, made possible by the grid, break on id downstream). */
+  def samplingKeyMicro(id: Column, weight: Column): Column = {
+    val v = conv(substring(md5(id.cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + 0.5) / math.pow(2, 52)
+    floor(log(u) / weight.cast("double") * 1e6 + 0.5).cast("long")
+  }
+
+  /** Weighted sampling without replacement, reproducibly: keep the `k`
+    * documents with the largest [[samplingKeyMicro]] — each doc's
+    * inclusion probability is proportional to `weightCol` (the
+    * Efraimidis–Spirakis reservoir scheme), but the "randomness" is
+    * md5(id), so every engine, partitioning, and re-run draws the SAME
+    * sample. Non-positive and NULL weights are excluded (their
+    * textbook key is 0^∞ — never drawn). Top-k is a
+    * TakeOrderedAndProject (distributed heap, no global sort); k is
+    * driver-bounded, so for "sample 30% of a web corpus" compose
+    * [[keepTopFraction]] on the key column instead. */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wkey", samplingKeyMicro(col(idCol), col(weightCol)))
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Quality-ranked corpus selection: keep exactly the top
     * `n*pctKeep/100` documents by `(scoreCol desc, idCol asc)` — "keep
     * the best 60% by quality score" as one deterministic op, the

@@ -165,12 +165,18 @@ object CorpusQueries extends QueryPack {
     // if the sketch drifts past the bound the flag flips and the hash
     // gate fails.
     QueryDef("q_hll_vocab", (s, dir) => {
+      // pre-aggregate (source, token) BEFORE counting: one map-side
+      // combined shuffle of distinct pairs, instead of the EXPAND plan a
+      // combined exact+approx distinct aggregation forces (every token
+      // occurrence shuffled twice — measured 5.4 s vs 1.4 s at sf0.1);
+      // HLL over already-distinct tokens estimates the same cardinality
       Tables.load(s, dir, "documents")
         .select(col("source"),
           explode(TextAnalysis.words(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
+        .distinct()
         .groupBy("source")
-        .agg(countDistinct(col("tok")).as("n_exact"),
+        .agg(count(lit(1)).as("n_exact"),
           approx_count_distinct(col("tok"), 0.02).as("__est"))
         .select(col("source"), col("n_exact"),
           (abs(col("__est") - col("n_exact")) * 20 <= col("n_exact"))
@@ -184,6 +190,59 @@ object CorpusQueries extends QueryPack {
                FROM documents)
          WHERE length(token) > 0
          GROUP BY source ORDER BY source""")),
+
+    // ---- token-granular sequence packing ----------------------------
+    // 512-token context windows over the corpus token stream in
+    // (md5(id), id) order; docs split at window boundaries, every span
+    // row carries the attention-boundary metadata (seq_offset) a
+    // concat-and-mask loader needs. Pure integer math — full hash
+    // oracle via a running-sum window + generate_series.
+    QueryDef("q_pack_sequences", (s, dir) => {
+      Curation.packSequences(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 512L)
+        .orderBy("seq_id", "seq_offset")
+    }, Some(
+      """WITH t AS (SELECT doc_id,
+            CAST(coalesce(len(string_split_regex(text, '\s+')), 0)
+              AS BIGINT) AS toks,
+            md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+          c AS (SELECT doc_id, toks, sum(toks) OVER (ORDER BY k, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t),
+          sp AS (SELECT doc_id, toks, cum, cum - toks AS strt,
+                   unnest(generate_series(
+                     CAST((cum - toks) // 512 AS BIGINT),
+                     CAST((cum - 1) // 512 AS BIGINT))) AS seq_id
+                 FROM c WHERE toks > 0)
+          SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+            CAST(greatest(strt, seq_id * 512) - strt AS BIGINT)
+              AS doc_offset,
+            CAST(greatest(strt, seq_id * 512) - seq_id * 512 AS BIGINT)
+              AS seq_offset,
+            CAST(least(cum, seq_id * 512 + 512)
+              - greatest(strt, seq_id * 512) AS BIGINT) AS n_tokens
+          FROM sp ORDER BY seq_id, seq_offset""")),
+
+    // ---- deterministic weighted sampling ----------------------------
+    // Efraimidis–Spirakis without replacement, k=120 weighted by doc
+    // length (n_chars): the md5-derived uniform makes the draw
+    // reproducible, so the SAME sample is a full hash oracle.
+    QueryDef("q_weighted_sample", (s, dir) => {
+      Curation.weightedSample(
+          Tables.load(s, dir, "documents")
+            .select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 120)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH kk AS (SELECT doc_id, n_chars,
+            CAST(floor(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                  1, 13))::BIGINT + 0.5) / 4503599627370496.0)
+              / CAST(n_chars AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS wk
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+          SELECT doc_id, n_chars FROM
+            (SELECT doc_id, n_chars FROM kk
+             ORDER BY wk DESC, doc_id LIMIT 120)
+          ORDER BY doc_id""")),
 
     // ---- JSONL round-trip -------------------------------------------
     // Writes the corpus as gzipped JSONL, reads it back with the strict

@@ -194,6 +194,77 @@ class CurationSpec extends AnyFunSuite {
     assert(r1 == run(7))
   }
 
+  // ---- packSequences -------------------------------------------------
+
+  test("packSequences: spans tile each sequence exactly, docs split at " +
+      "boundaries, token accounting is lossless") {
+    val d = docs((0L until 12L).map(i =>
+      i -> (Seq.fill(7)("tok") :+ s"d$i").mkString(" ")): _*) // 8 tokens each
+    val spans = Curation.packSequences(d, "doc_id", "text", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 96 tokens / 10 -> sequences 0..9, last one short (6 tokens)
+    assert(spans.map(_._1).toSet == (0L until 10L).toSet)
+    // every token packed exactly once
+    assert(spans.map(_._5).sum == 96L)
+    // per-doc: spans reassemble the doc contiguously from offset 0
+    spans.groupBy(_._2).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"doc $id must start at offset 0")
+      assert(sorted.map(_._5).sum == 8L, s"doc $id packs all 8 tokens")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 == b._3,
+          s"doc $id spans must be contiguous")
+        case _ =>
+      }
+    }
+    // per-sequence: spans tile [0, 10) (or [0, 6) for the tail seq)
+    spans.groupBy(_._1).foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"seq $seq must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4,
+          s"seq $seq spans must be contiguous")
+        case _ =>
+      }
+      val len = sorted.map(_._5).sum
+      assert(if (seq == 9L) len == 6L else len == 10L)
+    }
+    // null-text docs are zero-token (empty text is ONE whitespace token
+    // by the wsTokenCount convention) and pack nothing; repartition-safe
+    val withEmpty = d.union(
+      docs(99L -> null.asInstanceOf[String]).select("doc_id", "text"))
+    val again = Curation.packSequences(withEmpty.repartition(5),
+      "doc_id", "text", 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(!again.map(_._2).contains(99L))
+    assert(again.toSet == spans.toSet)
+  }
+
+  // ---- weightedSample ------------------------------------------------
+
+  test("weightedSample: deterministic, weight-monotone in expectation, " +
+      "excludes non-positive weights") {
+    val rows = (0L until 200L).map(i =>
+      (i, "g", java.lang.Double.valueOf(if (i < 100) 10.0 else 0.1)))
+    val d = scored(rows: _*).withColumnRenamed("score", "w")
+      .union(Seq((500L, "g", null: java.lang.Double),
+        (501L, "g", java.lang.Double.valueOf(0.0)),
+        (502L, "g", java.lang.Double.valueOf(-3.0)))
+        .toDF("id", "grp", "w"))
+    def run(parts: Int): Set[Long] =
+      Curation.weightedSample(d.repartition(parts), "id", "w", 50)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val s1 = run(1)
+    assert(s1.size == 50)
+    assert(!s1.exists(_ >= 500L), "null/zero/negative weights never drawn")
+    assert(s1 == run(7), "the draw is partitioning-insensitive")
+    // 100:1 weight ratio -> the heavy half dominates the sample
+    val heavy = s1.count(_ < 100L)
+    assert(heavy >= 45, s"heavy-weight docs must dominate, got $heavy/50")
+  }
+
   // ---- capPerGroup ---------------------------------------------------
 
   test("capPerGroup keeps exactly cap docs per group, md5-deterministic") {
