@@ -179,6 +179,50 @@ object PipelineDemo {
     println(s"[pipeline] media types: $types; " +
       s"feature rows: ${feats.count()} (png row decoded via JDK ImageIO)")
 
+    // 12. selection layer: perplexity terciles -> DSIR -> URL gate ->
+    // weighted sample -> context-window packing -> JSONL export
+    import graft.functions.{Curation, Dsir, LangModel, UrlOps}
+    // reuses the stage-9 unigram model (identical training split) —
+    // retraining here would duplicate a full corpus pass
+    val buckets = Curation.quantileBuckets(
+        LangModel.crossEntropy(docs, "doc_id", "text", lm)
+          .join(docs.select("doc_id", "lang"), Seq("doc_id")),
+        "doc_id", "cross_entropy", Seq("lang"), 3)
+      .groupBy("bucket").count().collect()
+      .sortBy(_.getInt(0)).map(r => s"${r.getInt(0)}=${r.getLong(1)}")
+    println(s"[pipeline] ccnet ppl terciles (all langs): " +
+      buckets.mkString(", "))
+    val dsir = Dsir.trainHashedRatio(docs.filter(col("lang") === "en"),
+      docs, "text")
+    val dsirTop = Dsir.importanceWeights(docs, "doc_id", "text", dsir)
+      .orderBy(col("w_micro").desc, col("doc_id")).limit(3)
+      .collect().map(r => s"${r.getLong(0)}@${r.getLong(1)}")
+    println(s"[pipeline] dsir top-3 target-like: ${dsirTop.mkString(", ")}")
+    val withUrl = docs.select(col("doc_id"), concat(lit("https://www.d"),
+      (col("doc_id") % 7).cast("string"), lit(".example/p/"),
+      col("doc_id").cast("string")).as("url"))
+    val gated = UrlOps.domainGate(withUrl, "doc_id", "url",
+      Seq("d3.example").toDF("domain"), capPerDomain = 25)
+    println(s"[pipeline] url gate: ${gated.count()} docs across " +
+      s"${gated.select("domain").distinct().count()} domains " +
+      "(1 blocklisted, cap 25)")
+    val sampled = Curation.weightedSample(
+      docs.filter(col("n_chars") > 0), "doc_id", "n_chars", 40)
+    println(s"[pipeline] weighted sample: ${sampled.count()} docs, " +
+      "inclusion ∝ n_chars, md5-derandomized")
+    val seqs = Curation.packSequences(docs, "doc_id", "text", 512L)
+    println(s"[pipeline] packed ${seqs.agg(sum("n_tokens")).head().getLong(0)} " +
+      s"tokens into ${seqs.select("seq_id").distinct().count()} " +
+      "sequences of 512")
+    val jsonlDir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    graft.sources.JsonlStore.write(docs, s"$jsonlDir/out",
+      codec = Some("gzip"))
+    val reread = graft.sources.JsonlStore.read(spark, s"$jsonlDir/out",
+      docs.schema).count()
+    println(s"[pipeline] jsonl boundary: $reread docs round-tripped (gzip)")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(jsonlDir))
+
     spark.stop()
   }
 }
