@@ -214,6 +214,19 @@ object PipelineDemo {
     println(s"[pipeline] packed ${seqs.agg(sum("n_tokens")).head().getLong(0)} " +
       s"tokens into ${seqs.select("seq_id").distinct().count()} " +
       "sequences of 512")
+    val mix = Curation.epochMix(docs.select("doc_id", "lang"), "doc_id",
+        "lang", Map("en" -> 2.0, "de" -> 1.0, "fr" -> 0.5))
+    println(s"[pipeline] epoch mix (en x2.0, de x1.0, fr x0.5): " +
+      s"${mix.count()} rows from " +
+      s"${mix.select("doc_id").distinct().count()} docs")
+    val bpe = graft.functions.BpeTokenizer.train(docs, "text",
+      numMerges = 16)
+    val bpeTotal = graft.functions.BpeTokenizer
+      .tokenCounts(docs, "doc_id", "text", bpe)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    println(s"[pipeline] bpe: 16 merges trained " +
+      s"(first: ${bpe.merges.take(3).map(m => m._1 + "+" + m._2)
+        .mkString(", ")}); corpus = $bpeTotal bpe tokens")
     val jsonlDir = java.nio.file.Files.createTempDirectory("jsonl").toString
     graft.sources.JsonlStore.write(docs, s"$jsonlDir/out",
       codec = Some("gzip"))

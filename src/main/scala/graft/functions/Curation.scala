@@ -311,6 +311,46 @@ object Curation {
     floor(log(u) / weight.cast("double") * 1e6 + 0.5).cast("long")
   }
 
+  /** Integer (base repeats, fractional-keep threshold) pair for an
+    * epoch factor: a doc repeats `base` times plus once more iff its
+    * 52-bit md5 draw falls under `thresh` — an EXACT integer compare,
+    * no float at the decision point. Exposed so oracles interpolate
+    * the SAME literals. */
+  def epochThresholds(factor: Double): (Long, Long) = {
+    require(factor >= 0 && factor < 1e6, s"unreasonable factor $factor")
+    val base = math.floor(factor).toLong
+    (base, math.floor((factor - base) * math.pow(2, 52)).toLong)
+  }
+
+  /** Epoch mixing — the published-mixture upsampling step ("2.4 epochs
+    * of Wikipedia, 0.3 of CommonCrawl"): each document is repeated
+    * `floor(f)` times, plus once more with probability `frac(f)`, where
+    * the "randomness" is an md5 draw on the id (salted `ep:` so the
+    * draw is independent of every other md5-keyed decision in this
+    * package). Output rows carry `epoch` (1-based copy number) so a
+    * downstream writer can interleave copies across shards. Domains
+    * absent from `factors` are dropped (factor 0). Deterministic
+    * across engines/partitionings; pure column math + one broadcast
+    * join — no shuffle, no state. */
+  def epochMix(docs: DataFrame, idCol: String, domainCol: String,
+      factors: Map[String, Double], epochCol: String = "epoch"): DataFrame = {
+    require(factors.nonEmpty, "at least one domain factor")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fDf = factors.toSeq.map { case (d, f) =>
+      val (base, thresh) = epochThresholds(f); (d, base, thresh)
+    }.toDF(domainCol, "__base", "__thresh")
+    val draw = conv(substring(md5(concat(lit("ep:"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    docs
+      .join(broadcast(fDf), Seq(domainCol))
+      .withColumn("__n",
+        col("__base") + when(draw < col("__thresh"), 1L).otherwise(0L))
+      .filter(col("__n") > 0L)
+      .withColumn(epochCol, explode(sequence(lit(1L), col("__n"))))
+      .drop("__base", "__thresh", "__n")
+  }
+
   /** Weighted sampling without replacement, reproducibly: keep the `k`
     * documents with the largest [[samplingKeyMicro]] — each doc's
     * inclusion probability is proportional to `weightCol` (the

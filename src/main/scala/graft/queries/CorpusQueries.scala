@@ -244,6 +244,46 @@ object CorpusQueries extends QueryPack {
              ORDER BY wk DESC, doc_id LIMIT 120)
           ORDER BY doc_id""")),
 
+    // ---- epoch mixing (upsampled domain mixture) --------------------
+    // "2.3 epochs of en, 0.4 of zh, …": repeats = floor(f) + one more
+    // iff the salted md5 draw clears an integer threshold — thresholds
+    // interpolated from the SAME Curation.epochThresholds the engine
+    // uses, so the fractional-keep decision is hash-exact.
+    QueryDef("q_epoch_mix", (s, dir) => {
+      val factors = Map("en" -> 2.3, "es" -> 1.5, "de" -> 1.0,
+        "fr" -> 0.5, "zh" -> 0.25)
+      Curation.epochMix(Tables.load(s, dir, "documents")
+          .select("doc_id", "lang"), "doc_id", "lang", factors)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max("epoch").as("max_epoch"),
+          sum(col("doc_id") * col("epoch")).as("checksum"))
+        .orderBy("lang")
+    }, Some {
+      val cases = Seq("en" -> 2.3, "es" -> 1.5, "de" -> 1.0,
+        "fr" -> 0.5, "zh" -> 0.25).map { case (d, f) =>
+        val (base, thresh) = Curation.epochThresholds(f)
+        s"WHEN '$d' THEN $base + (CASE WHEN draw < $thresh " +
+          "THEN 1 ELSE 0 END)"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang,
+            ('0x' || substring(md5('ep:' || CAST(doc_id AS VARCHAR)),
+              1, 13))::BIGINT AS draw
+          FROM documents
+          WHERE lang IN ('en', 'es', 'de', 'fr', 'zh')),
+          n AS (SELECT doc_id, lang,
+            CASE lang $cases END AS reps FROM d),
+          e AS (SELECT doc_id, lang,
+            unnest(generate_series(1, CAST(reps AS BIGINT))) AS epoch
+          FROM n WHERE reps > 0)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(max(epoch) AS BIGINT) AS max_epoch,
+            CAST(sum(doc_id * epoch) AS BIGINT) AS checksum
+          FROM e GROUP BY lang ORDER BY lang"""
+    }),
+
     // ---- JSONL round-trip -------------------------------------------
     // Writes the corpus as gzipped JSONL, reads it back with the strict
     // schema, and profiles per source; the oracle profiles the PARQUET

@@ -265,6 +265,45 @@ class CurationSpec extends AnyFunSuite {
     assert(heavy >= 45, s"heavy-weight docs must dominate, got $heavy/50")
   }
 
+  // ---- epochMix ------------------------------------------------------
+
+  test("epochMix: integer repeats exact, fractional keep near rate, " +
+      "absent domains dropped, deterministic") {
+    val d = (0L until 400L).map(i =>
+      (i, if (i < 200) "up" else if (i < 300) "keep" else "gone"))
+      .toDF("id", "dom")
+    val factors = Map("up" -> 2.5, "keep" -> 1.0)
+    def run(parts: Int) = Curation.epochMix(
+        d.repartition(parts), "id", "dom", factors)
+      .select("id", "dom", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = run(1)
+    assert(rows.forall(_._2 != "gone"), "unlisted domain drops")
+    val keepRows = rows.filter(_._2 == "keep")
+    assert(keepRows.length == 100 && keepRows.forall(_._3 == 1L),
+      "factor 1.0 = exactly one copy each")
+    val upByDoc = rows.filter(_._2 == "up").groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(upByDoc.size == 200, "every doc appears")
+    assert(upByDoc.values.forall(e =>
+      e == (1L to e.length).toSeq), "epochs are dense from 1")
+    val copies = upByDoc.values.map(_.length).toSeq
+    assert(copies.forall(n => n == 2 || n == 3),
+      "factor 2.5 = two or three copies")
+    val three = copies.count(_ == 3)
+    assert(three > 60 && three < 140,
+      s"~half the docs get the third copy, got $three/200")
+    assert(run(7).sortBy(r => (r._1, r._3)).toSeq ==
+      rows.sortBy(r => (r._1, r._3)).toSeq)
+    // the ep: salt decorrelates from the raw md5(id) sampling order
+    val md5Rank = (0L until 200L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).take(three).toSet
+    val gotThird = upByDoc.filter(_._2.length == 3).keySet
+    assert(gotThird != md5Rank, "salted draw must differ from md5(id) order")
+  }
+
   // ---- capPerGroup ---------------------------------------------------
 
   test("capPerGroup keeps exactly cap docs per group, md5-deterministic") {
