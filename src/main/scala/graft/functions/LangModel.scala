@@ -124,6 +124,74 @@ object LangModel {
           col("len").cast("double")).as(ceCol),
         col("len").cast("int").as("n_tokens"))
 
+  /** Filtered-token bigram array (`"w1 w2"` strings): the zip_with
+    * shingle construction over the LENGTH-FILTERED token array, so a
+    * leading-whitespace empty token can neither start nor end a bigram
+    * (mirrors the oracle's list_filter + window form). */
+  def bigrams(text: Column): Column = {
+    val w = tokens(text)
+    val zipped = zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    when(size(w) >= 2, slice(zipped, lit(1), size(w) - 1))
+      .otherwise(array())
+  }
+
+  /** A trained bigram model: conditional add-one counts. `pairs` is the
+    * (`w1w2`, `c2`) bigram count table; `ctx` the (`w1`, `cx`) context
+    * count table (occurrences as a bigram's FIRST token); `vocab` the
+    * reference's distinct-unigram count. The conditional probability of
+    * a scored bigram is `(c2+1)/(cx+vocab+1)` with missing counts read
+    * as zero — unseen pair in a seen context, and unseen context,
+    * both fall out of the same formula. */
+  final case class Bigram(pairs: DataFrame, ctx: DataFrame, vocab: Long)
+
+  /** Train conditional bigram counts on `ref`. Two aggs over one
+    * exploded bigram pass (the context table is a re-agg of the pair
+    * table, not a second corpus scan) plus the unigram-vocab count. */
+  def trainBigram(ref: DataFrame, textCol: String): Bigram = {
+    val pairs = ref
+      .select(explode(bigrams(col(textCol))).as("w1w2"))
+      .groupBy("w1w2").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = pairs
+      .groupBy(substring_index(col("w1w2"), " ", 1).as("w1"))
+      .agg(sum("c2").as("cx"))
+    val vocab = ref
+      .select(explode(tokens(col(textCol))).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    Bigram(pairs, ctx, vocab)
+  }
+
+  /** Score `docs` under a [[Bigram]]: mean conditional bigram
+    * cross-entropy in nats (4 dp) + the bigram count. Each scored
+    * (doc, distinct-bigram) row computes ONE ln on the exact rational
+    * `(c2+1)/(cx+V+1)`, immediately micro-rounded; the per-doc loss is
+    * the integer dot product. Docs with fewer than two (non-empty)
+    * tokens are absent. Scale shape: one corpus explode, two
+    * vocabulary-scale joins (AQE broadcasts while they fit), one
+    * per-doc agg. */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      model: Bigram, ceCol: String = "bigram_ce"): DataFrame = {
+    val denom = (col("__cx") + lit(model.vocab) + 1).cast("double")
+    docs
+      .select(col(idCol), explode(bigrams(col(textCol))).as("w1w2"))
+      .groupBy(idCol, "w1w2").agg(count(lit(1)).as("__n"))
+      .join(model.pairs, Seq("w1w2"), "left")
+      .withColumn("__w1", substring_index(col("w1w2"), " ", 1))
+      .join(model.ctx.withColumnRenamed("w1", "__w1")
+        .withColumnRenamed("cx", "__cx"), Seq("__w1"), "left")
+      .withColumn("__cx", coalesce(col("__cx"), lit(0L)))
+      .withColumn("__nll", nllMicro(
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double") / denom))
+      .groupBy(idCol)
+      .agg(sum(col("__n") * col("__nll")).as("__cem"),
+        sum("__n").as("__len"))
+      .select(col(idCol),
+        round4(col("__cem").cast("double") / 1e6 /
+          col("__len").cast("double")).as(ceCol),
+        col("__len").cast("int").as("n_bigrams"))
+  }
+
   /** Zero-state scoring column for streaming: the vocabulary as a
     * LITERAL map folded over the token array with integer
     * accumulation — runs inside a streaming (or any stateless)

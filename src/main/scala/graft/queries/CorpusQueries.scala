@@ -76,6 +76,50 @@ object CorpusQueries extends QueryPack {
               WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
           FROM r ORDER BY doc_id""")),
 
+    // ---- bigram LM scoring ------------------------------------------
+    // The step from the unigram perplexity proxy toward CCNet's n-gram
+    // scoring: conditional add-one bigram cross-entropy, same training
+    // split and integral micro-nat discipline as q_lm_score.
+    QueryDef("q_lm_bigram", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = LangModel.trainBigram(
+        docs.filter(col("doc_id") % 3 =!= 0), "text")
+      LangModel.bigramCrossEntropy(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH fw AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'),
+              x -> length(x) > 0) AS w
+          FROM documents),
+          bgd AS (SELECT doc_id,
+              unnest(list_transform(range(len(w) - 1),
+                i -> array_to_string(w[i+1:i+2], ' '))) AS bg
+            FROM fw WHERE len(w) >= 2),
+          c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgd
+                 WHERE doc_id % 3 <> 0 GROUP BY bg),
+          cx AS (SELECT split_part(bg, ' ', 1) AS w1,
+                   CAST(sum(c2) AS BIGINT) AS cx
+                 FROM c2 GROUP BY 1),
+          v AS (SELECT count(DISTINCT t) AS v FROM
+                  (SELECT unnest(string_split_regex(text, '\s+')) AS t
+                   FROM documents WHERE doc_id % 3 <> 0)
+                WHERE length(t) > 0),
+          db AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n
+                 FROM bgd GROUP BY doc_id, bg),
+          sc AS (SELECT doc_id, n,
+              CAST(floor(-ln(
+                CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+                CAST(coalesce(cx.cx, 0) + (SELECT v FROM v) + 1
+                  AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll
+            FROM db LEFT JOIN c2 USING (bg)
+              LEFT JOIN cx ON split_part(db.bg, ' ', 1) = cx.w1)
+          SELECT doc_id,
+            floor(CAST(sum(n * nll) AS DOUBLE) / 1000000.0 /
+              CAST(sum(n) AS DOUBLE) * 10000 + 0.5) / 10000
+              AS bigram_ce,
+            CAST(sum(n) AS INT) AS n_bigrams
+          FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- DSIR importance weights ------------------------------------
     // Target = the English split, raw = the whole corpus: w_micro > 0
     // means "more target-like than average". Every bucket a corpus doc

@@ -107,6 +107,43 @@ class LangModelSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("bigram model: hand-computed conditional NLLs, unseen pair and " +
+      "unseen context fallbacks, short docs absent") {
+    // train: "a b a b c" -> bigrams ab:1? no: (a b):2? tokens a,b,a,b,c
+    // bigrams: "a b","b a","a b","b c" -> c2: {"a b":2, "b a":1, "b c":1}
+    // ctx: a->2, b->2; V = 3 (a, b, c)
+    val m = LangModel.trainBigram(docs(0L -> "a b a b c"), "text")
+    assert(m.vocab == 3L)
+    val c2 = m.pairs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2 == Map("a b" -> 2L, "b a" -> 1L, "b c" -> 1L))
+    val cx = m.ctx.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cx == Map("a" -> 2L, "b" -> 2L))
+    // score "a b z c": bigrams "a b" (seen), "b z" (unseen pair, seen
+    // ctx), "z c" (unseen ctx)
+    val got = LangModel.bigramCrossEntropy(
+        docs(1L -> "a b z c", 2L -> "solo", 3L -> null), "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.map(_._1).toSeq == Seq(1L), "sub-2-token docs absent")
+    val nll = Seq(
+      micro(3.0 / 6),  // p(b|a) = (2+1)/(2+3+1)
+      micro(1.0 / 6),  // p(z|b) = (0+1)/(2+3+1)
+      micro(1.0 / 4))  // p(c|z) = (0+1)/(0+3+1)
+    assert(got.head._2 == r4(nll.sum.toDouble / 1e6 / 3) &&
+      got.head._3 == 3)
+  }
+
+  test("bigram scoring is insensitive to partitioning") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" < 120)
+    def run(parts: Int): Map[Long, Double] = {
+      val dd = d.repartition(parts)
+      val m = LangModel.trainBigram(dd.filter($"doc_id" % 2 === 0), "text")
+      LangModel.bigramCrossEntropy(dd, "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(run(1) == run(11))
+  }
+
   test("training and scoring are insensitive to partitioning") {
     val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter($"doc_id" < 200)
