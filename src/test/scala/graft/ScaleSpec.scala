@@ -116,6 +116,45 @@ class ScaleSpec extends AnyFunSuite {
       s"non-broadcast join in packShards:\n$pPlan")
   }
 
+  test("selection-layer plan shapes: grouped rank without global sorts, " +
+      "top-k without a full order, broadcast factor joins") {
+    import graft.functions.Curation
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // quantileBuckets: per-(group, sub-bucket) windows + broadcast
+    // offsets — never a global Sort or a whole-group one-reducer window
+    val qb = Curation.quantileBuckets(
+      docs.withColumn("s", col("n_chars").cast("double")),
+      "doc_id", "s", Seq("lang"), 3)
+    val qbPlan = qb.queryExecution.executedPlan.toString
+    assert(!qbPlan.matches("(?s).*Sort \\[[^\\]]*\\], true.*"),
+      s"global sort in quantileBuckets:\n$qbPlan")
+    assert(qbPlan.contains("BroadcastHashJoin") &&
+      !qbPlan.contains("SortMergeJoin"),
+      s"offset join not broadcast:\n$qbPlan")
+    assert(qbPlan.matches(
+      "(?s).*Window \\[row_number\\(\\)[^\\n]*lang[^\\n]*__qb.*"),
+      s"window not sub-bucketed per group:\n$qbPlan")
+    // capPerGroup: same construction
+    val cap = Curation.capPerGroup(docs, "doc_id", Seq("lang"), 5)
+    val capPlan = cap.queryExecution.executedPlan.toString
+    assert(!capPlan.matches("(?s).*Sort \\[[^\\]]*\\], true.*") &&
+      capPlan.contains("BroadcastHashJoin"),
+      s"capPerGroup shape:\n$capPlan")
+    // weightedSample: distributed top-k heap, never a global sort
+    val ws = Curation.weightedSample(
+      docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 10)
+    val wsPlan = ws.queryExecution.executedPlan.toString
+    assert(wsPlan.contains("TakeOrderedAndProject"),
+      s"weightedSample must be a top-k:\n$wsPlan")
+    // epochMix: broadcast factor join + explode, zero shuffles
+    val mix = Curation.epochMix(docs.select("doc_id", "lang"), "doc_id",
+      "lang", Map("en" -> 1.5, "de" -> 0.5))
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin") &&
+      !mixPlan.contains("Exchange hashpartitioning"),
+      s"epochMix must not shuffle:\n$mixPlan")
+  }
+
   test("approx_count_distinct tracks exact distinct counts within rsd") {
     val ord = Tables.load(spark, "/root/testdata/sf0.01", "orders")
     val both = ord.agg(
