@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   * recomputation cascade).
   *
   * Determinism: the winning pair each round is `(count desc, pair asc)`
-  * — re-runs and partitionings pick the SAME merge sequence. (The
-  * tie-break key joins the two symbols with ``; a corpus whose
-  * TEXT contains that control char could alias two different pairs to
-  * one key, so it is stripped during word extraction.)
+  * — re-runs and partitionings pick the SAME merge sequence. The
+  * tie-break key joins the two symbols with `\u0001`; that control
+  * char is STRIPPED during word extraction, which serves double duty:
+  * no text-derived pair can alias another pair's key, and no sequence
+  * of merges over text symbols can ever reconstruct the
+  * `\u0001`-containing end-of-word marker (a corpus containing the
+  * literal string "</w>" would alias a plain-ASCII marker).
   *
   * Not SQL-expressible: the merge sequence is data-dependent (each
   * round's vocabulary depends on every earlier argmax), so there is no
@@ -33,8 +36,11 @@ import org.apache.spark.sql.functions._
 object BpeTokenizer {
 
   /** End-of-word marker symbol (the Sennrich convention: lets a merge
-    * distinguish word-final from word-internal occurrences). */
-  val Eow = "</w>"
+    * distinguish word-final from word-internal occurrences). Contains
+    * the stripped `\u0001`, so text symbols can NEVER merge into
+    * something equal to it — raw HTML with a literal "</w>" stays
+    * distinguishable from the marker. */
+  val Eow = "\u0001w"
 
   private val Sep = "\u0001"
 
@@ -54,13 +60,9 @@ object BpeTokenizer {
   def initSymbols(word: Column): Column =
     concat(split(word, ""), array(lit(Eow)))
 
-  /** Adjacent symbol pairs of `syms`, as `a<U+0001>b` strings (empty array
-    * below two symbols). */
+  /** Adjacent symbol pairs of `syms`, as `a\u0001b` keys. */
   private def pairKeys(syms: Column): Column =
-    when(size(syms) >= 2, slice(
-      zip_with(syms, slice(syms, lit(2), size(syms) - 1),
-        (a, b) => concat_ws(Sep, a, b)),
-      lit(1), size(syms) - 1)).otherwise(array())
+    TextAnalysis.adjacentPairs(syms, Sep)
 
   /** One left-to-right non-overlapping merge pass of (`a`,`b`) over a
     * symbol array: standard BPE application order — `a a a` under the
@@ -110,16 +112,36 @@ object BpeTokenizer {
     Bpe(merges.toSeq)
   }
 
+  /** How many merge applications stack into one projection before the
+    * plan is materialized and lineage truncated: Catalyst collapses
+    * adjacent projects into nested expressions, so an unbounded fold of
+    * higher-order `aggregate` lambdas would blow analysis/codegen at a
+    * real tokenizer's merge count (thousands). 64 nested folds is well
+    * inside codegen limits; the cost of a truncation is one
+    * vocabulary-table materialization. */
+  private val mergeBatch = 64
+
   /** The distinct-word → symbol-array table under `bpe`: every merge
-    * applied in training order. The driver loop builds |merges| nested
-    * column transforms over the VOCABULARY table — the corpus never
-    * pays per-merge work. */
+    * applied in training order. Merges stack [[mergeBatch]] per
+    * projection, then the vocabulary table materializes and lineage
+    * truncates (reliable checkpoint with a configured checkpoint dir,
+    * localCheckpoint in local mode — the duplicateClusters discipline),
+    * so a production-size merge list is a chain of bounded-depth plans
+    * over the VOCABULARY table; the corpus never pays per-merge work. */
   def wordTokens(docs: DataFrame, textCol: String, bpe: Bpe): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val init = wordCounts(docs, textCol)
       .select(col("word"), col("c"), initSymbols(col("word")).as("syms"))
-    bpe.merges.foldLeft(init) { case (df, (a, b)) =>
-      df.withColumn("syms", mergeOnce(col("syms"), a, b))
-    }
+    bpe.merges.grouped(mergeBatch).zipWithIndex
+      .foldLeft(init) { case (df, (chunk, i)) =>
+        val applied = chunk.foldLeft(if (i == 0) df else truncate(df)) {
+          case (d, (a, b)) => d.withColumn("syms", mergeOnce(col("syms"), a, b))
+        }
+        applied
+      }
   }
 
   /** Per-document BPE token counts (`n_bpe_tokens`): corpus words join

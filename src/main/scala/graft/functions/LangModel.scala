@@ -128,13 +128,8 @@ object LangModel {
     * shingle construction over the LENGTH-FILTERED token array, so a
     * leading-whitespace empty token can neither start nor end a bigram
     * (mirrors the oracle's list_filter + window form). */
-  def bigrams(text: Column): Column = {
-    val w = tokens(text)
-    val zipped = zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-      (a, b) => concat_ws(" ", a, b))
-    when(size(w) >= 2, slice(zipped, lit(1), size(w) - 1))
-      .otherwise(array())
-  }
+  def bigrams(text: Column): Column =
+    TextAnalysis.adjacentPairs(tokens(text), " ")
 
   /** A trained bigram model: conditional add-one counts. `pairs` is the
     * (`w1w2`, `c2`) bigram count table; `ctx` the (`w1`, `cx`) context

@@ -220,6 +220,17 @@ object TextAnalysis {
       .otherwise(array())
   }
 
+  /** Adjacent element pairs of an array, joined by `sep` (`[a,b,c]` →
+    * `[a⧺sep⧺b, b⧺sep⧺c]`; empty below two elements) — the ONE copy of
+    * the shifted-zip pair construction shared by [[graft.functions.LangModel.bigrams]]
+    * and `BpeTokenizer.pairKeys` (the n-ary generalization with
+    * different tail semantics is [[shingles]]). */
+  def adjacentPairs(arr: Column, sep: String): Column =
+    when(size(arr) >= 2, slice(
+      zip_with(arr, slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        (a, b) => concat_ws(sep, a, b)),
+      lit(1), size(arr) - 1)).otherwise(array())
+
   /** Everything that is not a Unicode letter or digit, as one regex
     * class shared with the DuckDB oracles (interpolated, never
     * copied) — \p{L}/\p{Nd} behave identically in Java regex and RE2,

@@ -37,19 +37,21 @@ class BpeSpec extends AnyFunSuite {
     // pair counts round 1: (e,s)=9 (t,</w>)=9 (s,t)=9 tie -> 'e…' wins;
     // round 2: (es,t)=9 (t,</w>)=9 tie -> 'es…' wins; round 3:
     // (est,</w>)=9; round 4: (l,o)=7 (o,w)=7 tie -> 'l…'; round 5: (lo,w)=7
+    val W = BpeTokenizer.Eow
     assert(bpe.merges == Seq(
-      "e" -> "s", "es" -> "t", "est" -> "</w>", "l" -> "o", "lo" -> "w"))
+      "e" -> "s", "es" -> "t", "est" -> W, "l" -> "o", "lo" -> "w"))
   }
 
   test("wordTokens applies merges in order; tokenCounts sums per doc") {
+    val W = BpeTokenizer.Eow
     val bpe = BpeTokenizer.Bpe(Seq(
-      "e" -> "s", "es" -> "t", "est" -> "</w>", "l" -> "o", "lo" -> "w"))
+      "e" -> "s", "es" -> "t", "est" -> W, "l" -> "o", "lo" -> "w"))
     val toks = BpeTokenizer.wordTokens(sennrich, "text", bpe)
       .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
-    assert(toks("low") == Seq("low", "</w>"))
-    assert(toks("lower") == Seq("low", "e", "r", "</w>"))
-    assert(toks("newest") == Seq("n", "e", "w", "est</w>"))
-    assert(toks("widest") == Seq("w", "i", "d", "est</w>"))
+    assert(toks("low") == Seq("low", W))
+    assert(toks("lower") == Seq("low", "e", "r", W))
+    assert(toks("newest") == Seq("n", "e", "w", "est" + W))
+    assert(toks("widest") == Seq("w", "i", "d", "est" + W))
     val counts = BpeTokenizer.tokenCounts(
         docs(7L -> "low lower", 8L -> "newest", 9L -> null), "doc_id",
         "text", bpe)
@@ -58,12 +60,12 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("merge application is left-to-right non-overlapping") {
-    // 'aaa' under merge (a,a): [aa, a, </w>], never [a, aa] or [aaa]
+    // 'aaa' under merge (a,a): [aa, a, eow], never [a, aa] or [aaa]
     val bpe = BpeTokenizer.Bpe(Seq("a" -> "a"))
     val t = BpeTokenizer.wordTokens(docs(0L -> "aaa aaaa"), "text", bpe)
       .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
-    assert(t("aaa") == Seq("aa", "a", "</w>"))
-    assert(t("aaaa") == Seq("aa", "aa", "</w>"))
+    assert(t("aaa") == Seq("aa", "a", BpeTokenizer.Eow))
+    assert(t("aaaa") == Seq("aa", "aa", BpeTokenizer.Eow))
   }
 
   test("training stops early when words are fully merged") {
@@ -72,7 +74,7 @@ class BpeSpec extends AnyFunSuite {
     assert(bpe.merges.length == 2)
     val t = BpeTokenizer.wordTokens(docs(0L -> "ab"), "text", bpe)
       .head().getSeq[String](2)
-    assert(t == Seq("ab</w>"))
+    assert(t == Seq("ab" + BpeTokenizer.Eow))
   }
 
   test("training is insensitive to partitioning and repetition layout") {
@@ -86,6 +88,22 @@ class BpeSpec extends AnyFunSuite {
     val b3 = BpeTokenizer.train(shredded.repartition(5), "text", 3)
     val b4 = BpeTokenizer.train(shredded.repartition(2), "text", 3)
     assert(b3.merges == b4.merges)
+  }
+
+  test("literal </w> in text can never alias the end-of-word marker") {
+    // raw HTML: the word '</w>' trains merges over its characters, but
+    // the resulting symbols stay distinct from the \u0001-bearing Eow
+    val html = docs(0L -> (Seq.fill(6)("</w>").mkString(" ") + " x"))
+    val bpe = BpeTokenizer.train(html, "text", numMerges = 6)
+    assert(bpe.merges.forall { case (a, b) =>
+      (a + b) != BpeTokenizer.Eow },
+      s"text merges must not forge the marker: ${bpe.merges}")
+    val toks = BpeTokenizer.wordTokens(html, "text", bpe)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    // the fully merged html word = its 4 chars + the real marker, and
+    // the marker symbol is still identifiable by its \u0001 prefix
+    assert(toks("</w>").last.startsWith("\u0001") ||
+      toks("</w>").last.endsWith(BpeTokenizer.Eow))
   }
 
   test("multilingual corpus trains and counts without the eow marker " +
