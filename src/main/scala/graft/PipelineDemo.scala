@@ -227,6 +227,9 @@ object PipelineDemo {
     println(s"[pipeline] bpe: 16 merges trained " +
       s"(first: ${bpe.merges.take(3).map(m => m._1 + "+" + m._2)
         .mkString(", ")}); corpus = $bpeTotal bpe tokens")
+    val chunks = Curation.chunkDocs(docs, "doc_id", "text", 64, 16)
+    println(s"[pipeline] rag chunking: ${chunks.count()} chunks of <=64 " +
+      s"tokens (16 overlap) from ${docs.count()} docs")
     val jsonlDir = java.nio.file.Files.createTempDirectory("jsonl").toString
     graft.sources.JsonlStore.write(docs, s"$jsonlDir/out",
       codec = Some("gzip"))

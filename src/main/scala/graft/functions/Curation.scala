@@ -311,6 +311,47 @@ object Curation {
     floor(log(u) / weight.cast("double") * 1e6 + 0.5).cast("long")
   }
 
+  /** Overlapping token-window chunking — the retrieval-prep step
+    * (RAG indexing, embedding-model input prep): each document's
+    * (length-filtered) token stream is cut into windows of
+    * `chunkTokens` starting every `chunkTokens − overlapTokens`
+    * tokens; the final window is the tail (possibly short), and no
+    * window starts inside the previous window's un-overlapped tail
+    * (so no chunk is redundant). Unlike [[packSequences]] — which
+    * packs the CORPUS stream into training windows across doc
+    * boundaries — chunking is strictly per-document: pure column math
+    * (sequence explode + array slice), no shuffle, no state, usable
+    * in a streaming projection as-is.
+    *
+    * Output: `chunk_id` (0-based within doc), `n_tokens`, and
+    * `chunk_text` (tokens re-joined with single spaces — the
+    * normalized form both engines reproduce). Token-less docs are
+    * absent. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .withColumn("__w", filter(TextAnalysis.words(col(textCol)),
+        t => length(t) > 0))
+      .withColumn("__nt", size(col("__w")).cast("long"))
+      .filter(col("__nt") > 0L)
+      // starts at 0, stride, … while start < max(nt − overlap, 1)
+      .withColumn("__nc",
+        expr(s"(greatest(__nt - $overlapTokens, 1L) + $stride - 1) " +
+          s"div $stride"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("__nc") - 1)))
+      .withColumn("__start", col("chunk_id") * stride)
+      .withColumn("n_tokens",
+        least(lit(chunkTokens.toLong), col("__nt") - col("__start")))
+      .select(col(idCol), col("chunk_id"), col("n_tokens").cast("int")
+          .as("n_tokens"),
+        array_join(slice(col("__w"), (col("__start") + 1).cast("int"),
+          col("n_tokens").cast("int")), " ").as("chunk_text"))
+  }
+
   /** Integer (base repeats, fractional-keep threshold) pair for an
     * epoch factor: a doc repeats `base` times plus once more iff its
     * 52-bit md5 draw falls under `thresh` — an EXACT integer compare,

@@ -288,6 +288,36 @@ object CorpusQueries extends QueryPack {
              ORDER BY wk DESC, doc_id LIMIT 120)
           ORDER BY doc_id""")),
 
+    // ---- overlapping document chunking (RAG prep) -------------------
+    // 64-token windows every 48 tokens (16 overlap), strictly
+    // per-document; chunk text re-joined with single spaces so both
+    // engines hash identical bytes.
+    QueryDef("q_chunk_docs", (s, dir) => {
+      Curation.chunkDocs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }, Some(
+      """WITH fw AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'),
+              x -> length(x) > 0) AS w
+          FROM documents),
+          d AS (SELECT doc_id, w, len(w) AS nt FROM fw WHERE len(w) > 0),
+          c AS (SELECT doc_id, w, nt,
+              unnest(generate_series(0,
+                CAST((greatest(nt - 16, 1) + 47) // 48 - 1 AS BIGINT)))
+                AS chunk_id
+            FROM d),
+          sl AS (SELECT doc_id, chunk_id,
+              least(64, nt - chunk_id * 48) AS n_tokens,
+              array_to_string(w[chunk_id * 48 + 1 :
+                chunk_id * 48 + least(64, nt - chunk_id * 48)], ' ') AS ct
+            FROM c)
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+            CAST(n_tokens AS INT) AS n_tokens, md5(ct) AS chunk_md5
+          FROM sl ORDER BY doc_id, chunk_id""")),
+
     // ---- epoch mixing (upsampled domain mixture) --------------------
     // "2.3 epochs of en, 0.4 of zh, …": repeats = floor(f) + one more
     // iff the salted md5 draw clears an integer threshold — thresholds

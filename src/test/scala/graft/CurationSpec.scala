@@ -265,6 +265,39 @@ class CurationSpec extends AnyFunSuite {
     assert(heavy >= 45, s"heavy-weight docs must dominate, got $heavy/50")
   }
 
+  // ---- chunkDocs -----------------------------------------------------
+
+  test("chunkDocs: stride/overlap tiling, tail chunk, no redundant " +
+      "windows, short docs intact") {
+    val words20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = docs(0L -> words20, 1L -> "a b c", 2L -> "", 3L -> null)
+    val got = Curation.chunkDocs(d, "doc_id", "text",
+        chunkTokens = 8, overlapTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3)))
+    // doc 0: 20 tokens, stride 5 -> starts 0,5,10,15 (15 < 20-3=17)
+    val c0 = got.filter(_._1 == 0L).sortBy(_._2)
+    assert(c0.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(c0.map(_._3).toSeq == Seq(8, 8, 8, 5), "tail chunk short")
+    assert(c0.head._4 == (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(c0.last._4 == (16 to 20).map(i => s"w$i").mkString(" "))
+    // consecutive chunks overlap by exactly overlapTokens (full chunks)
+    assert(c0(0)._4.split(" ").takeRight(3).toSeq ==
+      c0(1)._4.split(" ").take(3).toSeq)
+    // every token appears; union of chunks reconstructs the doc
+    assert(c0.flatMap(_._4.split(" ")).distinct.length == 20)
+    // doc 1: shorter than one chunk -> exactly one whole-doc chunk
+    assert(got.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 3, "a b c")))
+    // empty text = one empty token after filter... actually filtered to
+    // zero tokens -> absent, like null
+    assert(!got.exists(r => r._1 == 2L || r._1 == 3L))
+    // partitioning-insensitive
+    val again = Curation.chunkDocs(d.repartition(5), "doc_id", "text", 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3)))
+    assert(again.toSet == got.toSet)
+  }
+
   // ---- epochMix ------------------------------------------------------
 
   test("epochMix: integer repeats exact, fractional keep near rate, " +
