@@ -227,6 +227,12 @@ object PipelineDemo {
     println(s"[pipeline] bpe: 16 merges trained " +
       s"(first: ${bpe.merges.take(3).map(m => m._1 + "+" + m._2)
         .mkString(", ")}); corpus = $bpeTotal bpe tokens")
+    val qm = graft.functions.QualityClassifier.QualityModel(
+      Seq(3.0, -0.1, -5.0, 1.5), bias = -0.5)
+    val qKept = graft.functions.QualityClassifier
+      .gate(docs, "text", qm, threshold = 0.6).count()
+    println(s"[pipeline] classifier quality gate (pinned weights, " +
+      s"p>=0.6): $qKept of ${docs.count()} docs kept")
     val chunks = Curation.chunkDocs(docs, "doc_id", "text", 64, 16)
     println(s"[pipeline] rag chunking: ${chunks.count()} chunks of <=64 " +
       s"tokens (16 overlap) from ${docs.count()} docs")

@@ -288,6 +288,49 @@ object CorpusQueries extends QueryPack {
              ORDER BY wk DESC, doc_id LIMIT 120)
           ORDER BY doc_id""")),
 
+    // ---- classifier-based quality filtering -------------------------
+    // FineWeb/DCLM-style model filter with PINNED weights (training is
+    // spec-gated; production pins exported weights exactly like this):
+    // the logit accumulates in the documented left-to-right order and
+    // the sigmoid is 6-dp-floored, so the keep decision hash-matches.
+    QueryDef("q_quality_classifier", (s, dir) => {
+      import graft.functions.QualityClassifier
+      val m = QualityClassifier.QualityModel(
+        Seq(3.0, -0.1, -5.0, 1.5), bias = -0.5)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          QualityClassifier.score(col("text"), m).as("q_score"))
+        .withColumn("keep", (col("q_score") >= 0.6).cast("int"))
+        .filter(col("q_score").isNotNull)
+        .orderBy("doc_id")
+    }, Some {
+      val stops = graft.functions.TextAnalysis.defaultStopwords
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH t AS (SELECT doc_id, text,
+            string_split_regex(text, '\\s+') AS w FROM documents
+          WHERE text IS NOT NULL),
+          f AS (SELECT doc_id,
+            CAST(len(list_filter(w, x -> list_contains($stops, x)))
+              AS DOUBLE) / len(w) AS swr,
+            CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+              / len(w) AS awl,
+            (CASE WHEN length(text) > 0 THEN
+              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                AS DOUBLE) / length(text) ELSE 0.0 END) AS pr,
+            least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS ln
+          FROM t),
+          z AS (SELECT doc_id,
+            -0.5 + swr * 3.0 + awl * -0.1 + pr * -5.0 + ln * 1.5 AS z
+          FROM f)
+          SELECT doc_id,
+            floor(1.0 / (1.0 + exp(-z)) * 1000000 + 0.5) / 1000000
+              AS q_score,
+            CAST(CASE WHEN
+              floor(1.0 / (1.0 + exp(-z)) * 1000000 + 0.5) / 1000000
+                >= 0.6 THEN 1 ELSE 0 END AS INT) AS keep
+          FROM z ORDER BY doc_id"""
+    }),
+
     // ---- overlapping document chunking (RAG prep) -------------------
     // 64-token windows every 48 tokens (16 overlap), strictly
     // per-document; chunk text re-joined with single spaces so both

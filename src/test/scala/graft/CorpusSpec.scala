@@ -170,6 +170,55 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.values.forall(_.size == 5), "each domain capped at 5")
   }
 
+  // ---- QualityClassifier ---------------------------------------------
+
+  test("classifier training separates clean text from junk; exported " +
+      "weights drive the portable gate") {
+    import graft.functions.QualityClassifier
+    val clean = "the cat and the dog walk to the old market in town " +
+      "with a basket of fresh bread for the morning trade"
+    val junk = "$$$ ### @@@ !!! %%% ^^^ &&& *** ((( ))) ~~~ ``` |||"
+    val labeled = ((0L until 40L).map(i => (i, s"$clean item $i", 1.0)) ++
+      (100L until 140L).map(i => (i, s"$junk $i", 0.0)))
+      .toDF("doc_id", "text", "label")
+    val m = QualityClassifier.train(labeled, "text", "label")
+    // the trained model must separate the two populations cleanly
+    val scored = labeled.select(col("label"),
+        QualityClassifier.score(col("text"), m).as("s")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1))
+    val cleanMin = scored.filter(_._1 == 1.0).map(_._2).min
+    val junkMax = scored.filter(_._1 == 0.0).map(_._2).max
+    assert(cleanMin > junkMax,
+      s"separation failed: clean min $cleanMin <= junk max $junkMax")
+    // the gate keeps exactly the population above threshold
+    val thr = (cleanMin + junkMax) / 2
+    val kept = QualityClassifier.gate(labeled, "text", m, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 40L).toSet)
+    // null text scores null and is never kept
+    val n = QualityClassifier.gate(
+      docs(9L -> null.asInstanceOf[String]), "text", m, 0.0).count()
+    assert(n == 0)
+  }
+
+  test("classifier score is partitioning-insensitive and respects the " +
+      "documented accumulation order") {
+    import graft.functions.QualityClassifier
+    val m = QualityClassifier.QualityModel(
+      Seq(3.0, -0.1, -5.0, 1.5), bias = -0.5)
+    val d = graft.queries.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 200)
+    def run(parts: Int): Map[Long, Double] =
+      d.repartition(parts).select(col("doc_id"),
+          QualityClassifier.score(col("text"), m).as("s"))
+        .filter(col("s").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r1 = run(1)
+    assert(r1 == run(7) && r1.nonEmpty)
+    assert(r1.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
   // ---- JsonlStore ----------------------------------------------------
 
   val schema = org.apache.spark.sql.types.StructType(Seq(
