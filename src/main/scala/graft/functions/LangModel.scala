@@ -52,10 +52,10 @@ object LangModel {
     }
   }
 
-  /** Half-up 4-dp rounding on a non-negative double — bit-identical on
-    * any IEEE engine (see TextAnalysis.qualityScore). */
+  /** Half-up 4-dp rounding on a non-negative double (the shared
+    * [[TextAnalysis.halfUpFloor]] idiom). */
   private def round4(x: Column): Column =
-    floor(x * 10000.0 + 0.5) / 10000.0
+    TextAnalysis.halfUpFloor(x, 4)
 
   /** Whitespace tokens with the empty strings a leading separator
     * produces removed (both engines agree on this form). */

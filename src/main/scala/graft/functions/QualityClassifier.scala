@@ -38,18 +38,26 @@ object QualityClassifier {
 
   /** The signal vector, in [[featureNames]] order. All four are exact
     * integer-ratio doubles both engines reproduce bit-for-bit; null
-    * text yields null signals (and a null score — gates drop it). */
+    * text yields null for EVERY signal (and a null score — gates drop
+    * it). The explicit isNotNull wrap matters: punctRatio's own
+    * null-length branch returns 0.0 and `least` SKIPS nulls (len_norm
+    * would read 1.0) — without it the null-drop invariant would rest
+    * on which signals a caller happens to use. */
   def features(text: Column): Seq[Column] = Seq(
     TextAnalysis.stopwordRatio(text),
     TextAnalysis.avgWordLen(text),
-    TextAnalysis.punctRatio(text),
-    least(length(text).cast("double") / 500.0, lit(1.0)))
+    when(text.isNotNull, TextAnalysis.punctRatio(text)),
+    when(text.isNotNull,
+      least(length(text).cast("double") / 500.0, lit(1.0))))
 
-  /** 6-dp half-up floor rounding (non-negative input) — the repo's
-    * engine-portable rounding, one notch finer than the 4-dp quality
-    * score because sigmoid outputs cluster near the threshold. */
+  /** 6 dp, one notch finer than the 4-dp quality score because
+    * sigmoid outputs cluster near the threshold — the same 10⁻⁶ grid
+    * the micro-nat LM scores use, and the same boundary-flip argument:
+    * the one transcendental (`exp`) is within 1 ulp on both engines,
+    * and a flip needs the value within ~1 ulp of a grid boundary
+    * (~10⁻¹¹ per doc). */
   private def round6(x: Column): Column =
-    floor(x * 1000000.0 + 0.5) / 1000000.0
+    TextAnalysis.halfUpFloor(x, 6)
 
   /** P(quality) under `m`: sigmoid of the logit accumulated STRICTLY
     * left-to-right (`bias + w₀·x₀ + w₁·x₁ + …` — the order the oracle
@@ -80,6 +88,14 @@ object QualityClassifier {
       d.withColumn(s"__f_$n", c)
     }.filter(cols.map { case (n, _) => col(s"__f_$n").isNotNull }
       .reduce(_ && _))
+    // fail loud on bad labels: a null label would throw an opaque
+    // SparkException inside fit(), and a 2.0 would silently switch LR
+    // to multinomial and return wrong-shaped coefficients
+    val badLabels = prepared
+      .filter(col(labelCol).isNull || !col(labelCol).isin(0.0, 1.0))
+      .count()
+    require(badLabels == 0,
+      s"$badLabels rows with labels outside {0.0, 1.0}")
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.map(n => s"__f_$n").toArray)
       .setOutputCol("__fv")

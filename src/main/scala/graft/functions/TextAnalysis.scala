@@ -220,6 +220,20 @@ object TextAnalysis {
       .otherwise(array())
   }
 
+  /** THE repo's engine-portable rounding: `floor(x·10ⁿ + 0.5)/10ⁿ` —
+    * pure double math, bit-identical on any IEEE engine, unlike
+    * `round()` (Spark rounds HALF_UP on the exact binary expansion
+    * while DuckDB multiplies first; a value on a decimal .5 boundary
+    * flips the last digit between them — caught live at sf0.1, see
+    * [[qualityScore]]). Half-up for NON-NEGATIVE x only (for x < 0
+    * this floor form rounds half-toward-+∞, not half-away). One copy
+    * on purpose: the portability argument lives here, not in every
+    * caller. */
+  def halfUpFloor(x: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(x * p + 0.5) / p
+  }
+
   /** Adjacent element pairs of an array, joined by `sep` (`[a,b,c]` →
     * `[a⧺sep⧺b, b⧺sep⧺c]`; empty below two elements) — the ONE copy of
     * the shifted-zip pair construction shared by [[graft.functions.LangModel.bigrams]]

@@ -219,6 +219,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(r1.values.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("chunkDocs and classifier score run stateless inside a " +
+      "streaming query, row-equal to batch") {
+    import graft.functions.{Curation, QualityClassifier}
+    import graft.streaming.SarStreaming
+    val m = QualityClassifier.QualityModel(
+      Seq(3.0, -0.1, -5.0, 1.5), bias = -0.5)
+    val d = graft.queries.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 80)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sel").toString
+    try {
+      d.write.mode("overwrite").parquet(s"$dir/in")
+      val stream = SarStreaming.readEvents(spark,
+        spark.read.parquet(s"$dir/in").schema, s"$dir/in")
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        Curation.chunkDocs(df, "doc_id", "text", 32, 8)
+          .withColumn("q", QualityClassifier.score(col("chunk_text"), m))
+      val streamed = SarStreaming.runToMemory(shape(stream), "sel_out",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3),
+          r.getDouble(4))).toSet
+      val batch = shape(d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3),
+          r.getDouble(4))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   // ---- JsonlStore ----------------------------------------------------
 
   val schema = org.apache.spark.sql.types.StructType(Seq(
