@@ -71,27 +71,54 @@ object Dedup {
         (i % 4) * 8 + 1, 8)))
   }
 
-  /** LSH banding over a minhash signature: bands of `rowsPerBand`
-    * components; docs sharing any band key are candidate pairs. */
-  def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+  /** The banded key frame behind the LSH joins: one row per
+    * (id, band, 64-bit band key). md5 defines the buckets
+    * (engine-portable); the join itself runs on a 64-bit hash of it so
+    * the shuffle/probe handles longs. */
+  private def bandedKeys(df: DataFrame, textCol: String, idCol: String,
+      k: Int, rowsPerBand: Int, n: Int): DataFrame = {
     val sig = minhashSignature(df, textCol, idCol, k, n)
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("key"))
     }
-    val banded = sig.select(col(idCol),
-        explode(array(bandStructs: _*)).as("bk"))
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"),
-        // md5 defines the buckets (engine-portable); the join itself runs
-        // on a 64-bit hash of it so the shuffle/probe handles longs
         xxhash64(col("bk.key")).as("key"))
+  }
+
+  /** LSH banding over a minhash signature: bands of `rowsPerBand`
+    * components; docs sharing any band key are candidate pairs. */
+  def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    val banded = bandedKeys(df, textCol, idCol, k, rowsPerBand, n)
     val a = banded.toDF(Seq("a", "band", "key"): _*)
     val b = banded.toDF(Seq("b", "band", "key"): _*)
     a.join(b, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  /** LSH candidate pairs BETWEEN two corpora — near-dup
+    * decontamination (train vs held-out eval, the step past
+    * `Decontam.contamination`'s exact n-gram overlap: a lightly
+    * paraphrased benchmark document still collides in minhash space)
+    * and cross-snapshot dedup. Same hash family and banding as
+    * [[lshCandidatePairs]], so a (corpusA ∪ corpusB) self-join and
+    * this cross-join agree on every A×B pair; returns
+    * (`a` = left id, `b` = right id) with no id-order constraint —
+    * the sides are different tables. At scale each side shuffles once
+    * on the band key; the eval side is typically tiny and AQE
+    * broadcasts it. */
+  def lshCandidatePairsAcross(left: DataFrame, right: DataFrame,
+      textCol: String, idCol: String, k: Int = 8, rowsPerBand: Int = 2,
+      n: Int = 3): DataFrame = {
+    val a = bandedKeys(left, textCol, idCol, k, rowsPerBand, n)
+      .toDF(Seq("a", "band", "key"): _*)
+    val b = bandedKeys(right, textCol, idCol, k, rowsPerBand, n)
+      .toDF(Seq("b", "band", "key"): _*)
+    a.join(b, Seq("band", "key")).select("a", "b").distinct()
   }
 
   /** Exact n-gram Jaccard similarity join: candidate pairs from shared

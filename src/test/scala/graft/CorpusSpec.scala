@@ -170,6 +170,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.values.forall(_.size == 5), "each domain capped at 5")
   }
 
+  // ---- cross-corpus LSH ----------------------------------------------
+
+  test("lshCandidatePairsAcross agrees with the union self-join on " +
+      "every cross pair") {
+    import graft.functions.Dedup
+    val d = graft.queries.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 300)
+    val left = d.filter(col("doc_id") % 3 =!= 0)
+    val right = d.filter(col("doc_id") % 3 === 0)
+    val cross = Dedup.lshCandidatePairsAcross(left, right, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the self-join over the union, restricted to one-id-per-side
+    // pairs, must produce the same set (as unordered pairs)
+    val self = Dedup.lshCandidatePairs(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 3 == 0) != (b % 3 == 0) }
+      .map { case (a, b) => if (a % 3 != 0) (a, b) else (b, a) }.toSet
+    assert(cross == self && cross.nonEmpty,
+      s"cross ${cross.size} vs self-derived ${self.size}")
+    // sides are disjoint by construction here, so no self-pairs
+    assert(cross.forall { case (a, b) => a % 3 != 0 && b % 3 == 0 })
+  }
+
   // ---- QualityClassifier ---------------------------------------------
 
   test("classifier training separates clean text from junk; exported " +
