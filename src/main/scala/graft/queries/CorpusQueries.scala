@@ -301,25 +301,14 @@ object CorpusQueries extends QueryPack {
           docs.filter(col("doc_id") % 37 === 0),
           "text", "doc_id", k = 8, rowsPerBand = 2, n = 3)
         .orderBy("a", "b")
-    }, Some {
-      val mins = (0 until 8).map(i =>
-        s"min(substring(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
-        .mkString(",\n            ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS key FROM sig")
-        .mkString("\n          UNION ALL ")
+    }, Some(
       s"""WITH ${OracleSql.docShingleCte},
-          sig AS (SELECT doc_id,
-            $mins
-          FROM sh GROUP BY doc_id),
-          bands AS (
-          $bands)
+          ${OracleSql.minhashBandsCtes}
           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.key = b.key
           WHERE a.doc_id % 37 <> 0 AND b.doc_id % 37 = 0
-          ORDER BY a, b"""
-    }),
+          ORDER BY a, b""")),
 
     // ---- classifier-based quality filtering -------------------------
     // FineWeb/DCLM-style model filter with PINNED weights (training is

@@ -185,24 +185,13 @@ object LlmQueries extends QueryPack {
       Dedup.lshCandidatePairs(Tables.load(s, dir, "documents"),
           "text", "doc_id", k = 8, rowsPerBand = 2, n = 3)
         .orderBy("a", "b")
-    }, Some {
-      val mins = (0 until 8).map(i =>
-        s"min(substring(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
-        .mkString(",\n            ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS key FROM sig")
-        .mkString("\n          UNION ALL ")
+    }, Some(
       s"""WITH $shingleCte,
-          sig AS (SELECT doc_id,
-            $mins
-          FROM sh GROUP BY doc_id),
-          bands AS (
-          $bands)
+          ${OracleSql.minhashBandsCtes}
           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-          ORDER BY a, b"""
-    }),
+          ORDER BY a, b""")),
 
     // ---- repetition signals (Gopher-style quality filters) ----------
     // duplicate-word fraction + fraction of characters in the most

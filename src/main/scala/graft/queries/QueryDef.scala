@@ -110,6 +110,26 @@ private[queries] object OracleSql {
         spag AS (SELECT doc_id, list_sort(list(pos)) AS ps
                  FROM dp GROUP BY doc_id)"""
 
+  /** The minhash signature + LSH band CTE chain (mirrors
+    * Dedup.minhashSignature + bandedKeys for k=8, rowsPerBand=2 over
+    * [[docShingleCte]]'s `sh`): chain ending in `bands(doc_id, band,
+    * key)`. ONE copy shared by q_minhash_lsh and q_neardup_decontam —
+    * a hash-family tweak applied to a single mirror would silently
+    * split the two oracles. */
+  val minhashBandsCtes: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(substring(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+      .mkString(",\n            ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS key FROM sig")
+      .mkString("\n          UNION ALL ")
+    s"""sig AS (SELECT doc_id,
+            $mins
+          FROM sh GROUP BY doc_id),
+          bands AS (
+          $bands)"""
+  }
+
   /** Cosine of two fixed-dim numeric-list columns — double accumulation
     * in element order, mirroring Similarity.cosine. */
   def cosD(a: String, b: String, dim: Int): String = {
