@@ -205,6 +205,19 @@ object Curation {
       .drop("__toks", "__key", "__bkt", "__off", "__cum")
   }
 
+  /** [[sampleToTokenBudget]] generalized to ANY per-doc cost column —
+    * the form that takes a TOKENIZER's own counts ("keep 10B BPE
+    * tokens": join `BpeTokenizer.tokenCounts` and pass `n_bpe_tokens`),
+    * or chars, or bytes. Same deterministic `(md5(id), id)` order and
+    * inclusive-fit rule; null costs count zero (kept for free). */
+  def sampleToBudget(docs: DataFrame, idCol: String, cost: Column,
+      budget: Long): DataFrame = {
+    val (withCum, _) = withRunningCost(docs, idCol, cost.cast("long"))
+    withCum
+      .filter(col("__cum") <= budget)
+      .drop("__toks", "__key", "__bkt", "__off", "__cum")
+  }
+
   /** The shared running-token-sum frame behind [[sampleToTokenBudget]]
     * and [[packShards]]: every doc annotated with its token count
     * (`__toks`) and INCLUSIVE global running sum (`__cum`) in
@@ -212,9 +225,15 @@ object Curation {
     * [[withBucketOffsets]] — 256-way parallel, no single-reducer
     * window. */
   private def withRunningTokens(docs: DataFrame, idCol: String,
-      textCol: String): (DataFrame, Long) = {
-    val withT = docs.withColumn("__toks",
-      coalesce(TextAnalysis.wsTokenCount(col(textCol)).cast("long"), lit(0L)))
+      textCol: String): (DataFrame, Long) =
+    withRunningCost(docs, idCol,
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
+
+  /** [[withRunningTokens]] generalized to ANY per-doc cost expression
+    * (BPE token counts, chars, bytes) — null cost reads zero. */
+  private def withRunningCost(docs: DataFrame, idCol: String,
+      cost: Column): (DataFrame, Long) = {
+    val withT = docs.withColumn("__toks", coalesce(cost, lit(0L)))
     val (withOff, total) = withBucketOffsets(withT, idCol, Seq.empty,
       coalesce(sum("__toks"), lit(0L)))
     val w = Window.partitionBy(col("__bkt"))

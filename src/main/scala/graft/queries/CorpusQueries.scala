@@ -288,6 +288,25 @@ object CorpusQueries extends QueryPack {
              ORDER BY wk DESC, doc_id LIMIT 120)
           ORDER BY doc_id""")),
 
+    // ---- generalized cost-budget selection --------------------------
+    // sampleToBudget with chars as the cost ("keep ~60k chars of
+    // corpus, reproducibly uniform"): the cost-column generalization
+    // whose production form takes BPE token counts (spec-gated — BPE
+    // isn't SQL); chars give it a full hash oracle.
+    QueryDef("q_char_budget", (s, dir) => {
+      Curation.sampleToBudget(Tables.load(s, dir, "documents")
+          .select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), budget = 60000L)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH c AS (SELECT doc_id, n_chars,
+            sum(coalesce(n_chars, 0)) OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+          SELECT doc_id, n_chars FROM c WHERE cum <= 60000
+          ORDER BY doc_id""")),
+
     // ---- cross-corpus near-dup decontamination ----------------------
     // LSH candidates BETWEEN the training split and the held-out eval
     // split (doc_id % 37 — the q_decontam split): the step past exact

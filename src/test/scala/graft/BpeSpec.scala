@@ -106,6 +106,33 @@ class BpeSpec extends AnyFunSuite {
       toks("</w>").last.endsWith(BpeTokenizer.Eow))
   }
 
+  test("bpe-token budget: sampleToBudget over tokenCounts keeps docs " +
+      "while the running BPE total fits") {
+    import graft.functions.Curation
+    val d = graft.queries.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60)
+    val bpe = BpeTokenizer.train(d, "text", numMerges = 8)
+    val costed = d.join(
+      BpeTokenizer.tokenCounts(d, "doc_id", "text", bpe),
+      Seq("doc_id"), "left")
+    val budget = 3000L
+    val kept = Curation.sampleToBudget(costed, "doc_id",
+      col("n_bpe_tokens"), budget)
+    // the kept set is the md5-order prefix whose inclusive sum fits
+    val costs = costed.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(r.length - 1)) 0L
+        else r.getLong(r.length - 1))).toMap
+    val order = costs.keys.toSeq.sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+    val expect = order.zip(order.scanLeft(0L)(_ + costs(_)).tail)
+      .takeWhile(_._2 <= budget).map(_._1).toSet
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty && got.size < costs.size)
+  }
+
   test("multilingual corpus trains and counts without the eow marker " +
       "colliding with real text") {
     val d = graft.queries.Tables
