@@ -29,6 +29,36 @@ object LineClean {
   val defaultBlocklist: Seq[String] =
     Seq("lorem ipsum", "javascript", "cookie policy", "terms of use")
 
+  /** The HTML-strip patterns, public so the DuckDB oracle interpolates
+    * the SAME strings (RE2-safe: inline `(?is)` flags and lazy `.*?`
+    * behave identically in Java regex and RE2). Script/style/comment
+    * blocks vanish whole (their text is code, not prose); remaining
+    * tags become spaces. */
+  val scriptBlockPattern = "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>"
+  val commentPattern = "(?s)<!--.*?-->"
+  val tagPattern = "<[^>]*>"
+
+  /** Crude-but-deterministic HTML → text extraction (the RefinedWeb /
+    * C4 upstream step, as engine-portable column math rather than a
+    * parser UDF): script/style/comment blocks removed, tags spaced
+    * out, the five ubiquitous entities decoded (`&amp;` LAST, so
+    * `&amp;lt;` yields the literal `&lt;` it encodes rather than
+    * double-decoding), whitespace squeezed. A real DOM parser handles
+    * malformed nesting better; this form runs inside whole-stage
+    * codegen at scan speed and two engines agree byte-for-byte —
+    * the trade the rest of this package makes everywhere. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, scriptBlockPattern, " "),
+      commentPattern, " ")
+    val noTags = regexp_replace(noBlocks, tagPattern, " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Fraction of lines starting with a bullet glyph (Gopher line rule:
     * docs that are mostly bullet lists are not prose). 0 for empty. */
   def bulletLineFraction(text: Column): Column = {

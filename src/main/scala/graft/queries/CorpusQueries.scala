@@ -288,6 +288,59 @@ object CorpusQueries extends QueryPack {
              ORDER BY wk DESC, doc_id LIMIT 120)
           ORDER BY doc_id""")),
 
+    // ---- HTML -> text extraction ------------------------------------
+    // Both engines wrap each doc in deterministic HTML (script/style
+    // blocks, a multi-line comment, attributes, double-encoded
+    // entities) and strip it; the oracle interpolates the SAME
+    // patterns from LineClean, so the cleaned bytes hash-match.
+    QueryDef("q_html_strip", (s, dir) => {
+      import graft.functions.LineClean
+      val aug = concat(
+        lit("<html><head><title>T</title>"),
+        when(col("doc_id") % 2 === 0,
+          "<script type=\"text/javascript\">var i = 1 < 2 && j > 0;</script>")
+          .otherwise("<style>p { color: red; }</style>"),
+        lit("</head><body onload=\"init()\">"),
+        when(col("doc_id") % 3 === 0, "<!-- comment\nacross lines -->")
+          .otherwise(""),
+        lit("<p class=\"x\">"), coalesce(col("text"), lit("")),
+        lit("</p><br/>"),
+        lit("&quot;q&quot; &amp;lt; &nbsp;&#39;a&#39; &gt;"),
+        lit("</body></html>"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          LineClean.stripHtml(aug).as("__clean"))
+        .select(col("doc_id"), length(col("__clean")).as("n_clean"),
+          md5(col("__clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH a AS (SELECT doc_id,
+            '<html><head><title>T</title>' ||
+            (CASE WHEN doc_id % 2 = 0 THEN
+              '<script type="text/javascript">var i = 1 < 2 && j > 0;</script>'
+             ELSE '<style>p { color: red; }</style>' END) ||
+            '</head><body onload="init()">' ||
+            (CASE WHEN doc_id % 3 = 0 THEN
+              '<!-- comment' || chr(10) || 'across lines -->'
+             ELSE '' END) ||
+            '<p class="x">' || coalesce(text, '') || '</p><br/>' ||
+            '&quot;q&quot; &amp;lt; &nbsp;&#39;a&#39; &gt;' ||
+            '</body></html>' AS h
+          FROM documents),
+          st AS (SELECT doc_id, trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(h,
+                '${graft.functions.LineClean.scriptBlockPattern}', ' ', 'g'),
+                '${graft.functions.LineClean.commentPattern}', ' ', 'g'),
+                '${graft.functions.LineClean.tagPattern}', ' ', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+            '\\s+', ' ', 'g')) AS c
+          FROM a)
+          SELECT doc_id, CAST(length(c) AS INT) AS n_clean,
+            md5(c) AS clean_md5
+          FROM st ORDER BY doc_id""")),
+
     // ---- generalized cost-budget selection --------------------------
     // sampleToBudget with chars as the cost ("keep ~60k chars of
     // corpus, reproducibly uniform"): the cost-column generalization

@@ -116,4 +116,28 @@ class LineCleanSpec extends AnyFunSuite {
       assert(got(i.toLong) == want, s"case $name: got ${got(i.toLong)}")
     }
   }
+
+  test("stripHtml: blocks vanish whole, tags space out, entities " +
+      "decode once, whitespace squeezes") {
+    import graft.functions.LineClean
+    val cases = Seq(
+      "<p>hello <b>world</b></p>" -> "hello world",
+      // script/style content (including < > inside code) vanishes
+      "a<script>if (1 < 2 && x > 0) { go(); }</script>b" -> "a b",
+      "a<style>p { color: red; }</style>b" -> "a b",
+      // multi-line comments vanish
+      "x<!-- one\ntwo -->y" -> "x y",
+      "<a href=\"/x\" class='y'>link</a>" -> "link",
+      // entity decode, &amp; LAST: '&amp;lt;' means the literal '&lt;'
+      "&quot;q&quot; &amp;lt; &nbsp;&#39;a&#39; &gt;" ->
+        "\"q\" &lt; 'a' >",
+      "" -> "")
+    val got = cases.map(_._1).toDF("h")
+      .select(LineClean.stripHtml(col("h")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+    val n = Seq(Tuple1(null: String)).toDF("h")
+      .select(LineClean.stripHtml(col("h"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
