@@ -30,13 +30,21 @@ object LineClean {
     Seq("lorem ipsum", "javascript", "cookie policy", "terms of use")
 
   /** The HTML-strip patterns, public so the DuckDB oracle interpolates
-    * the SAME strings (RE2-safe: inline `(?is)` flags and lazy `.*?`
-    * behave identically in Java regex and RE2). Script/style/comment
-    * blocks vanish whole (their text is code, not prose); remaining
-    * tags become spaces. */
-  val scriptBlockPattern = "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>"
+    * the SAME strings (RE2-safe: inline `(?is)` flags, `\b`, and lazy
+    * `.*?` behave identically in Java regex and RE2). Script and style
+    * blocks vanish whole (their text is code, not prose) — PER-TAG
+    * patterns, because RE2 has no backreferences and a combined
+    * `(script|style)…(script|style)` alternation would let `</style>`
+    * terminate a `<script>` block and leak its code; the `\b` stops
+    * `<styles>`/`<script-loader>` prefixes from being read as block
+    * openers. The whitespace run is an EXPLICIT class: Java's `\s`
+    * includes U+000B, RE2's does not — the one place the two engines'
+    * regex dialects disagree on these patterns. */
+  val scriptBlockPattern = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  val styleBlockPattern = "(?is)<style\\b[^>]*>.*?</style\\s*>"
   val commentPattern = "(?s)<!--.*?-->"
   val tagPattern = "<[^>]*>"
+  val wsRunPattern = "[ \\t\\n\\f\\r\\x0B]+"
 
   /** Crude-but-deterministic HTML → text extraction (the RefinedWeb /
     * C4 upstream step, as engine-portable column math rather than a
@@ -49,14 +57,16 @@ object LineClean {
     * the trade the rest of this package makes everywhere. */
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(
-      regexp_replace(html, scriptBlockPattern, " "),
+      regexp_replace(
+        regexp_replace(html, scriptBlockPattern, " "),
+        styleBlockPattern, " "),
       commentPattern, " ")
     val noTags = regexp_replace(noBlocks, tagPattern, " ")
     val decoded = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, wsRunPattern, " "))
   }
 
   /** Fraction of lines starting with a bullet glyph (Gopher line rule:

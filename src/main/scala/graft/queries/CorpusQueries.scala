@@ -329,13 +329,14 @@ object CorpusQueries extends QueryPack {
           FROM documents),
           st AS (SELECT doc_id, trim(regexp_replace(
             replace(replace(replace(replace(replace(replace(
-              regexp_replace(regexp_replace(regexp_replace(h,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
                 '${graft.functions.LineClean.scriptBlockPattern}', ' ', 'g'),
+                '${graft.functions.LineClean.styleBlockPattern}', ' ', 'g'),
                 '${graft.functions.LineClean.commentPattern}', ' ', 'g'),
                 '${graft.functions.LineClean.tagPattern}', ' ', 'g'),
               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-            '\\s+', ' ', 'g')) AS c
+            '${graft.functions.LineClean.wsRunPattern}', ' ', 'g')) AS c
           FROM a)
           SELECT doc_id, CAST(length(c) AS INT) AS n_clean,
             md5(c) AS clean_md5

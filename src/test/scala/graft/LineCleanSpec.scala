@@ -131,6 +131,16 @@ class LineCleanSpec extends AnyFunSuite {
       // entity decode, &amp; LAST: '&amp;lt;' means the literal '&lt;'
       "&quot;q&quot; &amp;lt; &nbsp;&#39;a&#39; &gt;" ->
         "\"q\" &lt; 'a' >",
+      // a </style> INSIDE script code must not terminate the script
+      // block (per-tag patterns; a combined alternation would leak
+      // '; track();' into prose)
+      "a<script>var s = \"</style>\"; track();</script>b" -> "a b",
+      // <styles> is NOT a style-block opener (\b boundary) — plain
+      // tag stripping keeps its inner prose
+      "<styles>real prose</style>next" -> "real prose next",
+      // U+000B squeezes like any whitespace (explicit class: Java \s
+      // includes it, RE2's does not)
+      "a  b" -> "a b",
       "" -> "")
     val got = cases.map(_._1).toDF("h")
       .select(LineClean.stripHtml(col("h")))
