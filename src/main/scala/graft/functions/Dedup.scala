@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -578,5 +578,100 @@ object Dedup {
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     grouped.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** 64-bit SimHash fingerprint emitted as four 16-bit block columns
+    * `sb0..sb3` (block k holds global bits [16k, 16k+16)). Splitting the
+    * fingerprint keeps every value in the positive BIGINT range on both
+    * engines (a single 64-bit value would need bit 63 → sign bit) and is
+    * the shape the Manku-style block-permutation candidate join consumes
+    * directly.
+    *
+    * Bit derivation (engine-portable): one md5 per distinct whitespace
+    * token; global bit j reads hex digit ⌊j/2⌋ — even j takes the
+    * digit's high bit (digit ∈ 8..f), odd j its low bit (digit odd).
+    * Votes are ±1 per distinct token; a bit is set iff its vote sum is
+    * strictly positive (ties → 0, deterministic on both engines). Same
+    * tokenization contract as [[simhash16]].
+    *
+    * Reference behavior: near-duplicate detection per
+    * jschaef/sarfile_analyzer_ng's dedup intent; fingerprint design per
+    * Manku, Jain, Das Sarma — "Detecting Near-Duplicates for Web
+    * Crawling" (WWW'07).
+    */
+  def simhash64Blocks(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val lowHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val toks = df.select(col(idCol),
+      explode(array_distinct(TextAnalysis.words(col(textCol)))).as("tok"))
+    val withHash = toks.select(col(idCol), md5(col("tok")).as("h"))
+    // project each hex digit once; 64 vote sums reference the 32 digits
+    val digits = withHash.select(col(idCol) +:
+      (0 until 32).map(i => substring(col("h"), i + 1, 1).as(s"d$i")): _*)
+    val bitAggs = (0 until 64).map { j =>
+      val d = col(s"d${j >> 1}")
+      val isSet = if (j % 2 == 0) d.isin(highHex: _*) else d.isin(lowHex: _*)
+      sum(when(isSet, 1).otherwise(-1)).as(s"s$j")
+    }
+    val voted = digits.groupBy(col(idCol)).agg(bitAggs.head, bitAggs.tail: _*)
+    val blocks = (0 until 4).map { k =>
+      (0 until 16).map(t =>
+        when(col(s"s${16 * k + t}") > 0, lit(1L << t)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"sb$k")
+    }
+    voted.select(col(idCol) +: blocks: _*)
+  }
+
+  /** SimHash near-duplicate pairs: all (id_a < id_b) whose 64-bit
+    * fingerprints differ in at most `maxHamming` bits, found WITHOUT an
+    * all-pairs join via block-permutation candidate generation (Manku et
+    * al., WWW'07): the 64 bits split into `nBlocks` equal blocks; a pair
+    * within Hamming distance k touches at most k blocks, so at least
+    * (nBlocks − k) blocks are intact and the pair shares at least one
+    * (nBlocks − k)-subset key — candidate recall is EXACT by pigeonhole,
+    * and the final bit_count filter is exact, so the result equals the
+    * brute-force O(n²) Hamming join at any corpus size.
+    *
+    * Scale knob: `nBlocks = 4` keys on one 16-bit block (4 keys/doc) —
+    * right when n ≪ 2^16; `nBlocks = 8` keys on five 8-bit blocks
+    * (40-bit keys, C(8,5) = 56 keys/doc) — the Manku parameterization
+    * for web-scale n where 16-bit buckets would degenerate toward
+    * all-pairs. Both shuffle only (doc, key) rows and pair only within
+    * buckets; the fingerprint frame (id + four longs) is persisted so
+    * the corpus text is scanned exactly once.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, nBlocks: Int = 4): DataFrame = {
+    require(nBlocks == 4 || nBlocks == 8, s"nBlocks must be 4 or 8: $nBlocks")
+    require(maxHamming >= 0 && maxHamming < nBlocks,
+      s"pigeonhole needs maxHamming < nBlocks: $maxHamming vs $nBlocks")
+    val fp = simhash64Blocks(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blockCols: Seq[Column] =
+      if (nBlocks == 4) (0 until 4).map(k => col(s"sb$k"))
+      else (0 until 4).flatMap(k => Seq(
+        col(s"sb$k").bitwiseAND(lit(255L)), shiftright(col(s"sb$k"), 8)))
+    val keep = nBlocks - maxHamming
+    val combos = (0 until nBlocks).combinations(keep).toSeq.zipWithIndex
+    val keyed = fp.select(col(idCol), explode(array(combos.map {
+      case (sel, ci) => struct(lit(ci).as("combo"),
+        concat_ws("_", sel.map(blockCols): _*).as("key"))
+    }: _*)).as("bk")).select(col(idCol), col("bk.combo").as("combo"),
+      col("bk.key").as("key"))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val fa = fp.select(col(idCol).as("id_a") +:
+      (0 until 4).map(k => col(s"sb$k").as(s"a$k")): _*)
+    val fb = fp.select(col(idCol).as("id_b") +:
+      (0 until 4).map(k => col(s"sb$k").as(s"b$k")): _*)
+    cand.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("hamming", (0 until 4).map(k =>
+        bit_count(col(s"a$k").bitwiseXOR(col(s"b$k")))).reduce(_ + _)
+        .cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 }

@@ -554,6 +554,57 @@ object LlmQueries extends QueryPack {
           FROM g ORDER BY doc_id"""
     }),
 
+    // ---- SimHash near-duplicate pairs (block permutation) -----------
+    // Manku-style candidate generation (intact-block keys, exact by
+    // pigeonhole) + exact bit_count filter — the engine NEVER does an
+    // all-pairs join, yet the result EQUALS brute force, so the oracle
+    // is the O(n²) Hamming join. The full pair set (347k pairs at
+    // sf0.1) is gated through per-hamming counts + md5 pair checksums:
+    // any missing/extra/mislabeled pair flips a checksum.
+    QueryDef("q_simhash_neardup", (s, dir) => {
+      Dedup.simhashNearDupPairs(
+          Tables.load(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 3, nBlocks = 4)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(conv(substring(md5(concat(col("id_a").cast("string"),
+              lit(":"), col("id_b").cast("string"))), 1, 8), 16, 10)
+            .cast("long")).as("pair_sum"))
+        .orderBy("hamming")
+    }, Some {
+      val hi = "'8','9','a','b','c','d','e','f'"
+      val lo = "'1','3','5','7','9','b','d','f'"
+      val sums = (0 until 64).map { j =>
+        val hexset = if (j % 2 == 0) hi else lo
+        s"""CAST(sum(CASE WHEN substring(h, ${j / 2 + 1}, 1)
+            IN ($hexset) THEN 1 ELSE -1 END) AS BIGINT) AS s$j"""
+      }.mkString(",\n            ")
+      val blocks = (0 until 4).map { k =>
+        "CAST(" + (0 until 16).map(t =>
+          s"(CASE WHEN s${16 * k + t} > 0 THEN ${1L << t} ELSE 0 END)")
+          .mkString(" + ") + s" AS BIGINT) AS sb$k"
+      }.mkString(",\n            ")
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest($wsSplit) AS tok
+            FROM documents),
+          wh AS (SELECT doc_id, md5(tok) AS h FROM toks),
+          g AS (SELECT doc_id,
+            $sums
+          FROM wh GROUP BY doc_id),
+          fp AS (SELECT doc_id,
+            $blocks
+          FROM g),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.sb0, b.sb0)) + bit_count(xor(a.sb1, b.sb1))
+                 + bit_count(xor(a.sb2, b.sb2)) + bit_count(xor(a.sb3, b.sb3))
+                AS INT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+          SELECT hamming, count(*) AS n_pairs,
+            CAST(sum(('0x' || substring(md5(CAST(id_a AS VARCHAR) || ':' ||
+              CAST(id_b AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS pair_sum
+          FROM p WHERE hamming <= 3
+          GROUP BY hamming ORDER BY hamming"""
+    }),
+
     // ---- k-min fingerprint ------------------------------------------
     // fp and n_shingles derive from ONE projected distinct-shingle array:
     // codegen subexpression elimination skips lambda subtrees, so the r3

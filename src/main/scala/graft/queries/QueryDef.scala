@@ -167,22 +167,28 @@ private[queries] object TempIndexDirs {
 /** Parquet table loader for the driver-generated testdata layout. */
 object Tables {
   import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
-    * default: read nanos as long and truncate to micros with integral
-    * division (ns epoch values exceed double's 2^53, so `div`, never `/`).
-    * Same floor-truncation DuckDB applies when comparing at µs/second
-    * granularity. */
+  /** events.ts has shipped in two parquet layouts across driver
+    * generations: TIMESTAMP(NANOS) (Spark refuses by default — read
+    * nanos as long and truncate to micros with integral division; ns
+    * epoch values exceed double's 2^53, so `div`, never `/`) and plain
+    * timestamp[us] without timezone (Spark reads TIMESTAMP_NTZ — cast
+    * to session-local TIMESTAMP, an identity mapping under the UTC
+    * session timezone every entry point sets, so unix_micros/BIGINT
+    * casts downstream keep working). Either way the result matches the
+    * naive-µs value DuckDB sees. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == LongType)
         d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else if (f.name == "ts" && f.dataType == TimestampNTZType)
+        d.withColumn("ts", col("ts").cast(TimestampType))
       else d
     }
   }

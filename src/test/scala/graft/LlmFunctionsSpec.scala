@@ -113,6 +113,31 @@ class LlmFunctionsSpec extends AnyFunSuite {
     assert(ham <= 4, s"hamming $ham for a >0.95-jaccard pair")
   }
 
+  test("simhash near-dup join equals brute force on both block layouts") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val m4 = key(Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+      maxHamming = 3, nBlocks = 4))
+    val m8 = key(Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+      maxHamming = 3, nBlocks = 8))
+    // brute-force O(n²) Hamming from the same fingerprint frame
+    val fp = Dedup.simhash64Blocks(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (0 until 4).map(k => r.getLong(k + 1)))
+    val brute = (for {
+      (ia, a) <- fp; (ib, b) <- fp; if ia < ib
+      ham = (0 until 4).map(k => java.lang.Long.bitCount(a(k) ^ b(k))).sum
+      if ham <= 3
+    } yield (ia, ib, ham)).toSet
+    assert(brute.nonEmpty, "corpus has no close pairs — test is vacuous")
+    assert(m4 == brute && m8 == brute)
+    // pigeonhole preconditions are enforced, not silently recall-lossy
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxHamming = 4, nBlocks = 4))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "text", "doc_id", nBlocks = 5))
+  }
+
   test("token entropy separates boilerplate from diverse text") {
     import spark.implicits._
     val df = Seq(
