@@ -118,6 +118,54 @@ object LineClean {
     * broadcast anti-join; reassembly is one (doc) aggregate with an
     * in-group sort by position (deterministic — never a window over a
     * global order). */
+  /** CCNet-style corpus-level paragraph dedup: of each distinct
+    * paragraph (newline-split segment), only the FIRST occurrence in
+    * the corpus — smallest (document id, position) — survives; every
+    * later occurrence is deleted from its document. Differs from
+    * [[dropFrequentLines]] on purpose: that pass deletes ALL
+    * occurrences of lines crossing a document-frequency threshold;
+    * this one always keeps exactly one copy, so repeated content is
+    * thinned without ever being lost (the CCNet paragraph-hash dedup
+    * semantics).
+    *
+    * Scale shape: one (doc, pos, paragraph) explode feeds both the
+    * first-occurrence aggregate and the keep join (persisted — the
+    * corpus is scanned once). First occurrences come from a
+    * map-side-combinable `min(struct(id, pos))` keyed on
+    * md5(paragraph) — never a per-key window, so a paragraph
+    * duplicated across millions of documents cannot pile onto one
+    * reducer. Only duplicated paragraphs (count >= 2) enter the join;
+    * unique paragraphs — the overwhelming majority of a real corpus —
+    * skip it via the left-join null branch. Reassembly is the
+    * in-group position sort [[dropFrequentLines]] uses. */
+  def dedupParagraphs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol),
+        posexplode(lines(col(textCol))).as(Seq("__pos", "__line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupFirst = ex
+      .groupBy(md5(col("__line")).as("__lh"))
+      .agg(min(struct(col(idCol).as("id"), col("__pos").as("pos")))
+          .as("__first"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select("__lh", "__first")
+    val kept = ex.withColumn("__lh", md5(col("__line")))
+      .join(dupFirst, Seq("__lh"), "left")
+      .filter(col("__first").isNull ||
+        (col(idCol) === col("__first.id") &&
+          col("__pos") === col("__first.pos")))
+    val rebuilt = kept
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line")), "\n").as("__cleaned"))
+    docs
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
+      .drop("__cleaned")
+  }
+
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
       maxDocs: Long): DataFrame = {
     // the explode feeds BOTH the frequency aggregate and the anti-join;

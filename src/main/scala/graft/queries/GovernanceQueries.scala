@@ -304,6 +304,39 @@ object GovernanceQueries extends QueryPack {
           FROM p d LEFT JOIN re r USING (doc_id)
           ORDER BY d.doc_id""")),
 
+    // ---- corpus-level paragraph dedup (keep-first) ------------------
+    // CCNet semantics vs q_line_dedup's RefinedWeb semantics: the
+    // planted footer (a third of the corpus) keeps exactly ONE copy —
+    // in the lowest (doc_id, position) — instead of vanishing
+    // everywhere. Oracle: row_number over (paragraph) in (doc, pos)
+    // order; rn = 1 covers unique paragraphs too.
+    QueryDef("q_par_dedup", (s, dir) => {
+      val planted = plantedLinesDf(Tables.load(s, dir, "documents"))
+      LineClean.dedupParagraphs(planted, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          when(length(col("text")) === 0, 0)
+            .otherwise(size(LineClean.lines(col("text")))).as("n_lines"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH $plantedLinesSql,
+          ex AS (SELECT doc_id, generate_subscripts(ls, 1) AS o,
+                   unnest(ls) AS l
+                 FROM (SELECT doc_id, string_split(txt, chr(10)) AS ls
+                       FROM p)),
+          kept AS (SELECT doc_id, o, l FROM (
+                     SELECT doc_id, o, l, row_number() OVER (
+                       PARTITION BY l ORDER BY doc_id, o) AS rn FROM ex)
+                   WHERE rn = 1),
+          re AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY o)
+                   AS cleaned
+                 FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, md5(coalesce(r.cleaned, '')) AS text_md5,
+            CAST(CASE WHEN coalesce(r.cleaned, '') = '' THEN 0
+              ELSE len(string_split(coalesce(r.cleaned, ''), chr(10)))
+              END AS INT) AS n_lines
+          FROM p d LEFT JOIN re r USING (doc_id)
+          ORDER BY d.doc_id""")),
+
     // ---- incremental cross-batch dedup ------------------------------
     // Seed the ledger with the even-id half, then ingest the WHOLE
     // corpus: survivors are exactly the docs whose 8-word prefix key no

@@ -93,6 +93,39 @@ class LineCleanSpec extends AnyFunSuite {
     assert(run(1).map(_._3) == Set("en", "de", "fr"))
   }
 
+  test("dedupParagraphs keeps exactly the first occurrence of each paragraph") {
+    val footer = "all rights reserved contact us"
+    val d = docs(
+      1L -> s"alpha unique line one\n$footer\nalpha unique line two",
+      2L -> s"beta unique content\n$footer",
+      3L -> s"$footer\ngamma unique content",
+      5L -> footer) // every paragraph first occurred elsewhere
+    val got = LineClean.dedupParagraphs(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the first (lowest doc, lowest pos) footer — it stays
+    assert(got(1L) == s"alpha unique line one\n$footer\nalpha unique line two")
+    assert(got(2L) == "beta unique content")
+    assert(got(3L) == "gamma unique content")
+    assert(got(5L) == "")
+    // within ONE doc, a self-repeated paragraph also thins to its first
+    val selfRep = docs(7L -> "twice repeated\nmiddle bit\ntwice repeated")
+    assert(LineClean.dedupParagraphs(selfRep, "doc_id", "text")
+      .head().getString(1) == "twice repeated\nmiddle bit")
+  }
+
+  test("dedupParagraphs preserves other columns and is partitioning-insensitive") {
+    val d = Seq((1L, "x y z\nshared line", "en"), (2L, "shared line", "de"),
+      (3L, "shared line\nq r s", "fr"))
+      .toDF("doc_id", "text", "lang")
+    def run(parts: Int) =
+      LineClean.dedupParagraphs(d.repartition(parts), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+    assert(run(1) == run(7))
+    assert(run(1) == Set((1L, "x y z\nshared line", "en"), (2L, "", "de"),
+      (3L, "q r s", "fr")))
+  }
+
   test("gopherPass: each rule flips the conjunction independently") {
     // a passing document: 50+ words, mean length in range, stopwords,
     // no symbols, diverse vocabulary (stopwords every 8th slot keep the
