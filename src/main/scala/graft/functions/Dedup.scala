@@ -74,8 +74,9 @@ object Dedup {
   /** The banded key frame behind the LSH joins: one row per
     * (id, band, 64-bit band key). md5 defines the buckets
     * (engine-portable); the join itself runs on a 64-bit hash of it so
-    * the shuffle/probe handles longs. */
-  private def bandedKeys(df: DataFrame, textCol: String, idCol: String,
+    * the shuffle/probe handles longs. Package-visible: the incremental
+    * [[graft.sources.NearDupLedger]] persists exactly these rows. */
+  private[graft] def bandedKeys(df: DataFrame, textCol: String, idCol: String,
       k: Int, rowsPerBand: Int, n: Int): DataFrame = {
     val sig = minhashSignature(df, textCol, idCol, k, n)
     val nBands = k / rowsPerBand

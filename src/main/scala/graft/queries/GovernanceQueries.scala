@@ -362,6 +362,32 @@ object GovernanceQueries extends QueryPack {
          WHERE key NOT IN (SELECT key FROM k WHERE doc_id % 2 = 0)
          ORDER BY doc_id""")),
 
+    // ---- incremental cross-batch NEAR-dup ---------------------------
+    // The LSH analogue of q_dedup_ledger: seed the band ledger with the
+    // even-id half, ingest the whole corpus — survivors are the docs
+    // with NO minhash band collision against any even-id doc (evens
+    // collide with themselves, so only clean odd docs and shingle-less
+    // short texts pass). The hash-family geometry comes from the
+    // ledger's stored meta, not the call site.
+    QueryDef("q_neardup_ledger", (s, dir) => {
+      import graft.sources.NearDupLedger
+      val docs = Tables.load(s, dir, "documents")
+      val path = TempIndexDirs.jvmScoped("graft_ndledger", dir)
+      // bucketChars = 1: 16 dirs — the small-corpus layout
+      NearDupLedger.write(docs.filter(col("doc_id") % 2 === 0), "text",
+        "doc_id", path, bucketChars = 1)
+      NearDupLedger.filterNew(s, docs, "text", "doc_id", path)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH ${OracleSql.docShingleCte},
+          ${OracleSql.minhashBandsCtes}
+          SELECT d.doc_id, d.lang FROM documents d
+          WHERE d.doc_id NOT IN (
+            SELECT a.doc_id FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND b.doc_id % 2 = 0)
+          ORDER BY d.doc_id""")),
+
     // ---- per-source corpus report -----------------------------------
     // The curation dashboard: per source, NORMALIZED-token totals
     // (Unicode canon — CJK/accented text keeps its tokens; a doc whose

@@ -177,17 +177,10 @@ object DedupLedger {
     keys.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     val n = spark.read.schema("key STRING, bucket STRING").parquet(tmp)
       .count()
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$path/keys")
-    val fs = live.getFileSystem(conf)
-    val aside = new org.apache.hadoop.fs.Path(s"$path/keys_compact_old")
-    fs.delete(aside, true) // leftover from an earlier crashed swap
-    require(fs.rename(live, aside), s"swap failed: $live -> $aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
-      fs.rename(aside, live) // roll back: the old ledger stays live
-      throw new IllegalStateException(s"swap failed: $tmp -> $live")
-    }
-    fs.delete(aside, true)
+    DirSwap.swapLive(spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(s"$path/keys"),
+      new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/keys_compact_old"))
     spark.catalog.refreshByPath(s"$path/keys")
     n
   }

@@ -156,17 +156,10 @@ object IvfStore {
       writePqTrained(corpus, idCol, vecCol, tmp,
         m = geo.getInt(0) + 1, ksub = geo.getInt(1), iters = iters)._1
     } else writeTrained(corpus, idCol, vecCol, tmp, iters)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(conf)
-    val aside = new org.apache.hadoop.fs.Path(s"$path-retrain-old")
-    fs.delete(aside, true) // leftover from an earlier crashed swap
-    require(fs.rename(live, aside), s"swap failed: $path -> $aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
-      fs.rename(aside, live) // roll back: the old index stays live
-      throw new IllegalStateException(s"swap failed: $tmp -> $path")
-    }
-    fs.delete(aside, true)
+    DirSwap.swapLive(spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path-retrain-old"))
     spark.catalog.refreshByPath(s"$path/data")
     cents
   }

@@ -501,6 +501,101 @@ class GovernanceSpec extends AnyFunSuite {
       "text", path).count() == 0)
   }
 
+  // ---- near-dup ledger -----------------------------------------------
+
+  private def idsOf(df: DataFrame) =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("NearDupLedger: filterNew matches the cross-LSH candidate rule") {
+    import graft.functions.Dedup
+    import graft.sources.NearDupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_ndl")
+      .toString
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val evens = d.filter($"doc_id" % 2 === 0)
+    NearDupLedger.write(evens, "text", "doc_id", path, bucketChars = 1)
+    // survivors = batch minus every doc appearing as `a` in the
+    // cross-corpus LSH candidate report — the two paths must make the
+    // SAME keep decisions
+    val survivors = idsOf(
+      NearDupLedger.filterNew(spark, d, "text", "doc_id", path))
+    val shadowed = Dedup.lshCandidatePairsAcross(d, evens, "text", "doc_id")
+      .select("a").collect().map(_.getLong(0)).toSet
+    assert(survivors == (idsOf(d) -- shadowed) && survivors.nonEmpty)
+    // and candidatePairs reports the identical pair set
+    def pairSet(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(NearDupLedger.candidatePairs(spark, d, "text",
+        "doc_id", path)) ==
+      pairSet(Dedup.lshCandidatePairsAcross(d, evens, "text", "doc_id")))
+  }
+
+  test("NearDupLedger: append seals survivors; short texts always pass") {
+    import graft.sources.NearDupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_ndl_a")
+      .toString
+    NearDupLedger.write(docs(1L -> "alpha beta gamma delta epsilon zeta"),
+      "text", "doc_id", path, bucketChars = 1)
+    val batch = docs(
+      10L -> "alpha beta gamma delta epsilon zeta", // exact dup of history
+      11L -> "totally different words about completely other topics",
+      12L -> "too short") // < 3 words: no shingles, no band rows
+    val fresh = idsOf(
+      NearDupLedger.append(spark, batch, "text", "doc_id", path))
+    assert(fresh == Set(11L, 12L))
+    // 11's bands are sealed; 12 never claims ledger space so it passes
+    // again (compose with DedupLedger for exact dedup of short texts)
+    assert(idsOf(NearDupLedger.append(spark, batch, "text", "doc_id",
+      path)) == Set(12L))
+    // an identical-signature copy of a SURVIVOR is shadowed now
+    assert(idsOf(NearDupLedger.filterNew(spark,
+      docs(13L -> "totally different words about completely other topics"),
+      "text", "doc_id", path)).isEmpty)
+  }
+
+  test("NearDupLedger: readers use the STORED hash-family geometry") {
+    import graft.sources.NearDupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_ndl_g")
+      .toString
+    // seed under 2-gram shingles: a two-word doc HAS a signature
+    NearDupLedger.write(docs(1L -> "alpha beta"), "text", "doc_id", path,
+      n = 2, bucketChars = 1)
+    // under the call-site default n = 3 this copy would produce no
+    // shingles and sail through; the stored n = 2 catches it
+    assert(idsOf(NearDupLedger.filterNew(spark, docs(10L -> "alpha beta"),
+      "text", "doc_id", path)).isEmpty)
+  }
+
+  test("NearDupLedger: compact folds files; empty seed bootstraps") {
+    import graft.sources.NearDupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_ndl_c")
+      .toString
+    NearDupLedger.write(docs(1L -> "one two three four"), "text",
+      "doc_id", path, bucketChars = 1)
+    NearDupLedger.append(spark, docs(2L -> "five six seven eight"),
+      "text", "doc_id", path)
+    NearDupLedger.append(spark, docs(3L -> "nine ten eleven twelve"),
+      "text", "doc_id", path)
+    val probe = docs(1L -> "one two three four",
+      99L -> "unrelated fresh probe text")
+    val before = idsOf(
+      NearDupLedger.filterNew(spark, probe, "text", "doc_id", path))
+    assert(before == Set(99L))
+    assert(NearDupLedger.compact(spark, path) > 0)
+    val dirs = new java.io.File(s"$path/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(dirs.nonEmpty && dirs.forall(_ == 1))
+    assert(idsOf(NearDupLedger.filterNew(spark, probe, "text", "doc_id",
+      path)) == before)
+    // day-one empty seed: pinned schema reads an empty frame cleanly
+    val e = java.nio.file.Files.createTempDirectory("graft_ndl_e")
+      .toString
+    NearDupLedger.write(docs(), "text", "doc_id", e, bucketChars = 1)
+    assert(idsOf(NearDupLedger.filterNew(spark,
+      docs(5L -> "some brand new text"), "text", "doc_id", e)) == Set(5L))
+  }
+
   // ---- train/val/test split ------------------------------------------
 
   test("assignSplit is exhaustive, deterministic, and growth-stable") {
