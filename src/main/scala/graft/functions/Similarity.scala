@@ -31,6 +31,41 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.CosineSimilarity.cosine_native(a, b)
 
+  /** Deterministic ±1 sign matrix for [[randomProject]]: entry (j, i)
+    * is +1 when the first md5 byte of "salt:j:i" is even. md5-derived,
+    * so the matrix is a pure function of (salt, dims) — reproducible
+    * across JVMs, engines, and rounds, never of RNG state. */
+  def signMatrix(outDim: Int, inDim: Int,
+      salt: String = "rp"): Array[Array[Double]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$j:$i"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** Johnson–Lindenstrauss dimensionality reduction by a DETERMINISTIC
+    * random-sign projection: proj_j = (Σ_i v_i · s_ji) / √outDim with
+    * s ∈ {±1} from [[signMatrix]] (Achlioptas-style sign entries
+    * satisfy the JL lemma — no Gaussian sampling, and the matrix lives
+    * only in the task binary: outDim × inDim doubles). The 100 TB
+    * design point: 64→16 dims cuts every downstream vector scan,
+    * shuffle, and pairwise score 4× — LSH/ANN/dedup stages compose on
+    * the `proj` column unchanged, with distances preserved to
+    * O(1/√outDim) distortion. Pure per-row column math: zero shuffle,
+    * whole-stage codegen, streaming-safe. Element-order double
+    * accumulation keeps it engine-portable (the [[dot]] contract).
+    * `inDim` must equal the vector length — zip_with would silently
+    * null-pad a mismatch. */
+  def randomProject(df: DataFrame, vecCol: String, inDim: Int,
+      outDim: Int, salt: String = "rp"): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = signMatrix(outDim, inDim, salt).map { row =>
+      dot(col(vecCol), typedlit(row.toSeq)) * lit(scale)
+    }
+    df.withColumn("proj", array(comps.toIndexedSeq: _*))
+  }
+
   /** Exact top-k by cosine against one query vector (taken from the row
     * with `queryId`). The query vector is a literal, not a broadcast join:
     * a cross join compiles to BroadcastNestedLoopJoin which blocks

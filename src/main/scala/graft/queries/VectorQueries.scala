@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Quantize, Similarity}
+import graft.functions.{Quantize, Similarity, TextAnalysis}
 
 /** Vector-compression queries (int8 scalar quantization, product
   * quantization, IVFADC) — the scan-byte half of the 100 TB ANN design.
@@ -59,6 +59,33 @@ object VectorQueries extends QueryPack {
             round(s, 6) AS qscale
           FROM c, q
           ORDER BY qcos DESC, vec_id ASC LIMIT 10""")),
+
+    // ---- JL random-sign projection ----------------------------------
+    // 64→16 dims through the deterministic ±1 matrix: both engines
+    // multiply the SAME literal sign rows in element order and share
+    // the floor(x·10⁶+0.5) grid, so the projection hash-matches bit
+    // for bit. Scale 1/√16 = 0.25 is exact binary — no sqrt in either
+    // engine's hot path.
+    QueryDef("q_rand_project", (s, dir) => {
+      val p = Similarity.randomProject(
+        Tables.load(s, dir, "embeddings"), "embedding", dim, 16)
+      val cols = (0 until 16).map(j =>
+        TextAnalysis.halfUpFloor(element_at(col("proj"), j + 1), 6)
+          .as(s"p$j"))
+      p.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+    }, Some {
+      val m = Similarity.signMatrix(16, dim)
+      val cols = (0 until 16).map { j =>
+        val lst = m(j).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"""floor((list_sum(list_transform(range(1, ${dim + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i])) * 0.25)
+            * 1000000.0 + 0.5) / 1000000.0 AS p$j"""
+      }.mkString(",\n            ")
+      s"""SELECT vec_id,
+            $cols
+          FROM embeddings ORDER BY vec_id"""
+    }),
 
     // ---- PQ + ADC + rerank, recall-gated ----------------------------
     // m=8 sub-spaces × ksub=32 L2 centroids, iters=3 — EXACTLY the

@@ -270,6 +270,46 @@ class AnnJoinSpec extends AnyFunSuite {
     assert(probed.length == 4 && probed.distinct.length == 4)
   }
 
+  test("randomProject: basis vectors read the sign matrix row exactly") {
+    import spark.implicits._
+    val m = Similarity.signMatrix(8, 4)
+    val scale = 1.0 / math.sqrt(8.0)
+    // e_2 picks column 2 of every sign row: proj_j = s_j2 / √8, with
+    // the zero terms contributing exact ±0.0 through the fold
+    val got = Similarity.randomProject(
+        Seq((0L, Seq(0f, 0f, 1f, 0f))).toDF("id", "v"), "v", 4, 8)
+      .select("proj").head().getSeq[Double](0)
+    (0 until 8).foreach(j => assert(got(j) == m(j)(2) * scale))
+    // a different salt draws a different matrix (decorrelated draws)
+    assert(Similarity.signMatrix(8, 64).flatten.toSeq !=
+      Similarity.signMatrix(8, 64, salt = "rp2").flatten.toSeq)
+  }
+
+  test("randomProject preserves cosine structure on real embeddings") {
+    val sample = emb.filter(col("vec_id") < 60)
+    val rows = Similarity.randomProject(sample, "embedding", 64, 32)
+      .select("vec_id", "embedding", "proj").collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val pairs = for (i <- rows.indices; j <- rows.indices if i < j)
+      yield (cos(rows(i)._1, rows(j)._1), cos(rows(i)._2, rows(j)._2))
+    // Pearson correlation between original and projected pairwise
+    // cosines: 64→32 sign projection keeps the similarity ORDERING
+    // strongly intact (distortion ~1/√32); the bound is loose on
+    // purpose — it must hold for any data shape, not this draw
+    val (xs, ys) = (pairs.map(_._1), pairs.map(_._2))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val r = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum *
+        ys.map(y => (y - my) * (y - my)).sum)
+    assert(r > 0.5, s"cosine-structure correlation $r")
+  }
+
   test("digit-string labels tie-break numerically in EVERY assignment path") {
     import spark.implicits._
     // two IDENTICAL centroids labeled "10" and "2": every vector ties
