@@ -119,4 +119,51 @@ object Decontam {
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("shingle"))
       .limit(k)
+
+  /** The corpus token-OCCURRENCE stream (every occurrence, not
+    * per-doc-distinct): the frame both CMS entry points sketch/count. */
+  private def tokenStream(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.words(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Count–min sketch of the whitespace-token stream: approximate
+    * occurrence counts for ANY token out of O(depth × width) integers
+    * built in ONE corpus pass (partial-aggregated per partition, merged
+    * on the driver) — the 100 TB shape for "how often does X occur"
+    * probes without a per-token groupBy shuffle, and the frequency
+    * feed for threshold gates over streams. CMS never underestimates:
+    * exact ≤ estimate ≤ exact + eps·N with probability ≥ `confidence`
+    * per probe (N = total occurrences = `totalCount` on the result).
+    * The seed is fixed by the caller, so the sketch — and every
+    * estimate — is deterministic for a given corpus. */
+  def tokenCms(docs: DataFrame, textCol: String, eps: Double = 1e-4,
+      confidence: Double = 0.99, seed: Int = 17)
+      : org.apache.spark.util.sketch.CountMinSketch =
+    tokenStream(docs, textCol).stat
+      .countMinSketch("tok", eps, confidence, seed)
+
+  /** Heavy-hitter audit: the exact top-`k` tokens (count desc, token
+    * asc — total order) with the two CMS guarantees evaluated as
+    * flags: `never_under` (estimate ≥ exact — structural, holds
+    * always) and `within_eps` (estimate ≤ exact + ⌈eps·N⌉ — holds
+    * with probability ≥ confidence per token). The sketch rides to
+    * executors in the probe closure (KBs); the exact side is a
+    * map-side-combined count + TakeOrderedAndProject, never a global
+    * sort. */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String, k: Int = 20,
+      eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 17): DataFrame = {
+    val sketch = tokenCms(docs, textCol, eps, confidence, seed)
+    val slack = math.ceil(eps * sketch.totalCount()).toLong
+    val est = udf((t: String) => sketch.estimateCount(t))
+    tokenStream(docs, textCol)
+      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("tok"))
+      .limit(k)
+      .withColumn("__est", est(col("tok")))
+      .select(col("tok"), col("n_exact"),
+        (col("__est") >= col("n_exact")).cast("int").as("never_under"),
+        (col("__est") <= col("n_exact") + lit(slack)).cast("int")
+          .as("within_eps"))
+  }
 }

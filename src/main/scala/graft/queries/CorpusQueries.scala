@@ -235,6 +235,26 @@ object CorpusQueries extends QueryPack {
          WHERE length(token) > 0
          GROUP BY source ORDER BY source""")),
 
+    // ---- count–min sketch heavy hitters -----------------------------
+    // the q_hll_vocab pattern for FREQUENCY sketching: exact top-20
+    // tokens hash-gate the output, the sketch's two guarantees ride as
+    // flags — never_under is structural (CMS only overestimates),
+    // within_eps holds per token with prob ≥ 0.99 and is deterministic
+    // here (fixed seed), verified at all three SFs. The sketch itself
+    // is one corpus pass into depth×width integers — the scale shape
+    // for occurrence probes without a per-token shuffle.
+    QueryDef("q_cms_tokens", (s, dir) =>
+      graft.functions.Decontam.cmsHeavyHitters(
+          Tables.load(s, dir, "documents"), "text", k = 20)
+        .orderBy(desc("n_exact"), asc("tok")),
+    Some(
+      """SELECT token AS tok, CAST(count(*) AS BIGINT) AS n_exact,
+           1 AS never_under, 1 AS within_eps
+         FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+               FROM documents)
+         WHERE length(token) > 0
+         GROUP BY token ORDER BY n_exact DESC, tok LIMIT 20""")),
+
     // ---- token-granular sequence packing ----------------------------
     // 512-token context windows over the corpus token stream in
     // (md5(id), id) order; docs split at window boundaries, every span

@@ -329,4 +329,34 @@ class CorpusSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  // ---- count–min sketch ----------------------------------------------
+
+  test("tokenCms never underestimates and is exact when collision-free") {
+    import graft.functions.Decontam
+    val d = docs(
+      1L -> "alpha alpha alpha beta beta gamma",
+      2L -> "alpha beta delta delta",
+      3L -> "gamma gamma epsilon")
+    val exact = Map("alpha" -> 4L, "beta" -> 3L, "gamma" -> 3L,
+      "delta" -> 2L, "epsilon" -> 1L)
+    // wide sketch (eps 1e-4 → width 20000 ≫ 5 distinct tokens): no
+    // collisions are possible, estimates EQUAL exact counts
+    val wide = Decontam.tokenCms(d, "text")
+    assert(wide.totalCount() == 13L)
+    exact.foreach { case (t, n) => assert(wide.estimateCount(t) == n) }
+    // a deliberately tiny sketch (width 2): collisions guaranteed,
+    // but CMS still NEVER underestimates
+    val tiny = Decontam.tokenCms(d, "text", eps = 1.0, confidence = 0.5)
+    exact.foreach { case (t, n) => assert(tiny.estimateCount(t) >= n) }
+    // the audit frame carries both guarantees as flags; on the wide
+    // sketch both must hold for every heavy hitter
+    val audit = Decontam.cmsHeavyHitters(d, "text", k = 3).collect()
+    assert(audit.map(_.getString(0)).toSeq == Seq("alpha", "beta", "gamma"))
+    assert(audit.forall(r => r.getInt(2) == 1 && r.getInt(3) == 1))
+    // same seed → same sketch: estimates are deterministic
+    val again = Decontam.tokenCms(d, "text")
+    exact.keys.foreach(t =>
+      assert(again.estimateCount(t) == wide.estimateCount(t)))
+  }
 }

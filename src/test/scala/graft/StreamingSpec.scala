@@ -75,6 +75,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(survived == batch)
   }
 
+  test("foreachBatch ledger ingestion equals sequential batch appends") {
+    import org.apache.spark.sql.DataFrame
+    import graft.sources.NearDupLedger
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("graft_ndl_stream").toString
+    // two files -> two micro-batches, processed in write (mod-time) order
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in/b1")
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in/b2")
+    // day-one empty seed; the stream populates the ledger as it ingests
+    val streamLedger = s"$dir/ledger_stream"
+    NearDupLedger.write(docs.limit(0), "text", "doc_id", streamLedger,
+      bucketChars = 1)
+    val survived = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = SarStreaming.readEvents(spark, docs.schema, s"$dir/in/*",
+        Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        NearDupLedger.append(spark, b, "text", "doc_id", streamLedger)
+          .select("doc_id").collect()
+          .foreach(r => survived.add(r.getLong(0)))
+      }.start()
+    q.processAllAvailable(); q.stop()
+    // the same two batches appended sequentially in batch mode
+    val batchLedger = s"$dir/ledger_batch"
+    NearDupLedger.write(docs.limit(0), "text", "doc_id", batchLedger,
+      bucketChars = 1)
+    val b1 = NearDupLedger.append(spark, docs.filter(col("doc_id") < 250),
+      "text", "doc_id", batchLedger)
+    val b2 = NearDupLedger.append(spark, docs.filter(col("doc_id") >= 250),
+      "text", "doc_id", batchLedger)
+    val expected = (b1.select("doc_id").collect() ++
+      b2.select("doc_id").collect()).map(_.getLong(0)).toSet
+    assert(survived.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      .toSet == expected && expected.nonEmpty)
+  }
+
   test("streaming PQ encode equals the batch codes (stateless projection)") {
     import graft.functions.Quantize
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
