@@ -20,6 +20,19 @@ object VectorQueries extends QueryPack {
 
   private val dim = 64 // embeddings dimension (TESTDATA)
 
+  /** DuckDB mirror of one UNROUNDED randomProject component: the same
+    * literal sign row multiplied in element order, scaled by the exact
+    * binary 1/√16 = 0.25. ONE copy shared by q_rand_project and
+    * q_project_knn — a matrix or scale tweak applied to a single
+    * mirror would silently split the two oracles. */
+  private lazy val rpSigns = Similarity.signMatrix(16, dim)
+  private def projSql(j: Int): String = {
+    val lst = rpSigns(j).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+    s"""list_sum(list_transform(range(1, ${dim + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i])) * 0.25"""
+  }
+
   def queries: Seq[QueryDef] = Seq(
 
     // ---- int8 scalar quantization -----------------------------------
@@ -73,18 +86,67 @@ object VectorQueries extends QueryPack {
         TextAnalysis.halfUpFloor(element_at(col("proj"), j + 1), 6)
           .as(s"p$j"))
       p.select(col("vec_id") +: cols: _*).orderBy("vec_id")
-    }, Some {
-      val m = Similarity.signMatrix(16, dim)
-      val cols = (0 until 16).map { j =>
-        val lst = m(j).map(v => if (v > 0) "1.0" else "-1.0")
-          .mkString("[", ",", "]")
-        s"""floor((list_sum(list_transform(range(1, ${dim + 1}),
-            i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i])) * 0.25)
-            * 1000000.0 + 0.5) / 1000000.0 AS p$j"""
-      }.mkString(",\n            ")
+    }, Some(
       s"""SELECT vec_id,
-            $cols
-          FROM embeddings ORDER BY vec_id"""
+            ${(0 until 16).map(j =>
+        s"""floor((${projSql(j)}) * 1000000.0 + 0.5) / 1000000.0 AS p$j""")
+        .mkString(",\n            ")}
+          FROM embeddings ORDER BY vec_id""")),
+
+    // ---- projected top-k retrieval quality --------------------------
+    // The projection's END-TO-END effect, hash-gated: for three query
+    // vectors, |top-10 by exact cosine ∩ top-10 by 16-dim projected
+    // cosine| — both rankings deterministic (4-dp grid, id tie-break),
+    // both engines computing bit-identical doubles through identical
+    // op sequences, so even the overlap COUNT is exact. Measured
+    // overlap is 1–4/10 here BY THE DATA'S NATURE: the synthetic
+    // embeddings are near-uniform, so top-10 cosine margins are ~1e-3
+    // — the worst case for any 4× dim cut (AnnJoinSpec's correlation
+    // test shows the global ORDERING survives; clustered real
+    // embeddings keep far more of their top-k). The windows rank 3
+    // tiny partitions; production retrieval composes randomProject
+    // with annJoin/IvfStore instead.
+    QueryDef("q_project_knn", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pr = Similarity.randomProject(
+        Tables.load(s, dir, "embeddings"), "embedding", dim, 16)
+      val q = pr.filter(col("vec_id").isin(1L, 5L, 9L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("proj").as("qp"))
+      val sc = pr.crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id").as("cid"),
+          TextAnalysis.halfUpFloor(
+            Similarity.cosine(col("embedding"), col("qe")), 4).as("co"),
+          TextAnalysis.halfUpFloor(
+            Similarity.cosineHof(col("proj"), col("qp")), 4).as("cp"))
+      sc.withColumn("ro", row_number().over(
+          Window.partitionBy("qid").orderBy(col("co").desc, col("cid"))))
+        .withColumn("rp", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cp").desc, col("cid"))))
+        .filter(col("ro") <= 10 && col("rp") <= 10)
+        .groupBy(col("qid").as("query_id"))
+        .agg(count(lit(1)).cast("int").as("n_overlap"),
+          (count(lit(1)).cast("double") / lit(10.0)).as("recall"))
+        .orderBy("query_id")
+    }, Some {
+      val p16 = (0 until 16).map(projSql).mkString("[", ",\n            ", "]")
+      s"""WITH pr AS (SELECT vec_id, embedding, $p16 AS p FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qe, p AS qp
+                FROM pr WHERE vec_id IN (1, 5, 9)),
+          sc AS (SELECT q.qid, pr.vec_id AS cid,
+            floor((${OracleSql.cosD("pr.embedding", "q.qe", dim)})
+              * 10000.0 + 0.5) / 10000.0 AS co,
+            floor((${OracleSql.cosD("pr.p", "q.qp", 16)})
+              * 10000.0 + 0.5) / 10000.0 AS cp
+          FROM pr, q),
+          r AS (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY co DESC, cid) AS ro,
+            row_number() OVER (PARTITION BY qid ORDER BY cp DESC, cid) AS rp
+          FROM sc)
+          SELECT qid AS query_id, CAST(count(*) AS INT) AS n_overlap,
+            CAST(count(*) AS DOUBLE) / 10.0 AS recall
+          FROM r WHERE ro <= 10 AND rp <= 10
+          GROUP BY qid ORDER BY query_id"""
     }),
 
     // ---- PQ + ADC + rerank, recall-gated ----------------------------
