@@ -105,57 +105,19 @@ object LineClean {
     array_join(filter(lines(text), keep), "\n")
   }
 
-  /** Corpus-level frequent-line removal: delete from EVERY document the
-    * lines occurring in more than `maxDocs` distinct documents — the
-    * RefinedWeb-style boilerplate pass that catches navigation chrome /
-    * footers which per-document rules cannot see. Returns `docs` with
-    * `textCol` rewritten (all other columns preserved); a document
-    * losing every line keeps an empty string.
-    *
-    * Scale shape: one (doc, pos, line) explode; the document-frequency
-    * aggregate keys on md5(line) so the shuffle carries 16-byte keys,
-    * not line text; lines above the threshold are few by construction →
-    * broadcast anti-join; reassembly is one (doc) aggregate with an
-    * in-group sort by position (deterministic — never a window over a
-    * global order). */
-  /** CCNet-style corpus-level paragraph dedup: of each distinct
-    * paragraph (newline-split segment), only the FIRST occurrence in
-    * the corpus — smallest (document id, position) — survives; every
-    * later occurrence is deleted from its document. Differs from
-    * [[dropFrequentLines]] on purpose: that pass deletes ALL
-    * occurrences of lines crossing a document-frequency threshold;
-    * this one always keeps exactly one copy, so repeated content is
-    * thinned without ever being lost (the CCNet paragraph-hash dedup
-    * semantics).
-    *
-    * Scale shape: one (doc, pos, paragraph) explode feeds both the
-    * first-occurrence aggregate and the keep join (persisted — the
-    * corpus is scanned once). First occurrences come from a
-    * map-side-combinable `min(struct(id, pos))` keyed on
-    * md5(paragraph) — never a per-key window, so a paragraph
-    * duplicated across millions of documents cannot pile onto one
-    * reducer. Only duplicated paragraphs (count >= 2) enter the join;
-    * unique paragraphs — the overwhelming majority of a real corpus —
-    * skip it via the left-join null branch. Reassembly is the
-    * in-group position sort [[dropFrequentLines]] uses. */
-  def dedupParagraphs(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  /** Shared scaffolding of the corpus-level line passes: ONE persisted
+    * (id, pos, line) explode feeds whatever keep-rule the caller
+    * derives from it (the repeatedKgramSpans materialization
+    * rationale — the corpus is scanned and exploded once); reassembly
+    * is an in-group position sort (deterministic — never a window over
+    * a global order). Every other column of `docs` is preserved; a
+    * document losing every line keeps an empty string. */
+  private def rewriteLines(docs: DataFrame, idCol: String,
+      textCol: String)(keep: DataFrame => DataFrame): DataFrame = {
     val ex = docs.select(col(idCol),
         posexplode(lines(col(textCol))).as(Seq("__pos", "__line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupFirst = ex
-      .groupBy(md5(col("__line")).as("__lh"))
-      .agg(min(struct(col(idCol).as("id"), col("__pos").as("pos")))
-          .as("__first"),
-        count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2)
-      .select("__lh", "__first")
-    val kept = ex.withColumn("__lh", md5(col("__line")))
-      .join(dupFirst, Seq("__lh"), "left")
-      .filter(col("__first").isNull ||
-        (col(idCol) === col("__first.id") &&
-          col("__pos") === col("__first.pos")))
-    val rebuilt = kept
+    val rebuilt = keep(ex)
       .groupBy(idCol)
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__line")))),
@@ -166,29 +128,66 @@ object LineClean {
       .drop("__cleaned")
   }
 
+  /** Corpus-level frequent-line removal: delete from EVERY document the
+    * lines occurring in more than `maxDocs` distinct documents — the
+    * RefinedWeb-style boilerplate pass that catches navigation chrome /
+    * footers which per-document rules cannot see. Returns `docs` with
+    * `textCol` rewritten (all other columns preserved); a document
+    * losing every line keeps an empty string.
+    *
+    * Scale shape: the document-frequency aggregate keys on md5(line)
+    * so the shuffle carries 16-byte keys, not line text; lines above
+    * the threshold are few by construction → broadcast anti-join. */
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
-      maxDocs: Long): DataFrame = {
-    // the explode feeds BOTH the frequency aggregate and the anti-join;
-    // persist so the corpus is scanned and exploded once (the
-    // repeatedKgramSpans materialization rationale)
-    val ex = docs.select(col(idCol),
-        posexplode(lines(col(textCol))).as(Seq("__pos", "__line")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val frequent = ex
-      .groupBy(md5(col("__line")).as("__lh"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") > maxDocs)
-      .select("__lh")
-    val kept = ex.withColumn("__lh", md5(col("__line")))
-      .join(broadcast(frequent), Seq("__lh"), "left_anti")
-    val rebuilt = kept
-      .groupBy(idCol)
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__line")))),
-        s => s.getField("__line")), "\n").as("__cleaned"))
-    docs
-      .join(rebuilt, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
-      .drop("__cleaned")
-  }
+      maxDocs: Long): DataFrame =
+    rewriteLines(docs, idCol, textCol) { ex =>
+      val frequent = ex
+        .groupBy(md5(col("__line")).as("__lh"))
+        .agg(countDistinct(col(idCol)).as("__nd"))
+        .filter(col("__nd") > maxDocs)
+        .select("__lh")
+      ex.withColumn("__lh", md5(col("__line")))
+        .join(broadcast(frequent), Seq("__lh"), "left_anti")
+        .drop("__lh")
+    }
+
+  /** CCNet-style corpus-level paragraph dedup: of each distinct
+    * non-empty paragraph (newline-split segment), only the FIRST
+    * occurrence in the corpus — smallest (document id, position) —
+    * survives; every later occurrence is deleted from its document.
+    * EMPTY segments (blank separator lines) are structure, not
+    * content: they are exempt and survive everywhere — without the
+    * exemption every multi-paragraph document but one would lose its
+    * blank lines to corpus-wide dedup. Differs from
+    * [[dropFrequentLines]] on purpose: that pass deletes ALL
+    * occurrences of lines crossing a document-frequency threshold;
+    * this one always keeps exactly one copy, so repeated content is
+    * thinned without ever being lost (the CCNet paragraph-hash dedup
+    * semantics).
+    *
+    * Scale shape: first occurrences come from a map-side-combinable
+    * `min(struct(id, pos))` keyed on md5(paragraph) — never a per-key
+    * window, so a paragraph duplicated across millions of documents
+    * cannot pile onto one reducer. Only duplicated paragraphs
+    * (count >= 2) enter the join; unique paragraphs — the
+    * overwhelming majority of a real corpus — skip it via the
+    * left-join null branch. */
+  def dedupParagraphs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    rewriteLines(docs, idCol, textCol) { ex =>
+      val dupFirst = ex
+        .filter(length(col("__line")) > 0)
+        .groupBy(md5(col("__line")).as("__lh"))
+        .agg(min(struct(col(idCol).as("id"), col("__pos").as("pos")))
+            .as("__first"),
+          count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+        .select("__lh", "__first")
+      ex.withColumn("__lh", md5(col("__line")))
+        .join(dupFirst, Seq("__lh"), "left")
+        .filter(col("__first").isNull ||
+          (col(idCol) === col("__first.id") &&
+            col("__pos") === col("__first.pos")))
+        .drop("__lh", "__first")
+    }
 }

@@ -55,15 +55,22 @@ object Similarity {
     * O(1/√outDim) distortion. Pure per-row column math: zero shuffle,
     * whole-stage codegen, streaming-safe. Element-order double
     * accumulation keeps it engine-portable (the [[dot]] contract).
-    * `inDim` must equal the vector length — zip_with would silently
-    * null-pad a mismatch. */
+    * A vector whose length differs from `inDim` RAISES — zip_with
+    * would otherwise null-pad the mismatch into silent all-null
+    * projections that downstream filters drop row by row; null
+    * vectors null-propagate as everywhere else. */
   def randomProject(df: DataFrame, vecCol: String, inDim: Int,
       outDim: Int, salt: String = "rp"): DataFrame = {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val comps = signMatrix(outDim, inDim, salt).map { row =>
       dot(col(vecCol), typedlit(row.toSeq)) * lit(scale)
     }
-    df.withColumn("proj", array(comps.toIndexedSeq: _*))
+    df.withColumn("proj",
+      when(col(vecCol).isNull, lit(null).cast("array<double>"))
+        .when(size(col(vecCol)) === inDim, array(comps.toIndexedSeq: _*))
+        .otherwise(raise_error(concat(
+          lit(s"randomProject: expected $inDim elements, got "),
+          size(col(vecCol)).cast("string")))))
   }
 
   /** Exact top-k by cosine against one query vector (taken from the row

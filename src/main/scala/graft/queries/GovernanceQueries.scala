@@ -309,7 +309,8 @@ object GovernanceQueries extends QueryPack {
     // planted footer (a third of the corpus) keeps exactly ONE copy —
     // in the lowest (doc_id, position) — instead of vanishing
     // everywhere. Oracle: row_number over (paragraph) in (doc, pos)
-    // order; rn = 1 covers unique paragraphs too.
+    // order; rn = 1 covers unique paragraphs too, and EMPTY segments
+    // (blank separators — structure, not content) are exempt.
     QueryDef("q_par_dedup", (s, dir) => {
       val planted = plantedLinesDf(Tables.load(s, dir, "documents"))
       LineClean.dedupParagraphs(planted, "doc_id", "text")
@@ -326,7 +327,7 @@ object GovernanceQueries extends QueryPack {
           kept AS (SELECT doc_id, o, l FROM (
                      SELECT doc_id, o, l, row_number() OVER (
                        PARTITION BY l ORDER BY doc_id, o) AS rn FROM ex)
-                   WHERE rn = 1),
+                   WHERE rn = 1 OR l = ''),
           re AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY o)
                    AS cleaned
                  FROM kept GROUP BY doc_id)

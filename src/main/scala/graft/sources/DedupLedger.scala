@@ -139,6 +139,16 @@ object DedupLedger {
     definitelyNew.unionByName(maybeSeen).drop("__ledger_key")
   }
 
+  /** Record `docs`' prefix keys WITHOUT filtering — the second half of
+    * the crash-safe ingestion recipe (see [[append]]'s retry note):
+    * filterNew → durably land the survivors → recordKeys. The bucket
+    * width adopts the stored layout. */
+  def recordKeys(spark: SparkSession, docs: DataFrame, textCol: String,
+      path: String, prefixWords: Int = 8): Unit =
+    keyRows(docs, textCol, prefixWords, storedBucketChars(spark, path))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/keys")
+
   /** Ingest a batch: return the unseen rows AND record their keys (each
     * once) so the next batch sees them. The survivors are CHECKPOINTED
     * (lineage truncated) before the ledger mutates: the key write's
@@ -146,7 +156,16 @@ object DedupLedger {
     * ledger path, so a merely-persisted result would silently
     * re-evaluate against the post-append ledger and return empty.
     * Reliable checkpoint when a checkpoint dir is configured (the
-    * cluster deployment), localCheckpoint otherwise. */
+    * cluster deployment), localCheckpoint otherwise.
+    *
+    * Retry semantics: keys are recorded BEFORE the caller consumes the
+    * returned survivors, so a crash after the key write followed by a
+    * blind retry of the same batch filters those documents as
+    * already-seen — in the ledger, never landed in the corpus.
+    * Pipelines that must survive that crash window split the steps
+    * ([[filterNew]] → durable survivor write → [[recordKeys]]), making
+    * the ledger mutation the LAST step; replaying it is then harmless
+    * (duplicate key rows are no-ops for the anti-join). */
   def append(spark: SparkSession, docs: DataFrame, textCol: String,
       path: String, prefixWords: Int = 8): DataFrame = {
     val survivors = filterNew(spark, docs, textCol, path, prefixWords)
@@ -154,10 +173,7 @@ object DedupLedger {
       if (spark.sparkContext.getCheckpointDir.isDefined)
         survivors.checkpoint(eager = true)
       else survivors.localCheckpoint(eager = true)
-    keyRows(fresh, textCol, prefixWords,
-        storedBucketChars(spark, path))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/keys")
+    recordKeys(spark, fresh, textCol, path, prefixWords)
     fresh
   }
 

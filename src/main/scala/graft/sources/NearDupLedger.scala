@@ -149,6 +149,16 @@ object NearDupLedger {
       .select("a", "b").distinct()
   }
 
+  /** Record `docs`' band keys WITHOUT filtering — the second half of
+    * the crash-safe ingestion recipe (see [[append]]'s retry note):
+    * filterNew → durably land the survivors → recordKeys. Keys are
+    * computed with the stored geometry. */
+  def recordKeys(spark: SparkSession, docs: DataFrame, textCol: String,
+      idCol: String, path: String): Unit =
+    bandRows(docs, textCol, idCol, readParams(spark, path))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/bands")
+
   /** Ingest a batch: return the rows history has no near-dup of AND
     * record their band keys so the next batch sees them. Survivors are
     * CHECKPOINTED before the ledger mutates — the append's
@@ -156,7 +166,16 @@ object NearDupLedger {
     * so a merely-persisted result would silently re-evaluate against
     * the post-append ledger and return empty (the [[DedupLedger]]
     * lesson). Reliable checkpoint when a checkpoint dir is configured
-    * (the cluster deployment), localCheckpoint otherwise. */
+    * (the cluster deployment), localCheckpoint otherwise.
+    *
+    * Retry semantics: keys are recorded BEFORE the caller consumes the
+    * returned survivors, so a crash after the key write followed by a
+    * blind retry of the same batch filters those documents as
+    * already-seen — in the ledger, never landed in the corpus.
+    * Pipelines that must survive that crash window split the steps
+    * ([[filterNew]] → durable survivor write → [[recordKeys]]), making
+    * the ledger mutation the LAST step; replaying it is then
+    * harmless (duplicate key rows are no-ops for collision checks). */
   def append(spark: SparkSession, docs: DataFrame, textCol: String,
       idCol: String, path: String): DataFrame = {
     val survivors = filterNew(spark, docs, textCol, idCol, path)
@@ -164,9 +183,7 @@ object NearDupLedger {
       if (spark.sparkContext.getCheckpointDir.isDefined)
         survivors.checkpoint(eager = true)
       else survivors.localCheckpoint(eager = true)
-    bandRows(fresh, textCol, idCol, readParams(spark, path))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/bands")
+    recordKeys(spark, fresh, textCol, idCol, path)
     fresh
   }
 

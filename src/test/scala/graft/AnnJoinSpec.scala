@@ -283,6 +283,16 @@ class AnnJoinSpec extends AnyFunSuite {
     // a different salt draws a different matrix (decorrelated draws)
     assert(Similarity.signMatrix(8, 64).flatten.toSeq !=
       Similarity.signMatrix(8, 64, salt = "rp2").flatten.toSeq)
+    // a dim mismatch RAISES instead of null-padding into silently
+    // dropped rows; a null vector null-propagates
+    intercept[Exception] {
+      Similarity.randomProject(
+          Seq((1L, Seq(1f, 2f))).toDF("id", "v"), "v", 4, 8)
+        .collect()
+    }
+    assert(Similarity.randomProject(
+        Seq((1L, null: Seq[Float])).toDF("id", "v"), "v", 4, 8)
+      .select("proj").head().isNullAt(0))
   }
 
   test("randomProject preserves cosine structure on real embeddings") {

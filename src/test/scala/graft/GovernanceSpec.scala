@@ -566,6 +566,31 @@ class GovernanceSpec extends AnyFunSuite {
       "text", "doc_id", path)).isEmpty)
   }
 
+  test("ledgers: the split filterNew -> recordKeys recipe seals keys " +
+      "and replays are harmless") {
+    import graft.sources.{DedupLedger, NearDupLedger}
+    val nd = java.nio.file.Files.createTempDirectory("graft_ndl_rk")
+      .toString
+    NearDupLedger.write(docs(), "text", "doc_id", nd, bucketChars = 1)
+    val batch = docs(1L -> "some document with enough words here")
+    // crash-safe recipe: filter, (durably land), record LAST
+    val fresh = NearDupLedger.filterNew(spark, batch, "text", "doc_id", nd)
+    assert(fresh.count() == 1)
+    NearDupLedger.recordKeys(spark, fresh, "text", "doc_id", nd)
+    // replaying the record step (the retry case) is a no-op for checks
+    NearDupLedger.recordKeys(spark, fresh, "text", "doc_id", nd)
+    assert(NearDupLedger.filterNew(spark, batch, "text", "doc_id", nd)
+      .count() == 0)
+    val ex = java.nio.file.Files.createTempDirectory("graft_dl_rk")
+      .toString
+    DedupLedger.write(docs(), "text", ex, bucketChars = 1)
+    val f2 = DedupLedger.filterNew(spark, batch, "text", ex)
+    assert(f2.count() == 1)
+    DedupLedger.recordKeys(spark, f2, "text", ex)
+    DedupLedger.recordKeys(spark, f2, "text", ex)
+    assert(DedupLedger.filterNew(spark, batch, "text", ex).count() == 0)
+  }
+
   test("NearDupLedger: compact folds files; empty seed bootstraps") {
     import graft.sources.NearDupLedger
     val path = java.nio.file.Files.createTempDirectory("graft_ndl_c")

@@ -113,6 +113,18 @@ class LineCleanSpec extends AnyFunSuite {
       .head().getString(1) == "twice repeated\nmiddle bit")
   }
 
+  test("dedupParagraphs exempts blank separator lines (structure, not content)") {
+    val d = docs(
+      1L -> "para one\n\npara two",
+      2L -> "para one\n\npara three")
+    val got = LineClean.dedupParagraphs(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 is untouched; doc 2 loses only the duplicated CONTENT —
+    // its blank separator survives even though "" occurs corpus-wide
+    assert(got(1L) == "para one\n\npara two")
+    assert(got(2L) == "\npara three")
+  }
+
   test("dedupParagraphs preserves other columns and is partitioning-insensitive") {
     val d = Seq((1L, "x y z\nshared line", "en"), (2L, "shared line", "de"),
       (3L, "shared line\nq r s", "fr"))
