@@ -600,6 +600,28 @@ object Curation {
         .otherwise("train"))
   }
 
+  /** Crawl-snapshot delta: classify every document id across two
+    * snapshots as added / removed / changed / unchanged by content
+    * digest — the incremental-crawl bookkeeping step that decides what
+    * re-enters the pipeline. One full-outer join on id; 16-byte md5s
+    * move through the shuffle, never document text. Null text digests
+    * as the empty string (a doc flipping text↔null reads as changed
+    * only when the digests differ — null and "" collapse, documented
+    * behavior of the coalesce). */
+  def snapshotDelta(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def keyed(df: DataFrame, as: String) =
+      df.select(col(idCol), md5(coalesce(col(textCol), lit(""))).as(as))
+    keyed(oldDf, "old_md5")
+      .join(keyed(newDf, "new_md5"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_md5"), col("new_md5"))
+  }
+
   /** The (test, val) hex bucket thresholds [[assignSplit]] compares
     * against — exposed so an oracle can interpolate the SAME literals. */
   def splitThresholds(valPct: Int, testPct: Int): (String, String) = {

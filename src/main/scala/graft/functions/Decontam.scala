@@ -126,6 +126,55 @@ object Decontam {
     docs.select(explode(TextAnalysis.words(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
 
+  /** Token-distribution drift between two corpora as symmetric
+    * add-one-smoothed KL divergence — the monitor a crawl pipeline
+    * runs between snapshots ("did this month's crawl shift the
+    * distribution?"). Per-token KL terms in INTEGRAL micro-nats on the
+    * LangModel recipe: probabilities are exact rationals over the
+    * union vocabulary (p̂ = (c_p+1)/(N_p+V)), each term pays its one
+    * ln on identical doubles in both engines and micro-rounds BEFORE
+    * the sum, so the total is an order-free integer sum — no
+    * float-summation hazard anywhere. Totals (N_p, N_q, V) ride as a
+    * 1-row broadcast bound join, never a driver constant, so the same
+    * plan serves any corpus.
+    *
+    * Scale shape: two map-side-combined token counts, one full-outer
+    * join on token, one 1-row cross join, one integer-sum aggregate.
+    * Returns (token, cp, cq, m_pq, m_qp) — micro-nat terms of
+    * KL(P‖Q) and KL(Q‖P); aggregate with [[tokenKlReport]] or rank by
+    * m_pq desc for the tokens DRIVING the drift. */
+  def klTerms(p: DataFrame, q: DataFrame, textCol: String): DataFrame = {
+    def cnts(df: DataFrame, as: String) =
+      tokenStream(df, textCol).groupBy("tok")
+        .agg(count(lit(1)).as(as))
+    val u = cnts(p, "cp").join(cnts(q, "cq"), Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val totals = u.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+      count(lit(1)).as("v"))
+    def term(a: Column, na: Column, b: Column, nb: Column) = {
+      val pa = (a + 1).cast("double") / na.cast("double")
+      val pb = (b + 1).cast("double") / nb.cast("double")
+      floor(pa * (log(pa) - log(pb)) * 1000000.0 + 0.5).cast("long")
+    }
+    u.crossJoin(broadcast(totals))
+      .select(col("tok"), col("cp"), col("cq"),
+        term(col("cp"), col("np") + col("v"),
+          col("cq"), col("nq") + col("v")).as("m_pq"),
+        term(col("cq"), col("nq") + col("v"),
+          col("cp"), col("np") + col("v")).as("m_qp"))
+  }
+
+  /** One-row drift report over [[klTerms]]: vocabulary size, totals,
+    * and both KL directions in micro-nats (integer sums). */
+  def tokenKlReport(p: DataFrame, q: DataFrame,
+      textCol: String): DataFrame =
+    klTerms(p, q, textCol)
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+        sum(col("m_pq")).as("kl_pq_micro"),
+        sum(col("m_qp")).as("kl_qp_micro"))
+
   /** Count–min sketch of the whitespace-token stream: approximate
     * occurrence counts for ANY token out of O(depth × width) integers
     * built in ONE corpus pass (partial-aggregated per partition, merged

@@ -389,6 +389,80 @@ object GovernanceQueries extends QueryPack {
               ON a.band = b.band AND a.key = b.key AND b.doc_id % 2 = 0)
           ORDER BY d.doc_id""")),
 
+    // ---- token-distribution drift (KL) ------------------------------
+    // Snapshot-drift monitor: symmetric add-one KL between the even-id
+    // and odd-id halves on the LangModel micro-nat recipe — each
+    // per-token term pays its one ln on identical doubles and
+    // micro-rounds BEFORE the sum, so both directions are order-free
+    // integer sums; totals ride as a 1-row bound join, never a driver
+    // constant.
+    QueryDef("q_token_kl", (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Decontam.tokenKlReport(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 =!= 0), "text")
+    }, Some {
+      def phat(c: String, n: String) = s"(($c+1)/CAST($n+v AS DOUBLE))"
+      def term(a: String, na: String, b: String, nb: String) =
+        s"""CAST(floor((${phat(a, na)} *
+            (ln(${phat(a, na)}) - ln(${phat(b, nb)})))
+            * 1000000.0 + 0.5) AS BIGINT)"""
+      s"""WITH wp AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+                      FROM documents WHERE doc_id % 2 = 0),
+          wq AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+                 FROM documents WHERE doc_id % 2 <> 0),
+          pc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cp FROM wp
+                 WHERE length(tok) > 0 GROUP BY tok),
+          qc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cq FROM wq
+                 WHERE length(tok) > 0 GROUP BY tok),
+          u AS (SELECT coalesce(pc.tok, qc.tok) AS tok,
+                  coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+                FROM pc FULL JOIN qc ON pc.tok = qc.tok),
+          t AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+                  CAST(sum(cq) AS BIGINT) AS nq,
+                  CAST(count(*) AS BIGINT) AS v FROM u),
+          terms AS (SELECT v, np, nq,
+              ${term("cp", "np", "cq", "nq")} AS m_pq,
+              ${term("cq", "nq", "cp", "np")} AS m_qp
+            FROM u, t)
+          SELECT v AS n_vocab, np, nq,
+            CAST(sum(m_pq) AS BIGINT) AS kl_pq_micro,
+            CAST(sum(m_qp) AS BIGINT) AS kl_qp_micro
+          FROM terms GROUP BY v, np, nq"""
+    }),
+
+    // ---- crawl-snapshot delta ---------------------------------------
+    // Two deterministically planted snapshots: the old one misses the
+    // %7==0 docs (added later) and carries a stale text for %5==0; the
+    // new one dropped the %11==3 docs (removed). Every id classifies
+    // into exactly one of four statuses; digests ride so the oracle
+    // gates the comparison itself, not just the labels.
+    QueryDef("q_snapshot_delta", (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val old = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" vOLD"))).otherwise(col("text")))
+      val nw = d.filter(col("doc_id") % 11 =!= 3)
+      Curation.snapshotDelta(old, nw, "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH old AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' vOLD' ELSE text END
+               AS text
+           FROM documents WHERE doc_id % 7 <> 0),
+          nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+          ok AS (SELECT doc_id, md5(coalesce(text, '')) AS old_md5 FROM old),
+          nk AS (SELECT doc_id, md5(coalesce(text, '')) AS new_md5 FROM nw),
+          j AS (SELECT coalesce(ok.doc_id, nk.doc_id) AS doc_id,
+                  old_md5, new_md5
+                FROM ok FULL JOIN nk ON ok.doc_id = nk.doc_id)
+          SELECT doc_id,
+            CASE WHEN old_md5 IS NULL THEN 'added'
+                 WHEN new_md5 IS NULL THEN 'removed'
+                 WHEN old_md5 = new_md5 THEN 'unchanged'
+                 ELSE 'changed' END AS status,
+            old_md5, new_md5
+          FROM j ORDER BY doc_id""")),
+
     // ---- per-source corpus report -----------------------------------
     // The curation dashboard: per source, NORMALIZED-token totals
     // (Unicode canon — CJK/accented text keeps its tokens; a doc whose

@@ -621,6 +621,39 @@ class GovernanceSpec extends AnyFunSuite {
       docs(5L -> "some brand new text"), "text", "doc_id", e)) == Set(5L))
   }
 
+  // ---- snapshot drift / delta ----------------------------------------
+
+  test("tokenKl: self-KL is exactly zero, drift positive, directions swap") {
+    val p = docs(1L -> "alpha alpha beta gamma delta", 2L -> "alpha beta beta")
+    val q = docs(3L -> "epsilon zeta zeta eta", 4L -> "epsilon theta")
+    // identical distributions: every ln ratio is ln(x)-ln(x) = exact
+    // 0.0, every micro term floors to 0 — not just "small"
+    val self = Decontam.tokenKlReport(p, p, "text").head()
+    assert(self.getLong(3) == 0L && self.getLong(4) == 0L)
+    val r = Decontam.tokenKlReport(p, q, "text").head()
+    // disjoint vocabularies: both directions strictly positive
+    assert(r.getLong(3) > 0L && r.getLong(4) > 0L)
+    // union vocab and occurrence totals are exact
+    assert(r.getLong(0) == 8L && r.getLong(1) == 8L && r.getLong(2) == 6L)
+    // swapping the corpora swaps the directions term-for-term
+    val rev = Decontam.tokenKlReport(q, p, "text").head()
+    assert(rev.getLong(3) == r.getLong(4) && rev.getLong(4) == r.getLong(3))
+  }
+
+  test("snapshotDelta classifies all four statuses; null and empty collapse") {
+    val old = docs(1L -> "same text", 2L -> "old text", 3L -> "gone doc")
+    val nw = docs(1L -> "same text", 2L -> "new text", 4L -> "fresh doc")
+    val got = Curation.snapshotDelta(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // null digests as "" (documented): a null -> "" flip is unchanged
+    val o2 = Seq((9L, null: String)).toDF("doc_id", "text")
+    val n2 = Seq((9L, "")).toDF("doc_id", "text")
+    assert(Curation.snapshotDelta(o2, n2, "doc_id", "text")
+      .head().getString(1) == "unchanged")
+  }
+
   // ---- train/val/test split ------------------------------------------
 
   test("assignSplit is exhaustive, deterministic, and growth-stable") {
