@@ -854,35 +854,13 @@ object LlmQueries extends QueryPack {
           sum(TextAnalysis.wsTokenCount(col("text"))).as("total_tokens"))
         .orderBy("source")
     }, Some {
-      val scores = TextAnalysis.langProfiles.map { case (lang, stops) =>
-        val lst = stops.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(w, x -> list_contains($lst, x))) AS c_$lang"
-      }.mkString(",\n            ")
       val mins = (0 until 8).map(i =>
         s"min(substring(md5('${i / 4}:' || sh), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
         .mkString(",\n            ")
       val bands = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS key FROM sig")
         .mkString("\n          UNION ALL ")
-      s"""WITH w0 AS (SELECT doc_id, source, text, ${wsSplit} AS w
-                      FROM documents),
-          lx AS (SELECT doc_id,
-            $scores
-          FROM w0),
-          lp AS (SELECT doc_id,
-            CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
-                 WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
-                 WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
-                 WHEN c_fr >= c_zh THEN 'fr'
-                 ELSE 'zh' END AS pred
-          FROM lx),
-          gate AS (SELECT w0.* FROM w0 JOIN lp USING (doc_id)
-            WHERE len(w) >= 5
-              AND (CASE WHEN length(text) > 0
-                   THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-                        / length(text)
-                   ELSE 0 END) <= 0.2
-              AND pred = 'en'),
+      s"""WITH ${OracleSql.curationGateCtes},
           ded AS (SELECT * FROM (
             SELECT *, row_number() OVER (
               PARTITION BY md5(coalesce(array_to_string(w[1:8], ' '), ''))
@@ -904,6 +882,46 @@ object LlmQueries extends QueryPack {
             CAST(sum(len(w)) AS BIGINT) AS total_tokens
           FROM fin GROUP BY source ORDER BY source"""
     }),
+
+    // ---- incremental ingestion screen -------------------------------
+    // The production entry point end-to-end: both ledgers seeded with
+    // the raw even-id half, then the WHOLE corpus screened — survivors
+    // pass the quality gate AND have no exact-prefix ancestor AND no
+    // band collision against history. Each stage is oracle-proven on
+    // its own (q_corpus_curation, q_dedup_ledger, q_neardup_ledger);
+    // this row gates the three-way conjunction and the ledger-backed
+    // wiring. Data note: on the synthetic corpus the language gate is
+    // vacuous (non-English docs carry no langProfile stopwords, so
+    // argmax ties to 'en' — q_lang_id's own output records this), and
+    // exact-prefix dups happen to band-collide too, so the survivor
+    // set here coincides with q_neardup_ledger's; the conjunction is
+    // still exercised by both engines computing all three predicates.
+    QueryDef("q_ingest_screen", (s, dir) => {
+      import graft.sources.{CorpusIngest, DedupLedger, NearDupLedger}
+      val docs = Tables.load(s, dir, "documents")
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val ex = TempIndexDirs.jvmScoped("graft_ing_ex", dir)
+      val nd = TempIndexDirs.jvmScoped("graft_ing_nd", dir)
+      DedupLedger.write(evens, "text", ex, bucketChars = 1)
+      NearDupLedger.write(evens, "text", "doc_id", nd, bucketChars = 1)
+      CorpusIngest.screen(s, docs, "text", "doc_id", ex, nd)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH ${OracleSql.curationGateCtes},
+          k AS (SELECT doc_id,
+              md5(coalesce(array_to_string(
+                (string_split_regex(text, '\\s+'))[1:8], ' '), '')) AS key
+            FROM documents),
+          ${OracleSql.docShingleCte},
+          ${OracleSql.minhashBandsCtes}
+          SELECT g.doc_id, g.source FROM gate g JOIN k USING (doc_id)
+          WHERE k.key NOT IN (SELECT key FROM k WHERE doc_id % 2 = 0)
+            AND g.doc_id NOT IN (
+              SELECT a.doc_id FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key
+                  AND b.doc_id % 2 = 0)
+          ORDER BY g.doc_id""")),
 
     // ---- multimodal binary plumbing ---------------------------------
     QueryDef("q_multimodal_meta", (s, dir) => {

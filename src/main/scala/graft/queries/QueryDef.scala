@@ -130,6 +130,40 @@ private[queries] object OracleSql {
           $bands)"""
   }
 
+  /** The Curation.qualityGate(Config()) mirror: CTE chain over the
+    * `documents` table ending in `gate(doc_id, source, text, w)` —
+    * min-token count, punctuation ratio, argmax language-ID = 'en'.
+    * ONE copy shared by q_corpus_curation and q_ingest_screen — a
+    * gate tweak applied to a single mirror would silently split the
+    * two oracles. */
+  lazy val curationGateCtes: String = {
+    val scores = graft.functions.TextAnalysis.langProfiles.map {
+      case (lang, stops) =>
+        val lst = stops.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(w, x -> list_contains($lst, x))) AS c_$lang"
+    }.mkString(",\n            ")
+    s"""w0 AS (SELECT doc_id, source, text,
+              string_split_regex(text, '\\s+') AS w
+            FROM documents),
+          lx AS (SELECT doc_id,
+            $scores
+          FROM w0),
+          lp AS (SELECT doc_id,
+            CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+                 WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+                 WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+                 WHEN c_fr >= c_zh THEN 'fr'
+                 ELSE 'zh' END AS pred
+          FROM lx),
+          gate AS (SELECT w0.* FROM w0 JOIN lp USING (doc_id)
+            WHERE len(w) >= 5
+              AND (CASE WHEN length(text) > 0
+                   THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                        / length(text)
+                   ELSE 0 END) <= 0.2
+              AND pred = 'en')"""
+  }
+
   /** Cosine of two fixed-dim numeric-list columns — double accumulation
     * in element order, mirroring Similarity.cosine. */
   def cosD(a: String, b: String, dim: Int): String = {

@@ -621,6 +621,60 @@ class GovernanceSpec extends AnyFunSuite {
       docs(5L -> "some brand new text"), "text", "doc_id", e)) == Set(5L))
   }
 
+  // ---- incremental ingestion -----------------------------------------
+
+  test("CorpusIngest.screen is the conjunction of its three stages") {
+    import graft.sources.{CorpusIngest, DedupLedger, NearDupLedger}
+    val ex = java.nio.file.Files.createTempDirectory("graft_ing_ex")
+      .toString
+    val nd = java.nio.file.Files.createTempDirectory("graft_ing_nd")
+      .toString
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val evens = d.filter($"doc_id" % 2 === 0)
+    DedupLedger.write(evens, "text", ex, bucketChars = 1)
+    NearDupLedger.write(evens, "text", "doc_id", nd, bucketChars = 1)
+    val got = idsOf(CorpusIngest.screen(spark, d, "text", "doc_id", ex, nd))
+    // each predicate applied INDEPENDENTLY to the full corpus — the
+    // sequential screen must equal their intersection (every stage is
+    // a per-doc predicate against fixed history)
+    val gate = idsOf(Curation.qualityGate(d, "text"))
+    val exactOk = idsOf(DedupLedger.filterNew(spark, d, "text", ex))
+    val nearOk = idsOf(
+      NearDupLedger.filterNew(spark, d, "text", "doc_id", nd))
+    assert(got == (gate & exactOk & nearOk) && got.nonEmpty)
+  }
+
+  test("CorpusIngest: gate-rejected docs never claim keys; history seals") {
+    import graft.sources.{CorpusIngest, DedupLedger, NearDupLedger}
+    val ex = java.nio.file.Files.createTempDirectory("graft_ing_ex2")
+      .toString
+    val nd = java.nio.file.Files.createTempDirectory("graft_ing_nd2")
+      .toString
+    DedupLedger.write(docs(), "text", ex, bucketChars = 1)
+    NearDupLedger.write(docs(), "text", "doc_id", nd, bucketChars = 1)
+    // gate-failing junk (punctuation storm after a clean 8-word prefix)
+    val junk = docs(1L -> ("alpha beta gamma delta epsilon zeta eta theta " +
+      "?!?!?!?!?!?!?!?!?!?!?!?!?!?!?!?!?!?!?!?!"))
+    assert(CorpusIngest.ingest(spark, junk, "text", "doc_id", ex, nd)
+      .count() == 0)
+    // the junk claimed NO ledger keys: a clean doc with the SAME
+    // 8-word prefix still passes (gate-before-ledger ordering)
+    val clean = docs(2L ->
+      "alpha beta gamma delta epsilon zeta eta theta with a clean tail")
+    assert(idsOf(CorpusIngest.ingest(spark, clean, "text", "doc_id",
+      ex, nd)) == Set(2L))
+    // now the prefix IS sealed: a later prefix-copy drops
+    val copy = docs(3L ->
+      "alpha beta gamma delta epsilon zeta eta theta with another tail")
+    assert(CorpusIngest.ingest(spark, copy, "text", "doc_id", ex, nd)
+      .count() == 0)
+    // and an identical-text re-send under a new id drops too
+    val resend = docs(4L ->
+      "alpha beta gamma delta epsilon zeta eta theta with a clean tail")
+    assert(CorpusIngest.ingest(spark, resend, "text", "doc_id", ex, nd)
+      .count() == 0)
+  }
+
   // ---- snapshot drift / delta ----------------------------------------
 
   test("tokenKl: self-KL is exactly zero, drift positive, directions swap") {
