@@ -33,8 +33,35 @@ object Calibrate {
       case "heavy" => heavy(spark, sfDir)
       case "pq" => pq(spark, sfDir)
       case "sdc" => sdc(spark, sfDir)
+      case "project" => project(spark, sfDir)
     }
     spark.stop()
+  }
+
+  /** Random-projection retrieval calibration: recall@10 of the
+    * projected-cosine top-10 vs the exact top-10 for 20 queries, per
+    * output dimension — the measured evidence behind randomProject's
+    * "compose ANN on the projected column" claim (and behind
+    * q_project_knn's documented worst-case overlap: the synthetic
+    * embeddings are near-uniform, so these numbers are a FLOOR for
+    * real clustered corpora). */
+  def project(spark: SparkSession, sfDir: String): Unit = {
+    val emb = graft.queries.Tables.load(spark, sfDir, "embeddings").cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.knnJoin(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (k <- Seq(8, 16, 32, 64)) {
+      val pr = Similarity.randomProject(emb, "embedding", 64, k)
+        .select(col("vec_id"), col("proj"))
+      val got = Similarity.knnJoin(pr.filter(col("vec_id") < 20), pr,
+          "vec_id", "vec_id", "proj", k = 10)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect got).size.toDouble / exact.size
+      println(f"[calibrate] project outDim=$k%2d recall@10=$recall%.3f")
+    }
   }
 
   /** SDC recall calibration: recall@5 of the code-to-code k-NN join vs

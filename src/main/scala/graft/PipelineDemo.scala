@@ -245,6 +245,50 @@ object PipelineDemo {
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(jsonlDir))
 
+    // 20. incremental ingestion: gate + exact ledger + near-dup ledger,
+    // batch 2 sealed by batch 1's keys
+    val ingDir = java.nio.file.Files.createTempDirectory("ingest").toString
+    graft.sources.DedupLedger.write(docs.limit(0), "text",
+      s"$ingDir/exact", bucketChars = 1)
+    graft.sources.NearDupLedger.write(docs.limit(0), "text", "doc_id",
+      s"$ingDir/near", bucketChars = 1)
+    val b1 = graft.sources.CorpusIngest.ingest(spark,
+      docs.filter(col("doc_id") < 250), "text", "doc_id",
+      s"$ingDir/exact", s"$ingDir/near")
+    val b2 = graft.sources.CorpusIngest.ingest(spark,
+      docs, "text", "doc_id", s"$ingDir/exact", s"$ingDir/near")
+    println(s"[pipeline] incremental ingest: batch1 kept ${b1.count()}, " +
+      s"full-corpus batch2 kept ${b2.count()} (history seals re-sends)")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(ingDir))
+
+    // 21. snapshot monitoring: crawl delta + token-distribution drift
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = Curation.snapshotDelta(oldSnap, docs, "doc_id", "text")
+      .groupBy("status").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+    val kl = graft.functions.Decontam.tokenKlReport(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), "text").head()
+    println(s"[pipeline] snapshot delta: ${delta.mkString(", ")}; " +
+      s"even/odd token drift KL=${kl.getLong(3)} micro-nats " +
+      s"over ${kl.getLong(0)} vocab")
+
+    // 22. embedding compression: 64->16 random-sign projection feeding
+    // the same ANN machinery
+    val proj = Similarity.randomProject(emb, "embedding", 64, 16)
+    val pk = Similarity.knnJoin(proj.filter(col("vec_id") === 3L), proj,
+        "vec_id", "vec_id", "proj", k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    println(s"[pipeline] projected (dim 16) top-3 for vec 3: " +
+      s"${pk.mkString(", ")}")
+
+    // 23. frequency sketch: CMS heavy hitters vs exact
+    val hh = graft.functions.Decontam.cmsHeavyHitters(docs, "text", k = 3)
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}")
+    println(s"[pipeline] cms heavy hitters (exact counts, " +
+      s"sketch-audited): ${hh.mkString(", ")}")
+
     spark.stop()
   }
 }
