@@ -446,6 +446,40 @@ object OpsQueries extends QueryPack {
         .orderBy("metric")
     }, Some(sketchMomentsSql(tdigestCols))),
 
+    // ---- grouped describe -------------------------------------------
+    // per-source token-count stats: the grouped form of G1 — one hash
+    // aggregate keyed on source, exact percentiles per group; null
+    // text stays NULL (feeds null_count) on both engines.
+    QueryDef("q_describe_by_source", (s, dir) => {
+      import graft.functions.TextAnalysis
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          when(col("text").isNull, lit(null))
+            .otherwise(TextAnalysis.wsTokenCount(col("text")))
+            .cast("double").as("toks"))
+      DescribeStats.describeBy(d, "source", "toks")
+        .select(col("source"), col("count"), col("null_count"),
+          round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
+          round(col("min"), 4).as("min"), round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"),
+          round(col("max"), 4).as("max"))
+        .orderBy("source")
+    }, Some(
+      """WITH x AS (SELECT source,
+           CASE WHEN text IS NULL THEN NULL
+             ELSE CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+           END AS v
+         FROM documents)
+         SELECT source, CAST(count(v) AS BIGINT) AS count,
+           CAST(count(*) - count(v) AS BIGINT) AS null_count,
+           round(avg(v), 4) AS mean, round(stddev_samp(v), 4) AS std,
+           round(min(v), 4) AS min,
+           round(quantile_cont(v, 0.25), 4) AS p25,
+           round(quantile_cont(v, 0.50), 4) AS p50,
+           round(quantile_cont(v, 0.75), 4) AS p75,
+           round(max(v), 4) AS max
+         FROM x GROUP BY source ORDER BY source""")),
+
     // ---- O1/O3 top-k ------------------------------------------------
     QueryDef("q_topk_orders", (s, dir) => {
       Tables.load(s, dir, "orders")

@@ -69,6 +69,33 @@ object DescribeStats {
     aggDescribe(df, cols,
       c => percentile(c, array(lit(0.25), lit(0.5), lit(0.75))))
 
+  /** Per-group describe of one column — the grouped form of
+    * [[describe]]: one row per group key, same moments and exact
+    * percentiles. One hash aggregate keyed on the group column
+    * (map-side combined, shuffles only per-group partial states); the
+    * exact-percentile gather is per group, so the object doc's
+    * low-cardinality dispatch consideration applies to
+    * groups × distinct values, not the global column. */
+  def describeBy(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(v).as("count"),
+        (count(lit(1)) - count(v)).as("null_count"),
+        avg(v).as("mean"),
+        stddev_samp(v).as("std"),
+        min(v).as("min"),
+        percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as("__q"),
+        max(v).as("max"))
+      .select(col(groupCol), col("count"), col("null_count"),
+        col("mean"), col("std"), col("min"),
+        element_at(col("__q"), 1).as("p25"),
+        element_at(col("__q"), 2).as("p50"),
+        element_at(col("__q"), 3).as("p75"),
+        col("max"))
+  }
+
   /** Sketch-quantile describe (see object doc). accuracy=10000 ⇒ rank
     * error ≤ 0.01%. */
   def describeApprox(df: DataFrame, cols: Seq[String],

@@ -75,6 +75,30 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 20)
   }
 
+  test("describeBy equals per-group describe run group by group") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-1e4, 1e4)))) { rows =>
+      val df = rows.toDF("g", "x")
+      val grouped = DescribeStats.describeBy(df, "g", "x").collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      rows.map(_._1).distinct.forall { g =>
+        val solo = DescribeStats.describe(
+          df.filter($"g" === g), Seq("x")).collect().head
+        // describe reports (metric, count, null_count, mean, std, min,
+        // p25, p50, p75, max); describeBy (g, count, null_count, ...)
+        val a = grouped(g)
+        Seq(3, 4, 5, 6, 7, 8, 9).forall { i =>
+          val x = solo.get(i); val y = a(i - 1)
+          (x == null && y == null) ||
+            (x != null && y != null &&
+              math.abs(x.asInstanceOf[Double] - y.asInstanceOf[Double])
+                < 1e-9) } &&
+          a(0) == solo.getDouble(1).toLong && a(1) == solo.getDouble(2).toLong
+      }
+    }, minSuccessful = 15)
+  }
+
   test("melt preserves cell count and values sum") {
     import spark.implicits._
     check(Prop.forAll(Gen.nonEmptyListOf(
