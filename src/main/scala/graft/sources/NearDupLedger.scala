@@ -134,6 +134,43 @@ object NearDupLedger {
     docs.join(hit, Seq(idCol), "left_anti")
   }
 
+  /** [[filterNew]] behind a Bloom pre-gate — the web-scale shape for
+    * MOSTLY-NEW batches (the [[DedupLedger.filterNewBloom]] design one
+    * level up): a Bloom filter over xxhash64(band, key) of the
+    * ledger's rows routes each batch band row; rows the filter has
+    * definitely never seen SKIP the ledger join entirely (no false
+    * negatives — a missed collision is impossible by construction),
+    * and only the maybe-seen residue (≈ fpp × new + true collisions)
+    * pays the join probe. Results are EXACTLY [[filterNew]]'s.
+    *
+    * Built per call so it can never be stale (the [[DedupLedger]]
+    * rationale: a cached Bloom missing later-appended keys would wave
+    * near-dups through as definitely-new). Honest cost: the ledger's
+    * band columns are aggregated twice (count to size the filter, then
+    * the Bloom build) and the residue join reads them once more; the
+    * batch is banded once. Sizing: the ledger holds bandsPerDoc (k /
+    * rowsPerBand, default 4) rows per historical doc, so the
+    * executor-broadcast gate fits ledgers to ~2.5·10⁷ docs at fpp
+    * 0.01; beyond that stay on the plain keyed join. */
+  def filterNewBloom(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, path: String,
+      fpp: Double = 0.01): DataFrame = {
+    val p = readParams(spark, path)
+    val ledger = readBands(spark, path)
+    val nRows = ledger.count()
+    if (nRows == 0) return docs
+    val bloom = ledger
+      .select(xxhash64(col("band"), col("key")).as("h"))
+      .stat.bloomFilter("h", nRows, fpp)
+    val might = udf((h: Long) => bloom.mightContainLong(h))
+    val hit = Dedup.bandedKeys(docs, textCol, idCol, p.k, p.rowsPerBand,
+        p.n)
+      .filter(might(xxhash64(col("band"), col("key"))))
+      .join(ledger.select("band", "key"), Seq("band", "key"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** (batch id `a`, historical id `b`) band-collision pairs — the
     * cross-batch candidate report for pipelines that verify (exact
     * Jaccard) before dropping, and for provenance ("which historical

@@ -295,6 +295,25 @@ class AnnJoinSpec extends AnyFunSuite {
       .select("proj").head().isNullAt(0))
   }
 
+  test("randomProject composes with the IVF store unchanged") {
+    import graft.sources.IvfStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_proj_ivf")
+      .toString
+    // project 64->16, then build and search the SAME on-disk ANN index
+    // the full-dim path uses — the composition claim, executed
+    val proj = Similarity.randomProject(emb, "embedding", 64, 16)
+      .select(col("vec_id"), col("proj"))
+    IvfStore.writeTrained(proj, "vec_id", "proj", dir, iters = 2)
+    val got = IvfStore.search(spark, dir,
+      proj.filter(col("vec_id") === 7L).select("proj").head()
+        .getSeq[Double](0).map(_.toFloat),
+      "vec_id", "proj", k = 5, probes = 64) // >= nBuckets: exhaustive
+    val ids = got.select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == 5 && ids.contains(7L))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("randomProject preserves cosine structure on real embeddings") {
     val sample = emb.filter(col("vec_id") < 60)
     val rows = Similarity.randomProject(sample, "embedding", 64, 32)

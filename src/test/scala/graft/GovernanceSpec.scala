@@ -553,6 +553,36 @@ class GovernanceSpec extends AnyFunSuite {
       "text", "doc_id", path)).isEmpty)
   }
 
+  test("NearDupLedger bloom gate equals the plain keyed join exactly") {
+    import graft.sources.NearDupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_ndl_b")
+      .toString
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    NearDupLedger.write(d.filter($"doc_id" % 2 === 0), "text", "doc_id",
+      path, bucketChars = 1)
+    val plain = idsOf(NearDupLedger.filterNew(spark, d, "text", "doc_id",
+      path))
+    assert(idsOf(NearDupLedger.filterNewBloom(spark, d, "text", "doc_id",
+      path)) == plain && plain.nonEmpty)
+    // NO false negatives even at an absurd fpp: every true collision
+    // is still caught by the residual join
+    assert(idsOf(NearDupLedger.filterNewBloom(spark, d, "text", "doc_id",
+      path, fpp = 0.5)) == plain)
+    // a fresh gate sees appended keys
+    NearDupLedger.append(spark,
+      docs(9001L -> "brand new nine word document for the bloom test"),
+      "text", "doc_id", path)
+    assert(idsOf(NearDupLedger.filterNewBloom(spark,
+      docs(9002L -> "brand new nine word document for the bloom test"),
+      "text", "doc_id", path)).isEmpty)
+    // empty ledger passes everything through
+    val e = java.nio.file.Files.createTempDirectory("graft_ndl_b0")
+      .toString
+    NearDupLedger.write(docs(), "text", "doc_id", e, bucketChars = 1)
+    assert(idsOf(NearDupLedger.filterNewBloom(spark, d, "text", "doc_id",
+      e)) == idsOf(d))
+  }
+
   test("NearDupLedger: readers use the STORED hash-family geometry") {
     import graft.sources.NearDupLedger
     val path = java.nio.file.Files.createTempDirectory("graft_ndl_g")
