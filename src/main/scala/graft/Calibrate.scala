@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Similarity}
@@ -48,19 +48,25 @@ object Calibrate {
   def project(spark: SparkSession, sfDir: String): Unit = {
     val emb = graft.queries.Tables.load(spark, sfDir, "embeddings").cache()
     val queries = emb.filter(col("vec_id") < 20)
-    val exact = Similarity.knnJoin(queries, emb, "vec_id", "vec_id",
-        "embedding", k = 10)
-      .select("query_id", "neighbor_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k+1 then drop self: the query ranks 1 in BOTH spaces (identical
+    // vector → identical projection), so counting it would inflate
+    // every recall by a tautological 1/k
+    def topNoSelf(qs: DataFrame, corpus: DataFrame, vc: String) =
+      Similarity.knnJoin(qs, corpus, "vec_id", "vec_id", vc, k = 11)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          rows.sortBy(_._3).take(10).map(t => (t._1, t._2))
+        }.toSet
+    val exact = topNoSelf(queries, emb, "embedding")
     for (k <- Seq(8, 16, 32, 64)) {
       val pr = Similarity.randomProject(emb, "embedding", 64, k)
         .select(col("vec_id"), col("proj"))
-      val got = Similarity.knnJoin(pr.filter(col("vec_id") < 20), pr,
-          "vec_id", "vec_id", "proj", k = 10)
-        .select("query_id", "neighbor_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = topNoSelf(pr.filter(col("vec_id") < 20), pr, "proj")
       val recall = (exact intersect got).size.toDouble / exact.size
-      println(f"[calibrate] project outDim=$k%2d recall@10=$recall%.3f")
+      println(f"[calibrate] project outDim=$k%2d " +
+        f"neighbor-recall@10=$recall%.3f (self excluded)")
     }
   }
 

@@ -147,9 +147,14 @@ object Decontam {
     def cnts(df: DataFrame, as: String) =
       tokenStream(df, textCol).groupBy("tok")
         .agg(count(lit(1)).as(as))
+    // persisted: the joined vocabulary feeds BOTH the totals aggregate
+    // and the term projection — without it the full-outer join runs
+    // twice per action (the LangModel.trainUnigram materialization
+    // rationale)
     val u = cnts(p, "cp").join(cnts(q, "cq"), Seq("tok"), "full_outer")
       .select(col("tok"), coalesce(col("cp"), lit(0L)).as("cp"),
         coalesce(col("cq"), lit(0L)).as("cq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = u.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
       count(lit(1)).as("v"))
     def term(a: Column, na: Column, b: Column, nb: Column) = {

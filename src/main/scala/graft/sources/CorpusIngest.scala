@@ -15,9 +15,16 @@ import graft.functions.Curation
   * Crash-safety: [[screen]] is PURE (no ledger mutation), [[commit]]
   * mutates both ledgers, [[ingest]] composes them with the at-most-once
   * semantics of the ledgers' own `append` (see their retry notes).
-  * Pipelines that must survive a crash between ledger write and
-  * survivor landing call the steps themselves: screen → durably land
-  * survivors → commit — the ledger mutation last, replays harmless.
+  * Pipelines that must survive crashes call the steps themselves:
+  * screen → durably land survivors → commit. The unit of replay after
+  * a crash in commit is COMMIT ITSELF, re-run with the already-landed
+  * survivor set read back from durable storage — never a re-screen:
+  * commit mutates two ledgers non-atomically, so a crash between the
+  * two recordKeys calls leaves one ledger sealed, and a re-screen
+  * would then return empty and permanently strand the other ledger
+  * without the batch's keys. Re-running commit with the landed set is
+  * safe from any crash point (recordKeys replays are no-ops for
+  * collision checks in both ledgers).
   *
   * In-batch duplicates are NOT removed (both ledgers filter against
   * HISTORY only); compose `Curation.curate` for in-batch semantics or
@@ -27,10 +34,9 @@ object CorpusIngest {
 
   /** Pure screening: the batch rows that pass the quality gate AND
     * have no exact-prefix ancestor AND no near-dup band collision in
-    * history. The near-dup hash-family geometry comes from the
-    * ledger's stored meta (never the call site); the exact ledger's
-    * `prefixWords` rides in `cfg.dedupPrefixWords` and must match the
-    * seed's choice. */
+    * history. BOTH ledgers resolve their key rules from stored meta
+    * (band geometry and prefix-word rule alike) — `cfg.dedupPrefixWords`
+    * only serves exact ledgers seeded before the rule was stored. */
   def screen(spark: SparkSession, batch: DataFrame, textCol: String,
       idCol: String, exactPath: String, nearPath: String,
       cfg: Curation.Config = Curation.Config()): DataFrame = {
@@ -41,7 +47,9 @@ object CorpusIngest {
   }
 
   /** Record `survivors`' keys in BOTH ledgers — the final step of the
-    * crash-safe recipe. Replaying it is harmless. */
+    * crash-safe recipe. NOT atomic across the two ledgers: on a crash
+    * mid-commit, re-run commit with the SAME landed survivor set (see
+    * the object doc) — replays are no-ops, a re-screen is not. */
   def commit(spark: SparkSession, survivors: DataFrame, textCol: String,
       idCol: String, exactPath: String, nearPath: String,
       prefixWords: Int = 8): Unit = {
@@ -56,12 +64,8 @@ object CorpusIngest {
   def ingest(spark: SparkSession, batch: DataFrame, textCol: String,
       idCol: String, exactPath: String, nearPath: String,
       cfg: Curation.Config = Curation.Config()): DataFrame = {
-    val survivors = screen(spark, batch, textCol, idCol, exactPath,
-      nearPath, cfg)
-    val fresh =
-      if (spark.sparkContext.getCheckpointDir.isDefined)
-        survivors.checkpoint(eager = true)
-      else survivors.localCheckpoint(eager = true)
+    val fresh = Lineage.truncated(spark,
+      screen(spark, batch, textCol, idCol, exactPath, nearPath, cfg))
     commit(spark, fresh, textCol, idCol, exactPath, nearPath,
       cfg.dedupPrefixWords)
     fresh

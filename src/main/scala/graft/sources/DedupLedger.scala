@@ -58,12 +58,40 @@ object DedupLedger {
       .distinct()
       .repartition(col("bucket"))
 
-  /** Create/overwrite the ledger from a seed corpus. */
+  /** Create/overwrite the ledger from a seed corpus. The key rule
+    * (`prefixWords`) is stored in ledger meta so READERS use the
+    * seed's rule, never a call-site guess — a mismatch would silently
+    * wave every duplicate through (the NearDupLedger geometry
+    * lesson, applied one level down). */
   def write(docs: DataFrame, textCol: String, path: String,
-      prefixWords: Int = 8, bucketChars: Int = 2): Unit =
+      prefixWords: Int = 8, bucketChars: Int = 2): Unit = {
+    val f = new org.apache.hadoop.fs.Path(s"$path/meta.properties")
+    val fs = f.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val props = new java.util.Properties()
+    props.setProperty("prefixWords", prefixWords.toString)
+    val out = fs.create(f, true)
+    try props.store(out, "DedupLedger key rule")
+    finally out.close()
     keyRows(docs, textCol, prefixWords, bucketChars)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/keys")
+  }
+
+  /** The stored key rule; ledgers seeded before the rule was stored
+    * (no meta file) fall back to the caller's parameter. */
+  private def storedPrefixWords(spark: SparkSession, path: String,
+      fallback: Int): Int = {
+    val f = new org.apache.hadoop.fs.Path(s"$path/meta.properties")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) return fallback
+    val in = fs.open(f)
+    val props = new java.util.Properties()
+    try props.load(in)
+    finally in.close()
+    Option(props.getProperty("prefixWords")).map(_.toInt)
+      .getOrElse(fallback)
+  }
 
   /** Ledger reads carry an explicit schema: an EMPTY seed write leaves
     * only _SUCCESS behind (no parquet footer to infer from), and
@@ -87,12 +115,14 @@ object DedupLedger {
       .take(1).headOption.map(_.getInt(0)).getOrElse(2)
 
   /** The batch rows whose key the ledger has not seen (anti-join over
-    * keys only; batch text rides along, historical text never moves). */
+    * keys only; batch text rides along, historical text never moves).
+    * `prefixWords` is only the fallback for pre-meta ledgers — the
+    * STORED key rule wins. */
   def filterNew(spark: SparkSession, docs: DataFrame, textCol: String,
       path: String, prefixWords: Int = 8): DataFrame = {
     val ledger = readKeys(spark, path)
       .select(col("key").as("__ledger_key"))
-    keyed(docs, textCol, prefixWords)
+    keyed(docs, textCol, storedPrefixWords(spark, path, prefixWords))
       .join(ledger, Seq("__ledger_key"), "left_anti")
       .drop("__ledger_key")
   }
@@ -130,7 +160,8 @@ object DedupLedger {
     if (nKeys == 0) return docs
     val bloom = ledger.stat.bloomFilter("key", nKeys, fpp)
     val might = udf((k: String) => bloom.mightContainString(k))
-    val batch = keyed(docs, textCol, prefixWords)
+    val batch = keyed(docs, textCol,
+        storedPrefixWords(spark, path, prefixWords))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = batch.filter(!might(col("__ledger_key")))
     val maybeSeen = batch.filter(might(col("__ledger_key")))
@@ -145,7 +176,8 @@ object DedupLedger {
     * width adopts the stored layout. */
   def recordKeys(spark: SparkSession, docs: DataFrame, textCol: String,
       path: String, prefixWords: Int = 8): Unit =
-    keyRows(docs, textCol, prefixWords, storedBucketChars(spark, path))
+    keyRows(docs, textCol, storedPrefixWords(spark, path, prefixWords),
+        storedBucketChars(spark, path))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/keys")
 
@@ -168,11 +200,8 @@ object DedupLedger {
     * (duplicate key rows are no-ops for the anti-join). */
   def append(spark: SparkSession, docs: DataFrame, textCol: String,
       path: String, prefixWords: Int = 8): DataFrame = {
-    val survivors = filterNew(spark, docs, textCol, path, prefixWords)
-    val fresh =
-      if (spark.sparkContext.getCheckpointDir.isDefined)
-        survivors.checkpoint(eager = true)
-      else survivors.localCheckpoint(eager = true)
+    val fresh = Lineage.truncated(spark,
+      filterNew(spark, docs, textCol, path, prefixWords))
     recordKeys(spark, fresh, textCol, path, prefixWords)
     fresh
   }

@@ -215,11 +215,8 @@ object NearDupLedger {
     * harmless (duplicate key rows are no-ops for collision checks). */
   def append(spark: SparkSession, docs: DataFrame, textCol: String,
       idCol: String, path: String): DataFrame = {
-    val survivors = filterNew(spark, docs, textCol, idCol, path)
-    val fresh =
-      if (spark.sparkContext.getCheckpointDir.isDefined)
-        survivors.checkpoint(eager = true)
-      else survivors.localCheckpoint(eager = true)
+    val fresh = Lineage.truncated(spark,
+      filterNew(spark, docs, textCol, idCol, path))
     recordKeys(spark, fresh, textCol, idCol, path)
     fresh
   }

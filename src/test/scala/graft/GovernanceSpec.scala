@@ -583,6 +583,21 @@ class GovernanceSpec extends AnyFunSuite {
       e)) == idsOf(d))
   }
 
+  test("DedupLedger: readers use the STORED prefix-word rule") {
+    import graft.sources.DedupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_dl_pw")
+      .toString
+    // seed under a 4-word key rule
+    DedupLedger.write(docs(1L -> "alpha beta gamma delta EXTRA TAIL"),
+      "text", path, prefixWords = 4, bucketChars = 1)
+    // a doc sharing only the FIRST FOUR words: under the call-site
+    // default (8) its key would differ and it would pass; the stored
+    // rule (4) catches it
+    assert(DedupLedger.filterNew(spark,
+      docs(2L -> "alpha beta gamma delta something else entirely here"),
+      "text", path).count() == 0)
+  }
+
   test("NearDupLedger: readers use the STORED hash-family geometry") {
     import graft.sources.NearDupLedger
     val path = java.nio.file.Files.createTempDirectory("graft_ndl_g")
