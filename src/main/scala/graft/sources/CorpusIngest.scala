@@ -41,8 +41,12 @@ object CorpusIngest {
       idCol: String, exactPath: String, nearPath: String,
       cfg: Curation.Config = Curation.Config()): DataFrame = {
     val gated = Curation.qualityGate(batch, textCol, cfg)
+    // persisted: the near-dup stage consumes this frame TWICE (the
+    // banding branch and the anti-join branch) — without it the gate
+    // and the exact anti-join recompute per branch
     val exactNew = DedupLedger.filterNew(spark, gated, textCol,
-      exactPath, cfg.dedupPrefixWords)
+        exactPath, cfg.dedupPrefixWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     NearDupLedger.filterNew(spark, exactNew, textCol, idCol, nearPath)
   }
 
