@@ -400,35 +400,28 @@ object GovernanceQueries extends QueryPack {
       val d = Tables.load(s, dir, "documents")
       Decontam.tokenKlReport(d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 =!= 0), "text")
-    }, Some {
-      def phat(c: String, n: String) = s"(($c+1)/CAST($n+v AS DOUBLE))"
-      def term(a: String, na: String, b: String, nb: String) =
-        s"""CAST(floor((${phat(a, na)} *
-            (ln(${phat(a, na)}) - ln(${phat(b, nb)})))
-            * 1000000.0 + 0.5) AS BIGINT)"""
-      s"""WITH wp AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
-                      FROM documents WHERE doc_id % 2 = 0),
-          wq AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
-                 FROM documents WHERE doc_id % 2 <> 0),
-          pc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cp FROM wp
-                 WHERE length(tok) > 0 GROUP BY tok),
-          qc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cq FROM wq
-                 WHERE length(tok) > 0 GROUP BY tok),
-          u AS (SELECT coalesce(pc.tok, qc.tok) AS tok,
-                  coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
-                FROM pc FULL JOIN qc ON pc.tok = qc.tok),
-          t AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
-                  CAST(sum(cq) AS BIGINT) AS nq,
-                  CAST(count(*) AS BIGINT) AS v FROM u),
-          terms AS (SELECT v, np, nq,
-              ${term("cp", "np", "cq", "nq")} AS m_pq,
-              ${term("cq", "nq", "cp", "np")} AS m_qp
-            FROM u, t)
+    }, Some(
+      s"""WITH ${OracleSql.klTermsCtes}
           SELECT v AS n_vocab, np, nq,
             CAST(sum(m_pq) AS BIGINT) AS kl_pq_micro,
             CAST(sum(m_qp) AS BIGINT) AS kl_qp_micro
-          FROM terms GROUP BY v, np, nq"""
-    }),
+          FROM terms GROUP BY v, np, nq""")),
+
+    // ---- drift contributors -----------------------------------------
+    // the ACTIONABLE half of the KL report: the tokens DRIVING the
+    // even→odd drift, ranked by their micro-nat term (total order with
+    // tok tie-break); same CTE chain as q_token_kl — one mirror copy.
+    QueryDef("q_drift_tokens", (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Decontam.klTerms(d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 =!= 0), "text")
+        .select("tok", "cp", "cq", "m_pq")
+        .orderBy(desc("m_pq"), asc("tok"))
+        .limit(10)
+    }, Some(
+      s"""WITH ${OracleSql.klTermsCtes}
+          SELECT tok, cp, cq, m_pq FROM terms
+          ORDER BY m_pq DESC, tok LIMIT 10""")),
 
     // ---- crawl-snapshot delta ---------------------------------------
     // Two deterministically planted snapshots: the old one misses the

@@ -164,6 +164,38 @@ private[queries] object OracleSql {
               AND pred = 'en')"""
   }
 
+  /** The add-one token-KL term chain (mirrors Decontam.klTerms over
+    * the even/odd doc_id split): CTE chain ending in
+    * `terms(tok, cp, cq, v, np, nq, m_pq, m_qp)` with integral
+    * micro-nat terms. ONE copy shared by q_token_kl and
+    * q_drift_tokens — a smoothing or rounding tweak applied to a
+    * single mirror would silently split the two oracles. */
+  lazy val klTermsCtes: String = {
+    def phat(c: String, n: String) = s"(($c+1)/CAST($n+v AS DOUBLE))"
+    def term(a: String, na: String, b: String, nb: String) =
+      s"""CAST(floor((${phat(a, na)} *
+          (ln(${phat(a, na)}) - ln(${phat(b, nb)})))
+          * 1000000.0 + 0.5) AS BIGINT)"""
+    s"""wp AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+               FROM documents WHERE doc_id % 2 = 0),
+          wq AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+                 FROM documents WHERE doc_id % 2 <> 0),
+          pc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cp FROM wp
+                 WHERE length(tok) > 0 GROUP BY tok),
+          qc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cq FROM wq
+                 WHERE length(tok) > 0 GROUP BY tok),
+          u AS (SELECT coalesce(pc.tok, qc.tok) AS tok,
+                  coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+                FROM pc FULL JOIN qc ON pc.tok = qc.tok),
+          t AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+                  CAST(sum(cq) AS BIGINT) AS nq,
+                  CAST(count(*) AS BIGINT) AS v FROM u),
+          terms AS (SELECT tok, cp, cq, v, np, nq,
+              ${term("cp", "np", "cq", "nq")} AS m_pq,
+              ${term("cq", "nq", "cp", "np")} AS m_qp
+            FROM u, t)"""
+  }
+
   /** Cosine of two fixed-dim numeric-list columns — double accumulation
     * in element order, mirroring Similarity.cosine. */
   def cosD(a: String, b: String, dim: Int): String = {
