@@ -157,17 +157,23 @@ object Decontam {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = u.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
       count(lit(1)).as("v"))
-    def term(a: Column, na: Column, b: Column, nb: Column) = {
-      val pa = (a + 1).cast("double") / na.cast("double")
-      val pb = (b + 1).cast("double") / nb.cast("double")
-      floor(pa * (log(pa) - log(pb)) * 1000000.0 + 0.5).cast("long")
-    }
     u.crossJoin(broadcast(totals))
       .select(col("tok"), col("cp"), col("cq"),
-        term(col("cp"), col("np") + col("v"),
+        klTermMicro(col("cp"), col("np") + col("v"),
           col("cq"), col("nq") + col("v")).as("m_pq"),
-        term(col("cq"), col("nq") + col("v"),
+        klTermMicro(col("cq"), col("nq") + col("v"),
           col("cp"), col("np") + col("v")).as("m_qp"))
+  }
+
+  /** One micro-nat KL term: p̂·(ln p̂ − ln q̂) on add-one rationals,
+    * floored to the 10⁻⁶ grid BEFORE any sum — the ONE copy both
+    * [[klTerms]] and [[klReportBy]] compile (the oracle mirrors this
+    * exact op order). */
+  private def klTermMicro(a: Column, na: Column, b: Column,
+      nb: Column): Column = {
+    val pa = (a + 1).cast("double") / na.cast("double")
+    val pb = (b + 1).cast("double") / nb.cast("double")
+    floor(pa * (log(pa) - log(pb)) * 1000000.0 + 0.5).cast("long")
   }
 
   /** One-row drift report over [[klTerms]]: vocabulary size, totals,
@@ -179,6 +185,50 @@ object Decontam {
         sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
         sum(col("m_pq")).as("kl_pq_micro"),
         sum(col("m_qp")).as("kl_qp_micro"))
+
+  /** Per-group drift: [[tokenKlReport]] computed independently inside
+    * every `groupCol` value — the monitor a multi-source pipeline
+    * actually runs ("WHICH source drifted between snapshots?"). Same
+    * micro-nat recipe per group; probabilities smooth over the GROUP's
+    * union vocabulary, so each group's report equals
+    * [[tokenKlReport]] run on that group alone (spec-pinned).
+    *
+    * Scale shape: per-(group, token) counts map-side combine, ONE
+    * full-outer join keyed on (group, token), per-group totals are a
+    * tiny broadcast (one row per group), and both KL directions
+    * reduce as order-free integer sums — no one-reducer stage at any
+    * group cardinality. */
+  def klReportBy(p: DataFrame, q: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    def cnts(df: DataFrame, as: String) =
+      df.select(col(groupCol).as("__g"),
+          explode(TextAnalysis.words(col(textCol))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("__g", "tok").agg(count(lit(1)).as(as))
+    val u = cnts(p, "cp").join(cnts(q, "cq"), Seq("__g", "tok"),
+        "full_outer")
+      .select(col("__g"), col("tok"),
+        coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = u.groupBy("__g")
+      .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+        count(lit(1)).as("v"))
+    u.join(broadcast(totals), Seq("__g"))
+      .select(col("__g"),
+        klTermMicro(col("cp"), col("np") + col("v"),
+          col("cq"), col("nq") + col("v")).as("m_pq"),
+        klTermMicro(col("cq"), col("nq") + col("v"),
+          col("cp"), col("np") + col("v")).as("m_qp"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("m_pq")).as("kl_pq_micro"),
+        sum(col("m_qp")).as("kl_qp_micro"))
+      .join(broadcast(totals.select(col("__g"), col("np"), col("nq"))),
+        Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_vocab"), col("np"),
+        col("nq"), col("kl_pq_micro"), col("kl_qp_micro"))
+  }
 
   /** Count–min sketch of the whitespace-token stream: approximate
     * occurrence counts for ANY token out of O(depth × width) integers

@@ -423,6 +423,54 @@ object GovernanceQueries extends QueryPack {
           SELECT tok, cp, cq, m_pq FROM terms
           ORDER BY m_pq DESC, tok LIMIT 10""")),
 
+    // ---- per-source drift -------------------------------------------
+    // the grouped monitor: which SOURCE drifted between the even and
+    // odd halves — per-group union vocabulary, per-group totals, same
+    // micro-nat terms; each group's row equals tokenKlReport run on
+    // that group alone (spec-pinned).
+    QueryDef("q_source_kl", (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Decontam.klReportBy(d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 =!= 0), "source", "text")
+        .orderBy("source")
+    }, Some {
+      def phat(c: String, n: String) =
+        s"(($c+1)/CAST($n+t.v AS DOUBLE))"
+      def term(a: String, na: String, b: String, nb: String) =
+        s"""CAST(floor((${phat(a, na)} *
+            (ln(${phat(a, na)}) - ln(${phat(b, nb)})))
+            * 1000000.0 + 0.5) AS BIGINT)"""
+      s"""WITH wp AS (SELECT source,
+              unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents WHERE doc_id % 2 = 0),
+          wq AS (SELECT source,
+              unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents WHERE doc_id % 2 <> 0),
+          pc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cp
+                 FROM wp WHERE length(tok) > 0 GROUP BY source, tok),
+          qc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cq
+                 FROM wq WHERE length(tok) > 0 GROUP BY source, tok),
+          u AS (SELECT coalesce(pc.source, qc.source) AS g,
+                  coalesce(pc.tok, qc.tok) AS tok,
+                  coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+                FROM pc FULL JOIN qc
+                  ON pc.source = qc.source AND pc.tok = qc.tok),
+          t AS (SELECT g, CAST(sum(cp) AS BIGINT) AS np,
+                  CAST(sum(cq) AS BIGINT) AS nq,
+                  CAST(count(*) AS BIGINT) AS v
+                FROM u GROUP BY g),
+          terms AS (SELECT u.g,
+              ${term("cp", "t.np", "cq", "t.nq")} AS m_pq,
+              ${term("cq", "t.nq", "cp", "t.np")} AS m_qp
+            FROM u JOIN t ON u.g = t.g)
+          SELECT terms.g AS source,
+            CAST(count(*) AS BIGINT) AS n_vocab, t.np, t.nq,
+            CAST(sum(m_pq) AS BIGINT) AS kl_pq_micro,
+            CAST(sum(m_qp) AS BIGINT) AS kl_qp_micro
+          FROM terms JOIN t ON terms.g = t.g
+          GROUP BY terms.g, t.np, t.nq ORDER BY source"""
+    }),
+
     // ---- crawl-snapshot delta ---------------------------------------
     // Two deterministically planted snapshots: the old one misses the
     // %7==0 docs (added later) and carries a stale text for %5==0; the

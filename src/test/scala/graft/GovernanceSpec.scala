@@ -739,6 +739,25 @@ class GovernanceSpec extends AnyFunSuite {
     assert(rev.getLong(3) == r.getLong(4) && rev.getLong(4) == r.getLong(3))
   }
 
+  test("klReportBy equals tokenKlReport run group by group") {
+    val p = Seq((1L, "alpha alpha beta", "s1"), (2L, "gamma delta", "s2"),
+      (3L, "alpha epsilon", "s1"))
+      .toDF("doc_id", "text", "src")
+    val q = Seq((4L, "alpha beta beta", "s1"), (5L, "gamma gamma", "s2"),
+      (6L, "zeta", "s2"))
+      .toDF("doc_id", "text", "src")
+    val by = Decontam.klReportBy(p, q, "src", "text").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.keySet == Set("s1", "s2"))
+    Seq("s1", "s2").foreach { g =>
+      val solo = Decontam.tokenKlReport(p.filter($"src" === g),
+        q.filter($"src" === g), "text").head()
+      assert(by(g) == Seq(solo.getLong(0), solo.getLong(1),
+        solo.getLong(2), solo.getLong(3), solo.getLong(4)),
+        s"group $g: ${by(g)} vs $solo")
+    }
+  }
+
   test("snapshotDelta classifies all four statuses; null and empty collapse") {
     val old = docs(1L -> "same text", 2L -> "old text", 3L -> "gone doc")
     val nw = docs(1L -> "same text", 2L -> "new text", 4L -> "fresh doc")
