@@ -143,18 +143,45 @@ object Decontam {
     * Returns (token, cp, cq, m_pq, m_qp) — micro-nat terms of
     * KL(P‖Q) and KL(Q‖P); aggregate with [[tokenKlReport]] or rank by
     * m_pq desc for the tokens DRIVING the drift. */
+  /** Union-vocabulary count frame shared by [[klTerms]] (ungrouped)
+    * and [[klReportBy]] (keyed on `__g`): per-key token counts from
+    * both corpora full-outer-joined — null-SAFE on the group key, so
+    * a null group is measured, not silently dropped — zeros
+    * coalesced, and PERSISTED (both consumers aggregate it twice; the
+    * LangModel.trainUnigram materialization rationale). ONE copy of
+    * the chain — a tokenizer or smoothing tweak applied to one
+    * consumer cannot diverge the other. */
+  private def vocabUnion(p: DataFrame, q: DataFrame, textCol: String,
+      grouped: Boolean): DataFrame = {
+    def cnts(df: DataFrame, as: String): DataFrame = {
+      val base =
+        if (grouped) df.select(col("__g"),
+          explode(TextAnalysis.words(col(textCol))).as("tok"))
+        else df.select(
+          explode(TextAnalysis.words(col(textCol))).as("tok"))
+      val keys = if (grouped) Seq("__g", "tok") else Seq("tok")
+      base.filter(length(col("tok")) > 0)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+    }
+    val a = cnts(p, "cp")
+    val b = cnts(q, "cq")
+    val joined =
+      if (grouped)
+        a.join(b, a("__g") <=> b("__g") && a("tok") === b("tok"),
+            "full_outer")
+          .select(coalesce(a("__g"), b("__g")).as("__g"),
+            coalesce(a("tok"), b("tok")).as("tok"),
+            coalesce(a("cp"), lit(0L)).as("cp"),
+            coalesce(b("cq"), lit(0L)).as("cq"))
+      else
+        a.join(b, Seq("tok"), "full_outer")
+          .select(col("tok"), coalesce(col("cp"), lit(0L)).as("cp"),
+            coalesce(col("cq"), lit(0L)).as("cq"))
+    joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   def klTerms(p: DataFrame, q: DataFrame, textCol: String): DataFrame = {
-    def cnts(df: DataFrame, as: String) =
-      tokenStream(df, textCol).groupBy("tok")
-        .agg(count(lit(1)).as(as))
-    // persisted: the joined vocabulary feeds BOTH the totals aggregate
-    // and the term projection — without it the full-outer join runs
-    // twice per action (the LangModel.trainUnigram materialization
-    // rationale)
-    val u = cnts(p, "cp").join(cnts(q, "cq"), Seq("tok"), "full_outer")
-      .select(col("tok"), coalesce(col("cp"), lit(0L)).as("cp"),
-        coalesce(col("cq"), lit(0L)).as("cq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val u = vocabUnion(p, q, textCol, grouped = false)
     val totals = u.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
       count(lit(1)).as("v"))
     u.crossJoin(broadcast(totals))
@@ -191,41 +218,40 @@ object Decontam {
     * actually runs ("WHICH source drifted between snapshots?"). Same
     * micro-nat recipe per group; probabilities smooth over the GROUP's
     * union vocabulary, so each group's report equals
-    * [[tokenKlReport]] run on that group alone (spec-pinned).
+    * [[tokenKlReport]] run on that group alone (spec-pinned) — a NULL
+    * group included (the joins are null-safe). A group whose documents
+    * carry no tokens at all has no vocabulary to measure and produces
+    * no row.
     *
     * Scale shape: per-(group, token) counts map-side combine, ONE
     * full-outer join keyed on (group, token), per-group totals are a
-    * tiny broadcast (one row per group), and both KL directions
-    * reduce as order-free integer sums — no one-reducer stage at any
-    * group cardinality. */
+    * tiny broadcast (one row per group), and everything after reduces
+    * as order-free integer sums in the SAME aggregate — no one-reducer
+    * stage at any group cardinality. */
   def klReportBy(p: DataFrame, q: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
-    def cnts(df: DataFrame, as: String) =
-      df.select(col(groupCol).as("__g"),
-          explode(TextAnalysis.words(col(textCol))).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .groupBy("__g", "tok").agg(count(lit(1)).as(as))
-    val u = cnts(p, "cp").join(cnts(q, "cq"), Seq("__g", "tok"),
-        "full_outer")
-      .select(col("__g"), col("tok"),
-        coalesce(col("cp"), lit(0L)).as("cp"),
-        coalesce(col("cq"), lit(0L)).as("cq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val u = vocabUnion(
+      p.select(col(groupCol).as("__g"), col(textCol)),
+      q.select(col(groupCol).as("__g"), col(textCol)),
+      textCol, grouped = true)
     val totals = u.groupBy("__g")
       .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
         count(lit(1)).as("v"))
-    u.join(broadcast(totals), Seq("__g"))
-      .select(col("__g"),
-        klTermMicro(col("cp"), col("np") + col("v"),
-          col("cq"), col("nq") + col("v")).as("m_pq"),
-        klTermMicro(col("cq"), col("nq") + col("v"),
-          col("cp"), col("np") + col("v")).as("m_qp"))
+    // aliases: totals derives from u, so unqualified __g would be an
+    // ambiguous self-join reference
+    u.as("u").join(broadcast(totals.as("t")),
+        col("u.__g") <=> col("t.__g"))
+      .select(col("u.__g").as("__g"),
+        col("u.cp").as("cp"), col("u.cq").as("cq"),
+        klTermMicro(col("u.cp"), col("t.np") + col("t.v"),
+          col("u.cq"), col("t.nq") + col("t.v")).as("m_pq"),
+        klTermMicro(col("u.cq"), col("t.nq") + col("t.v"),
+          col("u.cp"), col("t.np") + col("t.v")).as("m_qp"))
       .groupBy("__g")
       .agg(count(lit(1)).as("n_vocab"),
+        sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
         sum(col("m_pq")).as("kl_pq_micro"),
         sum(col("m_qp")).as("kl_qp_micro"))
-      .join(broadcast(totals.select(col("__g"), col("np"), col("nq"))),
-        Seq("__g"))
       .select(col("__g").as(groupCol), col("n_vocab"), col("np"),
         col("nq"), col("kl_pq_micro"), col("kl_qp_micro"))
   }

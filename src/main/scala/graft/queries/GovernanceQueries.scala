@@ -434,12 +434,8 @@ object GovernanceQueries extends QueryPack {
           d.filter(col("doc_id") % 2 =!= 0), "source", "text")
         .orderBy("source")
     }, Some {
-      def phat(c: String, n: String) =
-        s"(($c+1)/CAST($n+t.v AS DOUBLE))"
       def term(a: String, na: String, b: String, nb: String) =
-        s"""CAST(floor((${phat(a, na)} *
-            (ln(${phat(a, na)}) - ln(${phat(b, nb)})))
-            * 1000000.0 + 0.5) AS BIGINT)"""
+        OracleSql.klTermSql(a, na, b, nb, "t.v")
       s"""WITH wp AS (SELECT source,
               unnest(string_split_regex(text, '\\s+')) AS tok
             FROM documents WHERE doc_id % 2 = 0),
@@ -454,7 +450,8 @@ object GovernanceQueries extends QueryPack {
                   coalesce(pc.tok, qc.tok) AS tok,
                   coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
                 FROM pc FULL JOIN qc
-                  ON pc.source = qc.source AND pc.tok = qc.tok),
+                  ON pc.source IS NOT DISTINCT FROM qc.source
+                    AND pc.tok = qc.tok),
           t AS (SELECT g, CAST(sum(cp) AS BIGINT) AS np,
                   CAST(sum(cq) AS BIGINT) AS nq,
                   CAST(count(*) AS BIGINT) AS v
@@ -462,12 +459,12 @@ object GovernanceQueries extends QueryPack {
           terms AS (SELECT u.g,
               ${term("cp", "t.np", "cq", "t.nq")} AS m_pq,
               ${term("cq", "t.nq", "cp", "t.np")} AS m_qp
-            FROM u JOIN t ON u.g = t.g)
+            FROM u JOIN t ON u.g IS NOT DISTINCT FROM t.g)
           SELECT terms.g AS source,
             CAST(count(*) AS BIGINT) AS n_vocab, t.np, t.nq,
             CAST(sum(m_pq) AS BIGINT) AS kl_pq_micro,
             CAST(sum(m_qp) AS BIGINT) AS kl_qp_micro
-          FROM terms JOIN t ON terms.g = t.g
+          FROM terms JOIN t ON terms.g IS NOT DISTINCT FROM t.g
           GROUP BY terms.g, t.np, t.nq ORDER BY source"""
     }),
 

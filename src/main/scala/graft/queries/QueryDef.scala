@@ -170,12 +170,22 @@ private[queries] object OracleSql {
     * micro-nat terms. ONE copy shared by q_token_kl and
     * q_drift_tokens — a smoothing or rounding tweak applied to a
     * single mirror would silently split the two oracles. */
-  lazy val klTermsCtes: String = {
-    def phat(c: String, n: String) = s"(($c+1)/CAST($n+v AS DOUBLE))"
-    def term(a: String, na: String, b: String, nb: String) =
-      s"""CAST(floor((${phat(a, na)} *
+  /** One micro-nat KL term as SQL (mirrors Decontam.klTermMicro):
+    * p̂·(ln p̂ − ln q̂) on add-one rationals, floored to the 10⁻⁶ grid.
+    * `v` is the (possibly table-qualified) union-vocab size reference
+    * — the ONE copy compiled into [[klTermsCtes]] and the grouped
+    * q_source_kl oracle alike. */
+  def klTermSql(a: String, na: String, b: String, nb: String,
+      v: String): String = {
+    def phat(c: String, n: String) = s"(($c+1)/CAST($n+$v AS DOUBLE))"
+    s"""CAST(floor((${phat(a, na)} *
           (ln(${phat(a, na)}) - ln(${phat(b, nb)})))
           * 1000000.0 + 0.5) AS BIGINT)"""
+  }
+
+  lazy val klTermsCtes: String = {
+    def term(a: String, na: String, b: String, nb: String) =
+      klTermSql(a, na, b, nb, "v")
     s"""wp AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
                FROM documents WHERE doc_id % 2 = 0),
           wq AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok

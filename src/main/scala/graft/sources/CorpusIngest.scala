@@ -39,15 +39,26 @@ object CorpusIngest {
     * only serves exact ledgers seeded before the rule was stored. */
   def screen(spark: SparkSession, batch: DataFrame, textCol: String,
       idCol: String, exactPath: String, nearPath: String,
-      cfg: Curation.Config = Curation.Config()): DataFrame = {
+      cfg: Curation.Config = Curation.Config()): DataFrame =
+    screenPinned(spark, batch, textCol, idCol, exactPath, nearPath,
+      cfg)._1
+
+  /** [[screen]] plus the persisted intermediate it pins: the near-dup
+    * stage consumes the gate+exact result TWICE (banding branch and
+    * anti-join branch), so it is persisted — [[ingest]] unpersists it
+    * once the survivors are checkpointed; long-lived callers of the
+    * pure [[screen]] release it via the ContextCleaner when they drop
+    * the returned plan (nothing else holds it). */
+  private def screenPinned(spark: SparkSession, batch: DataFrame,
+      textCol: String, idCol: String, exactPath: String,
+      nearPath: String, cfg: Curation.Config)
+      : (DataFrame, DataFrame) = {
     val gated = Curation.qualityGate(batch, textCol, cfg)
-    // persisted: the near-dup stage consumes this frame TWICE (the
-    // banding branch and the anti-join branch) — without it the gate
-    // and the exact anti-join recompute per branch
     val exactNew = DedupLedger.filterNew(spark, gated, textCol,
         exactPath, cfg.dedupPrefixWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    NearDupLedger.filterNew(spark, exactNew, textCol, idCol, nearPath)
+    (NearDupLedger.filterNew(spark, exactNew, textCol, idCol, nearPath),
+      exactNew)
   }
 
   /** Record `survivors`' keys in BOTH ledgers — the final step of the
@@ -68,8 +79,13 @@ object CorpusIngest {
   def ingest(spark: SparkSession, batch: DataFrame, textCol: String,
       idCol: String, exactPath: String, nearPath: String,
       cfg: Curation.Config = Curation.Config()): DataFrame = {
-    val fresh = Lineage.truncated(spark,
-      screen(spark, batch, textCol, idCol, exactPath, nearPath, cfg))
+    val (scr, pinned) = screenPinned(spark, batch, textCol, idCol,
+      exactPath, nearPath, cfg)
+    val fresh = Lineage.truncated(spark, scr)
+    // the checkpoint materialized the survivors; the pinned
+    // intermediate would otherwise accumulate one cached frame per
+    // ingested batch in a long-lived pipeline
+    pinned.unpersist(blocking = false)
     commit(spark, fresh, textCol, idCol, exactPath, nearPath,
       cfg.dedupPrefixWords)
     fresh

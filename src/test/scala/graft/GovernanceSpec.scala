@@ -740,18 +740,24 @@ class GovernanceSpec extends AnyFunSuite {
   }
 
   test("klReportBy equals tokenKlReport run group by group") {
+    // s3 exists ONLY in p (one-sided group: every token has cq = 0)
+    // and the null group is real data on both sides — both must be
+    // measured, not dropped
     val p = Seq((1L, "alpha alpha beta", "s1"), (2L, "gamma delta", "s2"),
-      (3L, "alpha epsilon", "s1"))
+      (3L, "alpha epsilon", "s1"), (7L, "iota kappa iota", "s3"),
+      (9L, "mu mu nu", null: String))
       .toDF("doc_id", "text", "src")
     val q = Seq((4L, "alpha beta beta", "s1"), (5L, "gamma gamma", "s2"),
-      (6L, "zeta", "s2"))
+      (6L, "zeta", "s2"), (10L, "mu xi", null: String))
       .toDF("doc_id", "text", "src")
     val by = Decontam.klReportBy(p, q, "src", "text").collect()
-      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
-    assert(by.keySet == Set("s1", "s2"))
-    Seq("s1", "s2").foreach { g =>
-      val solo = Decontam.tokenKlReport(p.filter($"src" === g),
-        q.filter($"src" === g), "text").head()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0))
+        -> r.toSeq.drop(1)).toMap
+    assert(by.keySet == Set("s1", "s2", "s3", null))
+    Seq("s1", "s2", "s3", null).foreach { g =>
+      val cond = if (g == null) $"src".isNull else $"src" === g
+      val solo = Decontam.tokenKlReport(p.filter(cond),
+        q.filter(cond), "text").head()
       assert(by(g) == Seq(solo.getLong(0), solo.getLong(1),
         solo.getLong(2), solo.getLong(3), solo.getLong(4)),
         s"group $g: ${by(g)} vs $solo")
