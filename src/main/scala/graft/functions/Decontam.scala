@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-pipeline step that flags
@@ -190,6 +191,65 @@ object Decontam {
           col("cq"), col("nq") + col("v")).as("m_pq"),
         klTermMicro(col("cq"), col("nq") + col("v"),
           col("cp"), col("np") + col("v")).as("m_qp"))
+  }
+
+  /** Corpus-overlap report: exact Jaccard similarity of the two
+    * corpora's distinct n-gram shingle SETS — the crawl-overlap
+    * monitor ("how much of snapshot B is already in snapshot A?")
+    * complementing the distribution-level [[tokenKlReport]]. One
+    * full-outer join on the distinct-shingle tables; set sizes,
+    * intersection, and union all fall out of a single aggregate. */
+  def shingleJaccard(p: DataFrame, q: DataFrame, textCol: String,
+      n: Int = 3): DataFrame = {
+    def sets(df: DataFrame, flag: String) =
+      df.select(explode(distinctShingles(textCol, n)).as("sh"))
+        .distinct().withColumn(flag, lit(1L))
+    sets(p, "ina").join(sets(q, "inb"), Seq("sh"), "full_outer")
+      .agg(count(col("ina")).as("n_a"), count(col("inb")).as("n_b"),
+        count(when(col("ina").isNotNull && col("inb").isNotNull, 1))
+          .as("n_inter"))
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        TextAnalysis.halfUpFloor(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic over a numeric column:
+    * D = max |CDF_p(v) − CDF_q(v)| across the union of observed
+    * values — the distribution-shift test for LENGTH-like signals
+    * (token counts, quality scores) where token KL does not apply.
+    * Exact: cumulative counts are integers, each CDF difference is
+    * one double division pair floored to the 10⁻⁶ grid before the
+    * max. The running sum windows over the DISTINCT-VALUE table —
+    * bounded by distinct magnitudes, not rows (metadata-scale for
+    * count-like columns), which is why a single-partition window is
+    * acceptable here and nowhere else. */
+  def ksStatistic(p: DataFrame, q: DataFrame,
+      valueCol: String): DataFrame = {
+    def cnts(df: DataFrame, as: String) =
+      df.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as(as))
+    // persisted: feeds the totals aggregate AND the cumulative window
+    val u = cnts(p, "ca").join(cnts(q, "cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = u.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("cpa", sum(col("ca")).over(w))
+      .withColumn("cpb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        TextAnalysis.halfUpFloor(abs(
+          col("cpa").cast("double") / col("na").cast("double") -
+            col("cpb").cast("double") / col("nb").cast("double")), 6)
+          .as("d"))
+      .groupBy("na", "nb")
+      .agg(max(col("d")).as("ks"))
+      .select(col("na").as("n_p"), col("nb").as("n_q"), col("ks"))
   }
 
   /** One micro-nat KL term: p̂·(ln p̂ − ln q̂) on add-one rationals,

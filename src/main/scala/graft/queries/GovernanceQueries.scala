@@ -468,6 +468,83 @@ object GovernanceQueries extends QueryPack {
           GROUP BY terms.g, t.np, t.nq ORDER BY source"""
     }),
 
+    // ---- corpus overlap (shingle Jaccard) ---------------------------
+    // set-level companion to the distribution-level KL: exact Jaccard
+    // of the even/odd halves' distinct 3-gram shingle sets — one
+    // full-outer join, one aggregate.
+    QueryDef("q_corpus_overlap", (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Decontam.shingleJaccard(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 =!= 0), "text")
+    }, Some(
+      """WITH wa AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                     FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+          wb AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                 FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL),
+          sa AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
+                   i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+                 FROM wa WHERE len(w) >= 3),
+          sb AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
+                   i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+                 FROM wb WHERE len(w) >= 3),
+          u AS (SELECT sa.sh AS a, sb.sh AS b
+                FROM sa FULL JOIN sb ON sa.sh = sb.sh)
+          SELECT CAST(count(a) AS BIGINT) AS n_a,
+            CAST(count(b) AS BIGINT) AS n_b,
+            CAST(count(CASE WHEN a IS NOT NULL AND b IS NOT NULL
+              THEN 1 END) AS BIGINT) AS n_inter,
+            CAST(count(a) + count(b) - count(CASE WHEN a IS NOT NULL
+              AND b IS NOT NULL THEN 1 END) AS BIGINT) AS n_union,
+            floor((CAST(count(CASE WHEN a IS NOT NULL AND b IS NOT NULL
+                THEN 1 END) AS DOUBLE) /
+              CAST(count(a) + count(b) - count(CASE WHEN a IS NOT NULL
+                AND b IS NOT NULL THEN 1 END) AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+          FROM u""")),
+
+    // ---- KS distribution-shift test ---------------------------------
+    // two-sample Kolmogorov-Smirnov over per-doc token counts, even vs
+    // odd halves: cumulative integer counts over the distinct-value
+    // grid, one double-division pair per value floored to the micro
+    // grid before the max.
+    QueryDef("q_ks_drift", (s, dir) => {
+      import graft.functions.TextAnalysis
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("text").isNull, lit(null))
+            .otherwise(TextAnalysis.wsTokenCount(col("text")))
+            .cast("double").as("toks"))
+      Decontam.ksStatistic(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 =!= 0), "toks")
+    }, Some(
+      """WITH x AS (SELECT doc_id,
+            CASE WHEN text IS NULL THEN NULL
+              ELSE CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+            END AS v
+          FROM documents),
+          ca AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM x
+                 WHERE doc_id % 2 = 0 AND v IS NOT NULL GROUP BY v),
+          cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM x
+                 WHERE doc_id % 2 <> 0 AND v IS NOT NULL GROUP BY v),
+          u AS (SELECT coalesce(ca.v, cb.v) AS v,
+                  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                FROM ca FULL JOIN cb ON ca.v = cb.v),
+          t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                  CAST(sum(cb) AS BIGINT) AS nb FROM u),
+          c AS (SELECT v,
+                  sum(ca) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cpa,
+                  sum(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cpb
+                FROM u)
+          SELECT na AS n_p, nb AS n_q,
+            max(floor(abs(cpa / CAST(na AS DOUBLE)
+              - cpb / CAST(nb AS DOUBLE)) * 1000000.0 + 0.5)
+              / 1000000.0) AS ks
+          FROM c, t GROUP BY na, nb""")),
+
     // ---- crawl-snapshot delta ---------------------------------------
     // Two deterministically planted snapshots: the old one misses the
     // %7==0 docs (added later) and carries a stale text for %5==0; the

@@ -764,6 +764,37 @@ class GovernanceSpec extends AnyFunSuite {
     }
   }
 
+  test("shingleJaccard: identity is 1, disjoint is 0, hand case exact") {
+    val a = docs(1L -> "one two three four", 2L -> "five six seven")
+    val b = docs(3L -> "one two three eight") // shares "one two three"
+    val self = Decontam.shingleJaccard(a, a, "text").head()
+    assert(self.getDouble(4) == 1.0 &&
+      self.getLong(0) == self.getLong(2)) // inter == |A|
+    val disjoint = Decontam.shingleJaccard(a,
+      docs(4L -> "nine ten eleven twelve"), "text").head()
+    assert(disjoint.getDouble(4) == 0.0 && disjoint.getLong(2) == 0L)
+    // a: {"one two three", "two three four", "five six seven"};
+    // b: {"one two three", "two three eight"}: inter 1, union 4
+    val r = Decontam.shingleJaccard(a, b, "text").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L &&
+      r.getLong(2) == 1L && r.getLong(3) == 4L && r.getDouble(4) == 0.25)
+  }
+
+  test("ksStatistic: identical is 0, separated is 1, hand case exact") {
+    def frame(vs: Double*) = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val a = frame(1, 2, 2, 3)
+    assert(Decontam.ksStatistic(a, a, "v").head().getDouble(2) == 0.0)
+    // fully separated supports: D = 1
+    assert(Decontam.ksStatistic(a, frame(10, 11), "v")
+      .head().getDouble(2) == 1.0)
+    // hand case: P = {1,2,2,3}, Q = {2,3,3,4}; CDFs at v=1: .25 vs 0,
+    // v=2: .75 vs .25 (D=.5), v=3: 1 vs .75, v=4: 1 vs 1
+    val r = Decontam.ksStatistic(a, frame(2, 3, 3, 4), "v").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L &&
+      r.getDouble(2) == 0.5)
+  }
+
   test("snapshotDelta classifies all four statuses; null and empty collapse") {
     val old = docs(1L -> "same text", 2L -> "old text", 3L -> "gone doc")
     val nw = docs(1L -> "same text", 2L -> "new text", 4L -> "fresh doc")
