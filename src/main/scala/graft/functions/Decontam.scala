@@ -202,8 +202,8 @@ object Decontam {
   def shingleJaccard(p: DataFrame, q: DataFrame, textCol: String,
       n: Int = 3): DataFrame = {
     def sets(df: DataFrame, flag: String) =
-      df.select(explode(distinctShingles(textCol, n)).as("sh"))
-        .distinct().withColumn(flag, lit(1L))
+      benchShingleSet(df, textCol, n)
+        .withColumnRenamed("__sh", "sh").withColumn(flag, lit(1L))
     sets(p, "ina").join(sets(q, "inb"), Seq("sh"), "full_outer")
       .agg(count(col("ina")).as("n_a"), count(col("inb")).as("n_b"),
         count(when(col("ina").isNotNull && col("inb").isNotNull, 1))
@@ -224,9 +224,14 @@ object Decontam {
     * max. The running sum windows over the DISTINCT-VALUE table —
     * bounded by distinct magnitudes, not rows (metadata-scale for
     * count-like columns), which is why a single-partition window is
-    * acceptable here and nowhere else. */
+    * acceptable here and nowhere else. Evaluates EAGERLY (the result
+    * is one row; the intermediate is released before returning) and
+    * THROWS when either sample has no non-null value — a silent null
+    * D would read as "no drift" for exactly the most-drifted case, a
+    * source absent from one snapshot. */
   def ksStatistic(p: DataFrame, q: DataFrame,
       valueCol: String): DataFrame = {
+    val spark = p.sparkSession
     def cnts(df: DataFrame, as: String) =
       df.select(col(valueCol).cast("double").as("v"))
         .filter(col("v").isNotNull)
@@ -236,20 +241,23 @@ object Decontam {
       .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = u.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("cpa", sum(col("ca")).over(w))
-      .withColumn("cpb", sum(col("cb")).over(w))
-      .crossJoin(broadcast(totals))
-      .select(col("na"), col("nb"),
-        TextAnalysis.halfUpFloor(abs(
-          col("cpa").cast("double") / col("na").cast("double") -
-            col("cpb").cast("double") / col("nb").cast("double")), 6)
-          .as("d"))
-      .groupBy("na", "nb")
-      .agg(max(col("d")).as("ks"))
-      .select(col("na").as("n_p"), col("nb").as("n_q"), col("ks"))
+    try {
+      val t = u.agg(sum(col("ca")), sum(col("cb"))).head()
+      require(!t.isNullAt(0) && t.getLong(0) > 0 &&
+        !t.isNullAt(1) && t.getLong(1) > 0,
+        "ksStatistic: both samples need at least one non-null value")
+      val (na, nb) = (t.getLong(0), t.getLong(1))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ks = u.withColumn("cpa", sum(col("ca")).over(w))
+        .withColumn("cpb", sum(col("cb")).over(w))
+        .select(TextAnalysis.halfUpFloor(abs(
+          col("cpa").cast("double") / lit(na.toDouble) -
+            col("cpb").cast("double") / lit(nb.toDouble)), 6).as("d"))
+        .agg(max(col("d"))).head().getDouble(0)
+      import spark.implicits._
+      Seq((na, nb, ks)).toDF("n_p", "n_q", "ks")
+    } finally u.unpersist(blocking = false)
   }
 
   /** One micro-nat KL term: p̂·(ln p̂ − ln q̂) on add-one rationals,

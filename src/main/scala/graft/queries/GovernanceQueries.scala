@@ -477,16 +477,9 @@ object GovernanceQueries extends QueryPack {
       Decontam.shingleJaccard(d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 =!= 0), "text")
     }, Some(
-      """WITH wa AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
-                     FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
-          wb AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
-                 FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL),
-          sa AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
-                   i -> array_to_string(w[i+1:i+3], ' '))) AS sh
-                 FROM wa WHERE len(w) >= 3),
-          sb AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
-                   i -> array_to_string(w[i+1:i+3], ' '))) AS sh
-                 FROM wb WHERE len(w) >= 3),
+      s"""WITH ${OracleSql.docShingleCte},
+          sa AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
+          sb AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 <> 0),
           u AS (SELECT sa.sh AS a, sb.sh AS b
                 FROM sa FULL JOIN sb ON sa.sh = sb.sh)
           SELECT CAST(count(a) AS BIGINT) AS n_a,
@@ -517,11 +510,7 @@ object GovernanceQueries extends QueryPack {
       Decontam.ksStatistic(d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 =!= 0), "toks")
     }, Some(
-      """WITH x AS (SELECT doc_id,
-            CASE WHEN text IS NULL THEN NULL
-              ELSE CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
-            END AS v
-          FROM documents),
+      s"""WITH ${OracleSql.docTokenCountCte("doc_id")},
           ca AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM x
                  WHERE doc_id % 2 = 0 AND v IS NOT NULL GROUP BY v),
           cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM x

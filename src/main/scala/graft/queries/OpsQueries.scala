@@ -465,11 +465,7 @@ object OpsQueries extends QueryPack {
           round(col("max"), 4).as("max"))
         .orderBy("source")
     }, Some(
-      """WITH x AS (SELECT source,
-           CASE WHEN text IS NULL THEN NULL
-             ELSE CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
-           END AS v
-         FROM documents)
+      s"""WITH ${OracleSql.docTokenCountCte("source")}
          SELECT source, CAST(count(v) AS BIGINT) AS count,
            CAST(count(*) - count(v) AS BIGINT) AS null_count,
            round(avg(v), 4) AS mean, round(stddev_samp(v), 4) AS std,

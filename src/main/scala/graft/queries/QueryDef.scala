@@ -170,6 +170,18 @@ private[queries] object OracleSql {
     * micro-nat terms. ONE copy shared by q_token_kl and
     * q_drift_tokens — a smoothing or rounding tweak applied to a
     * single mirror would silently split the two oracles. */
+  /** Null-guarded per-doc whitespace token count as DOUBLE (mirrors
+    * wsTokenCount with null text staying NULL — it feeds null_count /
+    * filtered samples, never a phantom zero): CTE `x(<extraCols>, v)`
+    * over the documents table. ONE copy shared by
+    * q_describe_by_source and q_ks_drift. */
+  def docTokenCountCte(extraCols: String): String =
+    s"""x AS (SELECT $extraCols,
+            CASE WHEN text IS NULL THEN NULL
+              ELSE CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)
+            END AS v
+          FROM documents)"""
+
   /** One micro-nat KL term as SQL (mirrors Decontam.klTermMicro):
     * p̂·(ln p̂ − ln q̂) on add-one rationals, floored to the 10⁻⁶ grid.
     * `v` is the (possibly table-qualified) union-vocab size reference
