@@ -274,6 +274,24 @@ object PipelineDemo {
       s"even/odd token drift KL=${kl.getLong(3)} micro-nats " +
       s"over ${kl.getLong(0)} vocab")
 
+    // 21b. drift deep-dive: per-source KL, set overlap, KS shift
+    val srcKl = graft.functions.Decontam.klReportBy(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), "source", "text")
+      .orderBy(desc("kl_pq_micro")).head()
+    val overlap = graft.functions.Decontam.shingleJaccard(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), "text").head()
+    val ks = graft.functions.Decontam.ksStatistic(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(TextAnalysis.wsTokenCount(col("text")).as("t")),
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(TextAnalysis.wsTokenCount(col("text")).as("t")), "t")
+      .head().getDouble(2)
+    println(s"[pipeline] drift: most-drifted source " +
+      s"${srcKl.getString(0)} (KL ${srcKl.getLong(4)} micro-nats), " +
+      s"shingle jaccard ${overlap.getDouble(4)}, token-count KS $ks")
+
     // 22. embedding compression: 64->16 random-sign projection feeding
     // the same ANN machinery
     val proj = Similarity.randomProject(emb, "embedding", 64, 16)
