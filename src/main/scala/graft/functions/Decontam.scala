@@ -194,25 +194,29 @@ object Decontam {
   }
 
   /** Corpus-overlap report: exact Jaccard similarity of the two
-    * corpora's distinct n-gram shingle SETS — the crawl-overlap
-    * monitor ("how much of snapshot B is already in snapshot A?")
-    * complementing the distribution-level [[tokenKlReport]]. One
-    * full-outer join on the distinct-shingle tables; set sizes,
-    * intersection, and union all fall out of a single aggregate. */
+    * corpora's distinct n-gram shingle SETS plus the two CONTAINMENT
+    * coefficients (|∩|/|A|, |∩|/|B|) — the asymmetric question an
+    * incremental crawl actually asks ("how much of snapshot B is
+    * already in A?"), complementing the distribution-level
+    * [[tokenKlReport]]. One full-outer join on the distinct-shingle
+    * tables; everything falls out of a single aggregate. */
   def shingleJaccard(p: DataFrame, q: DataFrame, textCol: String,
       n: Int = 3): DataFrame = {
     def sets(df: DataFrame, flag: String) =
       benchShingleSet(df, textCol, n)
         .withColumnRenamed("__sh", "sh").withColumn(flag, lit(1L))
+    def frac(num: Column, den: Column) =
+      TextAnalysis.halfUpFloor(num.cast("double") / den.cast("double"), 6)
     sets(p, "ina").join(sets(q, "inb"), Seq("sh"), "full_outer")
       .agg(count(col("ina")).as("n_a"), count(col("inb")).as("n_b"),
         count(when(col("ina").isNotNull && col("inb").isNotNull, 1))
           .as("n_inter"))
       .select(col("n_a"), col("n_b"), col("n_inter"),
         (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
-        TextAnalysis.halfUpFloor(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
-          .as("jaccard"))
+        frac(col("n_inter"),
+          col("n_a") + col("n_b") - col("n_inter")).as("jaccard"),
+        frac(col("n_inter"), col("n_a")).as("containment_a"),
+        frac(col("n_inter"), col("n_b")).as("containment_b"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic over a numeric column:

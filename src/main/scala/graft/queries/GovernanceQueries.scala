@@ -481,19 +481,22 @@ object GovernanceQueries extends QueryPack {
           sa AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
           sb AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 <> 0),
           u AS (SELECT sa.sh AS a, sb.sh AS b
-                FROM sa FULL JOIN sb ON sa.sh = sb.sh)
-          SELECT CAST(count(a) AS BIGINT) AS n_a,
-            CAST(count(b) AS BIGINT) AS n_b,
-            CAST(count(CASE WHEN a IS NOT NULL AND b IS NOT NULL
-              THEN 1 END) AS BIGINT) AS n_inter,
-            CAST(count(a) + count(b) - count(CASE WHEN a IS NOT NULL
-              AND b IS NOT NULL THEN 1 END) AS BIGINT) AS n_union,
-            floor((CAST(count(CASE WHEN a IS NOT NULL AND b IS NOT NULL
-                THEN 1 END) AS DOUBLE) /
-              CAST(count(a) + count(b) - count(CASE WHEN a IS NOT NULL
-                AND b IS NOT NULL THEN 1 END) AS DOUBLE))
-              * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-          FROM u""")),
+                FROM sa FULL JOIN sb ON sa.sh = sb.sh),
+          c AS (SELECT CAST(count(a) AS BIGINT) AS n_a,
+                  CAST(count(b) AS BIGINT) AS n_b,
+                  CAST(count(CASE WHEN a IS NOT NULL AND b IS NOT NULL
+                    THEN 1 END) AS BIGINT) AS n_inter
+                FROM u)
+          SELECT n_a, n_b, n_inter,
+            CAST(n_a + n_b - n_inter AS BIGINT) AS n_union,
+            floor((CAST(n_inter AS DOUBLE) /
+              CAST(n_a + n_b - n_inter AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+            floor((CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS containment_a,
+            floor((CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS containment_b
+          FROM c""")),
 
     // ---- KS distribution-shift test ---------------------------------
     // two-sample Kolmogorov-Smirnov over per-doc token counts, even vs

@@ -774,10 +774,12 @@ class GovernanceSpec extends AnyFunSuite {
       docs(4L -> "nine ten eleven twelve"), "text").head()
     assert(disjoint.getDouble(4) == 0.0 && disjoint.getLong(2) == 0L)
     // a: {"one two three", "two three four", "five six seven"};
-    // b: {"one two three", "two three eight"}: inter 1, union 4
+    // b: {"one two three", "two three eight"}: inter 1, union 4;
+    // containment_a = 1/3 (micro-floored), containment_b = 1/2
     val r = Decontam.shingleJaccard(a, b, "text").head()
     assert(r.getLong(0) == 3L && r.getLong(1) == 2L &&
       r.getLong(2) == 1L && r.getLong(3) == 4L && r.getDouble(4) == 0.25)
+    assert(r.getDouble(5) == 0.333333 && r.getDouble(6) == 0.5)
   }
 
   test("ksStatistic: identical is 0, separated is 1, hand case exact") {
