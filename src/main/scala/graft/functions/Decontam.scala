@@ -181,8 +181,10 @@ object Decontam {
     joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  def klTerms(p: DataFrame, q: DataFrame, textCol: String): DataFrame = {
-    val u = vocabUnion(p, q, textCol, grouped = false)
+  /** Term chain over an already-built [[vocabUnion]] frame — the ONE
+    * copy compiled by [[klTerms]] (which pins the frame for its lazy
+    * result) and [[tokenKlReport]] (which releases it eagerly). */
+  private def klTermsOn(u: DataFrame): DataFrame = {
     val totals = u.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
       count(lit(1)).as("v"))
     u.crossJoin(broadcast(totals))
@@ -192,6 +194,16 @@ object Decontam {
         klTermMicro(col("cq"), col("nq") + col("v"),
           col("cp"), col("np") + col("v")).as("m_qp"))
   }
+
+  /** NOTE the persist lifecycle: the returned per-token frame is built
+    * on a PERSISTED union-vocab intermediate (it is scanned twice
+    * inside the one returned plan — totals + terms), which stays
+    * cached until the ContextCleaner collects the dropped frame. A
+    * long-lived monitor that only needs the aggregate should call
+    * [[tokenKlReport]] / [[klReportBy]] instead — both evaluate
+    * eagerly and release the intermediate before returning. */
+  def klTerms(p: DataFrame, q: DataFrame, textCol: String): DataFrame =
+    klTermsOn(vocabUnion(p, q, textCol, grouped = false))
 
   /** Corpus-overlap report: exact Jaccard similarity of the two
     * corpora's distinct n-gram shingle SETS plus the two CONTAINMENT
@@ -221,8 +233,13 @@ object Decontam {
 
   /** Two-sample Kolmogorov–Smirnov statistic over a numeric column:
     * D = max |CDF_p(v) − CDF_q(v)| across the union of observed
-    * values — the distribution-shift test for LENGTH-like signals
-    * (token counts, quality scores) where token KL does not apply.
+    * values — the distribution-shift test for COUNT-like signals
+    * (token counts, line counts, integer lengths) where token KL does
+    * not apply. Scope: the column must be LOW-CARDINALITY — a
+    * continuous score (e.g. a raw quality float) has ~one distinct
+    * value per row, which collapses the cumulative window below into
+    * a single reducer over the whole corpus; pre-bucket such columns
+    * onto a fixed grid (`round(col * 100)`) before calling.
     * Exact: cumulative counts are integers, each CDF difference is
     * one double division pair floored to the 10⁻⁶ grid before the
     * max. The running sum windows over the DISTINCT-VALUE table —
@@ -276,14 +293,25 @@ object Decontam {
   }
 
   /** One-row drift report over [[klTerms]]: vocabulary size, totals,
-    * and both KL directions in micro-nats (integer sums). */
+    * and both KL directions in micro-nats (integer sums). Evaluates
+    * EAGERLY (ksStatistic pattern): the result is one row, so the
+    * persisted union-vocab intermediate is released before returning —
+    * a per-snapshot monitor loop cannot accumulate cached frames. */
   def tokenKlReport(p: DataFrame, q: DataFrame,
-      textCol: String): DataFrame =
-    klTerms(p, q, textCol)
-      .agg(count(lit(1)).as("n_vocab"),
-        sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
-        sum(col("m_pq")).as("kl_pq_micro"),
-        sum(col("m_qp")).as("kl_qp_micro"))
+      textCol: String): DataFrame = {
+    val spark = p.sparkSession
+    val u = vocabUnion(p, q, textCol, grouped = false)
+    try {
+      val agg = klTermsOn(u)
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+          sum(col("m_pq")).as("kl_pq_micro"),
+          sum(col("m_qp")).as("kl_qp_micro"))
+      // row passthrough, not typed re-extraction: empty-vocab input
+      // yields NULL sums, which must survive as NULLs
+      spark.createDataFrame(java.util.Arrays.asList(agg.head()), agg.schema)
+    } finally u.unpersist(blocking = false)
+  }
 
   /** Per-group drift: [[tokenKlReport]] computed independently inside
     * every `groupCol` value — the monitor a multi-source pipeline
@@ -299,13 +327,29 @@ object Decontam {
     * full-outer join keyed on (group, token), per-group totals are a
     * tiny broadcast (one row per group), and everything after reduces
     * as order-free integer sums in the SAME aggregate — no one-reducer
-    * stage at any group cardinality. */
+    * stage at any group cardinality. Evaluates EAGERLY: the result is
+    * one row per group (the same bounded cardinality the per-group
+    * totals broadcast already assumes), so it is gathered and re-seeded
+    * as a local frame, releasing the persisted union-vocab intermediate
+    * before returning — the drift-monitor-loop cache-leak fix. */
   def klReportBy(p: DataFrame, q: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
+    val spark = p.sparkSession
     val u = vocabUnion(
       p.select(col(groupCol).as("__g"), col(textCol)),
       q.select(col(groupCol).as("__g"), col(textCol)),
       textCol, grouped = true)
+    try {
+      val report = klReportOn(u, groupCol)
+      spark.createDataFrame(
+        java.util.Arrays.asList(report.collect(): _*), report.schema)
+    } finally u.unpersist(blocking = false)
+  }
+
+  /** Grouped report plan over an already-built grouped [[vocabUnion]]
+    * frame (body of [[klReportBy]], split so the eager wrapper owns the
+    * persist lifecycle). */
+  private def klReportOn(u: DataFrame, groupCol: String): DataFrame = {
     val totals = u.groupBy("__g")
       .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
         count(lit(1)).as("v"))

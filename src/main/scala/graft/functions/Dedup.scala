@@ -640,6 +640,15 @@ object Dedup {
     * all-pairs. Both shuffle only (doc, key) rows and pair only within
     * buckets; the fingerprint frame (id + four longs) is persisted so
     * the corpus text is scanned exactly once.
+    *
+    * Persist lifecycle: that fingerprint frame is scanned three times
+    * inside the ONE returned plan (keys + both verify sides), so it
+    * stays pinned until the ContextCleaner collects the dropped result
+    * frame — the [[Decontam.klTerms]] contract. The result is
+    * pair-scale, so no eager-release wrapper exists; a long-lived loop
+    * that calls this repeatedly should fully consume each result and
+    * drop the reference (or `spark.catalog.clearCache()` between
+    * snapshots).
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, nBlocks: Int = 4): DataFrame = {

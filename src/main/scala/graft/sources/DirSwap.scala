@@ -20,8 +20,15 @@ private[sources] object DirSwap {
     fs.delete(aside, true) // leftover from an earlier crashed swap
     require(fs.rename(live, aside), s"swap failed: $live -> $aside")
     if (!fs.rename(tmp, live)) {
-      fs.rename(aside, live) // roll back: the old data stays live
-      throw new IllegalStateException(s"swap failed: $tmp -> $live")
+      // Roll back so the old data stays live. If the rollback itself
+      // fails, `live` is missing — tell the operator exactly where the
+      // intact staged copy sits so they can restore it by hand.
+      if (fs.rename(aside, live))
+        throw new IllegalStateException(s"swap failed: $tmp -> $live")
+      else
+        throw new IllegalStateException(
+          s"swap failed: $tmp -> $live, AND rollback $aside -> $live " +
+            s"failed; $live is missing — restore the staged copy at $aside")
     }
     fs.delete(aside, true)
   }

@@ -86,9 +86,18 @@ object NearDupLedger {
   }
 
   /** Band rows of `docs` under the ledger's stored geometry, bucketed
-    * and clustered for the partitioned write. */
+    * and clustered for the partitioned write. Enforces the documented
+    * integral-id contract: a string/float id would silently cast to
+    * null longs, so [[candidatePairs]] would return null historical
+    * ids — provenance corrupted while [[filterNew]] still "works". */
   private def bandRows(docs: DataFrame, textCol: String, idCol: String,
-      p: BandParams): DataFrame =
+      p: BandParams): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"near-dup ledger idCol '$idCol' must be integral (stored as " +
+        s"8-byte longs); got ${dt.simpleString} — hash non-integral ids " +
+        "to a long (xxhash64) before recording")
     Dedup.bandedKeys(docs, textCol, idCol, p.k, p.rowsPerBand, p.n)
       .select(col(idCol).cast("long").as("id"), col("band"), col("key"),
         // the "b" prefix keeps hex buckets from integer partition-type
@@ -98,6 +107,7 @@ object NearDupLedger {
           .as("bucket"))
       .distinct()
       .repartition(col("bucket"))
+  }
 
   /** Pinned schema: an empty seed leaves no parquet footer to infer
     * from (the DedupLedger empty-seed lesson). */

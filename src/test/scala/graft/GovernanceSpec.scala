@@ -553,6 +553,18 @@ class GovernanceSpec extends AnyFunSuite {
       "text", "doc_id", path)).isEmpty)
   }
 
+  test("NearDupLedger rejects a non-integral idCol loudly") {
+    import graft.sources.NearDupLedger
+    val path = java.nio.file.Files.createTempDirectory("graft_ndl_s")
+      .toString
+    val stringIds = Seq(("u-1", "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      NearDupLedger.write(stringIds, "text", "doc_id", path)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("NearDupLedger bloom gate equals the plain keyed join exactly") {
     import graft.sources.NearDupLedger
     val path = java.nio.file.Files.createTempDirectory("graft_ndl_b")
