@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * warmup pass (q1_agg) absorbs JVM/codegen startup, and every query runs
   * `runs` times with the median reported, so round-over-round deltas are
   * signal rather than JIT variance.
+  *
+  * Host-noise hardening: repetitions run as full SUITE passes with the
+  * query order REVERSED on alternate passes (A,B,C / C,B,A / A,B,C), so
+  * a single host-load spike lands on different queries in different
+  * passes instead of poisoning all three back-to-back timings of one
+  * query; and `queries_min` (best-of-runs) is reported alongside the
+  * median so a spike that does slip through two passes is still visible
+  * as median≫min rather than branding the query a code regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,26 +47,38 @@ object Bench {
 
     exec("q1_agg") // warmup, not reported
 
-    // median of `runs` timings; any failed run marks the query -1 (a
-    // query that fails even once is not a timing)
-    def medianExec(name: String): Double = {
-      val ts = (1 to runs).map(_ => exec(name))
-      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.length / 2)
-    }
-
     // optional comma-separated name filter (local iteration only — the
     // driver never sets it, so the contract output is unchanged)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    val results = SparkEntry.all
+    val names = SparkEntry.all
       .filter(q => only.forall(_.contains(q.name)))
-      .map(q => q.name -> medianExec(q.name))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+      .map(_.name)
+
+    // suite passes, alternating direction (see scaladoc)
+    val timings: Seq[(String, Seq[Double])] = {
+      val byPass = (0 until runs).map { p =>
+        val order = if (p % 2 == 0) names else names.reverse
+        order.map(n => n -> exec(n)).toMap
+      }
+      names.map(n => n -> byPass.map(_(n)))
+    }
+
+    // any failed run marks the query -1 (a query that fails even once
+    // is not a timing)
+    def stat(ts: Seq[Double], pick: Seq[Double] => Double): Double =
+      if (ts.exists(_ < 0)) -1.0 else pick(ts)
+    val medians = timings.map { case (n, ts) =>
+      n -> stat(ts, s => s.sorted.apply(s.length / 2)) }
+    val mins = timings.map { case (n, ts) => n -> stat(ts, _.min) }
+
+    def toJson(kvs: Seq[(String, Double)]) =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     // failures stay visible per-query as -1 but must not subtract from
     // the headline total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"queries":${toJson(medians)},"queries_min":${toJson(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
