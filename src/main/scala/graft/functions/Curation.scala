@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Hard cap on (group, bucket) offset rows [[withBucketOffsets]] will
+    * gather to the driver (~2^20 rows ≈ 4k groups × 256 buckets, tens
+    * of MB) — past this the construction is the wrong tool and the
+    * caller gets a loud contract error instead of a driver OOM. */
+  private[graft] val MaxOffsetRows: Int = 1 << 20
+
   /** Pipeline knobs. `lang = None` skips the language gate. */
   final case class Config(
       minTokens: Int = 5,
@@ -145,7 +151,15 @@ object Curation {
     * non-null long (a count, or a coalesced sum). Returns the docs with
     * `__key`/`__bkt`/`__off` attached, plus the grand total of the
     * measure (so callers deriving budgets from totals reuse this pass
-    * instead of scanning again). */
+    * instead of scanning again).
+    *
+    * CARDINALITY CONTRACT: the prefix-sum gathers one row per observed
+    * (group, bucket) pair to the driver, so `groupCols` must be
+    * BOUNDED-cardinality (languages, sources, splits — not URL hosts or
+    * doc ids). Enforced, not assumed: the gather is a `take(cap + 1)`
+    * probe — driver memory stays bounded even when the contract is
+    * violated — and crossing [[MaxOffsetRows]] raises with this message
+    * instead of silently OOMing the driver mid-`collect`. */
   private def withBucketOffsets(docs: DataFrame, idCol: String,
       groupCols: Seq[String], measure: Column): (DataFrame, Long) = {
     import org.apache.spark.sql.Row
@@ -155,9 +169,15 @@ object Curation {
     val withK = docs
       .withColumn("__key", md5(col(idCol).cast("string")))
       .withColumn("__bkt", substring(col("__key"), 1, 2))
-    val aggRows = withK
+    val gathered = withK
       .groupBy((groupCols :+ "__bkt").map(col): _*)
-      .agg(measure.as("__m")).collect()
+      .agg(measure.as("__m")).take(MaxOffsetRows + 1)
+    require(gathered.length <= MaxOffsetRows,
+      s"withBucketOffsets: over $MaxOffsetRows (group, bucket) offset " +
+        "rows would be gathered to the driver — the bucket-offset " +
+        "construction is for bounded-cardinality groups (languages, " +
+        "sources, splits); group by a coarser key")
+    val aggRows = gathered
       .map(r => (groupCols.indices.map(r.getString),
         r.getString(groupCols.length), r.getLong(groupCols.length + 1)))
     val offRows = aggRows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
@@ -518,7 +538,10 @@ object Curation {
     * exact per-group rank); no single-reducer window per group. The
     * collected count table is (groups × sub-buckets) — groups must be
     * low-cardinality (languages, sources), which is what the CCNet
-    * construction partitions by. NULL scores are excluded (an unscored
+    * construction partitions by; enforced by the same take-probe /
+    * [[MaxOffsetRows]] guard as [[withBucketOffsets]], so a
+    * URL-host-grouped call fails loudly instead of OOMing the driver.
+    * NULL scores are excluded (an unscored
     * row belongs to no quantile). Ties rank by id, so re-runs and other
     * engines land identical buckets. */
   def quantileBuckets(docs: DataFrame, idCol: String, scoreCol: String,
@@ -544,9 +567,14 @@ object Curation {
     val withB = scored.withColumn("__qb", bucketOf)
     // per-(group, sub-bucket) counts -> per-group ASCENDING prefix sums
     // (rank 1 = lowest score) + per-group totals, joined back broadcast
-    val aggRows = withB
+    val gathered = withB
       .groupBy((groupCols.map(col) :+ col("__qb")): _*)
-      .agg(count(lit(1)).as("__m")).collect()
+      .agg(count(lit(1)).as("__m")).take(MaxOffsetRows + 1)
+    require(gathered.length <= MaxOffsetRows,
+      s"quantileBuckets: over $MaxOffsetRows (group, sub-bucket) count " +
+        "rows would be gathered to the driver — groups must be " +
+        "bounded-cardinality (languages, sources); group by a coarser key")
+    val aggRows = gathered
       .map(r => (groupCols.indices.map(r.getString),
         r.getInt(groupCols.length), r.getLong(groupCols.length + 1)))
     val offRows = aggRows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>

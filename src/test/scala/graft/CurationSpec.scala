@@ -358,4 +358,23 @@ class CurationSpec extends AnyFunSuite {
         .map("%02x".format(_)).mkString)
     assert(r("big") == md5Order.take(12).toSet)
   }
+
+  test("bucket-offset cardinality contract: 1e5 sparse groups work, " +
+      "over-cap offset tables fail loudly") {
+    // 100k one-doc domains: only 100k (group, bucket) combos exist —
+    // well under MaxOffsetRows, so the per-domain cap just works
+    val sparse = spark.range(100000L)
+      .select(col("id"), concat(lit("host-"), col("id")).as("grp"))
+    assert(Curation.capPerGroup(sparse, "id", Seq("grp"), 1).count()
+      == 100000L)
+    // 1.3M distinct domains → 1.3M offset rows > MaxOffsetRows (2^20):
+    // the take-probe guard raises the documented contract error instead
+    // of OOMing the driver
+    val flood = spark.range((Curation.MaxOffsetRows + 250000).toLong)
+      .select(col("id"), concat(lit("host-"), col("id")).as("grp"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.capPerGroup(flood, "id", Seq("grp"), 1).count()
+    }
+    assert(e.getMessage.contains("bounded-cardinality"))
+  }
 }
