@@ -34,6 +34,9 @@ object Calibrate {
       case "pq" => pq(spark, sfDir)
       case "sdc" => sdc(spark, sfDir)
       case "project" => project(spark, sfDir)
+      case "clustered" => clustered(spark, sfDir,
+        if (args.length > 2) args(2).toInt else 8,
+        if (args.length > 3) args(3).toDouble else 0.8)
     }
     spark.stop()
   }
@@ -99,6 +102,71 @@ object Calibrate {
     * ADC-shortlist + exact-rerank path vs exact top-10, plus the ADC
     * rank of the query itself (the self-in-shortlist margin), at two
     * shortlist sizes. Feeds the q_pq_search floor. */
+  /** Recall calibration on the CLUSTERED corpus (Similarity.clusterPull
+    * over the embeddings table): the mixture-of-Gaussians regime where
+    * real recall is high, so the companion floors can be tight. Prints
+    * PQ rerank recall@10, SDC recall@5, and projection overlap — the
+    * numbers behind q_pq_search_clustered / q_sdc_clustered /
+    * q_project_knn_clustered. */
+  def clustered(spark: SparkSession, sfDir: String, nClusters: Int,
+      w: Double): Unit = {
+    import graft.functions.Quantize
+    println(s"[cal] clustered nClusters=$nClusters w=$w")
+    val emb = Similarity.clusterPull(
+      graft.queries.Tables.load(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", nClusters, w).cache()
+    val n = emb.count()
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+      ksub = 32, iters = 3)
+    val codes = Quantize.pqEncode(emb, "embedding", cb)
+      .select("vec_id", "pq_code").cache()
+    codes.count()
+    // PQ shortlist-100 rerank vs exact top-10
+    for (qid <- Seq(0L, 3L, 7L, 11L)) {
+      val qv = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      val exact = Similarity.topKCosine(emb, "vec_id", "embedding", qid, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Quantize.pqSearchRerank(emb, "vec_id", "embedding",
+          codes, "pq_code", cb, qv, k = 10, shortlist = 100)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (exact intersect got).size.toDouble / exact.size
+      println(f"[cal] clustered pq qid=$qid recall@10=$recall%.2f")
+    }
+    // SDC code-to-code join vs exact join
+    val q = codes.filter(col("vec_id") < 30)
+    val gotS = Quantize.pqKnnJoin(q, codes, "vec_id", "vec_id",
+        "pq_code", cb, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactS = Similarity.knnJoin(emb.filter(col("vec_id") < 30), emb,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallS = (exactS intersect gotS).size.toDouble / exactS.size
+    val selfIn = gotS.count { case (a, b) => a == b }
+    println(f"[cal] clustered sdc n=$n recall@5=$recallS%.3f " +
+      f"selfInTop5=$selfIn/30")
+    // 64→16 projection neighbor overlap at 5 (self excluded): @5 stays
+    // inside the co-member set — the tail past the cluster is random
+    // ~0-cosine noise that no projection could rank stably
+    def topNoSelf(qs: DataFrame, corpus: DataFrame, vc: String) =
+      Similarity.knnJoin(qs, corpus, "vec_id", "vec_id", vc, k = 6)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          rows.sortBy(_._3).take(5).map(t => (t._1, t._2))
+        }.toSet
+    val queries = emb.filter(col("vec_id") < 20)
+    val exactP = topNoSelf(queries, emb, "embedding")
+    val pr = Similarity.randomProject(emb, "embedding", 64, 16)
+      .select(col("vec_id"), col("proj"))
+    val gotP = topNoSelf(pr.filter(col("vec_id") < 20), pr, "proj")
+    val recallP = (exactP intersect gotP).size.toDouble / exactP.size
+    println(f"[cal] clustered project 64->16 overlap@5=$recallP%.3f")
+  }
+
   def pq(spark: SparkSession, sfDir: String): Unit = {
     import graft.functions.Quantize
     val emb = graft.queries.Tables.load(spark, sfDir, "embeddings").cache()

@@ -73,6 +73,37 @@ object Similarity {
           size(col(vecCol)).cast("string")))))
   }
 
+  /** Deterministic CLUSTERED variant of an embedding corpus — the
+    * mixture-of-Gaussians-shaped calibration fixture the recall gates
+    * need: a near-uniform random corpus is the documented worst case
+    * for every blocking/compression scheme (all pairwise similarities
+    * concentrate around zero), so floors calibrated there must be
+    * loose; on a clustered corpus real recall is high and floors can be
+    * tight enough to catch regressions. Construction: cluster c = id
+    * mod `nClusters`; each vector is pulled toward anchor vector c (the
+    * corpus's own rows with id < `nClusters`, which therefore map to
+    * themselves): v' = w·anchor + (1−w)·v. Anchors of a unit-ish random
+    * corpus are near-orthogonal, so within-cluster cosines concentrate
+    * near w²/(w²+(1−w)²) and cross-cluster near zero — tight, separable
+    * clusters at w = 0.8. Pure broadcast join + zip_with column math
+    * (no shuffle), reproducible on any engine — no RNG anywhere.
+    * Requires ids 0..nClusters−1 to exist and be integral. */
+  def clusterPull(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 8, anchorWeight: Double = 0.8): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be positive: $nClusters")
+    require(anchorWeight > 0 && anchorWeight < 1,
+      s"anchorWeight must be in (0, 1): $anchorWeight")
+    val anchors = df.filter(col(idCol) < nClusters)
+      .select(col(idCol).cast("long").as("__c"), col(vecCol).as("__a"))
+    df.withColumn("__c", pmod(col(idCol).cast("long"), lit(nClusters.toLong)))
+      .join(broadcast(anchors), "__c")
+      .withColumn(vecCol,
+        zip_with(col("__a"), col(vecCol), (a, e) =>
+          (a * lit(anchorWeight) + e * lit(1.0 - anchorWeight))
+            .cast("float")))
+      .drop("__c", "__a")
+  }
+
   /** Exact top-k by cosine against one query vector (taken from the row
     * with `queryId`). The query vector is a literal, not a broadcast join:
     * a cross join compiles to BroadcastNestedLoopJoin which blocks

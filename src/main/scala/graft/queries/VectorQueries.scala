@@ -249,6 +249,118 @@ object VectorQueries extends QueryPack {
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4)
           SELECT vec_id, round(${OracleSql.cosD("embedding", "qv", dim)}, 4) AS cos
           FROM embeddings, q
-          ORDER BY cos DESC, vec_id ASC LIMIT 8"""))
+          ORDER BY cos DESC, vec_id ASC LIMIT 8""")),
+
+    // ---- TIGHT recall floors on the clustered fixture ---------------
+    // The near-uniform synthetic corpus is the documented WORST CASE
+    // for every compression/blocking scheme (similarities concentrate
+    // at zero), so q_pq_search / q_pq_sdc_recall floors had to be loose
+    // — a regression from 0.34 to 0.16 recall would pass them. These
+    // three run the SAME operators on Similarity.clusterPull's
+    // deterministic mixture-of-Gaussians-shaped corpus, where real
+    // recall is high and the floors bite. Geometry per Calibrate
+    // `clustered` (2026-08, all 3 SFs):
+    //  - PQ rerank: ~24-member clusters (n/24, w=0.9) keep the exact
+    //    top-10 inside one cluster AND small enough for the ADC
+    //    shortlist to rank — min recall measured 1.00 everywhere
+    //    (8 mega-clusters of 250 drop qid-7 recall to 0.10: fine
+    //    ranking inside a near-identical blob is the other worst case);
+    //  - SDC + projection: ~6-member micro-clusters (n/6, w=0.9), so
+    //    exact top-5 = the co-member set, separable from the random
+    //    tail — SDC mean recall@5 0.84, projection overlap@5 0.98.
+    QueryDef("q_pq_search_clustered", (s, dir) => {
+      import s.implicits._
+      val base = Tables.load(s, dir, "embeddings")
+      val n = base.count()
+      val nc = math.max(8L, n / 24).toInt
+      val emb = Similarity.clusterPull(base, "vec_id", "embedding",
+        nc, 0.9).cache()
+      val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+        ksub = 32, iters = 3)
+      val codes = Quantize.pqEncode(emb, "embedding", cb)
+        .select("vec_id", "pq_code").cache()
+      val minRecall = Seq(0L, 3L, 7L, 11L).map { qid =>
+        val qv = emb.filter(col("vec_id") === qid)
+          .select("embedding").head().getSeq[Float](0)
+        val exact = Similarity.topKCosine(emb, "vec_id", "embedding",
+          qid, 10).collect().map(_.getLong(0)).toSet
+        val got = Quantize.pqSearchRerank(emb, "vec_id", "embedding",
+            codes, "pq_code", cb, qv, k = 10, shortlist = 100)
+          .collect().map(_.getLong(0)).toSet
+        (exact intersect got).size.toDouble / exact.size
+      }.min
+      codes.unpersist(blocking = false)
+      emb.unpersist(blocking = false)
+      Seq((n, nc, if (minRecall >= 0.9) 1 else 0))
+        .toDF("n_vectors", "n_clusters", "recall_ok")
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(greatest(8, count(*) // 24) AS INT) AS n_clusters,
+         CAST(1 AS INT) AS recall_ok FROM embeddings""")),
+
+    QueryDef("q_sdc_clustered", (s, dir) => {
+      import s.implicits._
+      val base = Tables.load(s, dir, "embeddings")
+      val n = base.count()
+      val nc = math.max(1L, n / 6).toInt
+      val emb = Similarity.clusterPull(base, "vec_id", "embedding",
+        nc, 0.9).cache()
+      val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
+        ksub = 32, iters = 3)
+      val codes = Quantize.pqEncode(emb, "embedding", cb)
+        .select("vec_id", "pq_code").cache()
+      val got = Quantize.pqKnnJoin(codes.filter(col("vec_id") < 30),
+          codes, "vec_id", "vec_id", "pq_code", cb, k = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.knnJoin(emb.filter(col("vec_id") < 30), emb,
+          "vec_id", "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect got).size.toDouble / exact.size
+      val selfIn = got.count { case (a, b) => a == b }
+      codes.unpersist(blocking = false)
+      emb.unpersist(blocking = false)
+      Seq((n, nc, if (recall >= 0.7) 1 else 0,
+          if (selfIn == 30) 1 else 0))
+        .toDF("n_vectors", "n_clusters", "recall_ok", "self_in_top5_ok")
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(greatest(1, count(*) // 6) AS INT) AS n_clusters,
+         CAST(1 AS INT) AS recall_ok, CAST(1 AS INT) AS self_in_top5_ok
+         FROM embeddings""")),
+
+    QueryDef("q_project_knn_clustered", (s, dir) => {
+      import s.implicits._
+      val base = Tables.load(s, dir, "embeddings")
+      val n = base.count()
+      val nc = math.max(1L, n / 6).toInt
+      val emb = Similarity.clusterPull(base, "vec_id", "embedding",
+        nc, 0.9).cache()
+      // overlap@5, self excluded (the Calibrate `project` rationale:
+      // the query ranks 1 in both spaces tautologically)
+      def topNoSelf(qs: org.apache.spark.sql.DataFrame,
+          corpus: org.apache.spark.sql.DataFrame, vc: String) =
+        Similarity.knnJoin(qs, corpus, "vec_id", "vec_id", vc, k = 6)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+            rows.sortBy(_._3).take(5).map(t => (t._1, t._2))
+          }.toSet
+      val exact = topNoSelf(emb.filter(col("vec_id") < 20), emb,
+        "embedding")
+      val pr = Similarity.randomProject(emb, "embedding", dim, 16)
+        .select(col("vec_id"), col("proj")).cache()
+      val got = topNoSelf(pr.filter(col("vec_id") < 20), pr, "proj")
+      val overlap = (exact intersect got).size.toDouble / exact.size
+      pr.unpersist(blocking = false)
+      emb.unpersist(blocking = false)
+      Seq((n, nc, if (overlap >= 0.9) 1 else 0))
+        .toDF("n_vectors", "n_clusters", "overlap_ok")
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(greatest(1, count(*) // 6) AS INT) AS n_clusters,
+         CAST(1 AS INT) AS overlap_ok FROM embeddings"""))
   )
 }
