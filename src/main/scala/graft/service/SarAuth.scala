@@ -24,15 +24,32 @@ import org.apache.spark.sql.SparkSession
   * The user table is tiny operational metadata (like [[UserStatus]]),
   * so it lives in memory and persists to one parquet file under
   * `<baseDir>/config` on every change — login/role checks never run a
-  * Spark job, only mutations do. The reference's SSO/UI single-use
-  * token surface (api/auth.py purpose='ui') belongs to the scoped-out
-  * Streamlit UI (SURVEY §7.5); `purpose` is carried in the payload for
-  * wire compatibility and anything but 'api' is rejected exactly like
-  * get_current_user (api/auth.py:95-108).
+  * Spark job, only mutations do.
+  *
+  * Two token purposes, exactly api/auth.py:
+  *   - 'api' — the regular bearer for every data endpoint; [[decode]]
+  *     rejects anything else like get_current_user (api/auth.py:95-108);
+  *   - 'ui'  — short-lived (180 s default) SINGLE-USE token carried in
+  *     an SSO redirect URL and accepted only by `GET /sso/validate`
+  *     ([[decodeUi]], consume_ui_token api/auth.py:110-124). A nonce in
+  *     the payload makes each one unique; consumed nonces are tracked
+  *     in-process (the reference's non-Redis fallback — the Redis copy
+  *     is subsumed like S5).
+  *
+  * MULTI-INSTANCE NOTE: the default `secret` is a per-process random
+  * UUID (api/auth.py:32's `secrets.token_hex` fallback) — fine for one
+  * instance, but tokens then die with the process and won't validate on
+  * a second instance behind a load balancer. Deployments with more than
+  * one instance (or that must survive restarts) MUST pass the same
+  * `secret` to every instance — the reference's `SAR_API_SECRET`
+  * contract. Single-use UI-token tracking is per-process either way;
+  * route `/sso/validate` to the issuing instance (sticky session) or
+  * accept cross-instance replay within the 180 s TTL.
   */
 class SarAuth(spark: SparkSession, baseDir: String,
     secret: String = java.util.UUID.randomUUID().toString,
-    tokenTtlSeconds: Long = 24 * 3600) {
+    tokenTtlSeconds: Long = 24 * 3600,
+    uiTokenTtlSeconds: Long = 180) {
 
   import SarAuth._
 
@@ -106,16 +123,57 @@ class SarAuth(spark: SparkSession, baseDir: String,
 
   /** Issue a signed bearer token; returns (token, expiresAtEpochSec). */
   def createToken(username: String,
-      ttlSeconds: Long = tokenTtlSeconds): (String, Long) = {
+      ttlSeconds: Long = tokenTtlSeconds): (String, Long) =
+    issue(username, ttlSeconds, "api")
+
+  /** Issue a single-use SSO UI token (create_token purpose='ui',
+    * api/auth.py:44-57): short TTL, nonce appended so every token is
+    * unique and can be consumed exactly once by [[decodeUi]]. */
+  def createUiToken(username: String): (String, Long) =
+    issue(username, uiTokenTtlSeconds, "ui")
+
+  private def issue(username: String, ttlSeconds: Long,
+      purpose: String): (String, Long) = {
     val expiry = System.currentTimeMillis() / 1000 + ttlSeconds
-    val payload = s"$username|$expiry|api"
+    val fields = Seq(username, expiry.toString, purpose) ++
+      (if (purpose == "ui")
+        Seq(Base64.getUrlEncoder.withoutPadding.encodeToString {
+          val b = new Array[Byte](12)
+          new java.security.SecureRandom().nextBytes(b); b
+        })
+      else Nil)
+    val payload = fields.mkString("|")
     val b64 = Base64.getUrlEncoder.withoutPadding
       .encodeToString(payload.getBytes(UTF_8))
     (b64 + "." + sign(payload), expiry)
   }
 
   /** Verify signature + expiry + purpose; Left(detail) maps to 401. */
-  def decode(token: String): Either[String, String] = {
+  def decode(token: String): Either[String, String] =
+    verify(token).flatMap {
+      case (user, "api", _) => Right(user)
+      case _ => Left("This token is not valid for API access")
+    }
+
+  /** Verify AND CONSUME an SSO UI token (consume_ui_token,
+    * api/auth.py:110-124): purpose must be 'ui' and the nonce must not
+    * have been claimed before — a replayed redirect URL gets a 401. */
+  def decodeUi(token: String): Either[String, String] =
+    verify(token).flatMap {
+      case (user, "ui", nonce) =>
+        val key = if (nonce.nonEmpty) nonce else token
+        val fresh = synchronized(usedUiNonces.add(key))
+        if (fresh) Right(user) else Left("SSO token already used")
+      case _ => Left("Not an SSO UI token")
+    }
+
+  private val usedUiNonces = scala.collection.mutable.Set.empty[String]
+
+  /** Shared signature/expiry verification → (username, purpose, nonce);
+    * a missing purpose field reads as 'api' for wire compatibility
+    * (_decode, api/auth.py:60-83). */
+  private def verify(token: String)
+      : Either[String, (String, String, String)] = {
     val dot = token.lastIndexOf('.')
     if (dot < 0) return Left("Malformed token")
     val (b64, sig) = (token.substring(0, dot), token.substring(dot + 1))
@@ -128,13 +186,12 @@ class SarAuth(spark: SparkSession, baseDir: String,
     payload.split("\\|", -1) match {
       case fields if fields.length >= 2 =>
         val purpose = if (fields.length > 2) fields(2) else "api"
+        val nonce = if (fields.length > 3) fields(3) else ""
         fields(1).toLongOption match {
           case None => Left("Malformed token")
           case Some(exp) if exp < System.currentTimeMillis() / 1000 =>
             Left("Token expired")
-          case Some(_) if purpose != "api" =>
-            Left("This token is not valid for API access")
-          case Some(_) => Right(fields(0))
+          case Some(_) => Right((fields(0), purpose, nonce))
         }
       case _ => Left("Malformed token")
     }

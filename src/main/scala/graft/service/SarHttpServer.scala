@@ -53,9 +53,26 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * `X-User` header selects the tenant as before and the user routes
   * are absent. Service-layer `require` failures surface as 400 +
   * `{"detail": ...}`, matching FastAPI's error body shape.
+  *
+  * SSO (server-to-server, api/main.py:78-143): pass `ssoSecret` to
+  * enable `POST /sso/token` — the support platform, having
+  * authenticated the user itself, exchanges the shared secret
+  * (`X-SSO-Secret` header, constant-time compared) for an api token
+  * plus a redirect URL carrying a single-use short-lived UI token;
+  * unknown users are provisioned just-in-time with role 'user' (their
+  * tenant dir included) using `ssoDefaultPassword` or a random one.
+  * `GET /sso/validate` validates AND CONSUMES the UI token from the
+  * redirect (replay → 401) and returns `{username, role}` — the only
+  * route that accepts a 'ui'-purpose bearer. Without `ssoSecret`,
+  * `/sso/token` answers 503 "SSO is not configured" like the
+  * reference. `uiBaseUrl` prefixes the redirect URL (default: relative
+  * to this host).
   */
 class SarHttpServer(tenants: SarTenants, port: Int = 0,
-    prefix: String = "/api/v1", auth: Option[SarAuth] = None) {
+    prefix: String = "/api/v1", auth: Option[SarAuth] = None,
+    ssoSecret: Option[String] = None,
+    ssoDefaultPassword: Option[String] = None,
+    uiBaseUrl: String = "") {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", handle _)
@@ -91,6 +108,20 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
               json(ex, 200, ListMap("access_token" -> tok,
                 "token_type" -> "bearer", "expires_at" -> exp))
             }
+          // SSO handshake (api/main.py:97-143): /sso/token sits behind
+          // the shared secret, not the bearer gate; /sso/validate takes
+          // the single-use 'ui' bearer the api gate would reject
+          case ("POST", List("sso", "token")) if auth.isDefined =>
+            ssoToken(ex)
+          case ("GET", List("sso", "validate")) if auth.isDefined =>
+            bearerOf(ex) match {
+              case None => json(ex, 401, err("Missing bearer token"))
+              case Some(t) => auth.get.decodeUi(t) match {
+                case Left(detail) => json(ex, 401, err(detail))
+                case Right(u) => json(ex, 200, ListMap("username" -> u,
+                  "role" -> auth.get.role(u).orNull))
+              }
+            }
           case (method, routeSegs) => resolveUser(ex) match {
             case Left(detail) =>
               ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
@@ -112,14 +143,56 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
     auth match {
       case None => Right(Option(ex.getRequestHeaders.getFirst("X-User"))
         .getOrElse("default"))
-      case Some(a) =>
-        Option(ex.getRequestHeaders.getFirst("Authorization")) match {
-          case None => Left("Missing bearer token")
-          case Some(h) if !h.startsWith("Bearer ") =>
-            Left("Missing bearer token")
-          case Some(h) => a.decode(h.stripPrefix("Bearer ").trim)
-        }
+      case Some(a) => bearerOf(ex) match {
+        case None => Left("Missing bearer token")
+        case Some(t) => a.decode(t)
+      }
     }
+
+  private def bearerOf(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer "))
+      .map(_.stripPrefix("Bearer ").trim)
+
+  /** sso_token (api/main.py:104-137): shared-secret exchange with
+    * just-in-time provisioning. The secret compare is constant-time
+    * (hmac.compare_digest); provisioning goes through addUser, so the
+    * username pattern and role rules hold for SSO users too. */
+  private def ssoToken(ex: HttpExchange): Unit = ssoSecret match {
+    case None => json(ex, 503, err("SSO is not configured"))
+    case Some(sec) =>
+      val given = Option(ex.getRequestHeaders.getFirst("X-SSO-Secret"))
+        .getOrElse("")
+      if (!java.security.MessageDigest.isEqual(
+          given.getBytes(UTF_8), sec.getBytes(UTF_8)))
+        json(ex, 401, err("Invalid SSO secret"))
+      else {
+        val a = auth.get
+        val b = bodyJson(ex)
+        val u = reqStr(b, "username")
+        val provisioned = a.role(u).isEmpty
+        if (provisioned) {
+          val pw = ssoDefaultPassword.getOrElse(
+            java.util.UUID.randomUUID().toString)
+          if (!a.addUser(u, pw, "user"))
+            throw HttpError(500, s"Could not provision user '$u'")
+          tenants.forUser(u) // user_dir (api/main.py:122)
+        }
+        val (apiTok, apiExp) = a.createToken(u)
+        val (uiTok, uiExp) = a.createUiToken(u)
+        def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+        val params = (Seq("sso_token" -> uiTok) ++
+          optStr(b, "file").map("file" -> _))
+          .map { case (k, v) => enc(k) + "=" + enc(v) }.mkString("&")
+        json(ex, 200, ListMap(
+          "username" -> u,
+          "provisioned" -> provisioned,
+          "api_token" -> ListMap("access_token" -> apiTok,
+            "token_type" -> "bearer", "expires_at" -> apiExp),
+          "ui_redirect_url" -> s"${uiBaseUrl.stripSuffix("/")}/?$params",
+          "ui_token_expires_at" -> uiExp))
+      }
+  }
 
   /** require_admin (api/auth.py:87-90): no-op in engine-demo mode,
     * where the admin routes are already scoped to the caller. */

@@ -356,6 +356,85 @@ class SarHttpServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("SSO handshake: secret exchange, JIT provisioning, single-use " +
+      "UI token, purpose isolation") {
+    import graft.service.SarAuth
+    val base = Files.createTempDirectory("graft_sso").toString
+    val tenants = new SarTenants(spark, base)
+    val auth = new SarAuth(spark, base, secret = "spec-secret")
+    auth.ensureUser("root", "adminpw", "admin")
+    val server = new SarHttpServer(tenants, auth = Some(auth),
+      ssoSecret = Some("sso-shared"), ssoDefaultPassword = Some("ssodefault"),
+      uiBaseUrl = "http://ui.example")
+    val port = server.start()
+    val root = s"http://localhost:$port/api/v1"
+    def call(method: String, path: String,
+        headers: Map[String, String], body: String = ""): (Int, String) = {
+      val (s, b, _) = request(method, s"$root$path", "ignored",
+        body.getBytes("UTF-8"), headers)
+      (s, b)
+    }
+    try {
+      // missing / wrong shared secret → 401; never a provisioned user
+      assert(call("POST", "/sso/token", Map.empty,
+        """{"username":"eve"}""")._1 == 401)
+      assert(call("POST", "/sso/token", Map("X-SSO-Secret" -> "nope"),
+        """{"username":"eve"}""")._1 == 401)
+      assert(auth.role("eve").isEmpty)
+
+      // valid exchange provisions eve just-in-time with role 'user'
+      val (s1, b1) = call("POST", "/sso/token",
+        Map("X-SSO-Secret" -> "sso-shared"),
+        """{"username":"eve","file":"day one"}""")
+      assert(s1 == 200 && b1.contains(""""provisioned":true"""))
+      assert(auth.role("eve").contains("user") &&
+        auth.login("eve", "ssodefault"))
+      // the redirect carries the url-encoded file preselect + UI token
+      assert(b1.contains("http://ui.example/?sso_token=") &&
+        b1.contains("file=day+one"))
+      val apiTok = b1.split(""""access_token":"""")(1).split('"')(0)
+      val uiTok = b1.split("sso_token=")(1).split('"')(0).split("&")(0)
+
+      // the api token works on data routes, the UI token does NOT
+      assert(call("GET", "/files",
+        Map("Authorization" -> s"Bearer $apiTok"))._1 == 200)
+      assert(call("GET", "/files",
+        Map("Authorization" -> s"Bearer $uiTok"))._1 == 401)
+      // /sso/validate consumes the UI token once; replay and api-token
+      // use are both 401
+      val (sv, bv) = call("GET", "/sso/validate",
+        Map("Authorization" -> s"Bearer $uiTok"))
+      assert(sv == 200 &&
+        bv == """{"username":"eve","role":"user"}""")
+      assert(call("GET", "/sso/validate",
+        Map("Authorization" -> s"Bearer $uiTok"))._2.contains("already used"))
+      assert(call("GET", "/sso/validate",
+        Map("Authorization" -> s"Bearer $apiTok"))._2.contains(
+        "Not an SSO UI token"))
+
+      // second exchange: existing user is NOT re-provisioned
+      val (s2, b2) = call("POST", "/sso/token",
+        Map("X-SSO-Secret" -> "sso-shared"), """{"username":"eve"}""")
+      assert(s2 == 200 && b2.contains(""""provisioned":false"""))
+
+      // SSO users go through the same role system: eve is no admin
+      val eveTok = b2.split(""""access_token":"""")(1).split('"')(0)
+      assert(call("GET", "/users",
+        Map("Authorization" -> s"Bearer $eveTok"))._1 == 403)
+    } finally server.stop()
+
+    // a server without a shared secret refuses the handshake
+    val bare = new SarHttpServer(tenants, auth = Some(auth))
+    val p2 = bare.start()
+    try {
+      val (s, b, _) = request("POST",
+        s"http://localhost:$p2/api/v1/sso/token", "ignored",
+        """{"username":"eve"}""".getBytes("UTF-8"),
+        Map("X-SSO-Secret" -> "sso-shared"))
+      assert(s == 503 && b.contains("SSO is not configured"))
+    } finally bare.stop()
+  }
+
   test("multipart POST /files: batch upload, per-file errors, all-fail 400") {
     val base = Files.createTempDirectory("graft_multipart").toString
     val tenants = new SarTenants(spark, base)
