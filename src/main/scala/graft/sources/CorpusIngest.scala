@@ -1,6 +1,11 @@
 package graft.sources
 
+import java.util.Properties
+
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{bit_xor, coalesce, col, count, lit, xxhash64}
 
 import graft.functions.Curation
 
@@ -16,15 +21,18 @@ import graft.functions.Curation
   * mutates both ledgers, [[ingest]] composes them with the at-most-once
   * semantics of the ledgers' own `append` (see their retry notes).
   * Pipelines that must survive crashes call the steps themselves:
-  * screen → durably land survivors → commit. The unit of replay after
-  * a crash in commit is COMMIT ITSELF, re-run with the already-landed
-  * survivor set read back from durable storage — never a re-screen:
-  * commit mutates two ledgers non-atomically, so a crash between the
-  * two recordKeys calls leaves one ledger sealed, and a re-screen
-  * would then return empty and permanently strand the other ledger
-  * without the batch's keys. Re-running commit with the landed set is
-  * safe from any crash point (recordKeys replays are no-ops for
-  * collision checks in both ledgers).
+  * screen → durably land survivors → [[commitBatch]]. The unit of
+  * replay after a crash in commit is COMMIT ITSELF, re-run with the
+  * already-landed survivor set read back from durable storage — never
+  * a re-screen: commit mutates two ledgers non-atomically, so a crash
+  * between the two recordKeys calls leaves one ledger sealed, and a
+  * re-screen would then return empty and permanently strand the other
+  * ledger without the batch's keys. Re-running commit with the landed
+  * set is safe from any crash point (recordKeys replays are no-ops for
+  * collision checks in both ledgers); [[commitBatch]] additionally
+  * writes a durable per-batch manifest so "was this batch committed,
+  * and with which survivors?" is a mechanical lookup ([[batchState]])
+  * and a wrong-survivor replay fails loudly instead of stranding keys.
   *
   * In-batch duplicates are NOT removed (both ledgers filter against
   * HISTORY only); compose `Curation.curate` for in-batch semantics or
@@ -71,6 +79,93 @@ object CorpusIngest {
     DedupLedger.recordKeys(spark, survivors, textCol, exactPath,
       prefixWords)
     NearDupLedger.recordKeys(spark, survivors, textCol, idCol, nearPath)
+  }
+
+  /** [[commit]] wrapped in a durable per-batch MANIFEST, making crash
+    * replay detection MECHANICAL instead of contractual: before any
+    * ledger mutates, `(batchId, survivor count, survivor digest,
+    * state=begun)` lands in `manifestDir` through the atomic staged
+    * rename; after both recordKeys succeed the state flips to `done`.
+    * Recovery after ANY crash point is then one rule — re-run
+    * commitBatch with the same landed survivor set:
+    *   - no manifest → the crash predated both ledgers: full commit;
+    *   - `begun` + matching digest → crash inside commit (possibly
+    *     between the two recordKeys): both recordKeys re-run (replays
+    *     are no-ops in both ledgers) and the state flips to done;
+    *   - `done` + matching digest → pure no-op;
+    *   - digest MISMATCH → loud failure: the caller is replaying a
+    *     batch id with a DIFFERENT survivor set (e.g. after an illegal
+    *     re-screen — see the object doc), which would silently strand
+    *     keys; the manifest exists precisely to catch this.
+    * The digest is order-free integer math (count + XOR of per-id
+    * xxhash64 — XOR, not sum: overflow-free under ANSI mode, and ids
+    * are unique here so self-cancellation cannot occur) — one cheap
+    * column scan of the (already checkpointed) survivor frame, engine-
+    * and partitioning-stable. */
+  def commitBatch(spark: SparkSession, survivors: DataFrame,
+      textCol: String, idCol: String, exactPath: String, nearPath: String,
+      manifestDir: String, batchId: String, prefixWords: Int = 8): Unit = {
+    require(batchId.nonEmpty && !batchId.contains("/"),
+      s"batchId must be a non-empty path-safe name: '$batchId'")
+    val Array(n, digest) = survivors
+      .agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col(idCol))), lit(0L)))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    batchState(spark, manifestDir, batchId) match {
+      case Some((state, n0, d0)) =>
+        if (n0 != n || d0 != digest) throw new IllegalStateException(
+          s"commitBatch: batch '$batchId' was $state with $n0 survivors " +
+            s"(digest $d0) but is being replayed with $n (digest $digest) " +
+            "— recover by re-running commit with the ORIGINAL landed " +
+            "survivor set, never a re-screen")
+        if (state == "done") return // fully committed: nothing to do
+      case None => ()
+    }
+    writeManifest(spark, manifestDir, batchId, "begun", n, digest)
+    commit(spark, survivors, textCol, idCol, exactPath, nearPath,
+      prefixWords)
+    writeManifest(spark, manifestDir, batchId, "done", n, digest)
+  }
+
+  /** The durable state of one ingest batch: (state, survivor count,
+    * survivor digest), None before its first commitBatch. */
+  def batchState(spark: SparkSession, manifestDir: String,
+      batchId: String): Option[(String, Long, Long)] = {
+    val f = new Path(s"$manifestDir/$batchId.properties")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val props = new Properties()
+      try props.load(in) finally in.close()
+      def p(k: String) = Option(props.getProperty(k)).getOrElse(
+        throw new IllegalStateException(
+          s"corrupt commit manifest $f: missing $k"))
+      Some((p("state"), p("n").toLong, p("digest").toLong))
+    }
+  }
+
+  /** One manifest write, atomic at every instant: staged to `.tmp`,
+    * then a plain rename when no manifest exists yet, the DirSwap
+    * two-rename otherwise (a reader never sees a half-written file). */
+  private def writeManifest(spark: SparkSession, manifestDir: String,
+      batchId: String, state: String, n: Long, digest: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(s"$manifestDir/$batchId.properties")
+    val tmp = new Path(s"$manifestDir/$batchId.tmp")
+    val fs = live.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    val props = new Properties()
+    props.setProperty("state", state)
+    props.setProperty("n", n.toString)
+    props.setProperty("digest", digest.toString)
+    try props.store(out, "graft ingest commit manifest")
+    finally out.close()
+    if (!fs.exists(live)) {
+      if (!fs.rename(tmp, live)) throw new IllegalStateException(
+        s"manifest write failed: $tmp -> $live")
+    } else DirSwap.swapLive(conf, live, tmp,
+      new Path(s"$manifestDir/$batchId.aside"))
   }
 
   /** Screen, seal, return: the at-most-once convenience composition

@@ -732,6 +732,67 @@ class GovernanceSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("commitBatch: crash between the two recordKeys recovers " +
+      "idempotently; wrong-survivor replay fails loudly") {
+    import graft.sources.{CorpusIngest, DedupLedger, NearDupLedger}
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (ex, nd, mf) =
+      (tmp("graft_cb_ex"), tmp("graft_cb_nd"), tmp("graft_cb_mf"))
+    DedupLedger.write(docs(), "text", ex, bucketChars = 1)
+    NearDupLedger.write(docs(), "text", "doc_id", nd, bucketChars = 1)
+    val batch = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta one tail",
+      2L -> "one two three four five six seven eight nine ten eleven")
+    // screen → durably land survivors (localCheckpoint stands in)
+    val survivors = CorpusIngest.screen(spark, batch, "text", "doc_id",
+      ex, nd).localCheckpoint(true)
+    assert(idsOf(survivors) == Set(1L, 2L))
+    assert(CorpusIngest.batchState(spark, mf, "b1").isEmpty)
+
+    // simulate the crash INSIDE commit: manifest begun + only the
+    // exact ledger sealed (exactly what a kill between the two
+    // recordKeys calls leaves behind)
+    DedupLedger.recordKeys(spark, survivors, "text", ex)
+    val crashed = new java.io.File(s"$mf/b1.properties")
+    assert(!crashed.exists()) // nothing durable yet in this simulation
+    // recovery is ONE mechanical rule: re-run commitBatch with the
+    // landed set — recordKeys replays are no-ops, near ledger seals
+    CorpusIngest.commitBatch(spark, survivors, "text", "doc_id", ex, nd,
+      mf, "b1")
+    assert(CorpusIngest.batchState(spark, mf, "b1")
+      .exists(s => s._1 == "done" && s._2 == 2L))
+    // both ledgers sealed exactly once: the same batch screens empty
+    assert(CorpusIngest.screen(spark, batch, "text", "doc_id", ex, nd)
+      .count() == 0)
+
+    // a replayed commitBatch of the done batch is a pure no-op
+    CorpusIngest.commitBatch(spark, survivors, "text", "doc_id", ex, nd,
+      mf, "b1")
+    // now the begun-state crash path: manifest lands, then we "die"
+    // before recordKeys by committing against unreachable ledgers
+    intercept[Exception] {
+      CorpusIngest.commitBatch(spark, survivors, "text", "doc_id",
+        "/nonexistent/ex", nd, mf, "b2")
+    }
+    assert(CorpusIngest.batchState(spark, mf, "b2")
+      .exists(_._1 == "begun"))
+    // re-running with the SAME set completes b2
+    CorpusIngest.commitBatch(spark, survivors, "text", "doc_id", ex, nd,
+      mf, "b2")
+    assert(CorpusIngest.batchState(spark, mf, "b2")
+      .exists(_._1 == "done"))
+    // replaying b1 with a DIFFERENT survivor set is the stranding bug
+    // the manifest exists to catch — loud, with both digests named
+    val e = intercept[IllegalStateException] {
+      CorpusIngest.commitBatch(spark,
+        survivors.filter($"doc_id" === 1L), "text", "doc_id", ex, nd,
+        mf, "b1")
+    }
+    assert(e.getMessage.contains("replayed") &&
+      e.getMessage.contains("re-screen"))
+  }
+
   // ---- snapshot drift / delta ----------------------------------------
 
   test("tokenKl: self-KL is exactly zero, drift positive, directions swap") {
