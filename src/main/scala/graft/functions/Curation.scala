@@ -318,9 +318,21 @@ object Curation {
     * every token is packed — the gap problem packShards remaps away
     * cannot occur here). */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long): DataFrame =
+    packSequencesByCost(docs, idCol,
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long"), seqLen)
+
+  /** [[packSequences]] generalized to ANY per-doc token-cost column —
+    * the form real pretraining uses: whitespace counts are a proxy, the
+    * loader packs TOKENIZER tokens, so pass the tokenizer's own counts
+    * (`BpeTokenizer.tokenCounts`' `n_bpe_tokens`, joined onto the
+    * corpus) and the sequence geometry is exact in the training unit.
+    * Null cost reads zero (the [[sampleToBudget]] convention): a doc
+    * the tokenizer produced no tokens for packs nothing. */
+  def packSequencesByCost(docs: DataFrame, idCol: String, cost: Column,
       seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val (withCum, _) = withRunningTokens(docs, idCol, textCol)
+    val (withCum, _) = withRunningCost(docs, idCol, cost.cast("long"))
     withCum
       .filter(col("__toks") > 0L)
       .withColumn("__start", col("__cum") - col("__toks"))

@@ -287,6 +287,60 @@ object CorpusQueries extends QueryPack {
               - greatest(strt, seq_id * 512) AS BIGINT) AS n_tokens
           FROM sp ORDER BY seq_id, seq_offset""")),
 
+    // ---- BPE-granular sequence packing ------------------------------
+    // packSequencesByCost with the TOKENIZER's own counts as the cost
+    // column — "pack 128-token context windows in BPE tokens", the unit
+    // real pretraining uses. The merge list is PINNED ((t,h), (a,n),
+    // (r,e)): three single-char merges over pairwise-DISJOINT letters,
+    // chosen so no merge can create or destroy another's adjacency —
+    // each one's application count over a word is exactly its
+    // non-overlapping substring count (a≠b pairs cannot self-overlap),
+    // giving DuckDB the closed form tokens(w) = len(w) + 1 (end-of-word
+    // marker) − Σ occurrences. That turns the data-dependent trained
+    // tokenizer (spec-gated, no oracle possible) into a FULL hash
+    // oracle for the apply+pack pipeline at all three SFs.
+    QueryDef("q_pack_bpe", (s, dir) => {
+      import graft.functions.BpeTokenizer
+      val d = Tables.load(s, dir, "documents")
+      val bpe = BpeTokenizer.Bpe(Seq(("t", "h"), ("a", "n"), ("r", "e")))
+      val costs = BpeTokenizer.tokenCounts(d, "doc_id", "text", bpe)
+      Curation.packSequencesByCost(
+          d.join(costs, Seq("doc_id"), "left"),
+          "doc_id", col("n_bpe_tokens"), 128L)
+        .orderBy("seq_id", "seq_offset")
+    }, Some(
+      """WITH w AS (SELECT doc_id,
+            replace(unnest(string_split_regex(text, '\s+')), chr(1), '')
+              AS word
+          FROM documents),
+          bt AS (SELECT doc_id,
+            sum(length(word) + 1
+              - (length(word) - length(replace(word, 'th', ''))) // 2
+              - (length(word) - length(replace(word, 'an', ''))) // 2
+              - (length(word) - length(replace(word, 're', ''))) // 2)
+              AS toks
+          FROM w WHERE length(word) > 0 GROUP BY doc_id),
+          t AS (SELECT d.doc_id,
+            CAST(coalesce(bt.toks, 0) AS BIGINT) AS toks,
+            md5(CAST(d.doc_id AS VARCHAR)) AS k
+          FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id),
+          c AS (SELECT doc_id, toks, sum(toks) OVER (ORDER BY k, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t),
+          sp AS (SELECT doc_id, toks, cum, cum - toks AS strt,
+                   unnest(generate_series(
+                     CAST((cum - toks) // 128 AS BIGINT),
+                     CAST((cum - 1) // 128 AS BIGINT))) AS seq_id
+                 FROM c WHERE toks > 0)
+          SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+            CAST(greatest(strt, seq_id * 128) - strt AS BIGINT)
+              AS doc_offset,
+            CAST(greatest(strt, seq_id * 128) - seq_id * 128 AS BIGINT)
+              AS seq_offset,
+            CAST(least(cum, seq_id * 128 + 128)
+              - greatest(strt, seq_id * 128) AS BIGINT) AS n_tokens
+          FROM sp ORDER BY seq_id, seq_offset""")),
+
     // ---- deterministic weighted sampling ----------------------------
     // Efraimidis–Spirakis without replacement, k=120 weighted by doc
     // length (n_chars): the md5-derived uniform makes the draw
