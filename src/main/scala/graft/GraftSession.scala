@@ -1,30 +1,33 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 import graft.expressions.{CosineSimilarity, TDigestQuantiles}
+import graft.functions.{LineClean, Pii, TextAnalysis}
 
 /** SparkSessionExtensions registration: exposes the engine's native
   * expressions to SQL (`SELECT cosine_similarity(a, b)`,
-  * `SELECT tdigest_quantiles(v, 0.25, 0.5, 0.75)`), so SQL users get
-  * the same codegen'd / mergeable kernels as the Column API.
+  * `SELECT tdigest_quantiles(v, 0.25, 0.5, 0.75)`) AND the pure-column
+  * curation/governance operators (`WHERE gopher_pass(text)`,
+  * `redact_pii(text)`, `strip_html(html)`, `normalize_text(text)`,
+  * `quality_score(text)`, `lang_id(text)`, `token_entropy(text)`,
+  * `ws_token_count(text)`, `punct_ratio(text)`), so a SQL-only user can
+  * run the whole quality gate without touching the Scala API — every
+  * name compiles to the SAME Column expression tree the Scala calls
+  * build, codegen and all; there is no second implementation to drift.
   * Activate with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("tdigest_quantiles"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[TDigestQuantiles].getName, "tdigest_quantiles"),
-      GraftExtensions.tdigestBuilder))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.sqlFunctions.foreach { case (name, className, builder) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          className, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
@@ -40,17 +43,66 @@ object GraftExtensions {
     TDigestQuantiles(exprs.head, ps).toAggregateExpression()
   }
 
+  /** A one-Column-argument function as a SQL builder (via the
+    * Column↔Expression bridge — the composed tree substitutes in
+    * unresolved, the analyzer resolves it in place). */
+  private def col1(name: String)(f: Column => Column)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$name(text) takes exactly one argument")
+    import org.apache.spark.sql.GraftColumnBridge._
+    toExpressionEager(f(toColumn(exprs.head)))
+  }
+
+  /** Every SQL-exposed function: (name, doc class, builder). ONE list
+    * consumed by both registration paths, so extension-configured and
+    * late-registered sessions can never see different surfaces. */
+  private[graft] val sqlFunctions
+      : Seq[(String, String, Seq[Expression] => Expression)] = {
+    val ta = "graft.functions.TextAnalysis"
+    Seq(
+      ("cosine_similarity", classOf[CosineSimilarity].getName,
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2,
+            "cosine_similarity(a, b) takes exactly two arguments")
+          CosineSimilarity(exprs(0), exprs(1))
+        }),
+      ("tdigest_quantiles", classOf[TDigestQuantiles].getName,
+        tdigestBuilder(_)),
+      ("normalize_text", ta, col1("normalize_text")(
+        TextAnalysis.normalizeText)),
+      ("quality_score", ta, col1("quality_score")(
+        TextAnalysis.qualityScore)),
+      ("lang_id", ta, col1("lang_id")(TextAnalysis.langId)),
+      ("token_entropy", ta, col1("token_entropy")(
+        TextAnalysis.tokenEntropy)),
+      ("ws_token_count", ta, col1("ws_token_count")(
+        TextAnalysis.wsTokenCount)),
+      ("punct_ratio", ta, col1("punct_ratio")(TextAnalysis.punctRatio)),
+      ("strip_html", "graft.functions.LineClean",
+        col1("strip_html")(LineClean.stripHtml)),
+      ("redact_pii", "graft.functions.Pii", col1("redact_pii")(Pii.redact)),
+      ("gopher_pass", ta, { exprs: Seq[Expression] =>
+        require(exprs.length >= 1 && exprs.length <= 3,
+          "gopher_pass(text[, minWords, maxWords])")
+        def litInt(e: Expression, what: String): Int = {
+          require(e.foldable, s"gopher_pass $what must be a literal")
+          e.eval().toString.toInt
+        }
+        import org.apache.spark.sql.GraftColumnBridge._
+        toExpressionEager(TextAnalysis.gopherPass(toColumn(exprs.head),
+          if (exprs.length > 1) litInt(exprs(1), "minWords") else 50,
+          if (exprs.length > 2) litInt(exprs(2), "maxWords") else 100000))
+      }))
+  }
+
   /** Register the functions into an ALREADY-RUNNING session — extensions
     * passed to the builder only apply at session creation, and
     * `getOrCreate` silently returns a pre-existing session without them. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tdigest_quantiles", tdigestBuilder, "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }
 
 /** Canonical session factory: the configuration every entry point

@@ -90,4 +90,41 @@ class ExpressionSpec extends AnyFunSuite {
       assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.0)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
+
+  test("the curation quality gate runs entirely in SQL and matches " +
+      "the Scala column API row for row") {
+    import graft.functions.{Curation, LineClean, Pii, TextAnalysis}
+    GraftExtensions.register(spark)
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    d.createOrReplaceTempView("docs_sql")
+
+    // the full qualityGate predicate, SQL-only (Config defaults)
+    val viaSql = spark.sql(
+      """SELECT doc_id FROM docs_sql
+         WHERE ws_token_count(text) >= 5 AND punct_ratio(text) <= 0.2
+           AND lang_id(text) = 'en'""")
+      .collect().map(_.getLong(0)).toSet
+    val viaScala = Curation.qualityGate(d, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+
+    // scalar transforms: SQL name == Column expression, value for value
+    val pairs = spark.sql(
+      """SELECT normalize_text(text) AS n_sql, strip_html(text) AS h_sql,
+           redact_pii(text) AS r_sql, quality_score(text) AS q_sql,
+           token_entropy(text) AS e_sql, gopher_pass(text, 5) AS g_sql
+         FROM docs_sql""")
+    val cols = d.select(
+      TextAnalysis.normalizeText(col("text")).as("n_col"),
+      LineClean.stripHtml(col("text")).as("h_col"),
+      Pii.redact(col("text")).as("r_col"),
+      TextAnalysis.qualityScore(col("text")).as("q_col"),
+      TextAnalysis.tokenEntropy(col("text")).as("e_col"),
+      TextAnalysis.gopherPass(col("text"), 5).as("g_col"))
+    assert(pairs.collect().map(_.toString).sorted
+      .sameElements(cols.collect().map(_.toString).sorted))
+
+    // arity errors are loud at analysis time
+    assertThrows[Exception](spark.sql("SELECT lang_id()").collect())
+  }
 }
