@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-stress harness (VERDICT r5 punch item #1): runs the heaviest
+  * registered query chains against ScaleGen corpora at increasing row
+  * counts and reports the per-query **scaling exponent**
+  *
+  *   alpha = ln(t_big / t_small) / ln(n_big / n_small)
+  *
+  * between the two LARGEST scales (the smaller pairs are dominated by
+  * fixed per-query costs — session setup, codegen, index-dir IO — so
+  * the top pair is the honest asymptote). alpha ≈ 1 is linear; the
+  * n·log(n) of a sort lands ~1.1; anything ≥ 1.5 is flagged as
+  * superlinear and fails the run summary.
+  *
+  * Timing discipline mirrors Bench: noop sink (full execution, no
+  * collect), per-scale warmup pass, `runs` full suite passes with
+  * order reversed on alternate passes, min-of-runs reported (for a
+  * scaling exponent the min is the right statistic — host-load spikes
+  * only ever ADD time, so the min is the closest observation to the
+  * true cost at each scale).
+  *
+  * Usage:
+  *   runMain graft.ScaleBench <outJson> <dir1> <dir2> [... dirN]
+  * with dirs ordered smallest → largest; row counts are read from the
+  * documents table. Query set defaults to the heavy-chain list below;
+  * override with SPARK_GRAFT_SCALE_ONLY=name,name.
+  */
+object ScaleBench {
+
+  /** The ten-plus heaviest chains from the r5 plan audit — every one a
+    * documents/embeddings consumer, so ScaleGen dirs satisfy them. */
+  val HeavyChains: Seq[String] = Seq(
+    "q_corpus_curation",      // gate → exact dedup → LSH, composed
+    "q_ingest_screen",        // seeds both ledgers + screens the corpus
+    "q_dedup_exact",          // digest-only shuffle
+    "q_dup_clusters",         // min-label fixpoint components
+    "q_minhash_lsh",          // banding; the hot cluster lands here
+    "q_ngram_jaccard",        // direct shingle-hash join
+    "q_ngram_jaccard_prefix", // PPJoin prefix filter
+    "q_simhash_neardup",      // block-permutation Hamming join
+    "q_repeated_spans",       // Lee et al. k-gram spans
+    "q_dedup_ledger",         // exact-key ledger anti-join
+    "q_neardup_ledger",       // band ledger anti-join
+    "q_dedup_cosine_blocked", // trained IVF blocking
+    "q_semantic_dedup",       // SemDeDup: train + blocked pair graph
+    "q_ivf_search",           // IVF build + pruned probe
+    "q_ivfpq_search",         // IVFADC end-to-end
+    "q_knn_cosine",           // brute top-k (queries fixed, corpus grows)
+    "q_pack_sequences",       // running-token frame packing
+    "q_quality_select",       // per-group quantile selection
+    "q_top_ngrams")           // boilerplate mining (df-agg)
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args(0)
+    val dirs = args.drop(1).toSeq
+    require(dirs.size >= 2, "need at least two scale dirs")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSeq).getOrElse(HeavyChains)
+      .filter(SparkEntry.queries.contains)
+
+    val spark = GraftSession.get()
+
+    def exec(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
+    val nRows: Map[String, Long] = dirs.map { d =>
+      d -> spark.read.parquet(s"$d/documents.parquet").count()
+    }.toMap
+
+    // per scale: warmup one cheap chain, then alternating suite passes
+    val mins: Map[(String, String), Double] = dirs.flatMap { d =>
+      exec("q_dedup_exact", d) // warmup (codegen + file listing), untimed
+      val byPass = (0 until runs).map { p =>
+        val order = if (p % 2 == 0) names else names.reverse
+        order.map(n => n -> exec(n, d)).toMap
+      }
+      names.map { n =>
+        val ts = byPass.map(_(n))
+        (n, d) -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      }
+    }.toMap
+
+    val (dSmall, dBig) = (dirs(dirs.size - 2), dirs.last)
+    val ratio = nRows(dBig).toDouble / nRows(dSmall)
+    def exponent(n: String): Double = {
+      val (a, b) = (mins((n, dSmall)), mins((n, dBig)))
+      if (a <= 0 || b <= 0) Double.NaN
+      else math.log(b / a) / math.log(ratio)
+    }
+
+    val rows = names.map { n =>
+      val perDir = dirs.map(d => f"""\"${nRows(d)}\":${mins((n, d))}%.3f""")
+        .mkString("{", ",", "}")
+      val alpha = exponent(n)
+      println(f"[scale] $n%-24s " +
+        dirs.map(d => f"${mins((n, d))}%8.2fs").mkString(" ") +
+        f"  alpha=$alpha%5.2f")
+      s"""    "$n": {"secs": $perDir, "alpha": ${if (alpha.isNaN) "null"
+        else f"$alpha%.3f"}}"""
+    }
+    val superlinear = names.filter(n => exponent(n) >= 1.5)
+    val json =
+      s"""{
+  "scales": ${dirs.map(d => s""""${nRows(d)}"""").mkString("[", ",", "]")},
+  "top_pair_ratio": ${f"$ratio%.1f"},
+  "queries": {
+${rows.mkString(",\n")}
+  },
+  "superlinear": ${superlinear.map(n => s""""$n"""").mkString("[", ",", "]")}
+}
+"""
+    Files.writeString(Paths.get(outJson), json)
+    println(s"[scale] wrote $outJson; superlinear(alpha>=1.5): " +
+      (if (superlinear.isEmpty) "NONE" else superlinear.mkString(", ")))
+    spark.stop()
+  }
+}

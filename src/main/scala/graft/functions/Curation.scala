@@ -74,7 +74,12 @@ object Curation {
     * rule is the documented semantics). */
   def dropNearDups(docs: DataFrame, textCol: String, idCol: String,
       cfg: Config = Config()): DataFrame = {
-    val losers = Dedup.lshCandidatePairs(docs, textCol, idCol,
+    // star edges, not the pair join: the loser set ("is the higher id
+    // of any pair") is exactly "exceeds the minimum of some bucket",
+    // so a hot bucket of m mutual near-dups costs m rows here instead
+    // of m²/2 pair rows (Dedup.lshBucketMinEdges has the equivalence
+    // argument and the x100 scale-stress measurement)
+    val losers = Dedup.lshBucketMinEdges(docs, textCol, idCol,
         k = cfg.minhashK, rowsPerBand = cfg.rowsPerBand, n = cfg.shingleN)
       .select(col("b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
@@ -90,8 +95,11 @@ object Curation {
     * transitive group — pick by how aggressive the dedup must be. */
   def dropNearDupsClustered(docs: DataFrame, textCol: String,
       idCol: String, cfg: Config = Config()): DataFrame = {
+    // star edges preserve connected components exactly (every bucket
+    // member links through the bucket minimum) at Θ(rows) instead of
+    // Θ(Σ bucket²) edge rows — see Dedup.lshBucketMinEdges
     val clusters = Dedup.duplicateClusters(
-      Dedup.lshCandidatePairs(docs, textCol, idCol,
+      Dedup.lshBucketMinEdges(docs, textCol, idCol,
         k = cfg.minhashK, rowsPerBand = cfg.rowsPerBand, n = cfg.shingleN))
     val losers = clusters.filter(col("node") =!= col("cluster"))
       .select(col("node").as(idCol))

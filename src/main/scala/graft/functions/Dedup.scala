@@ -101,6 +101,37 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Per-bucket STAR edges of the LSH candidate graph: one
+    * (bucket-min id `a`, member id `b`) row per banded row whose id is
+    * not its bucket's minimum — the scale form of
+    * [[lshCandidatePairs]] for every consumer that does NOT need the
+    * explicit pair list:
+    *
+    *   - same LOSER set: b is the higher id of some candidate pair
+    *     ⟺ some bucket containing b has min < b ⟺ b appears here;
+    *   - same CONNECTED COMPONENTS: any two members of a bucket are
+    *     linked through the bucket minimum, so the star graph and the
+    *     complete bucket graph have identical components.
+    *
+    * Why it exists: a bucket of m mutual near-dups expands to
+    * m·(m−1)/2 rows in the pair join — the scale-stress corpus's
+    * 1%-boilerplate cluster is ONE ~n/100-doc bucket, so pair listing
+    * is Θ(n²/10⁴) rows (measured: the x100 corpus spilled hundreds of
+    * GB) while this frame is one window pass over the banded rows —
+    * Θ(rows), zero joins, and the hot bucket costs m rows like every
+    * other bucket. Use the pair form only when the pairs themselves
+    * are the product (the `q_minhash_lsh` oracle anchor, pair-level
+    * audits); route dedup-decision and component consumers here. */
+  def lshBucketMinEdges(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    val banded = bandedKeys(df, textCol, idCol, k, rowsPerBand, n)
+    banded
+      .withColumn("__min",
+        min(col(idCol)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col(idCol) > col("__min"))
+      .select(col("__min").as("a"), col(idCol).as("b")).distinct()
+  }
+
   /** LSH candidate pairs BETWEEN two corpora — near-dup
     * decontamination (train vs held-out eval, the step past
     * `Decontam.contamination`'s exact n-gram overlap: a lightly

@@ -448,7 +448,10 @@ object LlmQueries extends QueryPack {
     // directly. Oracle: DuckDB recursive CTE computing the same
     // min-reachability, over the identical minhash band graph.
     QueryDef("q_dup_clusters", (s, dir) => {
-      val pairs = Dedup.lshCandidatePairs(
+      // star edges: identical components to the pair graph (the oracle
+      // below still walks the FULL pair graph recursively — agreement
+      // here is the equivalence proof executing), Θ(rows) edge frame
+      val pairs = Dedup.lshBucketMinEdges(
         Tables.load(s, dir, "documents"), "text", "doc_id",
         k = 8, rowsPerBand = 2, n = 3)
       Dedup.duplicateClusters(pairs)

@@ -147,24 +147,27 @@ object DedupLedger {
     * periodically, not by caching the Bloom past an append. Sizing:
     * ~9.6 bits/key at fpp 0.01 — the executor-broadcast gate fits
     * ledgers to ~10⁸ keys; beyond that stay on the plain anti-join
-    * (keys-only shuffles scale further). The membership probe is a
-    * UDF: Spark's BloomFilterMightContain expression is internal to
-    * runtime filtering, and the probe runs once per batch row OUTSIDE
-    * any join, so codegen loss is immaterial next to the saved
-    * shuffle. */
+    * (keys-only shuffles scale further). The membership probe is
+    * Spark's native `BloomFilterMightContain` expression (via
+    * [[graft.expressions.BloomProbe]]) — codegen'd in the row loop,
+    * no UDF marshalling; both build and probe sides go through
+    * `xxhash64(key)` so the no-false-negative guarantee holds by
+    * construction. */
   def filterNewBloom(spark: SparkSession, docs: DataFrame,
       textCol: String, path: String, prefixWords: Int = 8,
       fpp: Double = 0.01): DataFrame = {
     val ledger = readKeys(spark, path)
     val nKeys = ledger.count()
     if (nKeys == 0) return docs
-    val bloom = ledger.stat.bloomFilter("key", nKeys, fpp)
-    val might = udf((k: String) => bloom.mightContainString(k))
+    val bloom = ledger.selectExpr("xxhash64(key) AS h")
+      .stat.bloomFilter("h", nKeys, fpp)
+    def might = graft.expressions.BloomProbe.mightContainLong(bloom,
+      xxhash64(col("__ledger_key")))
     val batch = keyed(docs, textCol,
         storedPrefixWords(spark, path, prefixWords))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val definitelyNew = batch.filter(!might(col("__ledger_key")))
-    val maybeSeen = batch.filter(might(col("__ledger_key")))
+    val definitelyNew = batch.filter(!might)
+    val maybeSeen = batch.filter(might)
       .join(ledger.select(col("key").as("__ledger_key")),
         Seq("__ledger_key"), "left_anti")
     definitelyNew.unionByName(maybeSeen).drop("__ledger_key")

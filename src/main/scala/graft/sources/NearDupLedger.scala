@@ -172,10 +172,10 @@ object NearDupLedger {
     val bloom = ledger
       .select(xxhash64(col("band"), col("key")).as("h"))
       .stat.bloomFilter("h", nRows, fpp)
-    val might = udf((h: Long) => bloom.mightContainLong(h))
     val hit = Dedup.bandedKeys(docs, textCol, idCol, p.k, p.rowsPerBand,
         p.n)
-      .filter(might(xxhash64(col("band"), col("key"))))
+      .filter(graft.expressions.BloomProbe.mightContainLong(bloom,
+        xxhash64(col("band"), col("key"))))
       .join(ledger.select("band", "key"), Seq("band", "key"), "left_semi")
       .select(col(idCol)).distinct()
     docs.join(hit, Seq(idCol), "left_anti")
