@@ -681,6 +681,26 @@ object Dedup {
     * drop the reference (or `spark.catalog.clearCache()` between
     * snapshots).
     */
+  /** [[simhashNearDupPairs]] with the block parameterization chosen by
+    * measured corpus size — the dispatch the scaladoc below prescribes,
+    * executed. Why it must exist: natural-language fingerprints are
+    * CORRELATED (shared stopwords vote on every doc's bits — measured
+    * per-bit agreement between unrelated docs ≈ 0.57, not 0.5), so a
+    * single 16-bit block key collides unrelated docs with p ≈ 0.57¹⁶
+    * ≈ 1.4·10⁻⁴ — vanishing at 5k docs (~3k incidental candidates),
+    * catastrophic at 500k (the x100 scale-stress run: ~10⁸ candidate
+    * rows, executor OOM). Past `smallCorpus` docs the Manku web-scale
+    * parameterization (8 blocks, C(8,5) = 56 forty-bit keys/doc) drops
+    * incidental collisions to p ≈ 0.57⁴⁰ ≈ 10⁻¹⁰ per key while the
+    * pigeonhole guarantee — and therefore the RESULT — is unchanged.
+    * The count() is one column-pruned pass; callers who know their
+    * corpus size can call the explicit form directly. */
+  def simhashNearDupPairsAuto(df: DataFrame, textCol: String,
+      idCol: String, maxHamming: Int = 3,
+      smallCorpus: Long = 30000): DataFrame =
+    simhashNearDupPairs(df, textCol, idCol, maxHamming,
+      nBlocks = if (df.count() <= smallCorpus) 4 else 8)
+
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, nBlocks: Int = 4): DataFrame = {
     require(nBlocks == 4 || nBlocks == 8, s"nBlocks must be 4 or 8: $nBlocks")

@@ -565,9 +565,11 @@ object LlmQueries extends QueryPack {
     // sf0.1) is gated through per-hamming counts + md5 pair checksums:
     // any missing/extra/mislabeled pair flips a checksum.
     QueryDef("q_simhash_neardup", (s, dir) => {
-      Dedup.simhashNearDupPairs(
+      // auto block dispatch: 4 blocks at oracle scale, 8 past 30k docs
+      // — result-identical by pigeonhole, so the oracle is unchanged
+      Dedup.simhashNearDupPairsAuto(
           Tables.load(s, dir, "documents"), "text", "doc_id",
-          maxHamming = 3, nBlocks = 4)
+          maxHamming = 3)
         .groupBy("hamming")
         .agg(count(lit(1)).as("n_pairs"),
           sum(conv(substring(md5(concat(col("id_a").cast("string"),
