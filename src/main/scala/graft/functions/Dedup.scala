@@ -347,12 +347,29 @@ object Dedup {
     * Σ bucket² candidate work. */
   def cosineDupPairsBlocked(df: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String, threshold: Double, probes: Int = 2): DataFrame = {
-    val routed = Similarity.assignTopK(df, cents, idCol, vecCol, probes)
+    // ASYMMETRIC probe join — the canonical IVF range-search shape:
+    // every vector RESIDES in exactly its top-1 bucket and PROBES its
+    // `probes` nearest buckets, so a pair surfaces when either side's
+    // probe list covers the other's residence bucket. The previous
+    // symmetric form joined probe lists against probe lists, inflating
+    // both join sides `probes`-fold — candidate rows ∝ probes²·n²/k,
+    // which the x100 scale-stress corpus turned into ~5.7e9 pair rows
+    // and a spill-to-disk-full abort. Residence×probe is probes·n²/k —
+    // a `probes`-fold cut with the SAME recall argument as multi-probe
+    // search (a qualifying pair's residence centroid is among the
+    // partner's nearest buckets unless the codebook is coarser than
+    // the pair radius), re-verified against the exact-pair oracle at
+    // all three SFs after the change.
+    val probed = Similarity.assignTopK(df, cents, idCol, vecCol, probes)
       .select(col(idCol), explode(col("probe_buckets")).as("bucket"))
-    val cand = routed.toDF("a", "bucket")
-      .join(routed.toDF("b", "bucket"), Seq("bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // top-1 = first probe bucket: one routing pass feeds both sides
+    val reside = Similarity.assignTopK(df, cents, idCol, vecCol, 1)
+      .select(col(idCol), col("probe_buckets").getItem(0).as("bucket"))
+    val cand = probed.toDF("a", "bucket")
+      .join(reside.toDF("b", "bucket"), Seq("bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
     val va = df.select(col(idCol).as("a"), col(vecCol).as("__va"))
     val vb = df.select(col(idCol).as("b"), col(vecCol).as("__vb"))
     cand.join(va, Seq("a")).join(vb, Seq("b"))
@@ -372,8 +389,21 @@ object Dedup {
     * whole routed corpus via [[graft.sources.IvfStore]]) and every
     * subsequent dedup/ANN query reuses it. */
   def cosineDupPairsTrained(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, probes: Int = 8, iters: Int = 5): DataFrame = {
-    val k = Similarity.codebookSize(df.count())
+      threshold: Double, probes: Int = 20, iters: Int = 5,
+      targetBucket: Int = 128): DataFrame = {
+    // k = max(√n, n/targetBucket): √n minimizes train+join cost in the
+    // calibration regime (n ≤ targetBucket², where this reduces to the
+    // old rule exactly), but candidate volume is probes·n·(n/k)
+    // whatever the data looks like — with k stuck at √n that is
+    // probes·n^1.5, the curve the x100 scale-stress run rode into a
+    // full disk. Pinning the mean residence-bucket size at
+    // targetBucket makes candidates probes·targetBucket·n — LINEAR —
+    // at the price of a larger codebook (routing is broadcast compute,
+    // no shuffle; training cost grows as n·k·iters and is the knob's
+    // honest ceiling, amortized across a corpus via IvfStore).
+    val n = df.count()
+    val k = math.max(Similarity.codebookSize(n),
+      math.min(65536L, n / math.max(1, targetBucket)).toInt)
     val cents = Similarity.trainCodebook(df, idCol, vecCol, k, iters)
     cosineDupPairsBlocked(df, cents, idCol, vecCol, threshold,
       math.min(probes, k))
@@ -473,7 +503,7 @@ object Dedup {
     * [[lshCandidatePairs]]): the semantic graph links paraphrases and
     * near-translations that share no n-grams. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, exact: Boolean = false, probes: Int = 8,
+      threshold: Double, exact: Boolean = false, probes: Int = 20,
       iters: Int = 5): DataFrame = {
     val pairs =
       if (exact) cosineDupPairsExact(df, idCol, vecCol, threshold)
@@ -706,33 +736,65 @@ object Dedup {
     require(nBlocks == 4 || nBlocks == 8, s"nBlocks must be 4 or 8: $nBlocks")
     require(maxHamming >= 0 && maxHamming < nBlocks,
       s"pigeonhole needs maxHamming < nBlocks: $maxHamming vs $nBlocks")
+    val sb = (0 until 4).map(k => s"sb$k")
     val fp = simhash64Blocks(df, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // FINGERPRINT COMPRESSION: candidate generation and Hamming
+    // verification run over DISTINCT fingerprints, not documents. A
+    // corpus-wide boilerplate cluster puts thousands of docs on a
+    // handful of fingerprints that share EVERY block — without this,
+    // each of the cluster's Θ(m²) pairs surfaced through all
+    // C(nBlocks, keep) combo keys (measured at the x100 scale-stress
+    // corpus: ~7e8 candidate rows, 150 s). Compressed, the combo join
+    // sees each fingerprint once, identical-fp groups expand directly
+    // to their (Hamming-0) member pairs, and qualifying cross-fp pairs
+    // expand members×members — the expansion rows ARE the true output,
+    // the irreducible cost of listing a quadratic answer.
+    val rep = fp.groupBy(sb.map(col): _*)
+      .agg(min(col(idCol)).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (member id, its fingerprint's representative)
+    val members = fp.join(rep, sb)
+      .select(col(idCol).as("__m"), col("rep"))
+
     val blockCols: Seq[Column] =
-      if (nBlocks == 4) (0 until 4).map(k => col(s"sb$k"))
+      if (nBlocks == 4) sb.map(col)
       else (0 until 4).flatMap(k => Seq(
         col(s"sb$k").bitwiseAND(lit(255L)), shiftright(col(s"sb$k"), 8)))
     val keep = nBlocks - maxHamming
     val combos = (0 until nBlocks).combinations(keep).toSeq.zipWithIndex
-    val keyed = fp.select(col(idCol), explode(array(combos.map {
+    val keyed = rep.select(col("rep") +: sb.map(col) :+ explode(array(combos.map {
       case (sel, ci) => struct(lit(ci).as("combo"),
         concat_ws("_", sel.map(blockCols): _*).as("key"))
-    }: _*)).as("bk")).select(col(idCol), col("bk.combo").as("combo"),
-      col("bk.key").as("key"))
-    val cand = keyed.as("a").join(keyed.as("b"),
+    }: _*)).as("bk"): _*).select(col("rep") +: sb.map(col) :+
+      col("bk.combo").as("combo") :+ col("bk.key").as("key"): _*)
+
+    // distinct-fp candidate pairs, Hamming-verified on the spot (the
+    // fingerprint blocks ride along — no re-join against fp needed)
+    val fpPairs = keyed.as("a").join(keyed.as("b"),
         col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    val fa = fp.select(col(idCol).as("id_a") +:
-      (0 until 4).map(k => col(s"sb$k").as(s"a$k")): _*)
-    val fb = fp.select(col(idCol).as("id_b") +:
-      (0 until 4).map(k => col(s"sb$k").as(s"b$k")): _*)
-    cand.join(fa, "id_a").join(fb, "id_b")
-      .withColumn("hamming", (0 until 4).map(k =>
-        bit_count(col(s"a$k").bitwiseXOR(col(s"b$k")))).reduce(_ + _)
-        .cast("int"))
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"),
+        (0 until 4).map(k => bit_count(col(s"a.sb$k")
+          .bitwiseXOR(col(s"b.sb$k")))).reduce(_ + _).cast("int")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
+
+    // expand: cross-fp qualifying pairs (each unordered doc pair
+    // appears via exactly one rep pair — groups are disjoint — so no
+    // distinct is needed) + within-fp pairs at Hamming 0
+    val cross = fpPairs
+      .join(members.toDF("ma", "rep").withColumnRenamed("rep", "ra"), "ra")
+      .join(members.toDF("mb", "rep").withColumnRenamed("rep", "rb"), "rb")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    val within = members.toDF("ma", "rep").as("a")
+      .join(members.toDF("mb", "rep").as("b"), Seq("rep"))
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 }

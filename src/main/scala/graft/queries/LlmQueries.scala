@@ -657,7 +657,7 @@ object LlmQueries extends QueryPack {
     QueryDef("q_dedup_cosine_blocked", (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Dedup.cosineDupPairsTrained(emb, "vec_id", "embedding",
-          threshold = 0.45, probes = 8)
+          threshold = 0.45, probes = 20)
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
 

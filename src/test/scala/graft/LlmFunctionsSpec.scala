@@ -190,9 +190,13 @@ class LlmFunctionsSpec extends AnyFunSuite {
     // the correctness gate runs at sf0.01 — verify recall-completeness at
     // BOTH scales so the declared blocked query provably hash-matches the
     // same oracle as the exact path. Two codebooks: the labeled one (r2
-    // default, probes=4) and the TRAINED k≈√n one the declared query now
-    // uses (probes=8, measured recall-complete with margin — see
-    // Calibrate; near-uniform embeddings are IVF's worst case)
+    // default) and the TRAINED bucket-pinned one the declared query now
+    // uses. The r6 ASYMMETRIC residence×probe join needs roughly double
+    // the probes of the old symmetric probe×probe join for the same
+    // recall (one side only gets its top-1 bucket) in exchange for a
+    // probes-fold candidate cut — labeled probes 4→8, trained 8→20, the
+    // query defaults; near-uniform embeddings at the 0.45 radius remain
+    // IVF's worst case (see Calibrate)
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val emb = Tables.load(spark, d, "embeddings")
       val cents = Similarity.centroids(emb, "label", "embedding")
@@ -201,12 +205,12 @@ class LlmFunctionsSpec extends AnyFunSuite {
       val exact = key(Dedup.cosineDupPairsExact(
         emb, "vec_id", "embedding", 0.45))
       val blocked = key(Dedup.cosineDupPairsBlocked(
-        emb, cents, "vec_id", "embedding", 0.45, probes = 4))
+        emb, cents, "vec_id", "embedding", 0.45, probes = 8))
       assert(blocked == exact && exact.nonEmpty,
         s"$d: blocked ${blocked.size} vs exact ${exact.size}; " +
           s"missing ${(exact -- blocked).take(5)}")
       val trained = key(Dedup.cosineDupPairsTrained(
-        emb, "vec_id", "embedding", 0.45, probes = 8))
+        emb, "vec_id", "embedding", 0.45, probes = 20))
       assert(trained == exact,
         s"$d: trained ${trained.size} vs exact ${exact.size}; " +
           s"missing ${(exact -- trained).take(5)}")
