@@ -9,7 +9,9 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries("q1_agg")(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // warmup: first named query (q1_agg needs TPC-H tables, which
+    // ScaleGen corpora don't carry)
+    SparkEntry.queries(args(1))(spark, sfDir).write.mode("overwrite").format("noop").save()
     for (name <- args.drop(1); i <- 1 to 2) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()

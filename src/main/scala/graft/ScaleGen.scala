@@ -144,7 +144,7 @@ object ScaleGen {
   }
 
   /** `embeddings` at nVecs rows: 32-component Gaussian mixture, Zipf
-    * component weights, 1% near-identical-vector class, dim 64. */
+    * component weights, 1% near-identical-vector class, dim 256. */
   def embeddings(spark: SparkSession, nVecs: Long, partitions: Int): DataFrame = {
     val cluCdf = zipfCdfSql(32, 1.2)
     val parent = math.max(nVecs / 20, 1L)
@@ -157,18 +157,27 @@ object ScaleGen {
       .selectExpr("vec_id", "dup", "sid",
         s"${zipfIdx(cluCdf, unif("sid, 30"))} AS cluster")
       .selectExpr("vec_id",
-        // centroid scale 1.0 vs within-cluster sigma 1.53: expected
-        // within-cluster cosine |c|²/(|c|²+|n|²) ≈ 0.30 — REAL cluster
-        // structure (cross-cluster cosine ≈ 0), but generic same-
-        // cluster pairs sit BELOW the 0.45 dup threshold the cosine
-        // queries use. The first revision used sigma 0.3 (within-
-        // cluster cosine ≈ 0.98), which made every same-cluster pair a
-        // "duplicate": the true answer itself was Θ(n²) rows and the
-        // benchmark measured output size, not algorithm. Only the 1%
-        // perturbation-0.002 class (cos ≈ 1 − 1e-7) are dups now.
-        s"""transform(sequence(0, 63), d -> cast(
-            1.0 * ${gauss("cluster * 64 + d, 40")}
-            + 1.53 * ${gauss("sid, d, 41")}
+        // Geometry is chosen so the DUP THRESHOLD (0.45) separates the
+        // seeded near-identical class from ordinary cluster-mates with
+        // room to spare, because the cosine of two same-cluster draws
+        // concentrates as N(μ, σ≈(1−μ²)·√(2/d)): centroid scale 1.0 vs
+        // within-cluster sigma 2.38 puts μ = |c|²/(|c|²+|n|²) ≈ 0.15,
+        // and at d = 256 (a REAL embedding width — production models
+        // emit 256–1536 dims) σ ≈ 0.06, so P(cos > 0.445) ≈ Φ(−5σ):
+        // zero of the Θ(n²) same-cluster pairs qualify and the true
+        // answer is the 1% perturbation class (cos ≈ 1) alone. The
+        // first revision used sigma 0.3 at d = 64 (within-cluster cos
+        // ≈ 0.98): every same-cluster pair was a "duplicate". The
+        // second used sigma 1.53 at d = 64 (μ ≈ 0.30) — but σ at 64
+        // dims is ~0.12, the threshold sat 1.2σ above the mean, and
+        // 1.17e8 tail pairs QUALIFIED: the true answer itself was
+        // Θ(n²) and the benchmark measured output size, not algorithm.
+        // Cluster structure stays real either way (cross-cluster
+        // cosine ≈ 0) — IVF routing still faces a Zipf-skewed
+        // posting-list distribution.
+        s"""transform(sequence(0, 255), d -> cast(
+            1.0 * ${gauss("cluster * 256 + d, 40")}
+            + 2.38 * ${gauss("sid, d, 41")}
             + if(dup, 0.002 * ${gauss("vec_id, d, 42")}, 0.0)
           as float)) AS embedding""",
         "cast(cluster as int) AS label")

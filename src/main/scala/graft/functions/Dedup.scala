@@ -328,8 +328,7 @@ object Dedup {
     * assignment ([[Similarity.assignTopK]]), generate candidates only
     * between vectors sharing a probe bucket, then exact cosine on the
     * candidates. O(n²) all-pairs becomes Σ bucket² candidate comparisons
-    * plus two hash joins to re-attach vectors — every shuffle is keyed,
-    * nothing nested-loops.
+    * inside one bucket-keyed join — nothing nested-loops.
     *
     * Recall: a qualifying pair is found iff the two vectors share one of
     * their `probes` nearest centroids. With a codebook finer than the
@@ -350,33 +349,66 @@ object Dedup {
     // ASYMMETRIC probe join — the canonical IVF range-search shape:
     // every vector RESIDES in exactly its top-1 bucket and PROBES its
     // `probes` nearest buckets, so a pair surfaces when either side's
-    // probe list covers the other's residence bucket. The previous
-    // symmetric form joined probe lists against probe lists, inflating
-    // both join sides `probes`-fold — candidate rows ∝ probes²·n²/k,
-    // which the x100 scale-stress corpus turned into ~5.7e9 pair rows
-    // and a spill-to-disk-full abort. Residence×probe is probes·n²/k —
-    // a `probes`-fold cut with the SAME recall argument as multi-probe
-    // search (a qualifying pair's residence centroid is among the
-    // partner's nearest buckets unless the codebook is coarser than
-    // the pair radius), re-verified against the exact-pair oracle at
-    // all three SFs after the change.
-    val probed = Similarity.assignTopK(df, cents, idCol, vecCol, probes)
-      .select(col(idCol), explode(col("probe_buckets")).as("bucket"))
-    // top-1 = first probe bucket: one routing pass feeds both sides
-    val reside = Similarity.assignTopK(df, cents, idCol, vecCol, 1)
-      .select(col(idCol), col("probe_buckets").getItem(0).as("bucket"))
-    val cand = probed.toDF("a", "bucket")
-      .join(reside.toDF("b", "bucket"), Seq("bucket"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b")).distinct()
-    val va = df.select(col(idCol).as("a"), col(vecCol).as("__va"))
-    val vb = df.select(col(idCol).as("b"), col(vecCol).as("__vb"))
-    cand.join(va, Seq("a")).join(vb, Seq("b"))
-      .withColumn("cos",
-        round(Similarity.cosine(col("__va"), col("__vb")), 4))
-      .filter(col("cos") >= threshold)
-      .select("a", "b", "cos")
+    // probe list covers the other's residence bucket (the same recall
+    // argument as multi-probe search: a qualifying pair's residence
+    // centroid is among the partner's nearest buckets unless the
+    // codebook is coarser than the pair radius). Residence×probe is a
+    // `probes`-fold candidate cut over the earlier probe×probe join.
+    //
+    // CRITICAL scale shape — candidates must never exist as rows. The
+    // probes·bucket·n candidate expansion (5.4e8 at the 200k-vector
+    // stress corpus) is far bigger than either input or output, so any
+    // plan that materializes one ROW per candidate pays Θ(candidates)
+    // × row-width in copies: the first form shipped candidate ids
+    // through a distinct() shuffle plus two vector re-attach joins
+    // (hundreds of GB of spill, disk-full abort); the second streamed
+    // the join but still materialized a ~550-byte two-vector row per
+    // candidate inside the sort-merge join (~3.5 µs/candidate of pure
+    // memory traffic, 90 s at 200k vectors); an HOF
+    // filter(transform(members, …)) allocated a struct per candidate
+    // through interpreted lambda eval (slower still — measured). This
+    // form packs each RESIDENCE bucket into ONE row (collect_list of
+    // (id, vec) — ≤ targetBucket members by construction) and joins
+    // probe rows against that: the join emits n·probes rows, and the
+    // per-candidate work runs as three fused primitive loops inside
+    // the compiled BucketCosineHits expression — a loop iteration, not
+    // a row, not an interpreted lambda. Only SURVIVORS (true
+    // near-dups, output-scale) allocate structs, explode into rows,
+    // and reach the canonicalize+distinct shuffle.
+    //
+    // One routing pass feeds both sides: residence = probe position 0
+    // (assignTopK orders buckets by cosine desc), so the probe side
+    // and the packed side both derive from the same routed frame, and
+    // the explicit repartition(bucket) below the fork makes the two
+    // subplans share one exchange — ReuseExchange computes the
+    // CodebookTopK routing scan ONCE (the join and the groupBy both
+    // read the shuffle's output; nothing is persisted).
+    //
+    // Dedup of multi-bucket re-finds happens AFTER the filter:
+    // cosine(va,vb) is bit-identical to cosine(vb,va) (element-wise
+    // products commute exactly in IEEE 754 and the summation order is
+    // fixed by element index; see BucketCosineHits), so the same pair
+    // surfacing through different buckets or orientations yields the
+    // same rounded `cos` and distinct() collapses it. Self-hits
+    // (cos≈1, same id on both sides) fall to the a =!= id filter at
+    // survivor scale.
+    val routed = Similarity.assignTopK(df, cents, idCol, vecCol, probes)
+      .select(col(idCol).as("a"),
+        posexplode(col("probe_buckets")).as(Seq("pos", "bucket")),
+        col(vecCol).as("__va"))
+      .repartition(col("bucket"))
+    val packed = routed.filter(col("pos") === 0)
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("a").as("id"), col("__va").as("v")))
+        .as("members"))
+    routed.join(packed, Seq("bucket"))
+      .select(col("a"), explode(
+        graft.expressions.BucketCosineHits.bucket_cosine_hits(
+          col("__va"), col("members"), threshold)).as("hit"))
+      .filter(col("a") =!= col("hit.id"))
+      .select(least(col("a"), col("hit.id")).as("a"),
+        greatest(col("a"), col("hit.id")).as("b"), col("hit.cos").as("cos"))
+      .distinct()
   }
 
   /** THE default embedding near-dup path: [[cosineDupPairsBlocked]]
@@ -399,12 +431,16 @@ object Dedup {
     // full disk. Pinning the mean residence-bucket size at
     // targetBucket makes candidates probes·targetBucket·n — LINEAR —
     // at the price of a larger codebook (routing is broadcast compute,
-    // no shuffle; training cost grows as n·k·iters and is the knob's
-    // honest ceiling, amortized across a corpus via IvfStore).
+    // no shuffle; training runs on a 40·k-point sample, so its cost is
+    // k-scale, not n-scale, and amortizes further via IvfStore).
     val n = df.count()
     val k = math.max(Similarity.codebookSize(n),
       math.min(65536L, n / math.max(1, targetBucket)).toInt)
-    val cents = Similarity.trainCodebook(df, idCol, vecCol, k, iters)
+    // train on ≤40 points per centroid (Faiss-style, see
+    // trainCodebook): at targetBucket=128 that is ≤ 0.31·n training
+    // rows, and the cut grows with the corpus
+    val cents = Similarity.trainCodebook(df, idCol, vecCol, k, iters,
+      samplePerCentroid = 40)
     cosineDupPairsBlocked(df, cents, idCol, vecCol, threshold,
       math.min(probes, k))
   }

@@ -213,23 +213,47 @@ object Similarity {
     * test in AnnJoinSpec. k and iters are codebook-scale knobs, not
     * data-scale. */
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5): DataFrame = {
+      k: Int, iters: Int = 5, samplePerCentroid: Int = 0): DataFrame = {
     require(k >= 1 && iters >= 0)
     val spark = df.sparkSession
     import spark.implicits._
+    // samplePerCentroid > 0 bounds the TRAINING set at that many
+    // points per centroid via a deterministic hash sample (the
+    // standard IVF practice — Faiss clustering trains on ~39 points
+    // per centroid by default and subsamples anything larger): Lloyd's
+    // converges on cluster GEOMETRY, which a bounded sample already
+    // pins, so iterating over the full corpus buys nothing but
+    // iters × n × k routing cost. With the cap, training cost depends
+    // on k alone — at a corpus 100× bigger the codebook trains in the
+    // SAME time, and only the single final routing pass scales with n.
+    // 0 (the default) trains on everything — small corpora and callers
+    // that pinned expectations before this knob existed are
+    // bit-identical. The hash gate is a pure function of the id, so
+    // the sample — and the codebook — is reproducible across runs,
+    // partitionings, and engines.
+    val train =
+      if (samplePerCentroid <= 0) df
+      else {
+        val n = df.count()
+        val cap = samplePerCentroid.toLong * k
+        if (n <= cap) df
+        else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+          lit(cap * 1000000L / n))
+      }
     def local(cb: Seq[(Int, Seq[Double])]): DataFrame =
       cb.toDF("centroid_label", "cvec")
     // one scan: total order by (md5(id), id), first k rows — labels
     // 1..k in that hash order (what the old row_number produced)
     var codebook: Seq[(Int, Seq[Double])] =
-      df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
+      train.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
         .select(transform(col(vecCol), _.cast("double")))
         .collect().toSeq.zipWithIndex
         .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
     for (_ <- 1 to iters) {
-      // one scan: route every vector over the (broadcast-literal)
-      // codebook, aggregate k×dim bucket means, collect k rows
-      val next = centroids(assignNearest(df, local(codebook), idCol,
+      // one scan: route every training vector over the
+      // (broadcast-literal) codebook, aggregate k×dim bucket means,
+      // collect k rows
+      val next = centroids(assignNearest(train, local(codebook), idCol,
           vecCol), "assigned", vecCol)
         .collect()
         .map(r => r.get(0).asInstanceOf[Number].intValue() ->
