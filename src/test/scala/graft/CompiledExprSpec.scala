@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.{BucketCosineHits, CharClassMissCount}
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.queries.Tables
+
+/** Semantics pins for the two compiled hot-loop expressions added in
+  * round 6: BucketCosineHits must equal the
+  * `round(cosine_native, 4) >= threshold` filter it replaces, and
+  * CharClassMissCount must equal the `regexp_count(text, "[^…]")` it
+  * replaces — on exactly the inputs where a hand-rolled loop tends to
+  * diverge from the built-in (unicode width, astral codepoints, nulls,
+  * dimension mismatches, rounding boundaries).
+  */
+class CompiledExprSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder(cores = 4).getOrCreate()
+
+  // ---------------------------------------------------------------- text
+  test("char_class_miss_count == regexp_count on ascii/unicode/astral") {
+    import spark.implicits._
+    val allowed =
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 "
+    val rows = Seq(
+      "plain ascii words 123",
+      "punct, lots; of. it!",
+      "",
+      "    ",
+      "中文字符都算 miss",          // CJK: every non-space char is a miss
+      "emoji 😀 one",     // astral: ONE miss, not two UTF-16 units
+      "mixed ümläuts & dashes—here",
+      "\ttab\nnewline")
+    val df = rows.toDF("t")
+    val out = df.select(
+      CharClassMissCount.char_class_miss_count(col("t"), allowed)
+        .as("fast"),
+      regexp_count(col("t"), lit("[^A-Za-z0-9 ]")).as("regex"))
+    assert(out.filter(col("fast") =!= col("regex")).count() == 0,
+      out.collect().mkString("\n"))
+  }
+
+  test("char_class_miss_count: null in, null out; non-ascii set rejected") {
+    import spark.implicits._
+    val df = Seq(Option.empty[String], Some("a.b")).toDF("t")
+    val out = df.select(CharClassMissCount
+      .char_class_miss_count(col("t"), "ab").as("c")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getInt(0) == 1) // '.'
+    val bad = intercept[Exception] {
+      Seq("x").toDF("t").select(CharClassMissCount
+        .char_class_miss_count(col("t"), "aé")).collect()
+    }
+    assert(bad.getMessage.contains("ASCII"))
+  }
+
+  test("punctRatio (compiled) matches the regex formulation corpus-wide") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val regexRatio = when(length(col("text")) > 0,
+      regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double") /
+        length(col("text")).cast("double")).otherwise(lit(0.0))
+    val diff = docs.select(
+        TextAnalysis.punctRatio(col("text")).as("fast"),
+        regexRatio.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+  }
+
+  // ------------------------------------------------------------- vectors
+  test("bucket_cosine_hits == round(cosine,4) threshold filter, with " +
+      "rounding-boundary, mismatched-dim and null members") {
+    import spark.implicits._
+    // member 20 sits exactly on the .44995 boundary relative to the
+    // query: cos = 0.44995… must round HALF_UP to 0.45 and survive
+    val q = Seq(1.0f, 0.0f)
+    def atCos(c: Double): Seq[Float] =
+      Seq(c.toFloat, math.sqrt(1 - c * c).toFloat)
+    val members = Seq(
+      (10L, atCos(0.9)),            // clear hit
+      (20L, atCos(0.449951)),       // rounds up to 0.45 → hit
+      (30L, atCos(0.4494)),         // rounds to 0.4494 → miss
+      (40L, atCos(-0.2)),           // miss
+      (50L, Seq(1.0f, 0.0f, 0.0f)), // dim mismatch → dropped
+      (60L, Seq(0.0f, 0.0f)))       // zero norm → dropped
+    val df = Seq((q, members)).toDF("q", "members")
+    val hits = df.select(explode(BucketCosineHits
+        .bucket_cosine_hits(col("q"), col("members"), 0.45)).as("h"))
+      .select(col("h.id"), col("h.cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(hits.keySet == Set(10L, 20L))
+    assert(hits(20L) == 0.45)
+    // null query / null members → empty array, no rows
+    val nulls = Seq((Option.empty[Seq[Float]], Option(members)),
+        (Option(q), Option.empty[Seq[(Long, Seq[Float])]]))
+      .toDF("q", "members")
+    assert(nulls.select(explode(BucketCosineHits
+      .bucket_cosine_hits(col("q"), col("members"), 0.0))).count() == 0)
+  }
+
+  test("blocked pair set == exact baseline on the sf0.001 corpus " +
+      "(compiled loop end to end)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Dedup
+      .cosineDupPairsTrained(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == exact)
+  }
+
+  test("sampled codebook training: deterministic, and bit-identical to " +
+      "full training when the corpus fits the cap") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    // cap >= n → the sample IS the corpus → identical codebook
+    val full = Similarity.trainCodebook(emb, "vec_id", "embedding", 5, 2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    val capped = Similarity.trainCodebook(emb, "vec_id", "embedding", 5, 2,
+        samplePerCentroid = math.ceil(n.toDouble / 5).toInt + 1)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    assert(full == capped)
+    // cap < n → a real subsample: still k centroids, and two runs agree
+    val s1 = Similarity.trainCodebook(emb, "vec_id", "embedding", 5, 2,
+      samplePerCentroid = 2).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    val s2 = Similarity.trainCodebook(emb, "vec_id", "embedding", 5, 2,
+      samplePerCentroid = 2).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    assert(s1 == s2 && s1.size == 5)
+  }
+}
