@@ -78,7 +78,19 @@ object Bench {
     // failures stay visible per-query as -1 but must not subtract from
     // the headline total
     val total = medians.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"queries":${toJson(medians)},"queries_min":${toJson(mins)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"queries":${toJson(medians)},"queries_min":${toJson(mins)},"sf":"$sfDir"}"""
+    println(line)
+    // the single-line contract output is also written to a file: with
+    // 120+ queries the line runs past typical log-capture tail windows
+    // (the r6 driver artifact kept only the tail — head queries and the
+    // queries_min stat were lost), and a file survives truncation
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

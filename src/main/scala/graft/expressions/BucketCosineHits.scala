@@ -51,10 +51,21 @@ case class BucketCosineHits(left: Expression, right: Expression,
     case _ => new StructType()
   }
 
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("id", memberStruct.fields(0).dataType,
-      memberStruct.fields(0).nullable),
-    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  // total even while unresolved: error-reporting/plan-printing paths may
+  // consult dataType before checkInputDataTypes rejects a malformed
+  // right side, and fields(0) on the empty-struct fallback would throw
+  // IndexOutOfBounds there, masking the friendly TypeCheckFailure. A
+  // NullType id placeholder keeps those paths alive; checkInputDataTypes
+  // remains the sole rejection point.
+  override def dataType: DataType = {
+    val (idT, idN) = memberStruct.fields.headOption
+      .map(f => (f.dataType, f.nullable))
+      .getOrElse((NullType: DataType, true))
+    ArrayType(StructType(Seq(
+      StructField("id", idT, idN),
+      StructField("cos", DoubleType, nullable = false))),
+      containsNull = false)
+  }
 
   override def nullable: Boolean = false
 

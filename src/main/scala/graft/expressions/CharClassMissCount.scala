@@ -52,14 +52,27 @@ case class CharClassMissCount(child: Expression, allowed: String)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    // walk the UTF-8 BYTES directly — the allowed set is ASCII-only, so
+    // an ASCII byte (< 0x80) is one codepoint tested against the table
+    // and every other LEAD byte (>= 0xC0) is one non-ASCII codepoint =
+    // one miss; continuation bytes (0x80..0xBF) belong to an already
+    // counted codepoint and are skipped. This avoids the per-row
+    // java.lang.String materialization (char[] copy + UTF-8 decode) the
+    // old toString form paid in exactly the hot loop this expression
+    // exists to optimize. Spark strings are valid UTF-8, so lead/
+    // continuation classification is exhaustive.
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
     var i = 0
     var miss = 0
-    val n = s.length
     while (i < n) {
-      val cp = s.codePointAt(i)
-      if (cp >= 128 || !table(cp)) miss += 1
-      i += Character.charCount(cp)
+      val b = s.getByte(i)
+      if (b >= 0) { // 0x00..0x7F: ASCII codepoint
+        if (!table(b)) miss += 1
+      } else if ((b & 0xC0) != 0x80) { // lead byte of a multi-byte cp
+        miss += 1
+      }
+      i += 1
     }
     miss
   }

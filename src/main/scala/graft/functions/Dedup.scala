@@ -440,7 +440,7 @@ object Dedup {
     // trainCodebook): at targetBucket=128 that is ≤ 0.31·n training
     // rows, and the cut grows with the corpus
     val cents = Similarity.trainCodebook(df, idCol, vecCol, k, iters,
-      samplePerCentroid = 40)
+      samplePerCentroid = 40, knownN = n)
     cosineDupPairsBlocked(df, cents, idCol, vecCol, threshold,
       math.min(probes, k))
   }

@@ -213,7 +213,8 @@ object Similarity {
     * test in AnnJoinSpec. k and iters are codebook-scale knobs, not
     * data-scale. */
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5, samplePerCentroid: Int = 0): DataFrame = {
+      k: Int, iters: Int = 5, samplePerCentroid: Int = 0,
+      knownN: Long = -1L): DataFrame = {
     require(k >= 1 && iters >= 0)
     val spark = df.sparkSession
     import spark.implicits._
@@ -231,14 +232,27 @@ object Similarity {
     // bit-identical. The hash gate is a pure function of the id, so
     // the sample — and the codebook — is reproducible across runs,
     // partitionings, and engines.
+    // knownN lets a caller that just counted the corpus (e.g.
+    // Dedup.cosineDupPairsTrained sizing its codebook) hand the count in
+    // instead of paying a second full scan here.
     val train =
       if (samplePerCentroid <= 0) df
       else {
-        val n = df.count()
+        val n = if (knownN >= 0L) knownN else df.count()
         val cap = samplePerCentroid.toLong * k
         if (n <= cap) df
-        else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
-          lit(cap * 1000000L / n))
+        else {
+          val sampled = df.filter(
+            pmod(xxhash64(col(idCol)), lit(1000000L)) <
+              lit(cap * 1000000L / n))
+          // the Bernoulli hash-sample has the right EXPECTED size but no
+          // lower bound: with a small samplePerCentroid the realization
+          // can hold fewer than k rows, which would silently seed (and
+          // return) a codebook with fewer than k centroids. Count the
+          // realization (id-only scan) and fall back to the full corpus
+          // when it cannot seat k seeds.
+          if (sampled.select(col(idCol)).count() >= k) sampled else df
+        }
       }
     def local(cb: Seq[(Int, Seq[Double])]): DataFrame =
       cb.toDF("centroid_label", "cvec")

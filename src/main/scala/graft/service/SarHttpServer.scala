@@ -96,6 +96,10 @@ class SarHttpServer(tenants: SarTenants, port: Int = 0,
         val segs = path.drop(prefix.length).split("/").filter(_.nonEmpty)
         val q = parseQuery(ex.getRequestURI.getRawQuery)
         (ex.getRequestMethod, segs.toList) match {
+          // liveness probe, outside the bearer gate (api/main.py:458-460
+          // declares no auth dependency — a load balancer hits it cold)
+          case ("GET", List("health")) =>
+            json(ex, 200, ListMap("status" -> "ok"))
           // the one route outside the bearer gate (api/main.py:68-73)
           case ("POST", List("token")) if auth.isDefined =>
             val a = auth.get

@@ -285,6 +285,10 @@ class SarHttpServerSpec extends AnyFunSuite {
       (s, b)
     }
     try {
+      // /health answers unauthenticated even with the bearer gate on
+      // (api/main.py:458-460 — the liveness probe a load balancer hits)
+      assert(withTok("GET", "/health", "") == (200, """{"status":"ok"}"""))
+
       // no token → 401 + WWW-Authenticate challenge
       val conn = new java.net.URL(s"$root/files").openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
