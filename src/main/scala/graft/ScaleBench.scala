@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scale-stress harness (VERDICT r5 punch item #1): runs the heaviest
   * registered query chains against ScaleGen corpora at increasing row
@@ -41,12 +42,14 @@ object ScaleBench {
     "q_minhash_lsh",          // banding; the hot cluster lands here
     "q_ngram_jaccard",        // direct shingle-hash join
     "q_ngram_jaccard_prefix", // PPJoin prefix filter
+    "q_ngram_dedup",          // star-edge loser-set anti-join
     "q_simhash_neardup",      // block-permutation Hamming join
     "q_repeated_spans",       // Lee et al. k-gram spans
     "q_dedup_ledger",         // exact-key ledger anti-join
     "q_neardup_ledger",       // band ledger anti-join
     "q_dedup_cosine_blocked", // trained IVF blocking
     "q_semantic_dedup",       // SemDeDup: train + blocked pair graph
+    "q_semantic_dedup_amortized", // SemDeDup over a persisted codebook
     "q_ivf_search",           // IVF build + pruned probe
     "q_ivfpq_search",         // IVFADC end-to-end
     "q_knn_cosine",           // brute top-k (queries fixed, corpus grows)
@@ -54,22 +57,58 @@ object ScaleBench {
     "q_quality_select",       // per-group quantile selection
     "q_top_ngrams")           // boilerplate mining (df-agg)
 
+  /** Streaming faces (VERDICT r6 item 8): the documents corpus replayed
+    * through a file-source stream in four micro-batches, driven to
+    * completion against the noop sink — measures that the
+    * watermark-bounded state claims hold empirically (state per
+    * distinct key / per band bucket with the 64-member cap, never per
+    * pair). Names start with `s_` and dispatch outside SparkEntry. */
+  val StreamChains: Seq[String] = Seq(
+    "s_curate_stream",        // stateless gate + watermarked exact dedup
+    "s_neardup_stream")       // per-bucket LSH state, capped membership
+
   def main(args: Array[String]): Unit = {
     val outJson = args(0)
     val dirs = args.drop(1).toSeq
     require(dirs.size >= 2, "need at least two scale dirs")
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-      .map(_.split(",").toSeq).getOrElse(HeavyChains)
-      .filter(SparkEntry.queries.contains)
+      .map(_.split(",").toSeq).getOrElse(HeavyChains ++ StreamChains)
+      .filter(n => SparkEntry.queries.contains(n) || n.startsWith("s_"))
 
     val spark = GraftSession.get()
 
+    /** Replay the documents table as a bounded stream (4 micro-batches
+      * via maxFilesPerTrigger so the watermark actually advances and
+      * evicts state mid-run) and drain it to the noop sink. Event time
+      * is doc_id-derived (100 docs/second), deterministic at any scale. */
+    def execStream(name: String, dir: String): Unit = {
+      import graft.streaming.SarStreaming
+      val src = s"$dir/documents.parquet"
+      val schema = spark.read.parquet(src).schema
+      val files = spark.read.parquet(src).inputFiles.length
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", math.max(1, files / 4))
+        .parquet(src)
+        .withColumn("ts",
+          timestamp_seconds(lit(1600000000L) + col("doc_id") / lit(100)))
+      val out = name match {
+        case "s_curate_stream" =>
+          SarStreaming.curateStream(docs, "text", "ts")
+        case "s_neardup_stream" =>
+          SarStreaming.nearDupCandidates(docs, "doc_id", "text", "ts").toDF()
+        case other => throw new IllegalArgumentException(other)
+      }
+      val q = out.writeStream.outputMode("append").format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
     def exec(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
-        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        if (name.startsWith("s_")) execStream(name, dir)
+        else SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")

@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Single-query slice of [[Verify]] for local iteration: writes one
+  * query's result parquet + its oracle SQL so tools/local_verify.py
+  * --no-run --only=<q> can diff it without re-running all 120+. */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, name) = args.take(3)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/$name")
+    val sql = SparkEntry.oracleSql(name).replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      s"""{"$name": "$sql"}""")
+    spark.stop()
+  }
+}

@@ -298,6 +298,38 @@ object Dedup {
     }
   }
 
+  /** Sampled QUALIFY density of the Jaccard self-join: the fraction of
+    * candidate pairs (≥ 1 shared shingle) that actually clear the
+    * threshold, measured by running the direct join on the SAME
+    * 1/`slices` deterministic doc slice [[jaccardCandidateBlowup]]
+    * probes. Slicing docs keeps both counts pair-level-within-slice —
+    * a duplicate cluster of m docs keeps ~m/slices members, so
+    * qualifying and candidate pairs shrink by the same ~1/slices²
+    * factor and their RATIO estimates the full-corpus density without
+    * debiasing. The probe's join costs ~1/slices² of the real join's
+    * candidate work — the price of measuring instead of guessing.
+    * Returns 0.0 when the slice has no candidate pairs. */
+  def jaccardQualifyDensity(df: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, threshold: Double = 0.8,
+      slices: Int = 16): Double = {
+    val sh = docShingles(
+        df.filter(pmod(xxhash64(col(idCol)), lit(slices.toLong)) === 0L),
+        textCol, idCol, n)
+      .select(col(idCol), xxhash64(col("sh")).as("sh"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val a = sh.toDF("a", "sh", "sza")
+    val b = sh.toDF("b", "sh", "szb")
+    val agg = a.join(b, Seq("sh")).filter(col("a") < col("b"))
+      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("cand"),
+        count(when(round(col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double"), 4)
+          >= threshold, 1)).as("qual"))
+      .head()
+    if (agg.getLong(0) == 0L) 0.0
+    else agg.getLong(1).toDouble / agg.getLong(0).toDouble
+  }
+
   /** Cost-dispatched Jaccard join, on MEASURED candidate blowup rather
     * than doc count (doc count was the r2 signal and the r3 calibration
     * disproved it: the direct join won at every corpus size tried —
@@ -309,19 +341,116 @@ object Dedup {
     * ahead at both), so the default crossover is set at 32 — the
     * heavy-tailed regime (hot shingles driving C/S ≫ 10 with result
     * pairs still sparse) is where the prefix filter's pruning pays for
-    * its extra passes. Caveat, measured: a corpus DENSE in true
-    * near-dups (the 80k replica test: 604k qualifying pairs) favors the
-    * direct join regardless of C/S, because no filter can prune true
-    * pairs — callers who know their corpus is dup-dense should call
-    * [[jaccardPairs]] directly. Both paths are result-identical —
-    * oracle-verified against the same SQL. */
+    * its extra passes.
+    *
+    * Candidate blowup alone is NOT a sufficient signal — the r6
+    * scale-stress run proved it: a corpus DENSE in true near-dups
+    * drives C/S ≫ 32 through exactly the shingles its duplicate
+    * cliques share, auto picked prefix, and prefix LOST to the direct
+    * join it exists to beat (176 s vs 123 s at 500k docs) because no
+    * filter can prune pairs that genuinely qualify. So past the blowup
+    * crossover the dispatcher now also measures QUALIFY density on the
+    * same doc slice ([[jaccardQualifyDensity]]): when more than
+    * `densityLimit` of candidate pairs clear the threshold, the
+    * candidate set is substantially irreducible output and the direct
+    * join's fewer passes win — dup-dense corpora route back to
+    * direct. The crossover is calibrated between the two measured
+    * regimes: 25-replica cliques (direct's territory) measure 0.020,
+    * corpus-wide appended boilerplate with sub-threshold pairs
+    * (prefix's territory) measures 0.0015 — 0.005 sits between them
+    * with ~4× margin each way.
+    * Both paths are result-identical — oracle-verified against the
+    * same SQL. */
+  /** The dispatch decision alone — package-visible so specs can assert
+    * WHICH branch a corpus routes to without timing anything. */
+  private[graft] def jaccardAutoPicksPrefix(df: DataFrame, textCol: String,
+      idCol: String, n: Int, threshold: Double, blowupLimit: Double,
+      densityLimit: Double): Boolean =
+    jaccardCandidateBlowup(df, textCol, idCol, n) > blowupLimit &&
+      jaccardQualifyDensity(df, textCol, idCol, n, threshold) < densityLimit
+
   def jaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      blowupLimit: Double = 32.0): DataFrame = {
-    val blowup = jaccardCandidateBlowup(df, textCol, idCol, n)
-    if (blowup <= blowupLimit) jaccardPairs(df, textCol, idCol, n, threshold)
-    else jaccardPairsPrefix(df, textCol, idCol, n, threshold)
+      blowupLimit: Double = 32.0,
+      densityLimit: Double = 0.005): DataFrame =
+    if (jaccardAutoPicksPrefix(df, textCol, idCol, n, threshold,
+        blowupLimit, densityLimit))
+      jaccardPairsPrefix(df, textCol, idCol, n, threshold)
+    else jaccardPairs(df, textCol, idCol, n, threshold)
+
+  /** LOSER ids of the exact n-gram Jaccard near-dup relation — every id
+    * that is the GREATER element of at least one qualifying (J ≥
+    * `threshold`) pair; `df.join(result, …, "left_anti")` is greedy
+    * near-dup removal with exactly [[jaccardPairs]]' pair semantics
+    * ([[dropJaccardDups]] wraps that). The star-edge contract of
+    * [[lshBucketMinEdges]] brought to the exact-Jaccard path: the
+    * OUTPUT is one row per loser id — Θ(docs), never Θ(pairs) — so
+    * dedup-decision consumers stay linear even when the qualifying
+    * pair set itself is quadratic (a clique of m mutual near-dups is m
+    * loser rows here vs m·(m−1)/2 rows from the pair join).
+    *
+    * Two-tier construction, exact by case split on a doc's smallest
+    * qualifying partner y < x:
+    *
+    *   1. **Identical-set compression**: docs are grouped by a digest
+    *      of their full sorted shingle-hash set; J = 1 within a group,
+    *      so every non-minimum member is a loser via its group minimum
+    *      (the representative) — m−1 rows per m-group with NO join at
+    *      all. The dominant dup shape in real corpora (mirrored
+    *      crawls, identical re-uploads) never touches the pair join.
+    *   2. **Representative-level direct join**: J depends only on the
+    *      shingle SET, so cross-group qualifying pairs are decided
+    *      once per (repA, repB); a rep x is a loser iff some
+    *      qualifying rep pair has a smaller rep on the other side —
+    *      and a non-rep member is covered by case 1 (its rep is
+    *      already a smaller J = 1 partner). The per-candidate
+    *      intersection counting runs over DISTINCT shingle sets, and
+    *      its output feeds a map-side-combined groupBy(b) — the pair
+    *      list is never shuffled or materialized.
+    *
+    * Soundness/completeness: x is a loser ⟺ ∃ y < x with J(x,y) ≥ t.
+    * If x is not its group's rep, its rep r < x has J = 1 ≥ t (case
+    * 1). If x IS a rep, any qualifying partner y lies in a group Y
+    * with J(X,Y) ≥ t and min(Y) ≤ y, so a smaller partner exists iff
+    * min(Y) = rep(Y) < x — exactly the (rep(Y), x) rep pairs case 2
+    * emits. */
+  def jaccardLosers(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = docShingles(df, textCol, idCol, n)
+      .select(col(idCol), xxhash64(col("sh")).as("sh"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("sh"))).as("shs"))
+      .select(col(idCol), col("shs"),
+        md5(array_join(transform(col("shs"), _.cast("string")), ","))
+          .as("dig"))
+    val groups = sets.groupBy("dig").agg(min(col(idCol)).as("rep"))
+    val withRep = sets.join(groups, Seq("dig"))
+    val identicalLosers = withRep.filter(col(idCol) =!= col("rep"))
+      .select(col(idCol).as("b"))
+    val repSh = withRep.filter(col(idCol) === col("rep"))
+      .select(col("rep"), size(col("shs")).as("sz"),
+        explode(col("shs")).as("sh"))
+    val a = repSh.toDF("a", "sza", "sh")
+    val b = repSh.toDF("b", "szb", "sh")
+    val repLosers = a.join(b, Seq("sh")).filter(col("a") < col("b"))
+      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("common"))
+      .filter(round(col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double"), 4)
+        >= threshold)
+      .select(col("b"))
+    identicalLosers.unionByName(repLosers).distinct()
   }
+
+  /** Greedy exact-Jaccard near-dup removal: drop every doc that is the
+    * higher id of a qualifying pair ([[jaccardLosers]]); survivors are
+    * docs with no smaller qualifying partner. Same greedy contract as
+    * [[graft.functions.Curation.dropNearDups]] (per-pair local —
+    * survival never depends on whether the lower partner survived),
+    * with the exact J ≥ t relation instead of the LSH approximation. */
+  def dropJaccardDups(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame =
+    df.join(jaccardLosers(df, textCol, idCol, n, threshold)
+      .withColumnRenamed("b", idCol), Seq(idCol), "left_anti")
 
   /** Embedding-cosine near-duplicate pairs, centroid-blocked — the scale
     * path and the default: route both sides through multi-probe IVF
@@ -345,7 +474,9 @@ object Dedup {
     * √n distinct keys parallelize at any corpus size and minimize
     * Σ bucket² candidate work. */
   def cosineDupPairsBlocked(df: DataFrame, cents: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, probes: Int = 2): DataFrame = {
+      vecCol: String, threshold: Double, probes: Int = 2,
+      chunkSize: Int = 4096): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be positive: $chunkSize")
     // ASYMMETRIC probe join — the canonical IVF range-search shape:
     // every vector RESIDES in exactly its top-1 bucket and PROBES its
     // `probes` nearest buckets, so a pair surfaces when either side's
@@ -367,9 +498,10 @@ object Dedup {
     // memory traffic, 90 s at 200k vectors); an HOF
     // filter(transform(members, …)) allocated a struct per candidate
     // through interpreted lambda eval (slower still — measured). This
-    // form packs each RESIDENCE bucket into ONE row (collect_list of
-    // (id, vec) — ≤ targetBucket members by construction) and joins
-    // probe rows against that: the join emits n·probes rows, and the
+    // form packs each RESIDENCE bucket into chunked rows of at most
+    // `chunkSize` members (k sizes only the MEAN bucket; the max is
+    // unbounded under skew) and joins probe rows against them: the
+    // join emits n·probes·(chunks per probed bucket) rows, and the
     // per-candidate work runs as three fused primitive loops inside
     // the compiled BucketCosineHits expression — a loop iteration, not
     // a row, not an interpreted lambda. Only SURVIVORS (true
@@ -392,16 +524,48 @@ object Dedup {
     // same rounded `cos` and distinct() collapses it. Self-hits
     // (cos≈1, same id on both sides) fall to the a =!= id filter at
     // survivor scale.
+    // Packed-row bounds (the r6 advisor finding): collect_list per
+    // bucket pins the MEAN bucket at targetBucket but nothing bounds
+    // the max — a hot centroid or a pile of identical vectors packs one
+    // giant array into a single row (2 GB row limit / OOM, where the
+    // old row-per-candidate plans merely spilled). Buckets therefore
+    // pack into CHUNKS of at most `chunkSize` members (deterministic:
+    // id-ordered row_number within the bucket), the per-bucket chunk
+    // count rides a tiny bucket-keyed aggregate, and each probe row
+    // joins every chunk of its probed bucket — each chunk is scanned
+    // independently, so the candidate set (and the result) is exactly
+    // the unchunked one. At the default 4096·(dim≈256 floats) a packed
+    // row tops out ~4 MB. Normal buckets (mean targetBucket=128) stay
+    // single-chunk: the counts frame is k rows and the explode emits
+    // one chunk id, so the common case pays one extra keyed join on an
+    // exchange it already shares.
+    //
+    // Member norms are precomputed INTO the packed struct (element-
+    // order fold = bit-identical to the in-loop accumulation it
+    // replaces — see BucketCosineHits): the per-candidate inner loop
+    // drops from two fused accumulators (dot + Σy²) to one, halving
+    // the multiplies on the probes·bucket·n candidate volume for one
+    // n-scale pack-time pass.
     val routed = Similarity.assignTopK(df, cents, idCol, vecCol, probes)
       .select(col(idCol).as("a"),
         posexplode(col("probe_buckets")).as(Seq("pos", "bucket")),
         col(vecCol).as("__va"))
       .repartition(col("bucket"))
-    val packed = routed.filter(col("pos") === 0)
-      .groupBy("bucket")
-      .agg(collect_list(struct(col("a").as("id"), col("__va").as("v")))
-        .as("members"))
-    routed.join(packed, Seq("bucket"))
+    val res = routed.filter(col("pos") === 0)
+    val counts = res.groupBy("bucket")
+      .agg(ceil(count(lit(1)).cast("double") / chunkSize).cast("int")
+        .as("__nchunks"))
+    val packed = res
+      .withColumn("__chunk",
+        ((row_number().over(Window.partitionBy(col("bucket"))
+          .orderBy(col("a"))) - 1) / chunkSize).cast("int"))
+      .groupBy("bucket", "__chunk")
+      .agg(collect_list(struct(col("a").as("id"), col("__va").as("v"),
+        Similarity.norm(col("__va")).as("nrm"))).as("members"))
+    routed.join(counts, Seq("bucket"))
+      .select(col("a"), col("bucket"), col("__va"),
+        explode(sequence(lit(0), col("__nchunks") - 1)).as("__chunk"))
+      .join(packed, Seq("bucket", "__chunk"))
       .select(col("a"), explode(
         graft.expressions.BucketCosineHits.bucket_cosine_hits(
           col("__va"), col("members"), threshold)).as("hit"))
@@ -433,16 +597,12 @@ object Dedup {
     // at the price of a larger codebook (routing is broadcast compute,
     // no shuffle; training runs on a 40·k-point sample, so its cost is
     // k-scale, not n-scale, and amortizes further via IvfStore).
-    val n = df.count()
-    val k = math.max(Similarity.codebookSize(n),
-      math.min(65536L, n / math.max(1, targetBucket)).toInt)
     // train on ≤40 points per centroid (Faiss-style, see
     // trainCodebook): at targetBucket=128 that is ≤ 0.31·n training
     // rows, and the cut grows with the corpus
-    val cents = Similarity.trainCodebook(df, idCol, vecCol, k, iters,
-      samplePerCentroid = 40, knownN = n)
+    val cents = dupCodebook(df, idCol, vecCol, iters, targetBucket)
     cosineDupPairsBlocked(df, cents, idCol, vecCol, threshold,
-      math.min(probes, k))
+      math.min(probes, cents.count().toInt))
   }
 
   /** Exact all-pairs embedding near-dup baseline: every (a<b) pair with
@@ -544,6 +704,44 @@ object Dedup {
     val pairs =
       if (exact) cosineDupPairsExact(df, idCol, vecCol, threshold)
       else cosineDupPairsTrained(df, idCol, vecCol, threshold, probes, iters)
+    semanticLabel(df, idCol, pairs)
+  }
+
+  /** [[semanticDedup]] with a PRE-TRAINED codebook — the amortized
+    * production path. The in-query variant spends most of its scale-run
+    * constant on Lloyd's training (measured: ~all of the 500k-stress
+    * time that isn't the pair join), which a real pipeline pays ONCE
+    * and reuses across every dedup/search/curation pass via a persisted
+    * codebook ([[graft.sources.IvfStore]]). Pass the codebook
+    * [[dupCodebook]] trains (or any codebook of the same geometry) and
+    * the output is IDENTICAL to [[semanticDedup]] — training is
+    * deterministic, so codebook reuse cannot change the pair graph. */
+  def semanticDedupWithCodebook(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, cents: DataFrame,
+      probes: Int = 20): DataFrame = {
+    val k = cents.count().toInt
+    semanticLabel(df, idCol, cosineDupPairsBlocked(df, cents, idCol,
+      vecCol, threshold, math.min(probes, k)))
+  }
+
+  /** The codebook [[cosineDupPairsTrained]] trains for this corpus —
+    * exposed so amortizing callers can persist it once and hand it to
+    * [[semanticDedupWithCodebook]] / [[cosineDupPairsBlocked]] on every
+    * later pass. */
+  def dupCodebook(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 5, targetBucket: Int = 128): DataFrame = {
+    val n = df.count()
+    val k = math.max(Similarity.codebookSize(n),
+      math.min(65536L, n / math.max(1, targetBucket)).toInt)
+    Similarity.trainCodebook(df, idCol, vecCol, k, iters,
+      samplePerCentroid = 40, knownN = n)
+  }
+
+  /** Shared tail of the SemDeDup variants: component labels over the
+    * pair graph, every input id labeled (singletons label themselves),
+    * keep = component minimum. */
+  private def semanticLabel(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val clusters = duplicateClusters(pairs)
       .withColumnRenamed("node", idCol)
     df.select(col(idCol))

@@ -41,6 +41,26 @@ object LlmQueries extends QueryPack {
         WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) >= 0.8
         ORDER BY a, b"""
 
+  /** Shared oracle for both declared SemDeDup paths (in-query training
+    * and amortized persisted codebook): exact connected components of
+    * the cosine ≥ 0.45 pair graph — identical result sets, so
+    * identical SQL. */
+  private lazy val semanticDedupSql =
+    s"""WITH RECURSIVE p AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round(${cosSqlD("a.embedding", "b.embedding")}, 4) >= 0.45),
+        e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        r AS (SELECT src AS node, src AS reach FROM e
+              UNION
+              SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
+        lab AS (SELECT node, min(reach) AS cluster FROM r GROUP BY node)
+        SELECT v.vec_id, coalesce(lab.cluster, v.vec_id) AS cluster,
+          CAST(CASE WHEN lab.cluster IS NULL OR lab.cluster = v.vec_id
+            THEN 1 ELSE 0 END AS INT) AS keep
+        FROM embeddings v LEFT JOIN lab ON v.vec_id = lab.node
+        ORDER BY v.vec_id"""
+
   /** Shared oracle for both declared cosine-dedup paths (exact and
     * centroid-blocked): identical result sets, so identical SQL. */
   private val cosineDupSql =
@@ -179,6 +199,30 @@ object LlmQueries extends QueryPack {
           "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy("a", "b")
     }, Some(jaccardSql)),
+
+    // greedy exact-Jaccard dedup via the star-edge loser set
+    // (Dedup.jaccardLosers): anti-join semantics, output Θ(docs) even
+    // when the qualifying pair set is quadratic — the dedup-consumer
+    // scale path the pair-listing queries above can't be
+    QueryDef("q_ngram_dedup", (s, dir) => {
+      Dedup.dropJaccardDups(Tables.load(s, dir, "documents"),
+          "text", "doc_id", n = 3, threshold = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH $shingleCte,
+          sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          c AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          losers AS (SELECT DISTINCT c.b
+                FROM c JOIN sz sa ON c.a = sa.doc_id
+                       JOIN sz sb ON c.b = sb.doc_id
+                WHERE round(CAST(common AS DOUBLE) /
+                  (sa.sz + sb.sz - common), 4) >= 0.8)
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT b FROM losers)
+          ORDER BY doc_id""")),
 
     // ---- MinHash + LSH banding --------------------------------------
     QueryDef("q_minhash_lsh", (s, dir) => {
@@ -499,21 +543,24 @@ object LlmQueries extends QueryPack {
       Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.45)
         .orderBy("vec_id")
-    }, Some(
-      s"""WITH RECURSIVE p AS (
-            SELECT a.vec_id AS a, b.vec_id AS b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(${cosSqlD("a.embedding", "b.embedding")}, 4) >= 0.45),
-          e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-          r AS (SELECT src AS node, src AS reach FROM e
-                UNION
-                SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
-          lab AS (SELECT node, min(reach) AS cluster FROM r GROUP BY node)
-          SELECT v.vec_id, coalesce(lab.cluster, v.vec_id) AS cluster,
-            CAST(CASE WHEN lab.cluster IS NULL OR lab.cluster = v.vec_id
-              THEN 1 ELSE 0 END AS INT) AS keep
-          FROM embeddings v LEFT JOIN lab ON v.vec_id = lab.node
-          ORDER BY v.vec_id""")),
+    }, Some(semanticDedupSql)),
+
+    // the AMORTIZED SemDeDup path (VERDICT r6 item 7): identical output
+    // — same geometry codebook, deterministic training — but the
+    // codebook persists under a jvm-scoped dir on first use and later
+    // passes (bench repetitions here; every subsequent pipeline run in
+    // production) skip Lloyd's training entirely. Same oracle SQL as
+    // q_semantic_dedup: the result sets must hash-match each other.
+    QueryDef("q_semantic_dedup_amortized", (s, dir) => {
+      import graft.sources.IvfStore
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = TempIndexDirs.jvmScoped("graft_semdedup", dir)
+      val cents = IvfStore.codebookCached(s, path)(
+        Dedup.dupCodebook(emb, "vec_id", "embedding"))
+      Dedup.semanticDedupWithCodebook(emb, "vec_id", "embedding",
+          threshold = 0.45, cents, probes = 20)
+        .orderBy("vec_id")
+    }, Some(semanticDedupSql)),
 
     // ---- unigram LM cross-entropy (perplexity-proxy quality) --------
     // train on the doc_id % 3 != 0 split, score the WHOLE corpus. The

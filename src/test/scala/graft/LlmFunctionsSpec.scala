@@ -57,6 +57,52 @@ class LlmFunctionsSpec extends AnyFunSuite {
       key(Dedup.jaccardPairs(heavy, "text", "doc_id", 3, 0.8)))
   }
 
+  test("density dispatch: dup-dense corpora route to direct past the " +
+      "blowup crossover; sparse heavy-tail corpora still route to prefix") {
+    // 25 identical replicas per doc: every shingle frequency ×25 puts
+    // C/S far past the crossover, but most candidate pairs QUALIFY
+    // (replica cliques) — the r6 regime where prefix lost to direct
+    val dense = docs.crossJoin(spark.range(0, 25).toDF("r"))
+      .selectExpr("doc_id * 100 + r AS doc_id", "text")
+    assert(Dedup.jaccardCandidateBlowup(dense, "text", "doc_id") > 32.0)
+    assert(Dedup.jaccardQualifyDensity(dense, "text", "doc_id") > 0.005)
+    assert(!Dedup.jaccardAutoPicksPrefix(dense, "text", "doc_id", 3, 0.8,
+      32.0, 0.005))
+    // boilerplate on EVERY doc: same blowup signal, but pairs stay
+    // below threshold — candidates prune, prefix is the right branch
+    val boiler = (1 to 60).map(i => s"boiler$i").mkString(" ")
+    val heavy = docs.select(col("doc_id"),
+      concat(col("text"), lit(" " + boiler)).as("text"))
+    assert(Dedup.jaccardQualifyDensity(heavy, "text", "doc_id") < 0.005)
+    assert(Dedup.jaccardAutoPicksPrefix(heavy, "text", "doc_id", 3, 0.8,
+      32.0, 0.005))
+  }
+
+  test("jaccardLosers equals the pair-derived loser set; identical docs " +
+      "collapse through set-digest compression") {
+    val pairLosers = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
+      .select("b").distinct().collect().map(_.getLong(0)).toSet
+    val losers = Dedup.jaccardLosers(docs, "text", "doc_id", 3, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(losers == pairLosers && losers.nonEmpty)
+    val kept = Dedup.dropJaccardDups(docs, "text", "doc_id", 3, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- losers)
+
+    // identical-text piles: 4 groups of 10 byte-identical docs, J = 1
+    // within, J = 4/6 < 0.8 across — losers are exactly the 36 non-min
+    // members, produced by the digest tier without any pair join
+    val pile = spark.range(0, 40).selectExpr("id AS doc_id",
+      "concat('alpha beta gamma delta epsilon zeta w', id % 4) AS text")
+    val pileLosers = Dedup.jaccardLosers(pile, "text", "doc_id", 3, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(pileLosers == (4L until 40L).toSet)
+    val pilePairLosers = Dedup.jaccardPairs(pile, "text", "doc_id", 3, 0.8)
+      .select("b").distinct().collect().map(_.getLong(0)).toSet
+    assert(pileLosers == pilePairLosers)
+  }
+
   test("jaccard joins leave nothing cached and reuse the self-join exchange") {
     docs.count() // materialize the spec's own cache before the snapshot
     val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -329,6 +375,22 @@ class LlmFunctionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
       .toMap
     assert(trained == got)
+  }
+
+  test("semanticDedupWithCodebook == semanticDedup given the codebook " +
+      "dupCodebook trains (the amortized path changes nothing)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val inQuery = key(Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.45))
+    // training is deterministic, so a separately trained codebook is
+    // the codebook the in-query path used — reuse MUST be a no-op on
+    // the output (the whole point of persisting it via IvfStore)
+    val cents = Dedup.dupCodebook(emb, "vec_id", "embedding")
+    val amortized = key(Dedup.semanticDedupWithCodebook(emb, "vec_id",
+      "embedding", threshold = 0.45, cents))
+    assert(amortized == inQuery && inQuery.nonEmpty)
   }
 
   test("vector simhash: near-dup pairs land close in hamming distance") {
