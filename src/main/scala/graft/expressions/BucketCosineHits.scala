@@ -75,9 +75,16 @@ case class BucketCosineHits(left: Expression, right: Expression,
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
+    // 2-field form: (id, vec) — norms re-accumulated per candidate;
+    // 3-field form: (id, vec, norm double) — the norm precomputed ONCE
+    // per member at pack time (element-order fold, bit-identical to the
+    // in-loop accumulation), halving the inner loop's multiplies for
+    // the probes·bucket·n candidate volume
     val membersOk = right.dataType match {
       case ArrayType(s: StructType, _) if s.fields.length == 2 =>
         vecOk(s.fields(1).dataType)
+      case ArrayType(s: StructType, _) if s.fields.length == 3 =>
+        vecOk(s.fields(1).dataType) && s.fields(2).dataType == DoubleType
       case _ => false
     }
     if (vecOk(left.dataType) && membersOk)
@@ -85,7 +92,7 @@ case class BucketCosineHits(left: Expression, right: Expression,
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "bucket_cosine_hits needs (float/double array, " +
-          "array<struct<id, float/double array>>), got " +
+          "array<struct<id, float/double array[, norm double]>>), got " +
           s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
@@ -110,6 +117,9 @@ case class BucketCosineHits(left: Expression, right: Expression,
       if (m == null) null else m.asInstanceOf[ArrayData])
   }
 
+  @transient private lazy val memberFields: Int = memberStruct.fields.length
+  @transient private lazy val hasNormField: Boolean = memberFields == 3
+
   /** Public so generated code can invoke it via a plan reference. */
   def hits(q: ArrayData, members: ArrayData): ArrayData = {
     if (q == null || members == null) return new GenericArrayData(Array.empty[Any])
@@ -128,35 +138,54 @@ case class BucketCosineHits(left: Expression, right: Expression,
     var c = 0
     while (c < nm) {
       if (!members.isNullAt(c)) {
-        val row = members.getStruct(c, 2)
+        val row = members.getStruct(c, memberFields)
         val v = row.getArray(1)
         if (v != null && v.numElements() == dim) {
-          var dot = 0.0; var nb = 0.0
-          var j = 0
-          while (j < dim) {
-            val y = if (memberIsFloat) v.getFloat(j).toDouble
-              else v.getDouble(j)
-            dot += qv(j) * y; nb += y * y
-            j += 1
-          }
-          val denom = qNorm * math.sqrt(nb)
-          if (denom != 0.0) {
-            val raw = dot / denom
-            if (raw >= rawGate) {
-              val rounded = BigDecimal(raw)
-                .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
-                .toDouble
-              if (rounded >= threshold) {
-                val id = InternalRow.copyValue(row.get(0, idType))
-                out.add(new GenericInternalRow(Array[Any](id, rounded)))
-              }
+          // 3-field packs carry √Σy² precomputed (same element-order
+          // fold — bit-identical denominator); 2-field packs pay the
+          // second accumulator per candidate as before
+          if (hasNormField && !row.isNullAt(2)) {
+            var dot = 0.0
+            var j = 0
+            while (j < dim) {
+              val y = if (memberIsFloat) v.getFloat(j).toDouble
+                else v.getDouble(j)
+              dot += qv(j) * y
+              j += 1
             }
+            emit(out, row, qNorm * row.getDouble(2), dot)
+          } else {
+            var dot = 0.0; var nb = 0.0
+            var j = 0
+            while (j < dim) {
+              val y = if (memberIsFloat) v.getFloat(j).toDouble
+                else v.getDouble(j)
+              dot += qv(j) * y; nb += y * y
+              j += 1
+            }
+            emit(out, row, qNorm * math.sqrt(nb), dot)
           }
         }
       }
       c += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  private def emit(out: java.util.ArrayList[Any], row: InternalRow,
+      denom: Double, dot: Double): Unit = {
+    if (denom != 0.0) {
+      val raw = dot / denom
+      if (raw >= rawGate) {
+        val rounded = BigDecimal(raw)
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+        if (rounded >= threshold) {
+          val id = InternalRow.copyValue(row.get(0, idType))
+          out.add(new GenericInternalRow(Array[Any](id, rounded)))
+        }
+      }
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -13,11 +13,22 @@ import org.apache.spark.sql.types._
   * matrix in label-sorted position order, per-centroid norms precomputed
   * at broadcast time (element-order accumulation, so sqrt(na)·norms(c)
   * is bit-identical to the per-pair sqrt(na)·sqrt(nb)), and the centroid
-  * labels as Catalyst values in the same position order. */
+  * labels as Catalyst values in the same position order.
+  *
+  * The three optional `coarse*` fields carry a TWO-LEVEL routing
+  * structure (built by Similarity.broadcastCodebook once k crosses its
+  * hierarchical threshold): `coarse` is a k₁×dim matrix of coarse
+  * centroids over the fine centroids themselves, `coarseNorms` their
+  * norms, and `cellMembers(j)` the fine-centroid positions assigned to
+  * coarse cell j. All three null ⇒ flat scoring (bit-identical to every
+  * pre-hierarchy release). */
 final case class CodebookData(
     matrix: Array[Array[Double]],
     norms: Array[Double],
-    labels: Array[Any]) extends Serializable
+    labels: Array[Any],
+    coarse: Array[Array[Double]] = null,
+    coarseNorms: Array[Double] = null,
+    cellMembers: Array[Array[Int]] = null) extends Serializable
 
 /** Top-`probes` centroid labels for a vector, scored against a BROADCAST
   * codebook — the scale form of IVF routing (Similarity.assignNearest /
@@ -36,7 +47,22 @@ final case class CodebookData(
   * (numeric labels numerically — IvfStore.probeBuckets mirrors this
   * driver-side). A null input vector scores −2.0 everywhere, yielding
   * the first `probes` positions, exactly like the coalesced fold.
-  */
+  *
+  * TWO-LEVEL scoring (the n·k routing wall): a flat scan pays k·dim
+  * multiplies per vector, and with the dedup codebook sized n/128 that
+  * is n²·dim/128 across the corpus — the measured quadratic term of the
+  * blocked-dedup scale runs (26 s of the 120 s at 200k vectors, growing
+  * 100× per 10× corpus). When the broadcast carries a coarse structure,
+  * the scan first scores the k₁ ≈ √k coarse cells, keeps the best cells
+  * until they hold max(128, 6·probes) fine candidates (score-ordered,
+  * cell index on ties), then runs the EXACT flat scoring — same
+  * rounding, same position-order tie-break, positions scanned ascending
+  * — over that candidate subset only. Routing drops to ~(√k + 6·probes
+  * + 128)·dim per vector. The subset selection is the one approximate
+  * step (a fine centroid in an unprobed cell is invisible); the
+  * blocked-dedup recall argument survives because near-duplicate pairs
+  * route near-identically — gated by CompiledExprSpec against the exact
+  * O(n²) join with the hierarchy forced on. */
 case class CodebookTopK(
     child: Expression,
     codebook: Broadcast[CodebookData],
@@ -75,11 +101,15 @@ case class CodebookTopK(
 
   /** Score of `v` against centroid `c`, higher = closer. Cosine metric:
     * rounded cosine with the −2.0 sentinel for null vector / dimension
-    * mismatch / zero norm. L2 metric (PQ sub-quantizers): negated
-    * squared Euclidean distance, rounded to 6 dp so exact near-ties
-    * become position-order ties (deterministic across partitionings);
-    * sentinel is −∞ because distances are unbounded. */
-  private def score(v: ArrayData, cb: CodebookData, c: Int): Double = {
+    * mismatch / zero norm; `qNorm` is the query's √Σx², computed ONCE
+    * per vector by the caller (the flat scan used to re-accumulate it
+    * per centroid — k·dim wasted multiplies). L2 metric (PQ
+    * sub-quantizers): negated squared Euclidean distance, rounded to
+    * 6 dp so exact near-ties become position-order ties (deterministic
+    * across partitionings); sentinel is −∞ because distances are
+    * unbounded. */
+  private def score(v: ArrayData, qNorm: Double, cb: CodebookData,
+      c: Int): Double = {
     val sentinel = if (isL2) Double.NegativeInfinity else -2.0
     if (v == null) return sentinel
     val cent = cb.matrix(c)
@@ -97,17 +127,90 @@ case class CodebookTopK(
       return -BigDecimal(d2)
         .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    var dot = 0.0; var na = 0.0
+    var dot = 0.0
     var i = 0
     while (i < n) {
       val x = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
-      dot += x * cent(i); na += x * x
+      dot += x * cent(i)
       i += 1
     }
-    val denom = math.sqrt(na) * cb.norms(c)
+    val denom = qNorm * cb.norms(c)
     if (denom == 0.0) -2.0
     else BigDecimal(dot / denom)
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** The query's √Σx² in element order — the same accumulation the old
+    * per-centroid loop performed, hoisted out. NaN-free: a null or
+    * empty vector yields 0.0 and the sentinel paths in [[score]] fire
+    * on dimension mismatch anyway. */
+  private def queryNorm(v: ArrayData): Double = {
+    if (v == null) return 0.0
+    var na = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      val x = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      na += x * x
+      i += 1
+    }
+    math.sqrt(na)
+  }
+
+  /** Fine-centroid positions to score: all of them (flat), or the
+    * members of the best coarse cells (two-level). The hierarchical
+    * branch returns positions SORTED ASCENDING so the insertion scan's
+    * equal-score tie-break (first seen = lowest position) matches the
+    * flat scan exactly on the scored subset. */
+  private def candidatePositions(v: ArrayData, qNorm: Double,
+      cb: CodebookData): Array[Int] = {
+    val k = cb.matrix.length
+    if (cb.coarse == null || isL2 || v == null) return null // flat scan
+    val dim = if (k > 0) cb.matrix(0).length else 0
+    // sentinel paths (dim mismatch, zero-norm query) score −2.0 on
+    // every centroid and must return the FIRST p positions exactly as
+    // the flat scan does — a coarse selection would pick cell-order,
+    // not position-order, prefixes
+    if (v.numElements() != dim || qNorm == 0.0) return null
+    val k1 = cb.coarse.length
+    // raw (unrounded) coarse scores — internal ordering only
+    val cScore = new Array[Double](k1)
+    var j = 0
+    while (j < k1) {
+      val cent = cb.coarse(j)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * cent(i)
+        i += 1
+      }
+      val denom = qNorm * cb.coarseNorms(j)
+      cScore(j) = if (denom == 0.0) -2.0 else dot / denom
+      j += 1
+    }
+    // cells in score-desc order (index asc on ties), greedily taken
+    // until the candidate pool holds max(128, 6·probes) fine positions
+    val order = Array.range(0, k1).sortBy(j => (-cScore(j), j))
+    val want = math.max(128, 6 * probes)
+    var total = 0
+    var take = 0
+    while (take < k1 && total < want) {
+      total += cb.cellMembers(order(take)).length
+      take += 1
+    }
+    if (total >= k) return null // would scan everything — flat is equal
+    val out = new Array[Int](total)
+    var o = 0
+    var t = 0
+    while (t < take) {
+      val ms = cb.cellMembers(order(t))
+      System.arraycopy(ms, 0, out, o, ms.length)
+      o += ms.length
+      t += 1
+    }
+    java.util.Arrays.sort(out)
+    out
   }
 
   /** Public so generated code can invoke it via a plan reference. */
@@ -115,12 +218,16 @@ case class CodebookTopK(
     val cb = codebook.value
     val k = cb.matrix.length
     val p = math.min(probes, k)
+    val qNorm = if (isL2) 0.0 else queryNorm(v)
+    val cand = candidatePositions(v, qNorm, cb)
+    val total = if (cand == null) k else cand.length
     val bestCos = new Array[Double](p)
     val bestPos = new Array[Int](p)
     var filled = 0
-    var c = 0
-    while (c < k) {
-      val cos = score(v, cb, c)
+    var ci = 0
+    while (ci < total) {
+      val c = if (cand == null) ci else cand(ci)
+      val cos = score(v, qNorm, cb, c)
       // insertion position: after every entry with cos >= ours (scan is
       // position-ascending, so equal-cos entries keep the lower position
       // first — the native-label-order tie-break)
@@ -138,7 +245,7 @@ case class CodebookTopK(
           if (filled < p) filled += 1
         }
       }
-      c += 1
+      ci += 1
     }
     val out = new Array[Any](filled)
     var i = 0

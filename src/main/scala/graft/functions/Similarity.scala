@@ -157,6 +157,78 @@ object Similarity {
     * every task binary (the 2 MB task-binary warning at large k); the
     * broadcast ships the matrix per executor once and the expression
     * tree stays one node. */
+  /** Codebook size above which routing goes TWO-LEVEL (coarse cells
+    * over the fine centroids — see CodebookTopK's scaladoc): below it a
+    * flat k·dim scan is cheap and BIT-IDENTICAL to every earlier
+    * release (all oracle-gated corpora sit far below), above it the
+    * flat scan is the measured quadratic wall of blocked dedup (k is
+    * sized n/targetBucket there, so n·k·dim routing grows 100× per 10×
+    * corpus). @volatile var rather than a parameter: it is a process
+    * tuning knob (specs force it low to exercise the hierarchy on
+    * small fixtures; a deployment that wants flat-exact routing at any
+    * k sets it to Int.MaxValue), not a per-call semantic. */
+  @volatile var hierarchicalRoutingThreshold: Int = 512
+
+  /** Coarse structure over the fine-centroid matrix: k₁ ≈ √k cells via
+    * a few deterministic Lloyd's rounds ON THE CENTROIDS (k points —
+    * driver-scale by definition), cosine assignment matching the
+    * scorer's metric. Returns (coarse matrix, coarse norms, member
+    * positions per cell). Deterministic: seeds are every ⌊k/k₁⌋-th
+    * fine centroid in position order; empty cells keep their seed. */
+  private def buildCoarse(matrix: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Double], Array[Array[Int]]) = {
+    val k = matrix.length
+    val dim = matrix(0).length
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    def normOf(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    var coarse = Array.tabulate(k1)(j => matrix((j.toLong * k / k1).toInt))
+    val assign = new Array[Int](k)
+    for (_ <- 0 until 4) {
+      val cNorms = coarse.map(normOf)
+      var c = 0
+      while (c < k) {
+        val v = matrix(c)
+        val vn = normOf(v)
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var j = 0
+        while (j < k1) {
+          val cj = coarse(j)
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * cj(i); i += 1 }
+          val denom = vn * cNorms(j)
+          val s = if (denom == 0.0) -2.0 else dot / denom
+          if (s > bestScore) { bestScore = s; best = j }
+          j += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+      val sums = Array.fill(k1)(new Array[Double](dim))
+      val counts = new Array[Int](k1)
+      var c2 = 0
+      while (c2 < k) {
+        val v = matrix(c2); val a = assign(c2)
+        var i = 0
+        while (i < dim) { sums(a)(i) += v(i); i += 1 }
+        counts(a) += 1
+        c2 += 1
+      }
+      coarse = Array.tabulate(k1) { j =>
+        if (counts(j) == 0) coarse(j)
+        else { val s = sums(j); var i = 0
+          while (i < dim) { s(i) /= counts(j); i += 1 }; s }
+      }
+    }
+    val members = Array.fill(k1)(new scala.collection.mutable.ArrayBuffer[Int])
+    var c = 0
+    while (c < k) { members(assign(c)) += c; c += 1 }
+    (coarse, coarse.map(normOf), members.map(_.toArray))
+  }
+
   private def broadcastCodebook(cents: DataFrame)
       : (org.apache.spark.broadcast.Broadcast[graft.expressions.CodebookData],
          org.apache.spark.sql.types.DataType, Boolean) = {
@@ -174,8 +246,12 @@ object Similarity {
       math.sqrt(nb)
     }
     val labels = rows.map(r => toCatalyst(r._1))
-    val bc = cents.sparkSession.sparkContext
-      .broadcast(graft.expressions.CodebookData(matrix, norms, labels))
+    val data =
+      if (matrix.length >= hierarchicalRoutingThreshold && matrix.nonEmpty) {
+        val (cm, cn, cells) = buildCoarse(matrix)
+        graft.expressions.CodebookData(matrix, norms, labels, cm, cn, cells)
+      } else graft.expressions.CodebookData(matrix, norms, labels)
+    val bc = cents.sparkSession.sparkContext.broadcast(data)
     (bc, labelField.dataType, labelField.nullable)
   }
 

@@ -109,6 +109,44 @@ class CompiledExprSpec extends AnyFunSuite {
     assert(blocked == exact)
   }
 
+  test("hierarchical routing + chunked packing: blocked pairs == exact " +
+      "baseline with the two-level path and chunk splitting forced on") {
+    val old = Similarity.hierarchicalRoutingThreshold
+    try {
+      // k = 512 ≥ threshold 64 → every assignNearest/assignTopK in
+      // training AND search runs the coarse-cell candidate selection;
+      // chunkSize = 2 splits essentially every residence bucket into
+      // member chunks — both scale paths exercised on a corpus small
+      // enough to compare against the O(n²) exact join
+      Similarity.hierarchicalRoutingThreshold = 64
+      // 2000 vectors, dim 64, uniform-ish hash components in [−2, 2];
+      // every 20th vector is a near-copy of its predecessor (±0.01
+      // noise → cos ≈ 0.9999). Random pairs concentrate near 0 with
+      // σ ≈ 1/√64, so nothing incidental reaches the 0.9 threshold —
+      // the planted 100 pairs are the exact answer.
+      val emb = spark.range(0, 2000).selectExpr(
+          "id AS vec_id",
+          "if(id % 20 = 19, id - 1, id) AS sid")
+        .selectExpr("vec_id",
+          """transform(sequence(0, 63), d -> cast(
+              (pmod(xxhash64(sid, d, 7), 2001) - 1000) / 500.0
+              + if(vec_id % 20 = 19,
+                  (pmod(xxhash64(vec_id, d, 8), 21) - 10) / 1000.0, 0.0)
+            as float)) AS embedding""")
+      val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val cents = Similarity.trainCodebook(emb, "vec_id", "embedding",
+        512, 2)
+      val blocked = Dedup.cosineDupPairsBlocked(emb, cents, "vec_id",
+          "embedding", 0.9, probes = 8, chunkSize = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(exact.size == 100, s"expected the 100 planted pairs: ${exact.size}")
+      assert(blocked == exact)
+    } finally Similarity.hierarchicalRoutingThreshold = old
+  }
+
   test("sampled codebook training: deterministic, and bit-identical to " +
       "full training when the corpus fits the cap") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
