@@ -401,6 +401,12 @@ object Decontam {
       seed: Int = 17): DataFrame = {
     val sketch = tokenCms(docs, textCol, eps, confidence, seed)
     val slack = math.ceil(eps * sketch.totalCount()).toLong
+    // the probe is a UDF BY CHOICE: unlike the Bloom pre-gate (which
+    // probes every corpus row and got the native
+    // BloomFilterMightContain), this probe runs on exactly the top-k
+    // rows AFTER the limit — k ≈ 20 driver-scale evaluations, where a
+    // custom codegen expression would buy nothing. Spark ships no
+    // native CMS-probe expression to reuse.
     val est = udf((t: String) => sketch.estimateCount(t))
     tokenStream(docs, textCol)
       .groupBy("tok").agg(count(lit(1)).as("n_exact"))

@@ -204,7 +204,19 @@ object Dedup {
     * [[jaccardPairsAuto]] dispatches on measured candidate blowup. */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      materializeShingles: Boolean = true): DataFrame = {
+      materializeShingles: Boolean = true): DataFrame =
+    prefixPairsFromHashedShingles(
+      docShingles(df, textCol, idCol, n)
+        .select(col(idCol), xxhash64(col("sh")).as("sh")),
+      idCol, threshold, materializeShingles)
+
+  /** The PPJoin core over an ALREADY-HASHED (idCol, sh) shingle frame —
+    * shared by [[jaccardPairsPrefix]] (shingles from text) and
+    * [[jaccardLosers]]' prefix mode (shingles re-exploded from the
+    * digest-compressed representative sets). */
+  private[graft] def prefixPairsFromHashedShingles(shBase: DataFrame,
+      idCol: String, threshold: Double,
+      materializeShingles: Boolean): DataFrame = {
     // the hashed shingle set feeds FOUR independent branches (document
     // frequencies, the prefix window, and both sides of the candidate
     // count join); without materialization each branch re-explodes and
@@ -223,8 +235,6 @@ object Dedup {
     // four branches differ, so exchange reuse cannot share them.
     // materializeShingles=false opts back into pure recompute for
     // callers that cannot tolerate the transient pinned blocks.
-    val shBase = docShingles(df, textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("sh")).as("sh"))
     val sh = if (materializeShingles)
       shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else shBase
@@ -354,11 +364,14 @@ object Dedup {
     * `densityLimit` of candidate pairs clear the threshold, the
     * candidate set is substantially irreducible output and the direct
     * join's fewer passes win — dup-dense corpora route back to
-    * direct. The crossover is calibrated between the two measured
-    * regimes: 25-replica cliques (direct's territory) measure 0.020,
+    * direct. The crossover is calibrated against three measured
+    * corpora: 25-replica cliques (direct's territory) measure 0.020;
     * corpus-wide appended boilerplate with sub-threshold pairs
-    * (prefix's territory) measures 0.0015 — 0.005 sits between them
-    * with ~4× margin each way.
+    * (prefix's) 0.0015; and the bounded-cluster scale corpus 0.0083 —
+    * mid-density, where at 5M docs the direct join's candidate spill
+    * exceeded a single host's disk while prefix completed, so
+    * mid-density belongs to prefix once blowup is high. 0.015 puts
+    * the replica regime above and both others below the line.
     * Both paths are result-identical — oracle-verified against the
     * same SQL. */
   /** The dispatch decision alone — package-visible so specs can assert
@@ -372,7 +385,7 @@ object Dedup {
   def jaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
       blowupLimit: Double = 32.0,
-      densityLimit: Double = 0.005): DataFrame =
+      densityLimit: Double = 0.015): DataFrame =
     if (jaccardAutoPicksPrefix(df, textCol, idCol, n, threshold,
         blowupLimit, densityLimit))
       jaccardPairsPrefix(df, textCol, idCol, n, threshold)
@@ -414,8 +427,19 @@ object Dedup {
     * with J(X,Y) ≥ t and min(Y) ≤ y, so a smaller partner exists iff
     * min(Y) = rep(Y) < x — exactly the (rep(Y), x) rep pairs case 2
     * emits. */
+  /** `mode` picks the REP-LEVEL candidate join: "direct" (shared-
+    * shingle self-join — fewest passes, but its candidate spill is
+    * Σ freq² and exceeded a single host's disk at the 5M-doc stress
+    * scale), "prefix" (the PPJoin core over the representative shingle
+    * sets — completed the same 5M run), or "auto" (default: the
+    * [[jaccardPairsAuto]] blowup + qualify-density probes on the input
+    * corpus; exact-dup mass inflates the probed blowup relative to the
+    * compressed rep frame, so auto can only err toward prefix — the
+    * branch that degrades gracefully). */
   def jaccardLosers(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      mode: String = "auto"): DataFrame = {
+    require(Set("auto", "direct", "prefix")(mode), s"unknown mode: $mode")
     val sets = docShingles(df, textCol, idCol, n)
       .select(col(idCol), xxhash64(col("sh")).as("sh"))
       .groupBy(col(idCol))
@@ -427,17 +451,31 @@ object Dedup {
     val withRep = sets.join(groups, Seq("dig"))
     val identicalLosers = withRep.filter(col(idCol) =!= col("rep"))
       .select(col(idCol).as("b"))
-    val repSh = withRep.filter(col(idCol) === col("rep"))
-      .select(col("rep"), size(col("shs")).as("sz"),
-        explode(col("shs")).as("sh"))
-    val a = repSh.toDF("a", "sza", "sh")
-    val b = repSh.toDF("b", "szb", "sh")
-    val repLosers = a.join(b, Seq("sh")).filter(col("a") < col("b"))
-      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("common"))
-      .filter(round(col("common").cast("double") /
-        (col("sza") + col("szb") - col("common")).cast("double"), 4)
-        >= threshold)
-      .select(col("b"))
+    val usePrefix = mode match {
+      case "prefix" => true
+      case "direct" => false
+      case _ => jaccardAutoPicksPrefix(df, textCol, idCol, n, threshold,
+        32.0, 0.015)
+    }
+    val repLosers =
+      if (usePrefix) {
+        val repSh = withRep.filter(col(idCol) === col("rep"))
+          .select(col("rep"), explode(col("shs")).as("sh"))
+        prefixPairsFromHashedShingles(repSh, "rep", threshold,
+          materializeShingles = true).select(col("b"))
+      } else {
+        val repSh = withRep.filter(col(idCol) === col("rep"))
+          .select(col("rep"), size(col("shs")).as("sz"),
+            explode(col("shs")).as("sh"))
+        val a = repSh.toDF("a", "sza", "sh")
+        val b = repSh.toDF("b", "szb", "sh")
+        a.join(b, Seq("sh")).filter(col("a") < col("b"))
+          .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("common"))
+          .filter(round(col("common").cast("double") /
+            (col("sza") + col("szb") - col("common")).cast("double"), 4)
+            >= threshold)
+          .select(col("b"))
+      }
     identicalLosers.unionByName(repLosers).distinct()
   }
 
@@ -448,8 +486,9 @@ object Dedup {
     * survival never depends on whether the lower partner survived),
     * with the exact J ≥ t relation instead of the LSH approximation. */
   def dropJaccardDups(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame =
-    df.join(jaccardLosers(df, textCol, idCol, n, threshold)
+      n: Int = 3, threshold: Double = 0.8,
+      mode: String = "auto"): DataFrame =
+    df.join(jaccardLosers(df, textCol, idCol, n, threshold, mode)
       .withColumnRenamed("b", idCol), Seq(idCol), "left_anti")
 
   /** Embedding-cosine near-duplicate pairs, centroid-blocked — the scale

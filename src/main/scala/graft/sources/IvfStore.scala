@@ -52,6 +52,23 @@ object IvfStore {
   def codebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebook")
 
+  /** The codebook persisted under `path` if one exists, else evaluate
+    * `train`, persist it there, and return the persisted copy — the
+    * amortization primitive for train-once-reuse-everywhere consumers
+    * (Dedup.semanticDedupWithCodebook and friends): the first pass over
+    * a corpus pays Lloyd's training, every later pass pays one k-row
+    * parquet read. Reading back the persisted copy (rather than
+    * returning `train`'s frame) keeps first and later passes on the
+    * exact same label/vector types. */
+  def codebookCached(spark: SparkSession, path: String)
+      (train: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebook")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      train.write.mode("overwrite").parquet(p.toString)
+    spark.read.parquet(p.toString)
+  }
+
   // ---- incremental maintenance --------------------------------------
 
   /** True when `path` holds an IVFADC layout ([[writePqTrained]]) —

@@ -131,9 +131,18 @@ object SarStreaming {
       delay: String = "1 hour", stateTtlMs: Long = 3600000L,
       maxBucket: Int = 64): Dataset[DupCandidate] = {
     import docs.sparkSession.implicits._
-    val withSig = (0 until k).foldLeft(docs) { (d, i) =>
-      d.withColumn(s"__mh$i", graft.functions.Dedup
-        .minhashComponentRow(col(textCol), i, n))
+    // ONE compiled pass computes all k components
+    // (expressions.MinhashComponents — bit-identical to the batch
+    // family, ~an order of magnitude over the interpreted per-component
+    // HOF this replaced: k=8 transforms evaluated interpreted and paid
+    // 8 md5 calls per shingle where 2 suffice). The k element_at
+    // projections reference __mhs more than once, so CollapseProject
+    // keeps the expensive expression materialized instead of inlining
+    // one copy per component.
+    val withSig = (0 until k).foldLeft(
+      docs.withColumn("__mhs", graft.expressions.MinhashComponents
+        .minhash_components(col(textCol), k, n))) { (d, i) =>
+      d.withColumn(s"__mh$i", element_at(col("__mhs"), i + 1))
     }.filter(col("__mh0").isNotNull) // < n words ⇒ no shingles ⇒ no bands
     val nBands = k / rowsPerBand
     val bandKeys = (0 until nBands).map { b =>

@@ -65,17 +65,17 @@ class LlmFunctionsSpec extends AnyFunSuite {
     val dense = docs.crossJoin(spark.range(0, 25).toDF("r"))
       .selectExpr("doc_id * 100 + r AS doc_id", "text")
     assert(Dedup.jaccardCandidateBlowup(dense, "text", "doc_id") > 32.0)
-    assert(Dedup.jaccardQualifyDensity(dense, "text", "doc_id") > 0.005)
+    assert(Dedup.jaccardQualifyDensity(dense, "text", "doc_id") > 0.015)
     assert(!Dedup.jaccardAutoPicksPrefix(dense, "text", "doc_id", 3, 0.8,
-      32.0, 0.005))
+      32.0, 0.015))
     // boilerplate on EVERY doc: same blowup signal, but pairs stay
     // below threshold — candidates prune, prefix is the right branch
     val boiler = (1 to 60).map(i => s"boiler$i").mkString(" ")
     val heavy = docs.select(col("doc_id"),
       concat(col("text"), lit(" " + boiler)).as("text"))
-    assert(Dedup.jaccardQualifyDensity(heavy, "text", "doc_id") < 0.005)
+    assert(Dedup.jaccardQualifyDensity(heavy, "text", "doc_id") < 0.015)
     assert(Dedup.jaccardAutoPicksPrefix(heavy, "text", "doc_id", 3, 0.8,
-      32.0, 0.005))
+      32.0, 0.015))
   }
 
   test("jaccardLosers equals the pair-derived loser set; identical docs " +
@@ -98,6 +98,13 @@ class LlmFunctionsSpec extends AnyFunSuite {
     val pileLosers = Dedup.jaccardLosers(pile, "text", "doc_id", 3, 0.8)
       .collect().map(_.getLong(0)).toSet
     assert(pileLosers == (4L until 40L).toSet)
+    // both rep-join modes produce the identical loser set (the prefix
+    // core is result-identical to the direct join by the PPJoin bound)
+    val directMode = Dedup.jaccardLosers(docs, "text", "doc_id", 3, 0.8,
+      mode = "direct").collect().map(_.getLong(0)).toSet
+    val prefixMode = Dedup.jaccardLosers(docs, "text", "doc_id", 3, 0.8,
+      mode = "prefix").collect().map(_.getLong(0)).toSet
+    assert(directMode == prefixMode && directMode == losers)
     val pilePairLosers = Dedup.jaccardPairs(pile, "text", "doc_id", 3, 0.8)
       .select("b").distinct().collect().map(_.getLong(0)).toSet
     assert(pileLosers == pilePairLosers)

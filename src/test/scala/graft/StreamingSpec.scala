@@ -165,6 +165,15 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) ->
         (0 until 8).map(i => r.getString(r.fieldIndex(s"mh$i"))).toSeq).toMap
     assert(sigRow == sigBatch)
+    // the compiled one-pass expression (what nearDupCandidates actually
+    // runs now) is bit-identical to the same family
+    val sigExpr = docs.withColumn("mhs", graft.expressions
+        .MinhashComponents.minhash_components(col("text"), 8, 3))
+      .filter(element_at(col("mhs"), 1).isNotNull)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](r.fieldIndex("mhs")).toSeq)
+      .toMap
+    assert(sigExpr == sigBatch)
     // stream the same corpus through the stateful bucket detector
     val dir = Files.createTempDirectory("graft_neardup").toString
     docs.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
