@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 
 /** Local iteration harness: time a handful of named queries against one
   * data dir (`runMain graft.BenchOne <sfDir> <query> [query ...]`).
@@ -12,11 +12,7 @@ object BenchOne {
     require(args.length >= 2,
       "usage: BenchOne <sfDir> <queryName> [queryName ...]")
     val sfDir = args(0)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args.drop(1)) {
       SparkEntry.queries(name)(spark, sfDir)

@@ -19,11 +19,7 @@ object Calibrate {
   def main(args: Array[String]): Unit = {
     val mode = args(0)
     val sfDir = args(1)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
 
     mode match {

@@ -1,14 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.functions._
 import graft.functions.{Dedup, Similarity}
 object CosProfile {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f

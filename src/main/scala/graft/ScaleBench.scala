@@ -77,6 +77,13 @@ object ScaleBench {
       .filter(n => SparkEntry.queries.contains(n) || n.startsWith("s_"))
 
     val spark = GraftSession.get()
+    // scale runs shuffle GBs per stage: start shuffles wide and let AQE
+    // coalesce (see GraftSession.builder's scaladoc — at these volumes
+    // the wide start is spill relief, at oracle SF it would be tax).
+    // Runtime-settable conf, so the env knob still wins if set.
+    if (!sys.env.contains("SPARK_GRAFT_INITIAL_PARTITIONS"))
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", 256)
 
     /** Replay the documents table as a bounded stream (4 micro-batches
       * via maxFilesPerTrigger so the watermark actually advances and

@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 
 /** Single-query slice of [[Verify]] for local iteration: writes one
   * query's result parquet + its oracle SQL so tools/local_verify.py
@@ -7,11 +7,7 @@ import org.apache.spark.sql.SparkSession
 object VerifyOne {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, name) = args.take(3)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.get(8)
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries(name)(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/$name")

@@ -40,18 +40,31 @@ object Dedup {
     * windows per md5, so k hashes cost ceil(k/4) md5 calls per shingle —
     * h_i(sh) = md5(⌊i/4⌋ ++ ":" ++ sh)[8(i%4) .. 8(i%4)+8). Fixed-width
     * hex keeps string-min == numeric-min, and md5 keeps the family
-    * engine-portable (a DuckDB oracle reproduces the exact signature). */
+    * engine-portable (a DuckDB oracle reproduces the exact signature).
+    *
+    * Computed by the compiled one-pass
+    * [[graft.expressions.MinhashComponents]] expression — ZERO shuffle:
+    * the old explode → md5 → groupBy(min) form moved one (doc, shingle)
+    * row per shingle through an aggregation exchange just to take a
+    * per-doc min that a single row-local pass computes for free. Same
+    * hash count (⌈k/4⌉ md5 per shingle), no 40×-row explode, no
+    * exchange — and every LSH consumer downstream of [[bandedKeys]]
+    * inherits the saved stage. Docs with fewer than n words (or null
+    * text) have no shingles and are pre-filtered with a cheap word
+    * count, matching the explode form's row set (absent ⇒ no bands)
+    * without re-evaluating the expensive expression in a pushed-down
+    * null filter. Bit-identity with the expression family is pinned by
+    * StreamingSpec against the independent HOF formulation. */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, n: Int = 3): DataFrame = {
-    val sh = docShingles(df, textCol, idCol, n)
-    val nSeeds = (k + 3) / 4
-    val seeded = (0 until nSeeds).foldLeft(sh) { (d, s) =>
-      d.withColumn(s"__h$s", md5(concat_ws(":", lit(s), col("sh"))))
-    }
-    val aggs = (0 until k).map { i =>
-      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh$i")
-    }
-    seeded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val base = df
+      .filter(col(textCol).isNotNull &&
+        size(TextAnalysis.words(col(textCol))) >= n)
+      .select(col(idCol), graft.expressions.MinhashComponents
+        .minhash_components(col(textCol), k, n).as("__mhs"))
+    val comps = (0 until k).map(i =>
+      element_at(col("__mhs"), i + 1).as(s"mh$i"))
+    base.select(col(idCol) +: comps: _*)
   }
 
   /** One per-row MinHash component — same hash family as
