@@ -62,7 +62,17 @@ final case class CodebookData(
   * step (a fine centroid in an unprobed cell is invisible); the
   * blocked-dedup recall argument survives because near-duplicate pairs
   * route near-identically — gated by CompiledExprSpec against the exact
-  * O(n²) join with the hierarchy forced on. */
+  * O(n²) join with the hierarchy forced on.
+  *
+  * Honest asymptote: with k ∝ n (bucket size pinned) the two-level scan
+  * is still n·√k = Θ(n^1.5) routing across the corpus — it buys one
+  * √-factor, not linearity. The measured regime (≤ 2M vectors,
+  * k ≤ 16k: √k ≤ 128 ≈ the candidate-pool floor, routing well under
+  * the bucket-scan cost) sits far below where that matters; the growth
+  * path when it does is the same move again — a fixed-branching
+  * k-means TREE over the centroids (depth log k, n·b·log k total),
+  * which slots into CodebookData as a recursive coarse layer without
+  * touching the exact re-scoring contract. */
 case class CodebookTopK(
     child: Expression,
     codebook: Broadcast[CodebookData],
