@@ -135,6 +135,14 @@ object GraftSession {
     sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").foreach(n =>
       b.config(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    // Shuffle/spill codec (context-creation config, hence env not conf):
+    // lz4 (Spark's default) trades ratio for speed; zstd cuts shuffle
+    // bytes ~25-40%, which is the difference between completing and
+    // ENOSPC when a 2M-vector blocked-dedup chain's live spill meets a
+    // single host's scratch disk. Scale campaigns set zstd; CPU-bound
+    // oracle-SF runs keep lz4.
+    sys.env.get("SPARK_GRAFT_SHUFFLE_CODEC").foreach(c =>
+      b.config("spark.io.compression.codec", c))
     b
   }
 

@@ -120,6 +120,24 @@ object ScaleBench {
       } catch { case e: Throwable =>
         System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
         -1.0
+      } finally {
+        // Two leaks this long-lived suite session must plug, both
+        // OUTSIDE the timed region:
+        //   1. chains persist() intermediates and (correctly) never
+        //      unpersist — the returned frame still references them;
+        //      only a driver GC lets ContextCleaner reclaim. Worse,
+        //      CacheManager matches canonicalized plans, so pass 2 of
+        //      a chain silently REUSES pass 1's blocks — min-of-runs
+        //      would time a cache-warmed pass, not the chain.
+        //   2. finished-stage shuffle files also wait for driver GC —
+        //      and a 64 GB heap under scale corpora collects rarely.
+        //      Measured: the 5M tier filled a 49-GB-free disk with
+        //      dead shuffle files + spilled cache blocks mid-suite.
+        // clearCache() unpersists every registered frame (passes stay
+        // cold), and an explicit GC lets the cleaner drop dead
+        // shuffles before the next chain needs the disk.
+        spark.catalog.clearCache()
+        System.gc()
       }
     }
 

@@ -68,14 +68,16 @@ object Dedup {
   }
 
   /** One per-row MinHash component — same hash family as
-    * [[minhashSignature]], bit-identical values, computed without the
-    * explode+groupBy (array_min over transform'd shingles; null when
-    * the text has fewer than n words). Higher-order functions evaluate
-    * interpreted, measured ~4× slower than the codegen'd explode path
-    * at sf0.1 — so this form exists for STREAMING near-dup, where the
-    * signature must be computed per arriving row and a groupBy would
-    * need its own watermark; batch callers should stay on
-    * [[minhashSignature]]. */
+    * [[minhashSignature]], bit-identical values, as a PURE built-in
+    * Column tree (array_min over transform'd shingles; null when the
+    * text has fewer than n words). Every production path (batch and
+    * streaming) runs the compiled one-pass
+    * [[graft.expressions.MinhashComponents]] instead — HOFs evaluate
+    * interpreted and this form pays k md5 calls per shingle where
+    * ⌈k/4⌉ suffice. It stays because it is the INDEPENDENT derivation
+    * of the family: StreamingSpec pins expression == HOF == the
+    * explode-era formulation, so a bug in the hand-written expression
+    * cannot hide behind its own implementation. */
   def minhashComponentRow(textCol: org.apache.spark.sql.Column, i: Int,
       n: Int = 3): org.apache.spark.sql.Column = {
     val sh = array_distinct(TextAnalysis.shingles(textCol, n))
@@ -598,6 +600,23 @@ object Dedup {
     // drops from two fused accumulators (dot + Σy²) to one, halving
     // the multiplies on the probes·bucket·n candidate volume for one
     // n-scale pack-time pass.
+    //
+    // Known scale constant — probe-side SHUFFLE BYTES, not candidate
+    // count: every probe row carries the full vector, so the bucket
+    // exchange moves probes × corpus bytes and the join sort touches
+    // them again. At 2M × 256-float vectors with probes=20 that is
+    // ~45 GB shuffled + ~45 GB sorted of LIVE scratch — measured
+    // exceeding a single 94 GB /tmp even with zstd shuffle compression
+    // (the 5M-tier DNF in SCALE_r7_x5m), while the same chain at the
+    // same α fits easily at 500k. On a multi-executor cluster scratch
+    // scales with executors and this constant is a non-event; the
+    // single-host growth paths, in preference order: (a) two-phase
+    // scoring — shuffle int8-quantized vectors (4× fewer bytes),
+    // prefilter at threshold − ε where ε bounds the quantization error,
+    // exact-rescore the linear survivor set via an id join (EXACT
+    // results, provable no-false-negative margin); (b) broadcast the
+    // packed index and stream probe rows map-side (the replicated-
+    // index Faiss shape — right when k·dim fits executor memory).
     val routed = Similarity.assignTopK(df, cents, idCol, vecCol, probes)
       .select(col(idCol).as("a"),
         posexplode(col("probe_buckets")).as(Seq("pos", "bucket")),

@@ -115,8 +115,9 @@ object SarStreaming {
 
   /** Streaming MinHash/LSH near-duplicate detection: every arriving
     * document computes its k-component signature per row
-    * (Dedup.minhashComponentRow — same hash family as the batch path,
-    * so stream and batch agree on buckets), explodes into band keys,
+    * (expressions.MinhashComponents — the same compiled pass the batch
+    * path runs, so stream and batch agree on buckets bit-for-bit),
+    * explodes into band keys,
     * and a per-bucket state of previously seen doc ids emits candidate
     * pairs on collision. State is bounded two ways: an event-time
     * timeout evicts buckets idle past `stateTtlMs`, and `maxBucket` caps the
@@ -139,11 +140,19 @@ object SarStreaming {
     // projections reference __mhs more than once, so CollapseProject
     // keeps the expensive expression materialized instead of inlining
     // one copy per component.
+    // pre-filter on a cheap word count rather than post-filtering on a
+    // null component: a filter on __mh0 would be pushed below the
+    // projection with the alias substituted, re-evaluating the
+    // expensive expression once for the predicate and once for the
+    // signature (same row set either way: < n words ⇒ no shingles ⇒
+    // no bands)
     val withSig = (0 until k).foldLeft(
-      docs.withColumn("__mhs", graft.expressions.MinhashComponents
-        .minhash_components(col(textCol), k, n))) { (d, i) =>
+      docs.filter(col(textCol).isNotNull &&
+          size(graft.functions.TextAnalysis.words(col(textCol))) >= n)
+        .withColumn("__mhs", graft.expressions.MinhashComponents
+          .minhash_components(col(textCol), k, n))) { (d, i) =>
       d.withColumn(s"__mh$i", element_at(col("__mhs"), i + 1))
-    }.filter(col("__mh0").isNotNull) // < n words ⇒ no shingles ⇒ no bands
+    }
     val nBands = k / rowsPerBand
     val bandKeys = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"__mh${b * rowsPerBand + r}"))
