@@ -48,6 +48,7 @@ object ScaleBench {
     "q_dedup_ledger",         // exact-key ledger anti-join
     "q_neardup_ledger",       // band ledger anti-join
     "q_dedup_cosine_blocked", // trained IVF blocking
+    "q_dedup_cosine_int8",    // two-phase int8 prefilter + exact re-score
     "q_semantic_dedup",       // SemDeDup: train + blocked pair graph
     "q_semantic_dedup_amortized", // SemDeDup over a persisted codebook
     "q_ivf_search",           // IVF build + pruned probe

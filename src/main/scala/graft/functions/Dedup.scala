@@ -646,6 +646,86 @@ object Dedup {
       .distinct()
   }
 
+  /** Two-phase int8 variant of [[cosineDupPairsBlocked]] — identical
+    * results (same routing, same recall contract, exact cosines in the
+    * output), ~4× less data through the bucket exchange. This is
+    * preference (a) from the blocked path's scale-constant note made
+    * real: probe and residence rows carry an [[graft.expressions.Int8VecPack]]
+    * pack (1 byte/dim codes + norm + an exact error bound) instead of
+    * the 4-byte/dim float vector, the compiled
+    * [[graft.expressions.BucketCosineHitsInt8]] prefilter admits
+    * candidates at `threshold − eps_a − eps_b − 5e-5` (provably no
+    * false negatives — see the expression scaladoc for the
+    * Cauchy–Schwarz argument), and only the LINEAR survivor set joins
+    * back to the full-precision vectors for the exact
+    * `round(cos,4) ≥ threshold` decision. The quantized cosine needs no
+    * scales (they cancel), so phase 1 is pure integer multiply-adds.
+    *
+    * Survivor volume is output + margin: candidates within
+    * `eps_a + eps_b` (measured ~0.01–0.03 at dim 256) of the threshold.
+    * The id re-attach joins shuffle the corpus vectors ONCE (vs
+    * `probes`× in the single-phase path) and the survivor side is
+    * output-scale, so AQE broadcast-converts it when small.
+    *
+    * Plan shape mirrors [[cosineDupPairsBlocked]] exactly (chunked
+    * residence packs, shared routing exchange, post-filter distinct);
+    * see that function's comments for the rationale of each step. */
+  def cosineDupPairsBlockedInt8(df: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, probes: Int = 2,
+      chunkSize: Int = 4096): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be positive: $chunkSize")
+    val routed = Similarity.assignTopK(df, cents, idCol, vecCol, probes)
+      .select(col(idCol).as("a"),
+        posexplode(col("probe_buckets")).as(Seq("pos", "bucket")),
+        graft.expressions.Int8VecPack.int8_pack(col(vecCol)).as("__p"))
+      .repartition(col("bucket"))
+    val res = routed.filter(col("pos") === 0)
+    val counts = res.groupBy("bucket")
+      .agg(ceil(count(lit(1)).cast("double") / chunkSize).cast("int")
+        .as("__nchunks"))
+    val packed = res
+      .withColumn("__chunk",
+        ((row_number().over(Window.partitionBy(col("bucket"))
+          .orderBy(col("a"))) - 1) / chunkSize).cast("int"))
+      .groupBy("bucket", "__chunk")
+      .agg(collect_list(struct(col("a").as("id"), col("__p").as("p")))
+        .as("members"))
+    val survivors = routed.join(counts, Seq("bucket"))
+      .select(col("a"), col("bucket"), col("__p"),
+        explode(sequence(lit(0), col("__nchunks") - 1)).as("__chunk"))
+      .join(packed, Seq("bucket", "__chunk"))
+      .select(col("a"), explode(
+        graft.expressions.BucketCosineHitsInt8.bucket_cosine_hits_int8(
+          col("__p"), col("members"), threshold)).as("b0"))
+      .filter(col("a") =!= col("b0"))
+      .select(least(col("a"), col("b0")).as("a"),
+        greatest(col("a"), col("b0")).as("b"))
+      .distinct()
+    // phase 2: exact re-score of the survivor pairs — two id joins
+    // re-attach full-precision vectors at survivor scale, then the
+    // SAME rounded-cosine decision as the single-phase path
+    survivors
+      .join(df.select(col(idCol).as("a"), col(vecCol).as("__ra")), Seq("a"))
+      .join(df.select(col(idCol).as("b"), col(vecCol).as("__rb")), Seq("b"))
+      .withColumn("cos",
+        round(Similarity.cosine(col("__ra"), col("__rb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
+  /** [[cosineDupPairsTrained]] over the two-phase int8 path: same
+    * corpus-trained codebook, same output, 4× less bucket-exchange
+    * volume — the single-host configuration that clears scratch-disk
+    * walls the full-precision path hits (the 2M-vector tier in
+    * SCALE_r7_x5m). */
+  def cosineDupPairsTrainedInt8(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, probes: Int = 20, iters: Int = 5,
+      targetBucket: Int = 128): DataFrame = {
+    val cents = dupCodebook(df, idCol, vecCol, iters, targetBucket)
+    cosineDupPairsBlockedInt8(df, cents, idCol, vecCol, threshold,
+      math.min(probes, cents.count().toInt))
+  }
+
   /** THE default embedding near-dup path: [[cosineDupPairsBlocked]]
     * driven by a codebook trained on the corpus itself at k≈√n
     * ([[Similarity.trainCodebook]] — one corpus scan per Lloyd's

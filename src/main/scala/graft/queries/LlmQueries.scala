@@ -708,6 +708,19 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
 
+    // two-phase int8 scale path — THIRD declared path against the same
+    // oracle SQL: quantized prefilter (provable no-false-negative
+    // margin) + exact re-score must hash-match the exact O(n²) result
+    // set, so a margin-math bug fails CORRECTNESS, not just a spec.
+    // Same trained codebook and probes as the blocked path; the
+    // difference is the bucket exchange ships 1-byte codes, not floats.
+    QueryDef("q_dedup_cosine_int8", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Dedup.cosineDupPairsTrainedInt8(emb, "vec_id", "embedding",
+          threshold = 0.45, probes = 20)
+        .orderBy("a", "b")
+    }, Some(cosineDupSql)),
+
     // ---- as-of join (align samples to latest preceding marker) ------
     QueryDef("q_asof_join", (s, dir) => {
       val ev = Tables.load(s, dir, "events")

@@ -167,4 +167,100 @@ class CompiledExprSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
     assert(s1 == s2 && s1.size == 5)
   }
+
+  // --------------------------------------------- int8 two-phase dedup
+  test("int8 pack: codes within half a scale step, cnorm exact, eps " +
+      "bounds the true quantized-cosine error") {
+    val rows = spark.range(0, 300).selectExpr("id",
+        """transform(sequence(0, 31), d -> cast(
+            (pmod(xxhash64(id, d, 3), 2001) - 1000) / 400.0 as float))
+           AS v""")
+      .select(col("id"), col("v"),
+        graft.expressions.Int8VecPack.int8_pack(col("v")).as("p"))
+      .collect()
+      .map { r =>
+        val p = r.getAs[org.apache.spark.sql.Row]("p")
+        (r.getSeq[Float](1).map(_.toDouble).toArray,
+          p.getAs[Array[Byte]]("codes"),
+          p.getAs[Double]("cnorm"), p.getAs[Double]("eps"))
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    rows.foreach { case (v, c, cn, eps) =>
+      val s = v.map(math.abs).max / 127.0
+      assert(s > 0.0)
+      v.indices.foreach { i =>
+        assert(math.abs(v(i) - s * c(i)) <= s / 2 + 1e-12) }
+      assert(math.abs(cn - math.sqrt(c.map(x => x * x.toDouble).sum))
+        <= 1e-9)
+      assert(eps >= 0.0 && eps < 0.2)
+    }
+    // the load-bearing claim: |cos(x,y) − cos(cx,cy)| ≤ eps_x + eps_y
+    // on every consecutive pair of the corpus
+    rows.sliding(2).foreach { case Array((vx, cx, nx, ex), (vy, cy, ny, ey)) =>
+      val exact = cos(vx, vy)
+      var dot = 0L
+      cx.indices.foreach(i => dot += cx(i).toLong * cy(i).toLong)
+      val qcos = dot.toDouble / (nx * ny)
+      assert(math.abs(exact - qcos) <= ex + ey + 1e-12,
+        s"err ${math.abs(exact - qcos)} > bound ${ex + ey}")
+    case _ => ()
+    }
+  }
+
+  test("int8 two-phase == exact on coarse 2-d unit vectors — the margin " +
+      "is load-bearing (single bucket, boundary cosines)") {
+    // dim 2 is the COARSEST quantization regime (eps ≈ 0.01–0.06): pairs
+    // at angles near acos(0.45) have quantized cosines straddling the
+    // threshold by more than the exact error, so a prefilter without the
+    // eps margin LOSES qualifying pairs here. k = 1 puts every vector in
+    // one bucket → blocking is exhaustive and must reproduce the O(n²)
+    // exact join verbatim; chunkSize = 2 forces the chunked packs.
+    val emb = spark.range(0, 60).selectExpr("id AS vec_id",
+      """transform(sequence(0, 1), d -> cast(
+          if(d = 0, cos(id * 0.1), sin(id * 0.1)) as float)) AS embedding""")
+    val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cents = Similarity.trainCodebook(emb, "vec_id", "embedding", 1, 1)
+    val int8 = Dedup.cosineDupPairsBlockedInt8(emb, cents, "vec_id",
+        "embedding", 0.45, probes = 1, chunkSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(int8 == exact)
+  }
+
+  test("int8 two-phase == exact baseline on the planted-dup corpus " +
+      "(trained codebook, chunk splitting forced)") {
+    val emb = spark.range(0, 2000).selectExpr(
+        "id AS vec_id",
+        "if(id % 20 = 19, id - 1, id) AS sid")
+      .selectExpr("vec_id",
+        """transform(sequence(0, 63), d -> cast(
+            (pmod(xxhash64(sid, d, 7), 2001) - 1000) / 500.0
+            + if(vec_id % 20 = 19,
+                (pmod(xxhash64(vec_id, d, 8), 21) - 10) / 1000.0, 0.0)
+          as float)) AS embedding""")
+    val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cents = Similarity.trainCodebook(emb, "vec_id", "embedding", 40, 2)
+    val int8 = Dedup.cosineDupPairsBlockedInt8(emb, cents, "vec_id",
+        "embedding", 0.9, probes = 8, chunkSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size == 100, s"expected the 100 planted pairs: ${exact.size}")
+    assert(int8 == exact)
+  }
+
+  test("int8 trained path == exact baseline on the sf0.001 corpus") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val int8 = Dedup
+      .cosineDupPairsTrainedInt8(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(int8 == exact)
+  }
 }
