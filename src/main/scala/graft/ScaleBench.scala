@@ -51,6 +51,7 @@ object ScaleBench {
     "q_dedup_cosine_int8",    // two-phase int8 prefilter + exact re-score
     "q_semantic_dedup",       // SemDeDup: train + blocked pair graph
     "q_semantic_dedup_amortized", // SemDeDup over a persisted codebook
+    "q_semantic_dedup_int8",  // amortized SemDeDup, int8 pair graph
     "q_ivf_search",           // IVF build + pruned probe
     "q_ivfpq_search",         // IVFADC end-to-end
     "q_knn_cosine",           // brute top-k (queries fixed, corpus grows)

@@ -866,13 +866,26 @@ object Dedup {
     * codebook ([[graft.sources.IvfStore]]). Pass the codebook
     * [[dupCodebook]] trains (or any codebook of the same geometry) and
     * the output is IDENTICAL to [[semanticDedup]] — training is
-    * deterministic, so codebook reuse cannot change the pair graph. */
+    * deterministic, so codebook reuse cannot change the pair graph.
+    *
+    * `int8 = true` sources the pair graph from
+    * [[cosineDupPairsBlockedInt8]] instead — bit-identical pairs (the
+    * quantized prefilter provably loses no qualifying pair; survivors
+    * are re-scored exactly), but the bucket exchange ships 1-byte
+    * codes instead of float vectors. The full-precision pair join's
+    * probe-side shuffle (~4× the bytes) was the single-host scratch
+    * wall that killed the amortized path at the 2M-vector tier; the
+    * int8 graph is the configuration built to clear it. */
   def semanticDedupWithCodebook(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, cents: DataFrame,
-      probes: Int = 20): DataFrame = {
+      probes: Int = 20, int8: Boolean = false): DataFrame = {
     val k = cents.count().toInt
-    semanticLabel(df, idCol, cosineDupPairsBlocked(df, cents, idCol,
-      vecCol, threshold, math.min(probes, k)))
+    val p = math.min(probes, k)
+    val pairs =
+      if (int8) cosineDupPairsBlockedInt8(df, cents, idCol, vecCol,
+        threshold, p)
+      else cosineDupPairsBlocked(df, cents, idCol, vecCol, threshold, p)
+    semanticLabel(df, idCol, pairs)
   }
 
   /** The codebook [[cosineDupPairsTrained]] trains for this corpus —

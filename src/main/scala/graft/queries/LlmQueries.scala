@@ -562,6 +562,22 @@ object LlmQueries extends QueryPack {
         .orderBy("vec_id")
     }, Some(semanticDedupSql)),
 
+    // amortized SemDeDup over the int8 pair graph — the scale shape for
+    // both walls the 2M-vector tier measured: training amortized away
+    // (persisted codebook) AND the pair join's bucket exchange at 1
+    // byte/dim. Same oracle SQL again: the quantized prefilter must not
+    // change a single component label.
+    QueryDef("q_semantic_dedup_int8", (s, dir) => {
+      import graft.sources.IvfStore
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = TempIndexDirs.jvmScoped("graft_semdedup", dir)
+      val cents = IvfStore.codebookCached(s, path)(
+        Dedup.dupCodebook(emb, "vec_id", "embedding"))
+      Dedup.semanticDedupWithCodebook(emb, "vec_id", "embedding",
+          threshold = 0.45, cents, probes = 20, int8 = true)
+        .orderBy("vec_id")
+    }, Some(semanticDedupSql)),
+
     // ---- unigram LM cross-entropy (perplexity-proxy quality) --------
     // train on the doc_id % 3 != 0 split, score the WHOLE corpus. The
     // per-token NLLs are integral micro-nats (one ln + half-up round per

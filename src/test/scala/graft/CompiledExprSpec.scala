@@ -263,4 +263,20 @@ class CompiledExprSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(int8 == exact)
   }
+
+  test("semanticDedup over the int8 pair graph == full-precision graph " +
+      "(every cluster label and keep bit) on the sf0.001 corpus") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Dedup.dupCodebook(emb, "vec_id", "embedding")
+    def run(int8: Boolean) =
+      Dedup.semanticDedupWithCodebook(emb, "vec_id", "embedding",
+          threshold = 0.45, cents, probes = 20, int8 = int8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = run(int8 = false)
+    val quant = run(int8 = true)
+    assert(full.nonEmpty && full.exists(_._3 == 0),
+      "corpus must contain at least one dropped duplicate")
+    assert(quant == full)
+  }
 }
