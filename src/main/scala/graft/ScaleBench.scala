@@ -67,7 +67,8 @@ object ScaleBench {
     * pair). Names start with `s_` and dispatch outside SparkEntry. */
   val StreamChains: Seq[String] = Seq(
     "s_curate_stream",        // stateless gate + watermarked exact dedup
-    "s_neardup_stream")       // per-bucket LSH state, capped membership
+    "s_neardup_stream",       // per-bucket LSH state, capped membership
+    "s_vector_neardup_stream") // int8-packed per-bucket vector state
 
   def main(args: Array[String]): Unit = {
     val outJson = args(0)
@@ -93,19 +94,35 @@ object ScaleBench {
       * is doc_id-derived (100 docs/second), deterministic at any scale. */
     def execStream(name: String, dir: String): Unit = {
       import graft.streaming.SarStreaming
-      val src = s"$dir/documents.parquet"
+      val table =
+        if (name == "s_vector_neardup_stream") "embeddings" else "documents"
+      val idCol = if (table == "embeddings") "vec_id" else "doc_id"
+      val src = s"$dir/$table.parquet"
       val schema = spark.read.parquet(src).schema
       val files = spark.read.parquet(src).inputFiles.length
-      val docs = spark.readStream.schema(schema)
+      val rows = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", math.max(1, files / 4))
         .parquet(src)
         .withColumn("ts",
-          timestamp_seconds(lit(1600000000L) + col("doc_id") / lit(100)))
+          timestamp_seconds(lit(1600000000L) + col(idCol) / lit(100)))
       val out = name match {
         case "s_curate_stream" =>
-          SarStreaming.curateStream(docs, "text", "ts")
+          SarStreaming.curateStream(rows, "text", "ts")
         case "s_neardup_stream" =>
-          SarStreaming.nearDupCandidates(docs, "doc_id", "text", "ts").toDF()
+          SarStreaming.nearDupCandidates(rows, "doc_id", "text", "ts").toDF()
+        case "s_vector_neardup_stream" =>
+          // production shape: the codebook is trained once and persisted
+          // (IvfStore.codebookCached) — the stream pays routing + state,
+          // not Lloyd's. Same amortization the batch int8 chain uses.
+          val cents = graft.sources.IvfStore.codebookCached(spark,
+            s"${System.getProperty("java.io.tmpdir")}/graft_scale_cb_" +
+              java.lang.Integer.toHexString(dir.hashCode) + "_" +
+              ProcessHandle.current().pid()) {
+            graft.functions.Dedup.dupCodebook(
+              spark.read.parquet(src), "vec_id", "embedding")
+          }
+          SarStreaming.vectorNearDupCandidates(rows, "vec_id",
+            "embedding", "ts", cents, threshold = 0.45, probes = 20).toDF()
         case other => throw new IllegalArgumentException(other)
       }
       val q = out.writeStream.outputMode("append").format("noop").start()

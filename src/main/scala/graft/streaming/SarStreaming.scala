@@ -194,6 +194,135 @@ object SarStreaming {
       }
   }
 
+  final case class VecBandRow(bucket: Long, res: Boolean, id: Long,
+    codes: Array[Byte], cnorm: Double, eps: Double, ts: Timestamp)
+  final case class Int8Member(id: Long, codes: Array[Byte], cnorm: Double,
+    eps: Double)
+
+  /** Streaming embedding near-duplicate candidates — the vector
+    * counterpart of [[nearDupCandidates]], built on the same two-phase
+    * int8 contract as the batch path
+    * (graft.functions.Dedup.cosineDupPairsBlockedInt8): every arriving
+    * vector routes to its `probes` nearest centroids of a PRE-TRAINED
+    * codebook (broadcast + one compiled expression — stateless, so the
+    * routing is stream-legal and bit-identical to batch), carries an
+    * int8 pack (1 byte/dim codes + norm + exact error bound
+    * — graft.expressions.Int8VecPack), and probes a per-bucket state of
+    * previously seen packs. A candidate pair is emitted when the
+    * QUANTIZED cosine clears `threshold − eps_a − eps_b − 5e-5`: by the
+    * pack's Cauchy–Schwarz bound no exact-qualifying co-bucketed pair
+    * can fall below that gate, so the stream emits a provable SUPERSET
+    * of the qualifying pairs among co-bucketed vectors. Consumers
+    * re-score exactly at output scale (an id join back to full vectors
+    * — phase 2, e.g. in `foreachBatch`), exactly as the batch caller
+    * does.
+    *
+    * State keeps the batch path's residence/probe asymmetry: a vector
+    * RESIDES only in its single nearest bucket (so state and candidate
+    * volume are corpus-scale, not probes× that) and PROBES with all
+    * `probes` buckets; the pair relation is "later arrival's probe set
+    * contains an earlier arrival's residence", plus both directions
+    * within a micro-batch. That is the streaming restriction of the
+    * batch relation (which also credits the earlier side's probes) —
+    * the standard multi-probe recall argument is unchanged, because a
+    * qualifying pair at `threshold` sits well inside centroid spacing,
+    * so the earlier vector's residence is (deep) inside the later one's
+    * probe list.
+    *
+    * State is int8 — dim bytes per member instead of 4·dim float — so
+    * the same executor holds ~4× the reference vectors; it is bounded
+    * the same two ways as the LSH face: event-time TTL eviction of idle
+    * buckets and a `maxBucket` cap on membership (a degenerate hot
+    * bucket stops admitting members rather than going quadratic).
+    * Zero-norm vectors never enter state or pair (their cosine is
+    * undefined — matches the batch drop). The same pair can surface
+    * from multiple shared probe buckets — dedupe downstream, as with
+    * the LSH face. Centroid labels are hashed to the state key;
+    * a hash collision only MERGES two buckets (more candidates
+    * prefiltered, never a lost pair). */
+  def vectorNearDupCandidates(vecs: DataFrame, idCol: String,
+      vecCol: String, tsCol: String, cents: DataFrame, threshold: Double,
+      probes: Int = 2, delay: String = "1 hour",
+      stateTtlMs: Long = 3600000L, maxBucket: Int = 1024)
+      : Dataset[DupCandidate] = {
+    import vecs.sparkSession.implicits._
+    val routed = graft.functions.Similarity
+      .assignTopK(vecs, cents, idCol, vecCol, probes)
+      .select(col(idCol).as("id"),
+        graft.expressions.Int8VecPack.int8_pack(col(vecCol)).as("__p"),
+        col(tsCol).as("ts"),
+        posexplode(col("probe_buckets")).as(Seq("__pos", "__bk")))
+      .select(xxhash64(col("__bk").cast("string")).as("bucket"),
+        (col("__pos") === 0).as("res"),
+        col("id"), col("__p.codes").as("codes"),
+        col("__p.cnorm").as("cnorm"), col("__p.eps").as("eps"), col("ts"))
+      .filter(col("cnorm") =!= 0.0)
+      .withWatermark("ts", delay)
+      .as[VecBandRow]
+    val gateBase = threshold - 5e-5
+    routed.groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[Int8Member], DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[List[Int8Member]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen0 = state.getOption.getOrElse(List.empty[Int8Member])
+            val existing = seen0.map(_.id).toSet
+            val batch = rows.toSeq
+            // one row per id (a vector reaches this bucket at one probe
+            // rank; defensive collapse keeps the residence row if both
+            // ever appear), deterministic id-asc order
+            val byId = batch.groupBy(_.id)
+              .map { case (_, rs) => rs.find(_.res).getOrElse(rs.head) }
+              .toSeq.sortBy(_.id)
+            // admit this batch's residents first (id asc, cap holds),
+            // so both directions of a same-batch pair are probed below
+            var seen = seen0
+            val admitted =
+              scala.collection.mutable.ArrayBuffer.empty[Int8Member]
+            byId.foreach { r =>
+              if (r.res && !existing.contains(r.id) &&
+                  seen.length < maxBucket) {
+                val m = Int8Member(r.id, r.codes, r.cnorm, r.eps)
+                admitted += m
+                seen = m :: seen
+              }
+            }
+            val targets = seen0 ++ admitted
+            val out =
+              scala.collection.mutable.LinkedHashSet.empty[DupCandidate]
+            byId.foreach { r =>
+              // re-delivered residents (id already in state) emitted
+              // their pairs on first arrival — suppress, like the LSH
+              // face's filterNot(seen.contains)
+              if (!existing.contains(r.id)) {
+                val dim = r.codes.length
+                targets.foreach { m =>
+                  if (m.id != r.id && m.codes.length == dim) {
+                    var dot = 0L
+                    var j = 0
+                    while (j < dim) {
+                      dot += r.codes(j).toLong * m.codes(j).toLong
+                      j += 1
+                    }
+                    if (dot.toDouble / (r.cnorm * m.cnorm) >=
+                        gateBase - r.eps - m.eps)
+                      out += DupCandidate(math.min(m.id, r.id),
+                        math.max(m.id, r.id))
+                  }
+                }
+              }
+            }
+            val maxTs = batch.map(_.ts.getTime).max
+            state.update(seen)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1000L,
+                maxTs + stateTtlMs))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming exact deduplication: drop repeats of `keyCols` arriving
     * within the watermark delay — the streaming face of the batch
     * hash-groupBy dedup, with state bounded by the watermark (a landing

@@ -189,6 +189,55 @@ class StreamingSpec extends AnyFunSuite {
       s"diff ${(batch -- got).take(5)} / ${(got -- batch).take(5)}")
   }
 
+  test("streaming vector near-dup: int8-prefiltered candidates re-score " +
+      "to exactly the batch pair set (single-bucket and trained codebook)") {
+    import graft.functions.{Dedup, Similarity}
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val dir = Files.createTempDirectory("graft_vec_neardup").toString
+    emb.withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .write.mode("overwrite").parquet(dir)
+    def streamCandidates(cents: org.apache.spark.sql.DataFrame,
+        probes: Int): Set[(Long, Long)] = {
+      val stream = SarStreaming.readEvents(spark,
+        spark.read.parquet(dir).schema, dir)
+      val cand = SarStreaming.vectorNearDupCandidates(stream, "vec_id",
+        "embedding", "ts", cents, threshold = 0.4, probes = probes,
+        maxBucket = 10000)
+      SarStreaming.runToMemory(cand.toDF(), s"vec_neardup_$probes",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def rescore(cand: Set[(Long, Long)]): Set[(Long, Long)] = {
+      import spark.implicits._
+      cand.toSeq.toDF("a", "b")
+        .join(emb.select(col("vec_id").as("a"),
+          col("embedding").as("__va")), Seq("a"))
+        .join(emb.select(col("vec_id").as("b"),
+          col("embedding").as("__vb")), Seq("b"))
+        .filter(round(Similarity.cosine(col("__va"), col("__vb")), 4)
+          >= 0.4)
+        .select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // single centroid = one bucket = exhaustive: the prefilter's margin
+    // must lose nothing, so re-scored candidates == the exact pair set
+    val one = streamCandidates(
+      Similarity.trainCodebook(emb, "vec_id", "embedding", 1, 1), 1)
+    assert(one.forall { case (a, b) => a < b })
+    assert((exact -- one).isEmpty,
+      s"prefilter lost qualifying pairs: ${(exact -- one).take(5)}")
+    assert(rescore(one) == exact)
+    // trained codebook at the settings the batch blocked path is pinned
+    // recall-complete under: re-scored stream output == exact again
+    val trained = streamCandidates(
+      Dedup.dupCodebook(emb, "vec_id", "embedding"), 20)
+    assert(rescore(trained) == exact)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val dir = Files.createTempDirectory("graft_ssj").toString
