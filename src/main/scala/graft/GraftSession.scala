@@ -81,6 +81,12 @@ object GraftExtensions {
       ("strip_html", "graft.functions.LineClean",
         col1("strip_html")(LineClean.stripHtml)),
       ("redact_pii", "graft.functions.Pii", col1("redact_pii")(Pii.redact)),
+      ("int8_pack", classOf[graft.expressions.Int8VecPack].getName,
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1,
+            "int8_pack(vec) takes exactly one argument")
+          graft.expressions.Int8VecPack(exprs.head)
+        }),
       ("gopher_pass", ta, { exprs: Seq[Expression] =>
         require(exprs.length >= 1 && exprs.length <= 3,
           "gopher_pass(text[, minWords, maxWords])")

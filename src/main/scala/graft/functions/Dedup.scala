@@ -455,15 +455,32 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8,
       mode: String = "auto"): DataFrame = {
     require(Set("auto", "direct", "prefix")(mode), s"unknown mode: $mode")
-    val sets = docShingles(df, textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("sh")).as("sh"))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("sh"))).as("shs"))
+    // the sorted shingle-hash set is computed PER ROW (transform +
+    // array_sort over the shingle array the text row already produces)
+    // — ZERO shuffle, where the explode → groupBy(id) → collect_list
+    // formulation this replaces round-tripped every (doc, shingle) row
+    // through an id-keyed exchange just to re-assemble arrays that were
+    // row-local all along (the minhashSignature lesson applied to the
+    // digest tier). Element values, sort order, and the digest formula
+    // are IDENTICAL, so the digest tier's semantics are unchanged;
+    // shingle-free docs (< n words, null text) are excluded exactly as
+    // the explode form excluded them — they must not share an
+    // empty-set digest and pair with each other (J is undefined on
+    // empty sets).
+    val sets = df.select(col(idCol),
+        array_sort(transform(
+          array_distinct(TextAnalysis.shingles(col(textCol), n)),
+          s => xxhash64(s))).as("shs"))
+      .filter(size(col("shs")) > 0)
       .select(col(idCol), col("shs"),
         md5(array_join(transform(col("shs"), _.cast("string")), ","))
           .as("dig"))
-    val groups = sets.groupBy("dig").agg(min(col(idCol)).as("rep"))
-    val withRep = sets.join(groups, Seq("dig"))
+    // rep = group minimum via ONE dig-keyed window pass over the packed
+    // rows — the groupBy(dig) + re-join formulation shuffled the array
+    // column by dig anyway (the join side), plus a second narrow
+    // aggregate exchange this fuses away
+    val withRep = sets.withColumn("rep",
+      min(col(idCol)).over(Window.partitionBy(col("dig"))))
     val identicalLosers = withRep.filter(col(idCol) =!= col("rep"))
       .select(col(idCol).as("b"))
     val usePrefix = mode match {

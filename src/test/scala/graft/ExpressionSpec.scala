@@ -32,6 +32,25 @@ class ExpressionSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("int8_pack is registered for SQL and equals the Column API pack") {
+    GraftExtensions.register(spark)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.createOrReplaceTempView("emb_sql_pack")
+    def packKey(r: org.apache.spark.sql.Row)
+        : (Long, (Seq[Byte], Double, Double)) = {
+      val p = r.getStruct(1)
+      r.getLong(0) ->
+        ((p.getAs[Array[Byte]](0).toSeq, p.getDouble(1), p.getDouble(2)))
+    }
+    val viaSql = spark.sql(
+      """SELECT vec_id, int8_pack(embedding) AS p FROM emb_sql_pack""")
+      .collect().map(packKey).toMap
+    val viaCol = emb.select(col("vec_id"),
+        graft.expressions.Int8VecPack.int8_pack(col("embedding")).as("p"))
+      .collect().map(packKey).toMap
+    assert(viaSql == viaCol && viaSql.size == emb.count())
+  }
+
   test("brute-force top-k plan runs inside whole-stage codegen (no join)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = Similarity.topKCosine(emb, "vec_id", "embedding", 0L, 10)
