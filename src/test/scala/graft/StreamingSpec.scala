@@ -238,6 +238,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(rescore(trained) == exact)
   }
 
+  test("vector near-dup state honors the membership cap and evicts idle " +
+      "buckets at the event-time TTL") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def vrow(id: Long, x: Float, y: Float, offsetSec: Long)
+        : (Long, Seq[Float], java.sql.Timestamp) =
+      (id, Seq(x, y), new java.sql.Timestamp(t0 + offsetSec * 1000))
+    // ---- cap: 5 identical vectors, one bucket, maxBucket = 3 --------
+    // residents {1,2,3} pair among themselves (3); 4 and 5 still PROBE
+    // the 3 residents (3 pairs each) but are not admitted — per-arrival
+    // work stays <= cap, never quadratic
+    val oneCent = Seq((0L, Seq(1.0, 0.0))).toDF("c", "cv")
+    val capDir = Files.createTempDirectory("graft_veccap").toString
+    Seq(vrow(1, 1f, 0f, 0), vrow(2, 1f, 0f, 0), vrow(3, 1f, 0f, 0),
+        vrow(4, 1f, 0f, 0), vrow(5, 1f, 0f, 0))
+      .toDF("vec_id", "embedding", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(capDir)
+    val capStream = SarStreaming.readEvents(spark,
+      spark.read.parquet(capDir).schema, capDir)
+    val capped = SarStreaming.runToMemory(
+      SarStreaming.vectorNearDupCandidates(capStream, "vec_id",
+        "embedding", "ts", oneCent, threshold = 0.9, probes = 1,
+        maxBucket = 3).toDF(), "vec_cap",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 4L), (2L, 4L), (3L, 4L), (1L, 5L), (2L, 5L), (3L, 5L)),
+      s"got $capped")
+    // ---- TTL: bucket A idles past the TTL while bucket B advances the
+    // watermark; a fresh A vector then pairs with NOTHING ------------
+    val twoCents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("c", "cv")
+    val dir = Files.createTempDirectory("graft_vecttl").toString
+    val batches = Seq(
+      Seq(vrow(1, 1f, 0f, 0), vrow(2, 1f, 0f, 0)),   // A: pair (1,2)
+      Seq(vrow(50, 0f, 1f, 4 * 3600)),               // B advances watermark
+      Seq(vrow(51, 0f, 1f, 4 * 3600 + 60)),          // trigger fires A's timer
+      Seq(vrow(3, 1f, 0f, 5 * 3600)))                // A again: state evicted
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val f = s"$dir/b$i"
+      rows.toDF("vec_id", "embedding", "ts").coalesce(1).write.parquet(f)
+      new java.io.File(f).listFiles().foreach(
+        _.setLastModified(t0 + i * 60000))
+    }
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(s"$dir/b0").schema, s"$dir/*",
+      Map("maxFilesPerTrigger" -> "1"))
+    val got = SarStreaming.runToMemory(
+      SarStreaming.vectorNearDupCandidates(stream, "vec_id", "embedding",
+        "ts", twoCents, threshold = 0.9, probes = 1,
+        delay = "10 minutes", stateTtlMs = 1800 * 1000L).toDF(),
+      "vec_ttl", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // vec 3 pairing with 1 or 2 would mean the evicted state survived
+    assert(got == Set((1L, 2L), (50L, 51L)), s"got $got")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val dir = Files.createTempDirectory("graft_ssj").toString
