@@ -59,12 +59,13 @@ object ScaleBench {
     "q_quality_select",       // per-group quantile selection
     "q_top_ngrams")           // boilerplate mining (df-agg)
 
-  /** Streaming faces (VERDICT r6 item 8): the documents corpus replayed
-    * through a file-source stream in four micro-batches, driven to
-    * completion against the noop sink — measures that the
-    * watermark-bounded state claims hold empirically (state per
-    * distinct key / per band bucket with the 64-member cap, never per
-    * pair). Names start with `s_` and dispatch outside SparkEntry. */
+  /** Streaming faces (VERDICT r6 item 8): a corpus table (documents for
+    * the text faces, embeddings for the vector face) replayed through a
+    * file-source stream in four micro-batches, driven to completion
+    * against the noop sink — measures that the watermark-bounded state
+    * claims hold empirically (state per distinct key / per bucket with
+    * a membership cap, never per pair). Names start with `s_` and
+    * dispatch outside SparkEntry. */
   val StreamChains: Seq[String] = Seq(
     "s_curate_stream",        // stateless gate + watermarked exact dedup
     "s_neardup_stream",       // per-bucket LSH state, capped membership
@@ -88,10 +89,11 @@ object ScaleBench {
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", 256)
 
-    /** Replay the documents table as a bounded stream (4 micro-batches
-      * via maxFilesPerTrigger so the watermark actually advances and
-      * evicts state mid-run) and drain it to the noop sink. Event time
-      * is doc_id-derived (100 docs/second), deterministic at any scale. */
+    /** Replay a corpus table as a bounded stream (4 micro-batches via
+      * maxFilesPerTrigger so the watermark actually advances and evicts
+      * state mid-run) and drain it to the noop sink: documents for the
+      * text faces, embeddings for the vector face. Event time is
+      * id-derived (100 rows/second), deterministic at any scale. */
     def execStream(name: String, dir: String): Unit = {
       import graft.streaming.SarStreaming
       val table =
@@ -113,11 +115,12 @@ object ScaleBench {
         case "s_vector_neardup_stream" =>
           // production shape: the codebook is trained once and persisted
           // (IvfStore.codebookCached) — the stream pays routing + state,
-          // not Lloyd's. Same amortization the batch int8 chain uses.
+          // not Lloyd's. SAME cache key as the amortized SemDeDup
+          // queries (prefix + corpus dir), so a suite pass trains
+          // dupCodebook once per corpus, and TempIndexDirs' shutdown
+          // hook cleans the directory up.
           val cents = graft.sources.IvfStore.codebookCached(spark,
-            s"${System.getProperty("java.io.tmpdir")}/graft_scale_cb_" +
-              java.lang.Integer.toHexString(dir.hashCode) + "_" +
-              ProcessHandle.current().pid()) {
+            graft.queries.TempIndexDirs.jvmScoped("graft_semdedup", dir)) {
             graft.functions.Dedup.dupCodebook(
               spark.read.parquet(src), "vec_id", "embedding")
           }

@@ -194,7 +194,6 @@ case class BucketCosineHitsInt8(left: Expression, right: Expression,
     val qeps = q.getDouble(2)
     if (qc == null || qn == 0.0)
       return new GenericArrayData(Array.empty[Any])
-    val dim = qc.length
     val nm = members.numElements()
     val out = new java.util.ArrayList[Any](4)
     var c = 0
@@ -204,20 +203,9 @@ case class BucketCosineHitsInt8(left: Expression, right: Expression,
         if (!row.isNullAt(1)) {
           val p = row.getStruct(1, 3)
           val mc = p.getBinary(0)
-          val mn = p.getDouble(1)
-          if (mc != null && mc.length == dim && mn != 0.0) {
-            // integer dot in element order — products ≤ 127² and a
-            // long accumulator keep this exact at any dim
-            var dot = 0L
-            var j = 0
-            while (j < dim) {
-              dot += qc(j).toLong * mc(j).toLong
-              j += 1
-            }
-            val gate = threshold - qeps - p.getDouble(2) - 5e-5
-            if (dot.toDouble / (qn * mn) >= gate)
-              out.add(InternalRow.copyValue(row.get(0, idType)))
-          }
+          if (mc != null && BucketCosineHitsInt8.quantizedGatePasses(
+              qc, qn, qeps, mc, p.getDouble(1), p.getDouble(2), threshold))
+            out.add(InternalRow.copyValue(row.get(0, idType)))
         }
       }
       c += 1
@@ -255,6 +243,28 @@ case class BucketCosineHitsInt8(left: Expression, right: Expression,
 
 object BucketCosineHitsInt8 {
   import org.apache.spark.sql.GraftColumnBridge
+
+  /** THE phase-1 admission decision, shared by the batch expression and
+    * the streaming face (SarStreaming.vectorNearDupCandidates) so the
+    * gate constant and the eps margin cannot drift apart: integer dot
+    * in element order (products ≤ 127² with a long accumulator — exact
+    * at any dim), admitted iff the quantized cosine clears
+    * `threshold − eps_q − eps_m − 5e-5` (see the class scaladoc for why
+    * no exact-qualifying pair can fail it). Mismatched dims and
+    * zero-norm packs are never admitted — an undefined cosine never
+    * clears a threshold. */
+  def quantizedGatePasses(qc: Array[Byte], qn: Double, qeps: Double,
+      mc: Array[Byte], mn: Double, meps: Double,
+      threshold: Double): Boolean = {
+    if (qc.length != mc.length || qn == 0.0 || mn == 0.0) return false
+    var dot = 0L
+    var j = 0
+    while (j < qc.length) {
+      dot += qc(j).toLong * mc(j).toLong
+      j += 1
+    }
+    dot.toDouble / (qn * mn) >= threshold - qeps - meps - 5e-5
+  }
 
   /** Column API: member ids surviving the quantized-cosine prefilter. */
   def bucket_cosine_hits_int8(query: Column, members: Column,

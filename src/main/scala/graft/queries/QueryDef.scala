@@ -232,7 +232,7 @@ private[queries] object OracleSql {
   * across one process's repeated runs, disjoint between concurrent
   * JVMs, and deleted by a shutdown hook — without the hook every JVM
   * would strand one corpus-sized copy in the temp volume. */
-private[queries] object TempIndexDirs {
+private[graft] object TempIndexDirs {
   private val registered = scala.collection.mutable.Set.empty[String]
 
   def jvmScoped(prefix: String, corpusDir: String): String = synchronized {

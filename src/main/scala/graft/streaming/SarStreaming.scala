@@ -259,7 +259,6 @@ object SarStreaming {
       .filter(col("cnorm") =!= 0.0)
       .withWatermark("ts", delay)
       .as[VecBandRow]
-    val gateBase = threshold - 5e-5
     routed.groupByKey(_.bucket)
       .flatMapGroupsWithState[List[Int8Member], DupCandidate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
@@ -296,20 +295,16 @@ object SarStreaming {
               // their pairs on first arrival — suppress, like the LSH
               // face's filterNot(seen.contains)
               if (!existing.contains(r.id)) {
-                val dim = r.codes.length
                 targets.foreach { m =>
-                  if (m.id != r.id && m.codes.length == dim) {
-                    var dot = 0L
-                    var j = 0
-                    while (j < dim) {
-                      dot += r.codes(j).toLong * m.codes(j).toLong
-                      j += 1
-                    }
-                    if (dot.toDouble / (r.cnorm * m.cnorm) >=
-                        gateBase - r.eps - m.eps)
-                      out += DupCandidate(math.min(m.id, r.id),
-                        math.max(m.id, r.id))
-                  }
+                  // the SAME admission decision as the batch expression
+                  // — shared code, so gate constant and eps margin
+                  // cannot drift between the two faces
+                  if (m.id != r.id &&
+                      graft.expressions.BucketCosineHitsInt8
+                        .quantizedGatePasses(r.codes, r.cnorm, r.eps,
+                          m.codes, m.cnorm, m.eps, threshold))
+                    out += DupCandidate(math.min(m.id, r.id),
+                      math.max(m.id, r.id))
                 }
               }
             }
