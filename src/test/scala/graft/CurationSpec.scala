@@ -85,8 +85,17 @@ class CurationSpec extends AnyFunSuite {
     val labs = Dedup.duplicateClusters(chain)
       .select("cluster").distinct().collect().map(_.getLong(0)).toSeq
     assert(labs == Seq(0L))
-    // ...and a diameter past maxIters THROWS instead of silently
-    // splitting the component into wrong clusters
+    // ...a component far WIDER than maxIters converges too — pointer
+    // halving needs ~log2(diameter) rounds, not diameter (a 300-node
+    // path under plain min-label would need 300 > 50 rounds; the
+    // 5M-doc scale corpus hit exactly that with a replica chain)
+    val longChain = (0L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val longLabs = Dedup.duplicateClusters(longChain)
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSeq
+    assert(longLabs == Seq(0L))
+    // ...and a bound below the log2 requirement THROWS instead of
+    // silently splitting the component into wrong clusters (reach
+    // after r rounds is 2^(r+1) - 2 hops: 3 rounds cover 14 < 15)
     val e = intercept[IllegalStateException] {
       Dedup.duplicateClusters(chain, maxIters = 3).collect()
     }
