@@ -11,11 +11,12 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries(name)(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/$name")
-    val sql = SparkEntry.oracleSql(name).replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n")
+    // shared escape with Verify: all control chars covered, so a tab/CR
+    // in the SQL can't produce invalid JSON here either
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      s"""{"$name": "$sql"}""")
+      s"""{${Verify.jsonQuote(name)}: ${
+        Verify.jsonQuote(SparkEntry.oracleSql(name))}}""")
     spark.stop()
   }
 }

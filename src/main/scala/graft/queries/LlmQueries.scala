@@ -535,10 +535,11 @@ object LlmQueries extends QueryPack {
     // ---- semantic dedup (SemDeDup) ----------------------------------
     // connected components of the cosine>=t pair graph over embeddings,
     // keep the component minimum. The pair source is the TRAINED
-    // centroid-blocked path — the same graph q_dedup_cosine_blocked
-    // already gates pair-for-pair against the exact SQL (probes=8,
-    // recall-complete with margin at all three SFs per calibration), so
-    // this row gates the component/keep composition on top of it.
+    // centroid-blocked path at the API default — int8 two-phase since
+    // the r8 flip — the same graph q_dedup_cosine_int8 already gates
+    // pair-for-pair against the exact SQL (probes recall-complete with
+    // margin at all three SFs per calibration), so this row gates the
+    // component/keep composition on top of it.
     QueryDef("q_semantic_dedup", (s, dir) => {
       Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.45)
@@ -549,8 +550,10 @@ object LlmQueries extends QueryPack {
     // — same geometry codebook, deterministic training — but the
     // codebook persists under a jvm-scoped dir on first use and later
     // passes (bench repetitions here; every subsequent pipeline run in
-    // production) skip Lloyd's training entirely. Same oracle SQL as
-    // q_semantic_dedup: the result sets must hash-match each other.
+    // production) skip Lloyd's training entirely. Runs at the API
+    // default pair graph (int8 since the r8 flip — this row is the
+    // "what does the default amortized call do" declaration). Same
+    // oracle SQL as q_semantic_dedup: the result sets must hash-match.
     QueryDef("q_semantic_dedup_amortized", (s, dir) => {
       import graft.sources.IvfStore
       val emb = Tables.load(s, dir, "embeddings")
@@ -562,11 +565,11 @@ object LlmQueries extends QueryPack {
         .orderBy("vec_id")
     }, Some(semanticDedupSql)),
 
-    // amortized SemDeDup over the int8 pair graph — the scale shape for
-    // both walls the 2M-vector tier measured: training amortized away
-    // (persisted codebook) AND the pair join's bucket exchange at 1
-    // byte/dim. Same oracle SQL again: the quantized prefilter must not
-    // change a single component label.
+    // amortized SemDeDup with the int8 pair graph PINNED explicitly —
+    // the declaration survives any future default change: training
+    // amortized away (persisted codebook) AND the pair join's bucket
+    // exchange at 1 byte/dim. Same oracle SQL again: the quantized
+    // prefilter must not change a single component label.
     QueryDef("q_semantic_dedup_int8", (s, dir) => {
       import graft.sources.IvfStore
       val emb = Tables.load(s, dir, "embeddings")
@@ -705,8 +708,14 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
 
-    // centroid-blocked scale path — same oracle SQL as q_dedup_cosine:
-    // the two declared paths must hash-match the identical result set.
+    // centroid-blocked FULL-PRECISION path — same oracle SQL as
+    // q_dedup_cosine: the declared paths must hash-match the identical
+    // result set. Since the r8 default flip this row calls
+    // cosineDupPairsTrainedFloat EXPLICITLY — it is the oracle-diverse
+    // comparison formulation (float probe rows through the bucket
+    // exchange) whose hash-match pins the int8 prefilter's
+    // no-false-negative margin; the API default (cosineDupPairsTrained)
+    // now runs the int8 path q_dedup_cosine_int8 declares.
     // The codebook is TRAINED at k≈√n (Lloyd's, one corpus scan per
     // iteration — the r2 10-label codebook capped the candidate join at
     // 10 distinct shuffle keys AND was measured non-recall-complete at
@@ -719,13 +728,14 @@ object LlmQueries extends QueryPack {
     // amortizes across every query against the corpus (see IvfStore).
     QueryDef("q_dedup_cosine_blocked", (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      Dedup.cosineDupPairsTrained(emb, "vec_id", "embedding",
+      Dedup.cosineDupPairsTrainedFloat(emb, "vec_id", "embedding",
           threshold = 0.45, probes = 20)
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
 
     // two-phase int8 scale path — THIRD declared path against the same
-    // oracle SQL: quantized prefilter (provable no-false-negative
+    // oracle SQL, and THE API DEFAULT since r8 (cosineDupPairsTrained
+    // aliases it): quantized prefilter (provable no-false-negative
     // margin) + exact re-score must hash-match the exact O(n²) result
     // set, so a margin-math bug fails CORRECTNESS, not just a spec.
     // Same trained codebook and probes as the blocked path; the

@@ -52,6 +52,12 @@ object IvfStore {
   def codebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebook")
 
+  /** Per-live-path monitors for [[codebookCached]]: two same-JVM threads
+    * racing the exists/write window (parallel suite runs sharing the
+    * jvmScoped cache dir) serialize here instead of both training. */
+  private val codebookLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** The codebook persisted under `path` if one exists, else evaluate
     * `train`, persist it there, and return the persisted copy — the
     * amortization primitive for train-once-reuse-everywhere consumers
@@ -59,13 +65,34 @@ object IvfStore {
     * a corpus pays Lloyd's training, every later pass pays one k-row
     * parquet read. Reading back the persisted copy (rather than
     * returning `train`'s frame) keeps first and later passes on the
-    * exact same label/vector types. */
+    * exact same label/vector types.
+    *
+    * Publication is ATOMIC (the r7 advisor finding): the parquet write
+    * lands in a sibling temp dir and a single rename publishes it, and
+    * "exists" means the _SUCCESS marker inside the live dir — so a
+    * crash mid-write leaves only an orphaned temp (overwritten by the
+    * next attempt), never a partial codebook that later calls silently
+    * read back. Same-JVM racers serialize on a per-path monitor; the
+    * loser of a cross-JVM race re-trains into its own temp and loses
+    * the rename — wasted work, never corruption (training is
+    * deterministic, so both copies are identical anyway). */
   def codebookCached(spark: SparkSession, path: String)
       (train: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$path/codebook")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      train.write.mode("overwrite").parquet(p.toString)
+    val lock = codebookLocks.computeIfAbsent(p.toString, _ => new Object)
+    lock.synchronized {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      if (!fs.exists(marker)) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$path/codebook__tmp_${Thread.currentThread().getId}")
+        train.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(p, true) // partial dir from a crash, or a racer's copy
+        if (!fs.rename(tmp, p) && !fs.exists(marker))
+          throw new java.io.IOException(
+            s"codebookCached: failed to publish $tmp -> $p")
+      }
+    }
     spark.read.parquet(p.toString)
   }
 

@@ -176,13 +176,18 @@ object SarStreaming {
             val newIds = batch.map(_.doc_id).distinct.sorted
               .filterNot(seen0.contains)
             var seen = seen0
+            // membership count tracked in an Int — `seen.length` inside
+            // the admission loop re-walks the List per admission,
+            // O(maxBucket²) per micro-batch for a hot bucket (r7 advisor)
+            var seenCount = seen0.size
             val pairs = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
             newIds.foreach { id =>
-              if (seen.length < maxBucket) {
+              if (seenCount < maxBucket) {
                 seen.foreach { s =>
                   pairs += DupCandidate(math.min(s, id), math.max(s, id))
                 }
                 seen = id :: seen
+                seenCount += 1
               }
             }
             val maxTs = batch.map(_.ts.getTime).max
@@ -239,11 +244,29 @@ object SarStreaming {
     * from multiple shared probe buckets — dedupe downstream, as with
     * the LSH face. Centroid labels are hashed to the state key;
     * a hash collision only MERGES two buckets (more candidates
-    * prefiltered, never a lost pair). */
+    * prefiltered, never a lost pair).
+    *
+    * **Sizing `maxBucket` (cap-pressure recall)**: when a bucket's
+    * residence cap binds, later residents are never admitted — they
+    * still PROBE (pairs against already-resident members are found),
+    * but pairs among two never-admitted vectors of that bucket are
+    * LOST, and the loss compounds quietly as occupancy overshoots the
+    * cap. Measured on the clustered fixture (StreamingSpec): at cap =
+    * expected occupancy recall is complete; at 2× over-cap pressure the
+    * dropped pairs are exactly the dropped-resident cross pairs.
+    * Guideline: maxBucket ≥ c_safety · n/k (expected bucket fill for an
+    * n-vector corpus over a k-centroid codebook; the dupCodebook
+    * default targets n/k = 128, so the 1024 default carries 8× headroom
+    * for Zipf-hot buckets). ALARM rather than guess: pass
+    * `droppedResidents` (a LongAccumulator) and alert when it moves —
+    * every increment is a vector whose future same-bucket pairs are at
+    * risk; re-shard the stream or raise the cap before trusting its
+    * dedup decisions. */
   def vectorNearDupCandidates(vecs: DataFrame, idCol: String,
       vecCol: String, tsCol: String, cents: DataFrame, threshold: Double,
       probes: Int = 2, delay: String = "1 hour",
-      stateTtlMs: Long = 3600000L, maxBucket: Int = 1024)
+      stateTtlMs: Long = 3600000L, maxBucket: Int = 1024,
+      droppedResidents: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[DupCandidate] = {
     import vecs.sparkSession.implicits._
     val routed = graft.functions.Similarity
@@ -275,16 +298,24 @@ object SarStreaming {
               .map { case (_, rs) => rs.find(_.res).getOrElse(rs.head) }
               .toSeq.sortBy(_.id)
             // admit this batch's residents first (id asc, cap holds),
-            // so both directions of a same-batch pair are probed below
+            // so both directions of a same-batch pair are probed below.
+            // Membership count in an Int (`seen.length` re-walked the
+            // List per admission — O(maxBucket²) per micro-batch for a
+            // hot bucket, r7 advisor); residents REFUSED by the cap tick
+            // the droppedResidents accumulator — the production alarm
+            // for silent recall loss under cap pressure (see scaladoc).
             var seen = seen0
+            var seenCount = seen0.size
             val admitted =
               scala.collection.mutable.ArrayBuffer.empty[Int8Member]
             byId.foreach { r =>
-              if (r.res && !existing.contains(r.id) &&
-                  seen.length < maxBucket) {
-                val m = Int8Member(r.id, r.codes, r.cnorm, r.eps)
-                admitted += m
-                seen = m :: seen
+              if (r.res && !existing.contains(r.id)) {
+                if (seenCount < maxBucket) {
+                  val m = Int8Member(r.id, r.codes, r.cnorm, r.eps)
+                  admitted += m
+                  seen = m :: seen
+                  seenCount += 1
+                } else droppedResidents.foreach(_.add(1L))
               }
             }
             val targets = seen0 ++ admitted

@@ -99,14 +99,19 @@ class CompiledExprSpec extends AnyFunSuite {
   }
 
   test("blocked pair set == exact baseline on the sf0.001 corpus " +
-      "(compiled loop end to end)") {
+      "(compiled loop end to end; float variant AND the int8 default)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val blocked = Dedup
-      .cosineDupPairsTrained(emb, "vec_id", "embedding", 0.4)
+      .cosineDupPairsTrainedFloat(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(blocked == exact)
+    // the API default (int8 alias since the r8 flip) returns the same set
+    val dflt = Dedup
+      .cosineDupPairsTrained(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dflt == exact)
   }
 
   test("hierarchical routing + chunked packing: blocked pairs == exact " +
