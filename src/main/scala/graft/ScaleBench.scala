@@ -47,8 +47,9 @@ object ScaleBench {
     "q_repeated_spans",       // Lee et al. k-gram spans
     "q_dedup_ledger",         // exact-key ledger anti-join
     "q_neardup_ledger",       // band ledger anti-join
-    "q_dedup_cosine_blocked", // trained IVF blocking
+    "q_dedup_cosine_blocked", // trained IVF blocking (float comparison row)
     "q_dedup_cosine_int8",    // two-phase int8 prefilter + exact re-score
+    "q_dedup_cosine_indexed", // persisted int8 index: phase 1 = pure scan
     "q_semantic_dedup",       // SemDeDup: train + blocked pair graph
     "q_semantic_dedup_amortized", // SemDeDup over a persisted codebook
     "q_semantic_dedup_int8",  // amortized SemDeDup, int8 pair graph

@@ -744,12 +744,27 @@ object Dedup {
   def cosineDupPairsBlockedInt8(df: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String, threshold: Double, probes: Int = 2,
       chunkSize: Int = 4096): DataFrame = {
-    require(chunkSize >= 1, s"chunkSize must be positive: $chunkSize")
     val routed = Similarity.assignTopK(df, cents, idCol, vecCol, probes)
       .select(col(idCol).as("a"),
         posexplode(col("probe_buckets")).as(Seq("pos", "bucket")),
         graft.expressions.Int8VecPack.int8_pack(col(vecCol)).as("__p"))
-      .repartition(col("bucket"))
+    int8PairsFromRouted(routed, df, idCol, vecCol, threshold, chunkSize)
+  }
+
+  /** The two-phase int8 pair engine over an already-ROUTED frame —
+    * shared tail of [[cosineDupPairsBlockedInt8]] (routes in-query via
+    * the broadcast codebook) and [[cosineDupPairsFromInt8Index]]
+    * (reads routing + packs straight off a persisted
+    * [[graft.sources.IvfStore.writeInt8]] index). `routed` columns:
+    * `a` (id), `pos` (probe rank, 0 = residence), `bucket`, `__p`
+    * (the [[graft.expressions.Int8VecPack]] pack). Plan shape and
+    * rationale are documented on [[cosineDupPairsBlocked]] /
+    * [[cosineDupPairsBlockedInt8]]. */
+  private def int8PairsFromRouted(routed0: DataFrame, df: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      chunkSize: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be positive: $chunkSize")
+    val routed = routed0.repartition(col("bucket"))
     val res = routed.filter(col("pos") === 0)
     val counts = res.groupBy("bucket")
       .agg(ceil(count(lit(1)).cast("double") / chunkSize).cast("int")
@@ -799,6 +814,41 @@ object Dedup {
         round(Similarity.cosine(col("__ra"), col("__rb")), 4))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
+  }
+
+  /** Two-phase int8 near-dup over a PERSISTED index
+    * ([[graft.sources.IvfStore.writeInt8]]) — the fully-amortized
+    * production path (VERDICT r7 item 6): routing, probe lists AND the
+    * int8 packs were all computed once at index-build time, so phase 1
+    * here is a pure SCAN of the index — no codebook broadcast, no
+    * CodebookTopK scoring, no per-run re-packing. Phase 2's exact
+    * re-score reads the full-precision vectors from the same parquet
+    * (columnar: the pair join projects only id + pack + probes; the
+    * survivor joins project id + vector — column pruning keeps each
+    * phase's bytes to what it touches). Results are IDENTICAL to
+    * [[cosineDupPairsBlockedInt8]] over the same codebook: the stored
+    * `probe_buckets` ARE assignTopK's output, persisted.
+    *
+    * `probes` may ask for at most the index's stored probe depth
+    * (writeInt8's `maxProbes`) — slicing deeper than what was stored
+    * would silently drop recall, so it RAISES instead. */
+  def cosineDupPairsFromInt8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, threshold: Double,
+      probes: Int = 20, chunkSize: Int = 4096): DataFrame = {
+    val idx = spark.read.parquet(s"$path/data")
+      .drop("bucket") // the partition dir = probe_buckets(1); re-derived
+    // one-row metadata probe (an empty index trivially yields no pairs)
+    idx.select(size(col("probe_buckets"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).foreach { stored =>
+        require(probes <= stored,
+          s"index at $path stores $stored probes; asked for $probes — " +
+            "rebuild with a larger maxProbes")
+      }
+    val routed = idx.select(col(idCol).as("a"),
+      posexplode(slice(col("probe_buckets"), 1, probes))
+        .as(Seq("pos", "bucket")),
+      col("int8_pack").as("__p"))
+    int8PairsFromRouted(routed, idx, idCol, vecCol, threshold, chunkSize)
   }
 
   /** THE default embedding near-dup path (alias of

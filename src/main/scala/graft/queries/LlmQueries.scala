@@ -747,6 +747,32 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
 
+    // FOURTH declared path against the same oracle SQL — the fully
+    // AMORTIZED two-phase shape (VERDICT r7 item 6): routing, probe
+    // lists AND int8 packs persist in an IvfStore.writeInt8 index
+    // (built once per corpus under the jvm-scoped dir, atomic
+    // publication, codebook shared with the amortized SemDeDup rows),
+    // so phase 1 here is a pure scan of the index — the steady-state
+    // cost a production pipeline pays on every pass after the first.
+    // stored probe depth = min(20, k) (CodebookTopK clamps at k), so
+    // the read side asks for exactly what the index holds.
+    QueryDef("q_dedup_cosine_indexed", (s, dir) => {
+      import graft.sources.IvfStore
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = TempIndexDirs.jvmScoped("graft_semdedup", dir)
+      val cents = IvfStore.codebookCached(s, base)(
+        Dedup.dupCodebook(emb, "vec_id", "embedding"))
+      val p = math.min(20, cents.count().toInt)
+      val idx = IvfStore.cachedBuild(s, s"$base/int8idx",
+          "data/_SUCCESS") { tmp =>
+        IvfStore.writeInt8(emb, cents, "vec_id", "embedding", tmp,
+          maxProbes = p)
+      }
+      Dedup.cosineDupPairsFromInt8Index(s, idx, "vec_id", "embedding",
+          threshold = 0.45, probes = p)
+        .orderBy("a", "b")
+    }, Some(cosineDupSql)),
+
     // ---- as-of join (align samples to latest preceding marker) ------
     QueryDef("q_asof_join", (s, dir) => {
       val ev = Tables.load(s, dir, "events")

@@ -52,6 +52,60 @@ object IvfStore {
   def codebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebook")
 
+  /** INT8 dedup index (VERDICT r7 item 6): the IVF layout with every
+    * row ALSO carrying its [[graft.expressions.Int8VecPack]] pack and
+    * its `maxProbes`-deep probe list, so the two-phase near-dup's
+    * phase 1 (graft.functions.Dedup.cosineDupPairsFromInt8Index)
+    * becomes a pure scan of the persisted index — no codebook
+    * broadcast, no routing scores, no re-packing, run after run. The
+    * layout stays a superset of [[write]]'s (id, vector, bucket
+    * partition dirs + codebook alongside), so [[search]]/[[searchPq]]-
+    * style probe pruning and [[drift]] keep working on it unchanged;
+    * parquet's columnar projection means consumers that ignore the
+    * pack/probe columns never read their bytes. Residence bucket =
+    * probe_buckets(1) (assignTopK orders by cosine desc), identical to
+    * [[write]]'s assignNearest routing. */
+  def writeInt8(emb: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, path: String, maxProbes: Int = 20): Unit = {
+    require(maxProbes >= 1, "maxProbes must be >= 1")
+    Similarity.assignTopK(emb, cents, idCol, vecCol, maxProbes)
+      .withColumn("int8_pack",
+        graft.expressions.Int8VecPack.int8_pack(col(vecCol)))
+      .withColumn("bucket", element_at(col("probe_buckets"), 1))
+      .repartition(col("bucket")) // ~1 file per bucket dir, as in write()
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/data")
+    cents.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Build-once directory publication with [[codebookCached]]'s
+    * atomicity contract generalized to ANY on-disk artifact (an int8
+    * index, a ledger seed): if `path` lacks its `marker` (a file that
+    * only a COMPLETE build contains — e.g. `data/_SUCCESS` for an
+    * IvfStore layout), run `build` against a sibling temp dir and
+    * rename it into place; same-JVM racers serialize per path,
+    * crashes leave only an orphaned temp. Returns `path`. */
+  def cachedBuild(spark: SparkSession, path: String, marker: String)
+      (build: String => Unit): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val lock = codebookLocks.computeIfAbsent(p.toString, _ => new Object)
+    lock.synchronized {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m = new org.apache.hadoop.fs.Path(p, marker)
+      if (!fs.exists(m)) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$path-tmp-${Thread.currentThread().getId}")
+        fs.delete(tmp, true)
+        build(tmp.toString)
+        fs.delete(p, true)
+        if (!fs.rename(tmp, p) && !fs.exists(m))
+          throw new java.io.IOException(
+            s"cachedBuild: failed to publish $tmp -> $p")
+      }
+    }
+    path
+  }
+
   /** Per-live-path monitors for [[codebookCached]]: two same-JVM threads
     * racing the exists/write window (parallel suite runs sharing the
     * jvmScoped cache dir) serialize here instead of both training. */
@@ -78,22 +132,10 @@ object IvfStore {
     * deterministic, so both copies are identical anyway). */
   def codebookCached(spark: SparkSession, path: String)
       (train: => DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/codebook")
-    val lock = codebookLocks.computeIfAbsent(p.toString, _ => new Object)
-    lock.synchronized {
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-      if (!fs.exists(marker)) {
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"$path/codebook__tmp_${Thread.currentThread().getId}")
-        train.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(p, true) // partial dir from a crash, or a racer's copy
-        if (!fs.rename(tmp, p) && !fs.exists(marker))
-          throw new java.io.IOException(
-            s"codebookCached: failed to publish $tmp -> $p")
-      }
+    cachedBuild(spark, s"$path/codebook", "_SUCCESS") { tmp =>
+      train.write.mode("overwrite").parquet(tmp)
     }
-    spark.read.parquet(p.toString)
+    spark.read.parquet(s"$path/codebook")
   }
 
   // ---- incremental maintenance --------------------------------------

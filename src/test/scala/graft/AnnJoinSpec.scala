@@ -353,4 +353,62 @@ class AnnJoinSpec extends AnyFunSuite {
       .select("probe_buckets").head().getSeq[Any](0).map(_.toString)
     assert(probed == Seq("2", "10"), s"probe order $probed")
   }
+
+  test("IvfStore.writeInt8: packs and probe lists round-trip the disk " +
+      "bit-identically, and pairs-from-index == exact baseline") {
+    import graft.sources.IvfStore
+    import graft.functions.Dedup
+    val base = java.nio.file.Files.createTempDirectory("graft_i8x").toString
+    val trained = Similarity.trainCodebook(emb, "vec_id", "embedding",
+      Similarity.codebookSize(emb.count()), 5)
+    val p = math.min(20, trained.count().toInt)
+    // build once, atomically; a second cachedBuild must NOT rebuild
+    var builds = 0
+    def build(): String = IvfStore.cachedBuild(spark, s"$base/idx",
+        "data/_SUCCESS") { tmp =>
+      builds += 1
+      IvfStore.writeInt8(emb, trained, "vec_id", "embedding", tmp,
+        maxProbes = p)
+    }
+    val path = build(); build()
+    assert(builds == 1, s"cachedBuild rebuilt a published index: $builds")
+    // field-wise pack comparison (Row.toString on binary prints array
+    // identity — compare codes/cnorm/eps explicitly), plus the probe
+    // list, against a freshly computed routing of the same corpus
+    val fresh = Similarity.assignTopK(emb, trained, "vec_id", "embedding", p)
+      .select(col("vec_id"),
+        graft.expressions.Int8VecPack.int8_pack(col("embedding")).as("pk"),
+        col("probe_buckets"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getStruct(1), r.getSeq[Any](2))))
+      .toMap
+    val stored = spark.read.parquet(s"$path/data")
+      .select(col("vec_id"), col("int8_pack"), col("probe_buckets"))
+      .collect()
+    assert(stored.length == fresh.size)
+    stored.foreach { r =>
+      val (fp, fprobes) = fresh(r.getLong(0))
+      val sp = r.getStruct(1)
+      assert(java.util.Arrays.equals(sp.getAs[Array[Byte]](0),
+        fp.getAs[Array[Byte]](0)), s"codes drifted for ${r.getLong(0)}")
+      assert(sp.getDouble(1) == fp.getDouble(1) &&
+        sp.getDouble(2) == fp.getDouble(2),
+        s"cnorm/eps drifted for ${r.getLong(0)}")
+      assert(r.getSeq[Any](2) == fprobes,
+        s"probe list drifted for ${r.getLong(0)}")
+    }
+    // the fully-amortized pair path reproduces the exact O(n²) answer
+    val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromIdx = Dedup.cosineDupPairsFromInt8Index(spark, path,
+        "vec_id", "embedding", 0.4, probes = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIdx == exact)
+    // asking for deeper probes than the index stores must RAISE, not
+    // silently lose recall
+    intercept[IllegalArgumentException] {
+      Dedup.cosineDupPairsFromInt8Index(spark, path, "vec_id",
+        "embedding", 0.4, probes = p + 1)
+    }
+  }
 }
