@@ -362,6 +362,114 @@ object Similarity {
     local(codebook)
   }
 
+  /** SHARDED two-level codebook with a DISTRIBUTED fine layer — the
+    * past-the-knee form of [[trainCodebook]] (VERDICT r7 item 2). The
+    * flat codebook caps k at 65,536 because routing broadcasts the
+    * k×dim matrix to every executor (~134 MB at dim 256); with the
+    * dedup sizing k = n/targetBucket that cap binds at n ≈ 8.4M
+    * vectors, after which mean bucket size grows ∝ n and blocked-dedup
+    * candidate work turns quadratic. Here only a k₁ ≈ √(n/targetBucket)
+    * COARSE codebook broadcasts (bounded forever: √(10⁹/128) ≈ 2.8k
+    * centroids at a billion vectors); each coarse cell then carries its
+    * own FINE sub-codebook sized cellCount/targetBucket, trained per
+    * cell and returned as a keyed DataFrame `(cell, flabel, cvec)` that
+    * routing JOINS by cell — effective k = Σ k₂(cell) ≈ n/targetBucket
+    * grows with the corpus while nothing corpus-sized ever broadcasts.
+    *
+    * Fine training is ONE distributed Lloyd's loop over ALL cells
+    * simultaneously (assignment within a cell needs only that cell's
+    * centroids — exactly what the per-cell packed join provides):
+    *   - the corpus routes to coarse cells (broadcast compute);
+    *   - per cell, a deterministic (md5(id), id)-ranked window takes
+    *     the first samplePerCentroid·k₂ rows as the training sample
+    *     and its first k₂ rows as seeds (rank = fine label, so seeds
+    *     exist for every fine slot by construction — no Bernoulli
+    *     shortfall case);
+    *   - each round joins the sample to its cell's packed codebook,
+    *     assigns via the compiled [[graft.expressions.CellTopK]]
+    *     (k = 1), and re-averages per (cell, flabel); empty fine
+    *     buckets keep their previous centroid, like trainCodebook.
+    * Each round's codebook frame is locally checkpointed — it is
+    * k-scale but feeds the next round twice (pack + empty-bucket
+    * fallback), the duplicateClusters lineage rule. Deterministic
+    * end to end: hash-ranked samples, position-stable seeds, the same
+    * element-order folds as every scorer.
+    *
+    * Cost: the coarse train (k₁-scale sample), ONE corpus shuffle for
+    * the per-cell ranking window, and itersFine joins over the bounded
+    * sample (≤ samplePerCentroid·n/targetBucket ≈ 0.31·n rows). All of
+    * it is index-BUILD cost — persist both frames (IvfStore) and every
+    * later dedup/search pass pays routing only. */
+  def trainShardedCodebook(df: DataFrame, idCol: String, vecCol: String,
+      targetBucket: Int = 128, itersCoarse: Int = 5, itersFine: Int = 2,
+      samplePerCentroid: Int = 40, knownN: Long = -1L)
+      : (DataFrame, DataFrame) = {
+    require(targetBucket >= 1 && itersFine >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val n = if (knownN >= 0L) knownN else df.count()
+    val k1 = math.max(4L, math.min(65536L,
+      math.ceil(math.sqrt(n.toDouble / targetBucket)).toLong)).toInt
+    val coarse = trainCodebook(df, idCol, vecCol, k1, itersCoarse,
+      samplePerCentroid, n)
+    val routed = assignNearest(df, coarse, idCol, vecCol)
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), _.cast("double")).as("__v"),
+        col("assigned").cast("int").as("cell"))
+    val k2 = routed.groupBy("cell").agg(count(lit(1)).as("__cn"))
+      .select(col("cell"), greatest(lit(1L),
+        ceil(col("__cn").cast("double") / targetBucket).cast("long"))
+        .cast("int").as("k2"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+    val sample = routed
+      .join(broadcast(k2), Seq("cell")) // k2 is k₁ rows — metadata scale
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("k2") * samplePerCentroid)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def truncate(d: DataFrame): DataFrame =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        d.checkpoint(eager = true)
+      else d.localCheckpoint(eager = true)
+    // seeds: rank within cell IS the fine label (1..k₂ per cell)
+    var fine = truncate(sample.filter(col("__rk") <= col("k2"))
+      .select(col("cell"), col("__rk").cast("int").as("flabel"),
+        col("__v").as("cvec")))
+    for (_ <- 1 to itersFine) {
+      val packed = packFineCells(fine)
+      val assigned = sample.join(packed, Seq("cell"))
+        .select(col("cell"), col("__v"),
+          element_at(graft.expressions.CellTopK.cell_topk(
+            col("__v"), col("members"), 1), 1).as("flabel"))
+        .filter(col("flabel").isNotNull)
+      val next = assigned
+        .select(col("cell"), col("flabel"),
+          posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("flabel"), col("pos"))
+        .agg(avg(col("x")).as("cv"))
+        .groupBy(col("cell"), col("flabel"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+          .as("pc"))
+        .select(col("cell"), col("flabel"),
+          transform(col("pc"), _.getField("cv")).as("__next"))
+      // empty fine buckets keep their previous centroid (k₂ stable)
+      fine = truncate(fine.join(next, Seq("cell", "flabel"), "left")
+        .select(col("cell"), col("flabel"),
+          coalesce(col("__next"), col("cvec")).as("cvec")))
+    }
+    sample.unpersist()
+    (coarse, fine)
+  }
+
+  /** One packed row per coarse cell: the cell's fine centroids as a
+    * label-sorted member array with precomputed norms — the `members`
+    * operand [[graft.expressions.CellTopK]] scores against. Shared by
+    * fine training and sharded routing so the two can never disagree
+    * on member order or norm accumulation. */
+  private[graft] def packFineCells(fine: DataFrame): DataFrame =
+    fine.groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("flabel"), col("cvec"),
+        norm(col("cvec")).as("nrm")))).as("members"))
+
   /** Default IVF codebook size for an n-vector corpus: k ≈ √n, clamped
     * to [4, 65536]. √n balances the two costs of centroid blocking —
     * candidate work Σ bucket² ≈ n²/k at uniform fill (minimized by

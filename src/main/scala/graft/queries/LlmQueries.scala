@@ -773,6 +773,26 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
 
+    // FIFTH declared path — the SHARDED two-level routing (coarse
+    // broadcast + cell-keyed fine join + the compiled CellTopK scorer +
+    // the shared int8 pair engine), the shape the default path
+    // auto-dispatches to past the 65,536-centroid broadcast knee
+    // (~8.4M vectors). At oracle SFs probing is exhaustive by
+    // construction (pCoarse ≥ k₁ = 4 cells here, pFine ≥ every cell's
+    // k₂), so the result provably equals the exact join — this row
+    // gates the MACHINERY (cell packing, quantized fine scoring,
+    // bucket encoding, engine plumbing) end to end; non-exhaustive
+    // recall is gated by the planted-dup spec in AnnJoinSpec and the
+    // past-knee scale measurement.
+    QueryDef("q_dedup_cosine_sharded", (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (coarse, fine) = graft.functions.Similarity
+        .trainShardedCodebook(emb, "vec_id", "embedding")
+      Dedup.cosineDupPairsShardedInt8(emb, coarse, fine, "vec_id",
+          "embedding", threshold = 0.45, pCoarse = 8, pFine = 64)
+        .orderBy("a", "b")
+    }, Some(cosineDupSql)),
+
     // ---- as-of join (align samples to latest preceding marker) ------
     QueryDef("q_asof_join", (s, dir) => {
       val ev = Tables.load(s, dir, "events")

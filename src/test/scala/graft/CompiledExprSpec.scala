@@ -269,6 +269,85 @@ class CompiledExprSpec extends AnyFunSuite {
     assert(int8 == exact)
   }
 
+  // ------------------------------------------ sharded two-level dedup
+  /** 2000-vector planted-dup corpus (the hierarchical-routing fixture):
+    * every 20th vector near-copies its predecessor → exactly 100
+    * qualifying pairs at 0.9. */
+  private def plantedCorpus(n: Long) = spark.range(0, n).selectExpr(
+      "id AS vec_id",
+      "if(id % 20 = 19, id - 1, id) AS sid")
+    .selectExpr("vec_id",
+      """transform(sequence(0, 63), d -> cast(
+          (pmod(xxhash64(sid, d, 7), 2001) - 1000) / 500.0
+          + if(vec_id % 20 = 19,
+              (pmod(xxhash64(vec_id, d, 8), 21) - 10) / 1000.0, 0.0)
+        as float)) AS embedding""")
+
+  test("sharded two-level dedup == exact baseline with NON-exhaustive " +
+      "probing (distributed fine layer, quantized cell routing)") {
+    val emb = plantedCorpus(2000)
+    val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size == 100)
+    // targetBucket 32 → k₁ = 8 coarse cells, ~8 fine buckets per cell;
+    // pCoarse 3 × pFine 3 probes 9 of ~64 buckets — genuinely
+    // non-exhaustive, so this gates the two-level RECALL argument
+    // (near-dups route near-identically), not just the plumbing
+    val (coarse, fine) = Similarity.trainShardedCodebook(emb, "vec_id",
+      "embedding", targetBucket = 32)
+    assert(coarse.count() == 8)
+    val sharded = Dedup.cosineDupPairsShardedInt8(emb, coarse, fine,
+        "vec_id", "embedding", 0.9, pCoarse = 3, pFine = 3, chunkSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sharded == exact)
+  }
+
+  test("sharded codebook: coarse broadcast stays √-bounded while " +
+      "effective k grows with the corpus and buckets hold ≈ targetBucket") {
+    for (n <- Seq(2000L, 8000L)) {
+      val (coarse, fine) = Similarity.trainShardedCodebook(
+        plantedCorpus(n), "vec_id", "embedding", targetBucket = 32)
+      val k1 = coarse.count()
+      assert(k1 == math.ceil(math.sqrt(n / 32.0)).toLong,
+        s"coarse count $k1 at n=$n")
+      // Σ ceil(cellCount/targetBucket): at least n/targetBucket fine
+      // slots (mean bucket ≤ targetBucket), at most one extra per cell
+      val kFine = fine.count()
+      assert(kFine >= n / 32 && kFine <= n / 32 + k1,
+        s"fine count $kFine outside [${n / 32}, ${n / 32 + k1}] at n=$n")
+      // labels are unique per (cell, flabel) — the bucket id space
+      assert(fine.select("cell", "flabel").distinct().count() == kFine)
+    }
+  }
+
+  test("past-knee auto-dispatch: cosineDupPairsTrainedInt8 crosses to " +
+      "the sharded path and still finds exactly the planted pairs") {
+    // 70k dim-16 vectors with every 10th a near-copy of its
+    // predecessor; targetBucket = 1 puts the knee at 65,536 — this
+    // corpus sits PAST it, so the default path must route through
+    // trainShardedCodebook + cosineDupPairsShardedInt8. At dim 16 the
+    // incidental-pair probability at cos ≥ 0.99 is ~(1−0.99²)^7.5 ≈
+    // 1e-13 — the 7000 planted pairs are the whole answer, checked
+    // exactly (the O(n²) baseline is infeasible at 70k; the planted
+    // SET is the oracle).
+    val n = 70000L
+    val emb = spark.range(0, n).selectExpr(
+        "id AS vec_id",
+        "if(id % 10 = 9, id - 1, id) AS sid")
+      .selectExpr("vec_id",
+        """transform(sequence(0, 15), d -> cast(
+            (pmod(xxhash64(sid, d, 7), 2001) - 1000) / 500.0
+            + if(vec_id % 10 = 9,
+                (pmod(xxhash64(vec_id, d, 8), 11) - 5) / 2000.0, 0.0)
+          as float)) AS embedding""")
+    val planted = (0L until n).filter(_ % 10 == 9).map(i => (i - 1, i)).toSet
+    val got = Dedup.cosineDupPairsTrainedInt8(emb, "vec_id", "embedding",
+        threshold = 0.99, targetBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == planted,
+      s"missing=${(planted -- got).size} extra=${(got -- planted).size}")
+  }
+
   test("semanticDedup over the int8 pair graph == full-precision graph " +
       "(every cluster label and keep bit) on the sf0.001 corpus") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
