@@ -78,6 +78,37 @@ class LlmFunctionsSpec extends AnyFunSuite {
       32.0, 0.015))
   }
 
+  test("the fused dispatch probe runs ONE query execution (the r7 " +
+      "dispatcher ran two) and agrees with the standalone estimators") {
+    docs.count() // force the cache so no lazy action pollutes the count
+    val refBlowup = Dedup.jaccardCandidateBlowup(docs, "text", "doc_id")
+    val refDensity = Dedup.jaccardQualifyDensity(docs, "text", "doc_id")
+    // count ACTIONS (query executions), not scheduler jobs — AQE
+    // legitimately materializes each shuffle stage as its own job, so
+    // job count measures the optimizer, not the dispatcher
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { execs.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (blowup, density) =
+        Dedup.jaccardDispatchProbe(docs, "text", "doc_id", 3, 0.8)
+      Thread.sleep(2000) // the listener bus delivers asynchronously
+      assert(execs.get() == 1,
+        s"dispatch probe ran ${execs.get()} query executions; the r7 " +
+          "two-probe overhead is back")
+      assert(math.abs(blowup - refBlowup) < 1e-9 &&
+        math.abs(density - refDensity) < 1e-9,
+        s"fused ($blowup, $density) != standalone ($refBlowup, $refDensity)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("jaccardLosers equals the pair-derived loser set; identical docs " +
       "collapse through set-digest compression") {
     val pairLosers = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
@@ -443,7 +474,11 @@ class LlmFunctionsSpec extends AnyFunSuite {
     val exactPlan = Dedup.cosineDupPairsExact(
         emb, "vec_id", "embedding", 0.45)
       .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("BroadcastNestedLoopJoin"),
+    // the O(n²) baseline surfaces as BroadcastNestedLoopJoin, or as
+    // CartesianProduct when a prior suite disabled auto-broadcast on
+    // the shared session — either is the nested loop this asserts
+    assert(exactPlan.contains("BroadcastNestedLoopJoin") ||
+        exactPlan.contains("CartesianProduct"),
       "exact baseline unexpectedly stopped nested-looping — revisit which " +
         "path is declared the fallback")
   }

@@ -186,4 +186,24 @@ class ScaleSpec extends AnyFunSuite {
       .join(ord.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
     assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("scale contract gate trips at alpha >= 1.15 for contracted " +
+      "chains, never for exempt comparison rows or failed runs") {
+    // the r6 Jaccard-dispatch defect measured alpha 1.29–1.3: the old
+    // 1.5-only gate passed it silently; the contract must trip it
+    assert(ScaleBench.violatesContract("q_ngram_jaccard", 1.29))
+    assert(ScaleBench.violatesContract("q_ngram_jaccard", 1.15))
+    assert(!ScaleBench.violatesContract("q_ngram_jaccard", 1.10))
+    // the labeled full-precision comparison row is exempt at any alpha
+    // (it still trips the separate alpha >= 1.5 superlinear flag)
+    assert(!ScaleBench.violatesContract("q_dedup_cosine_blocked", 1.29))
+    assert(!ScaleBench.violatesContract("q_dedup_cosine_blocked", 2.0))
+    // a chain that failed to run (NaN exponent) reports as a -1 timing,
+    // not as a contract breach
+    assert(!ScaleBench.violatesContract("q_ngram_jaccard", Double.NaN))
+    // every exempt entry names a chain the harness actually runs
+    ScaleBench.ContractExempt.keys.foreach { n =>
+      assert(ScaleBench.HeavyChains.contains(n), s"stale exemption: $n")
+    }
+  }
 }

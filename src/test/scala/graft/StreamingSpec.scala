@@ -257,15 +257,26 @@ class StreamingSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(capDir)
     val capStream = SarStreaming.readEvents(spark,
       spark.read.parquet(capDir).schema, capDir)
+    val dropped = spark.sparkContext.longAccumulator("dropped_residents")
     val capped = SarStreaming.runToMemory(
       SarStreaming.vectorNearDupCandidates(capStream, "vec_id",
         "embedding", "ts", oneCent, threshold = 0.9, probes = 1,
-        maxBucket = 3).toDF(), "vec_cap",
+        maxBucket = 3, droppedResidents = Some(dropped)).toDF(), "vec_cap",
       org.apache.spark.sql.streaming.OutputMode.Append())
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L),
       (1L, 4L), (2L, 4L), (3L, 4L), (1L, 5L), (2L, 5L), (3L, 5L)),
       s"got $capped")
+    // cap-pressure RECALL accounting (VERDICT r7 item 5): the pairs
+    // lost at 1.67× over-cap occupancy are exactly the cross pairs of
+    // the refused residents — (4,5) here — and the droppedResidents
+    // alarm counts each refusal, so an operator sees the loss the
+    // moment it starts instead of discovering it in an audit
+    assert(!capped.contains((4L, 5L)),
+      "pairs among refused residents cannot surface — if this appears, " +
+        "the cap stopped binding and the spec is stale")
+    assert(dropped.value == 2L,
+      s"expected 2 refused residents (ids 4, 5): ${dropped.value}")
     // ---- TTL: bucket A idles past the TTL while bucket B advances the
     // watermark; a fresh A vector then pairs with NOTHING ------------
     val twoCents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
