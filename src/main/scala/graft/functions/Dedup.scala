@@ -764,26 +764,32 @@ object Dedup {
       idCol: String, vecCol: String, threshold: Double,
       chunkSize: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be positive: $chunkSize")
-    val routed = routed0.repartition(col("bucket"))
-    val res = routed.filter(col("pos") === 0)
+    // EXCHANGE SHAPE (differs from the float path deliberately): the
+    // float path repartitions the WHOLE routed frame by bucket so
+    // ReuseExchange computes routing once for both branches — right
+    // when rows are 4 B/dim floats and routing was the measured wall.
+    // Here rows are 1 B/dim packs and two-level routing made the scan
+    // cheap, so the big probe rows should move through EXACTLY ONE
+    // exchange — and that exchange carries the SKEW SALT
+    // (VERDICT r7 item 8): keyed on (bucket, __chunk), not bucket
+    // alone, so a Zipf-hot bucket's chunks spread across reducers and
+    // the max task shrinks ∝ chunk count (hot buckets are exactly the
+    // ones with many chunks; single-chunk buckets hash the same either
+    // way). The residence branch filters FIRST and pays its own
+    // n-row exchange for the window (probes× smaller than the shared
+    // exchange it replaces); the packed side re-keys on the same salt
+    // (n packs, chunk-grouped). Routing therefore computes twice (res
+    // + probe branches) — measured cheap post-two-level — and the
+    // probe volume, the term that scales with probes × corpus, is
+    // shuffled once. A second full probe exchange stacked on a shared
+    // one (the first salt formulation) kept BOTH alive inside the
+    // join job: ~2 × probes × corpus pack bytes of live scratch,
+    // which is exactly the single-host wall the int8 path exists to
+    // clear — measured ENOSPC-bound at the 10M-vector knee tier.
+    val res = routed0.filter(col("pos") === 0).repartition(col("bucket"))
     val counts = res.groupBy("bucket")
       .agg(ceil(count(lit(1)).cast("double") / chunkSize).cast("int")
         .as("__nchunks"))
-    // SKEW SALT (VERDICT r7 item 8): both join sides re-key on
-    // (bucket, __chunk), not bucket alone. Without it the candidate
-    // join runs directly on the shared bucket exchange — HashPartitioning
-    // (bucket) satisfies the join's clustered distribution — so a
-    // Zipf-hot bucket's every chunk and every probe row land in ONE
-    // task even though chunking already bounds the packed ROWS; with
-    // the salt a hot bucket's chunks spread across reducers and the
-    // max task shrinks ∝ chunk count (hot buckets are exactly the ones
-    // with many chunks; single-chunk buckets hash the same either
-    // way). The price is one extra exchange of the probe packs — but
-    // probe rows here are 1 B/dim int8 packs, the bytes this path
-    // exists to make cheap; the full-precision twin keeps the shared-
-    // exchange shape because re-exchanging float probe rows would cost
-    // more than the straggler it removes. At cluster scale stragglers
-    // set the wall clock, so the cheap exchange is the right trade.
     val packed = res
       .withColumn("__chunk",
         ((row_number().over(Window.partitionBy(col("bucket"))
@@ -792,7 +798,10 @@ object Dedup {
       .agg(collect_list(struct(col("a").as("id"), col("__p").as("p")))
         .as("members"))
       .repartition(col("bucket"), col("__chunk"))
-    val survivors = routed.join(counts, Seq("bucket"))
+    // counts is one row per occupied bucket (k-scale — ~n/targetBucket
+    // shorts; ~125 MB at a billion vectors) — broadcast it so the
+    // chunk explode needs no exchange of the probe rows before the salt
+    val survivors = routed0.join(broadcast(counts), Seq("bucket"))
       .select(col("a"), col("bucket"), col("__p"),
         explode(sequence(lit(0), col("__nchunks") - 1)).as("__chunk"))
       .repartition(col("bucket"), col("__chunk"))

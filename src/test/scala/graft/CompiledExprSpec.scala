@@ -269,6 +269,24 @@ class CompiledExprSpec extends AnyFunSuite {
     assert(int8 == exact)
   }
 
+  test("int8 candidate join is chunk-salted: the exchange keys carry " +
+      "(bucket, __chunk), not bucket alone") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.trainCodebook(emb, "vec_id", "embedding", 4, 1)
+    val plan = Dedup.cosineDupPairsBlockedInt8(emb, cents, "vec_id",
+        "embedding", 0.45, probes = 2, chunkSize = 2)
+      .queryExecution.executedPlan.toString
+    // the salt (VERDICT r7 item 8): a hot bucket's chunks must spread
+    // across reducers, which requires the join-side exchanges to hash
+    // BOTH keys — a bucket-only partitioning satisfies the join's
+    // clustered distribution and would silently restore the straggler
+    assert(plan.contains("hashpartitioning(bucket"), s"no bucket exchange:\n$plan")
+    val salted = "hashpartitioning\\(bucket[^)]*__chunk".r
+      .findFirstIn(plan)
+    assert(salted.isDefined,
+      s"no (bucket, __chunk) salted exchange in plan:\n$plan")
+  }
+
   // ------------------------------------------ sharded two-level dedup
   /** 2000-vector planted-dup corpus (the hierarchical-routing fixture):
     * every 20th vector near-copies its predecessor → exactly 100
