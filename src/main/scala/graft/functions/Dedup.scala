@@ -1231,14 +1231,21 @@ object Dedup {
       idCol: String, k: Int, minCount: Long): DataFrame = {
     require(k >= 1, "k must be at least 1")
     // the (doc, pos, hash) frame feeds BOTH the count aggregate and the
-    // join back; persist computes the k-gram explode once (recomputable
-    // on executor loss, ContextCleaner-reclaimed — the jaccardPairsPrefix
-    // materialization rationale)
+    // join back — but it is NOT persisted (r8, found by the tightened
+    // α-contract gate): both consumers hash-shuffle on the SAME key
+    // `h`, so ReuseExchange computes the explode + its exchange once
+    // either way, and the MEMORY_AND_DISK cache only ADDED a full
+    // materialization of the position frame (~45 B × positions — ~9 GB
+    // at 5M docs) that spilled to disk exactly at the tier where it
+    // hurt: q_repeated_spans measured α 1.24 (500k→5M, min-of-2) with
+    // the cache and α ≈ 1.0 without it. The jaccardPairsPrefix
+    // materialization rationale does NOT transfer here — its four
+    // branches shuffle on DIFFERENT keys, so only a cache can share
+    // them; these two branches share an exchange for free.
     val positions = df.select(col(idCol),
         posexplode(TextAnalysis.shingles(col(textCol), k))
           .as(Seq("pos", "sh")))
       .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupHashes = positions.groupBy("h")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount)
