@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Knee-crossing measurement for the sharded two-level dedup (VERDICT
+  * r7 item 2's "a measured row past the knee with α ≤ ~1.05"): times
+  * `Dedup.cosineDupPairsTrainedInt8` — the API default, auto-dispatch
+  * included — over embedding corpora that straddle its flat-codebook
+  * knee, and reports the scaling exponent between the two largest
+  * tiers plus which branch each tier dispatched to.
+  *
+  * `targetBucket = 32` places the knee at 32 · 65,536 = 2.1M vectors so
+  * the crossing fits a single host's scratch disk: the probe exchange
+  * ships ~probes × n int8 packs of LIVE shuffle, and at the natural
+  * 128-bucket knee (8.4M vectors, dim 256) that is ~60 GB of
+  * near-incompressible codes — measured ENOSPC on this sandbox's 62 GB
+  * free (the artifact of that attempt is the documented reason this
+  * main exists). The knee POSITION is a configuration constant; the
+  * code path that crosses it — count → dispatch → trainShardedCodebook
+  * → CellTopK cell routing → the shared int8 pair engine — is
+  * identical at any targetBucket, so measuring at 32 measures the real
+  * machinery. On a cluster, scratch scales with executors and the
+  * 128-bucket knee is crossed the same way.
+  *
+  * Timing discipline mirrors ScaleBench: noop sink, one warmup
+  * (q-chain at the smallest tier), `SPARK_GRAFT_SCALE_RUNS` full
+  * passes (default 2), min-of-runs, cache cleared + GC between execs.
+  * Alphas use EMBEDDING row counts (this chain never reads documents).
+  *
+  *   runMain graft.KneeBench <outJson> <dir1> <dir2> [... dirN]
+  */
+object KneeBench {
+  def main(args: Array[String]): Unit = {
+    val outJson = args(0)
+    val dirs = args.drop(1).toSeq
+    require(dirs.size >= 2, "need at least two scale dirs")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    val targetBucket = 32
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!sys.env.contains("SPARK_GRAFT_INITIAL_PARTITIONS"))
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", 256)
+
+    val nVecs: Map[String, Long] = dirs.map { d =>
+      d -> spark.read.parquet(s"$d/embeddings.parquet").count()
+    }.toMap
+
+    def exec(dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        graft.functions.Dedup.cosineDupPairsTrainedInt8(
+            spark.read.parquet(s"$dir/embeddings.parquet"),
+            "vec_id", "embedding", threshold = 0.45, probes = 20,
+            targetBucket = targetBucket)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[knee] $dir failed: ${e.getMessage}")
+        -1.0
+      } finally {
+        spark.catalog.clearCache()
+        System.gc()
+      }
+    }
+
+    exec(dirs.head) // warmup: codegen + file listing, untimed
+    val mins: Map[String, Double] = dirs.map { d =>
+      val ts = (0 until runs).map(_ => exec(d))
+      d -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }.toMap
+
+    val (dSmall, dBig) = (dirs(dirs.size - 2), dirs.last)
+    val ratio = nVecs(dBig).toDouble / nVecs(dSmall)
+    val (a, b) = (mins(dSmall), mins(dBig))
+    val alpha =
+      if (a <= 0 || b <= 0) Double.NaN
+      else math.log(b / a) / math.log(ratio)
+    val knee = targetBucket.toLong * 65536L
+    val rows = dirs.map { d =>
+      val branch = if (nVecs(d) > knee) "sharded" else "flat"
+      println(f"[knee] ${nVecs(d)}%9d vecs ($branch%7s)  ${mins(d)}%8.2fs")
+      s"""    "${nVecs(d)}": {"secs": ${f"${mins(d)}%.3f"}, "branch": "$branch"}"""
+    }
+    val json =
+      s"""{
+  "chain": "q_dedup_cosine_int8 (API default, targetBucket=$targetBucket)",
+  "knee_vectors": $knee,
+  "top_pair_ratio": ${f"$ratio%.2f"},
+  "tiers": {
+${rows.mkString(",\n")}
+  },
+  "alpha_top_pair": ${if (alpha.isNaN) "null" else f"$alpha%.3f"}
+}
+"""
+    Files.writeString(Paths.get(outJson), json)
+    println(f"[knee] wrote $outJson; alpha(top pair) = $alpha%.3f")
+    spark.stop()
+  }
+}

@@ -286,15 +286,18 @@ object Similarity {
     * sums — map-side combined). Empty buckets keep their previous
     * centroid.
     *
-    * Cost: EXACTLY one corpus scan per iteration (plus one for the
-    * init sample) — the k×dim codebook is metadata scale, so each
-    * iteration ends by collecting it to the driver and the next
-    * iteration starts from local rows. Folding the join chain lazily
-    * instead would make iteration i re-execute iterations 1..i−1 when
-    * `literalCodebook` collects it (O(iters²) scans, and an unresolved
-    * plan that doubles every iteration); the scan count is pinned by a
-    * test in AnnJoinSpec. k and iters are codebook-scale knobs, not
-    * data-scale. */
+    * Cost: one corpus scan per iteration plus at most three for seed
+    * selection (size bound — skipped when the caller passes knownN —
+    * cutoff-realization count, and the top-k itself; see the seed
+    * comment below for why the seeds are NOT one bare
+    * orderBy().limit(k) scan) — the k×dim codebook is metadata scale,
+    * so each iteration ends by collecting it to the driver and the
+    * next iteration starts from local rows. Folding the join chain
+    * lazily instead would make iteration i re-execute iterations
+    * 1..i−1 when the codebook collects (O(iters²) scans, and an
+    * unresolved plan that doubles every iteration); the scan count is
+    * pinned by a test in AnnJoinSpec. k and iters are codebook-scale
+    * knobs, not data-scale. */
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5, samplePerCentroid: Int = 0,
       knownN: Long = -1L): DataFrame = {
@@ -339,12 +342,43 @@ object Similarity {
       }
     def local(cb: Seq[(Int, Seq[Double])]): DataFrame =
       cb.toDF("centroid_label", "cvec")
-    // one scan: total order by (md5(id), id), first k rows — labels
-    // 1..k in that hash order (what the old row_number produced)
+    // SEEDS: the k rows with smallest (md5(id), id) — labels 1..k in
+    // that hash order (what the original row_number produced). A bare
+    // orderBy(..).limit(k) plans as TakeOrderedAndProject, which ships
+    // k candidate rows from EVERY partition to the driver — at the
+    // dedup sizing k = n/targetBucket that is k × partitions vector
+    // rows (measured 1.03 GB > spark.driver.maxResultSize at k = 31k
+    // over 32 partitions on the knee corpus; a 2000-partition cluster
+    // corpus would ship 100+ GB — a driver OOM by design). Instead:
+    // pre-filter by a deterministic md5-PREFIX cutoff sized for ~4k
+    // expected survivors, verify the realization holds ≥ k rows (widen
+    // ×4 and retry on shortfall, terminally keeping everything), then
+    // run the exact top-k on the ~4k-row candidate set. EXACT and
+    // bit-identical to the unfiltered plan: hex md5 strings order by
+    // their numeric prefix first, so with ≥ k rows strictly below the
+    // cutoff, every excluded row orders after every kept row — the
+    // global top-k is inside the kept set. Collect volume is k-scale
+    // and partition-count-independent.
+    val seedHash = md5(col(idCol).cast("string"))
+    val seedPrefix =
+      conv(substring(seedHash, 1, 8), 16, 10).cast("long")
+    val nBound = math.max(1L, if (knownN >= 0L) knownN else df.count())
+    def seedRows(): Array[org.apache.spark.sql.Row] = {
+      var mult = 4.0
+      while (true) {
+        val cutoff = math.min(4294967296.0,
+          math.max(1.0, mult * k / nBound * 4294967296.0)).toLong
+        val cand = train.filter(seedPrefix < cutoff)
+        if (cutoff >= 4294967296L || cand.count() >= k)
+          return cand.orderBy(seedHash, col(idCol)).limit(k)
+            .select(transform(col(vecCol), _.cast("double")))
+            .collect()
+        mult *= 4
+      }
+      throw new IllegalStateException("unreachable")
+    }
     var codebook: Seq[(Int, Seq[Double])] =
-      train.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
-        .select(transform(col(vecCol), _.cast("double")))
-        .collect().toSeq.zipWithIndex
+      seedRows().toSeq.zipWithIndex
         .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
     for (_ <- 1 to iters) {
       // one scan: route every training vector over the
