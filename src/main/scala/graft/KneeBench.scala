@@ -78,25 +78,46 @@ object KneeBench {
     val alpha =
       if (a <= 0 || b <= 0) Double.NaN
       else math.log(b / a) / math.log(ratio)
-    val knee = targetBucket.toLong * 65536L
+    // the knee predicate is Dedup's own (r8 advisor: a locally
+    // recomputed constant would mislabel the branch if the dispatch
+    // formula ever moved)
+    val knee = graft.functions.Dedup.flatKneeVectors(targetBucket)
     val rows = dirs.map { d =>
       val branch = if (nVecs(d) > knee) "sharded" else "flat"
       println(f"[knee] ${nVecs(d)}%9d vecs ($branch%7s)  ${mins(d)}%8.2fs")
       s"""    "${nVecs(d)}": {"secs": ${f"${mins(d)}%.3f"}, "branch": "$branch"}"""
     }
+    // the same α-contract gate ScaleBench applies (VERDICT r8 item 1:
+    // the knee row must be gate-checked, not eyeballed) — a NaN alpha
+    // (a tier failed to run) is ALSO a violation here: a knee artifact
+    // without its top pair proves nothing
+    val violations =
+      if (alpha.isNaN || alpha >= ScaleBench.ContractAlpha)
+        Seq("q_dedup_cosine_int8(sharded top pair)")
+      else Seq.empty[String]
     val json =
       s"""{
+  "commit": "${BenchUtil.gitHead()}",
   "chain": "q_dedup_cosine_int8 (API default, targetBucket=$targetBucket)",
   "knee_vectors": $knee,
   "top_pair_ratio": ${f"$ratio%.2f"},
   "tiers": {
 ${rows.mkString(",\n")}
   },
-  "alpha_top_pair": ${if (alpha.isNaN) "null" else f"$alpha%.3f"}
+  "alpha_top_pair": ${if (alpha.isNaN) "null" else f"$alpha%.3f"},
+  "contract_alpha": ${ScaleBench.ContractAlpha},
+  "contract_violations": ${violations.map(n => s""""$n"""")
+        .mkString("[", ",", "]")}
 }
 """
     Files.writeString(Paths.get(outJson), json)
     println(f"[knee] wrote $outJson; alpha(top pair) = $alpha%.3f")
+    if (violations.nonEmpty) {
+      System.err.println(
+        s"[knee] CONTRACT FAILURE: ${violations.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     spark.stop()
   }
 }

@@ -50,6 +50,8 @@ object ScaleBench {
     "q_dedup_cosine_blocked", // trained IVF blocking (float comparison row)
     "q_dedup_cosine_int8",    // two-phase int8 prefilter + exact re-score
     "q_dedup_cosine_indexed", // persisted int8 index: phase 1 = pure scan
+    "q_dedup_cosine_sharded", // two-level routing, in-query build (r9)
+    "q_dedup_cosine_sharded_indexed", // persisted sharded index (r9)
     "q_semantic_dedup",       // SemDeDup: train + blocked pair graph
     "q_semantic_dedup_amortized", // SemDeDup over a persisted codebook
     "q_semantic_dedup_int8",  // amortized SemDeDup, int8 pair graph
@@ -236,6 +238,7 @@ object ScaleBench {
       .mkString("{\n", ",\n", "\n  }")
     val json =
       s"""{
+  "commit": "${BenchUtil.gitHead()}",
   "scales": ${dirs.map(d => s""""${nRows(d)}"""").mkString("[", ",", "]")},
   "top_pair_ratio": ${f"$ratio%.1f"},
   "queries": {

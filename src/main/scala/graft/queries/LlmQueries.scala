@@ -793,6 +793,31 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
 
+    // SIXTH declared path — the PERSISTED sharded index (r9, VERDICT
+    // r8 item 5): trainShardedCodebook + the two-level routing + int8
+    // packing all land in an IvfStore.writeShardedInt8 layout (built
+    // once per corpus per JVM, atomic publication), and the query's
+    // phase 1 is a pure scan of the stored (pack, probe-list) columns
+    // — the past-knee analogue of q_dedup_cosine_indexed's amortized
+    // steady state. Same (pCoarse=8, pFine=64) exhaustive-at-this-SF
+    // probing as the in-query sharded row, so it must hash-match the
+    // same exact-join oracle.
+    QueryDef("q_dedup_cosine_sharded_indexed", (s, dir) => {
+      import graft.sources.IvfStore
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = TempIndexDirs.jvmScoped("graft_shardedidx", dir)
+      val idx = IvfStore.cachedBuild(s, s"$base/shidx",
+          "data/_SUCCESS") { tmp =>
+        val (coarse, fine) = graft.functions.Similarity
+          .trainShardedCodebook(emb, "vec_id", "embedding")
+        IvfStore.writeShardedInt8(emb, coarse, fine, "vec_id",
+          "embedding", tmp, pCoarse = 8, pFine = 64)
+      }
+      Dedup.cosineDupPairsFromShardedIndex(s, idx, "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy("a", "b")
+    }, Some(cosineDupSql)),
+
     // ---- as-of join (align samples to latest preceding marker) ------
     QueryDef("q_asof_join", (s, dir) => {
       val ev = Tables.load(s, dir, "events")

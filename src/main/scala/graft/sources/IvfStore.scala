@@ -78,6 +78,68 @@ object IvfStore {
     cents.write.mode("overwrite").parquet(s"$path/codebook")
   }
 
+  /** SHARDED int8 dedup index (r9 — VERDICT r8 item 5): [[writeInt8]]'s
+    * amortization applied to the PAST-KNEE two-level routing
+    * (Similarity.trainShardedCodebook +
+    * Dedup.cosineDupPairsShardedInt8). The expensive parts of a sharded
+    * dedup pass — coarse training, the fine Lloyd's loop, the cell
+    * exchange, the CellTopK sub-coarse walk, the int8 packing — all
+    * happen HERE, once; each row lands with its full TWO-LEVEL probe
+    * list ((cell << 40 | flabel) longs, residence first, then (cpos,
+    * fpos) order) and its pack, partitioned by residence bucket, so a
+    * re-run's phase 1 (Dedup.cosineDupPairsFromShardedIndex) is a pure
+    * columnar scan — no broadcast, no cell join, no scoring. Coarse and
+    * fine codebooks persist alongside (written FIRST, so the
+    * `data/_SUCCESS` marker a cachedBuild watches implies the whole
+    * layout is complete) for probe-pruned search and future appends.
+    *
+    * The probe aggregation ships (id, pack, cell-probe) rows through
+    * ONE cell-keyed exchange — the float vector does NOT ride it
+    * (×pCoarse duplication of 4 B/dim rows); vectors re-attach by a
+    * single id join at write time. `pCoarse`/`pFine` fix the index's
+    * stored recall budget: a reader consumes exactly the stored lists,
+    * so results are identical to an in-query
+    * cosineDupPairsShardedInt8 run at the same probes — rebuild to
+    * change depth. */
+  def writeShardedInt8(emb: DataFrame, coarse: DataFrame, fine: DataFrame,
+      idCol: String, vecCol: String, path: String, pCoarse: Int = 4,
+      pFine: Int = 20): Unit = {
+    require(pCoarse >= 1 && pFine >= 1, "probe counts must be >= 1")
+    val packedCells = Similarity.packFineCells(fine)
+    val probeLists = Similarity
+      .assignTopK(emb, coarse, idCol, vecCol, pCoarse)
+      .select(col(idCol).as("__a"),
+        graft.expressions.Int8VecPack.int8_pack(col(vecCol)).as("__p"),
+        posexplode(col("probe_buckets")).as(Seq("cpos", "cell")))
+      .withColumn("cell", col("cell").cast("int"))
+      .repartition(col("cell"))
+      .join(packedCells, Seq("cell"))
+      .select(col("__a"), col("cpos"), col("cell"),
+        posexplode(graft.expressions.CellTopK.cell_topk(
+          col("__p"), col("members"), col("subc"), pFine))
+          .as(Seq("fpos", "flabel")))
+      .select(col("__a"), struct(col("cpos"), col("fpos"),
+        (col("cell").cast("long") * lit(1L << 40) +
+          col("flabel").cast("long")).as("bucket")).as("pr"))
+      .groupBy("__a")
+      // array_sort on (cpos, fpos, bucket) structs: lexicographic, so
+      // the residence probe (0, 0) is FIRST — probe_buckets(1) is the
+      // residence bucket, the writeInt8 layout convention
+      .agg(array_sort(collect_list(col("pr"))).as("__pb"))
+      .select(col("__a").as(idCol),
+        transform(col("__pb"), _.getField("bucket")).as("probe_buckets"))
+    fine.write.mode("overwrite").parquet(s"$path/fine")
+    coarse.write.mode("overwrite").parquet(s"$path/codebook")
+    emb.select(col(idCol), col(vecCol))
+      .join(probeLists, Seq(idCol))
+      .withColumn("int8_pack",
+        graft.expressions.Int8VecPack.int8_pack(col(vecCol)))
+      .withColumn("bucket", element_at(col("probe_buckets"), 1))
+      .repartition(col("bucket")) // ~1 file per bucket dir, as in write()
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/data")
+  }
+
   /** Build-once directory publication with [[codebookCached]]'s
     * atomicity contract generalized to ANY on-disk artifact (an int8
     * index, a ledger seed): if `path` lacks its `marker` (a file that
@@ -93,14 +155,26 @@ object IvfStore {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val m = new org.apache.hadoop.fs.Path(p, marker)
       if (!fs.exists(m)) {
+        // pid + UUID keeps the temp collision-free ACROSS JVMs (the r8
+        // advisor finding: two JVMs racing the same path very commonly
+        // share thread id 1, so a thread-id temp had both builders
+        // writing into ONE dir — interleavable part-files under a valid
+        // _SUCCESS marker, i.e. silent duplication)
         val tmp = new org.apache.hadoop.fs.Path(
-          s"$path-tmp-${Thread.currentThread().getId}")
-        fs.delete(tmp, true)
+          s"$path-tmp-${ProcessHandle.current().pid()}-" +
+            java.util.UUID.randomUUID().toString)
         build(tmp.toString)
-        fs.delete(p, true)
-        if (!fs.rename(tmp, p) && !fs.exists(m))
-          throw new java.io.IOException(
-            s"cachedBuild: failed to publish $tmp -> $p")
+        // re-check the marker AFTER the build: a cross-JVM winner may
+        // have published while we built — its live dir must be left
+        // untouched (the old unconditional delete transiently removed
+        // a complete published artifact)
+        if (fs.exists(m)) fs.delete(tmp, true)
+        else {
+          fs.delete(p, true)
+          if (!fs.rename(tmp, p) && !fs.exists(m))
+            throw new java.io.IOException(
+              s"cachedBuild: failed to publish $tmp -> $p")
+        }
       }
     }
     path
@@ -127,9 +201,10 @@ object IvfStore {
     * crash mid-write leaves only an orphaned temp (overwritten by the
     * next attempt), never a partial codebook that later calls silently
     * read back. Same-JVM racers serialize on a per-path monitor; the
-    * loser of a cross-JVM race re-trains into its own temp and loses
-    * the rename — wasted work, never corruption (training is
-    * deterministic, so both copies are identical anyway). */
+    * loser of a cross-JVM race re-trains into its own (pid+UUID) temp,
+    * re-checks the marker after building, and discards its copy when a
+    * winner already published — wasted work, never corruption (training
+    * is deterministic, so both copies are identical anyway). */
   def codebookCached(spark: SparkSession, path: String)
       (train: => DataFrame): DataFrame = {
     cachedBuild(spark, s"$path/codebook", "_SUCCESS") { tmp =>

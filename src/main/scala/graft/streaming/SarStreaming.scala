@@ -255,20 +255,49 @@ object SarStreaming {
     * expected occupancy recall is complete; at 2× over-cap pressure the
     * dropped pairs are exactly the dropped-resident cross pairs.
     * Guideline: maxBucket ≥ c_safety · n/k (expected bucket fill for an
-    * n-vector corpus over a k-centroid codebook; the dupCodebook
-    * default targets n/k = 128, so the 1024 default carries 8× headroom
-    * for Zipf-hot buckets). ALARM rather than guess: pass
-    * `droppedResidents` (a LongAccumulator) and alert when it moves —
-    * every increment is a vector whose future same-bucket pairs are at
-    * risk; re-shard the stream or raise the cap before trusting its
-    * dedup decisions. */
+    * n-vector corpus over a k-centroid codebook). The DEFAULT
+    * (`maxBucket = 0`) COMPUTES that rule at stream setup (r9 — VERDICT
+    * r8 item 6) instead of assuming dupCodebook's n/k = 128 geometry:
+    * k comes from `cents.count()` (the codebook is a bounded batch
+    * frame — one metadata-scale action before the stream starts) and n
+    * from `expectedVectors`, the caller's sizing estimate for the
+    * stream's TTL window — a stream has no row count to read, so the
+    * expected volume is necessarily an input, exactly like the
+    * watermark delay. A SMALL codebook over the same expected volume
+    * gets a proportionally LARGER cap (fill n/k grows as k shrinks);
+    * with no estimate the floor is the old 1024 (8× headroom over
+    * dupCodebook's 128-fill). See [[autoMaxBucket]]. ALARM rather than
+    * guess: pass `droppedResidents` (a LongAccumulator) and alert when
+    * it moves — every increment is a vector whose future same-bucket
+    * pairs are at risk; re-shard the stream or raise the cap before
+    * trusting its dedup decisions. */
+  /** The vector face's auto residence cap (the scaladoc sizing rule
+    * made executable): c_safety = 8 × the expected bucket fill
+    * ⌈expectedVectors/k⌉, floored at 1024 — the old fixed default,
+    * which IS this rule at dupCodebook geometry (8 × 128-fill) — so a
+    * SMALL codebook over the same expected volume gets a
+    * proportionally larger cap instead of silently under-admitting.
+    * `expectedVectors ≤ 0` (no estimate) keeps the floor. */
+  private[graft] def autoMaxBucket(k: Long, expectedVectors: Long): Int = {
+    val floor = 1024L
+    val cap =
+      if (expectedVectors <= 0L || k <= 0L) floor
+      else math.max(floor,
+        8L * math.ceil(expectedVectors.toDouble / k).toLong)
+    math.min(Int.MaxValue.toLong, cap).toInt
+  }
+
   def vectorNearDupCandidates(vecs: DataFrame, idCol: String,
       vecCol: String, tsCol: String, cents: DataFrame, threshold: Double,
       probes: Int = 2, delay: String = "1 hour",
-      stateTtlMs: Long = 3600000L, maxBucket: Int = 1024,
-      droppedResidents: Option[org.apache.spark.util.LongAccumulator] = None)
+      stateTtlMs: Long = 3600000L, maxBucket: Int = 0,
+      droppedResidents: Option[org.apache.spark.util.LongAccumulator] = None,
+      expectedVectors: Long = -1L)
       : Dataset[DupCandidate] = {
     import vecs.sparkSession.implicits._
+    val bucketCap =
+      if (maxBucket > 0) maxBucket
+      else autoMaxBucket(cents.count(), expectedVectors)
     val routed = graft.functions.Similarity
       .assignTopK(vecs, cents, idCol, vecCol, probes)
       .select(col(idCol).as("id"),
@@ -310,7 +339,7 @@ object SarStreaming {
               scala.collection.mutable.ArrayBuffer.empty[Int8Member]
             byId.foreach { r =>
               if (r.res && !existing.contains(r.id)) {
-                if (seenCount < maxBucket) {
+                if (seenCount < bucketCap) {
                   val m = Int8Member(r.id, r.codes, r.cnorm, r.eps)
                   admitted += m
                   seen = m :: seen

@@ -366,6 +366,129 @@ class CompiledExprSpec extends AnyFunSuite {
       s"missing=${(planted -- got).size} extra=${(got -- planted).size}")
   }
 
+  test("cell_topk sub-coarse walk (r9): small cells and exhaustive asks " +
+      "scan flat bit-identically; near-identical queries walk identically") {
+    import graft.expressions.{CellCoarsePack, CellTopK}
+    // one packed cell of 300 hash-random dim-64 fine centroids — above
+    // the 160-member DefaultMinMembers cut, so packFineCells builds a
+    // sub-coarse layer; a 100-member cell must come back with an EMPTY
+    // layer (flat scan, bit-identical to the pre-r9 release)
+    def fineFrame(cellId: Int, k2: Int) =
+      spark.range(1, k2 + 1).selectExpr(
+        s"$cellId AS cell", "cast(id AS int) AS flabel",
+        """transform(sequence(0, 63), d -> cast(
+            (pmod(xxhash64(id, d, 3), 2001) - 1000) / 500.0 as double))
+          AS cvec""")
+    val packedBig = Similarity.packFineCells(fineFrame(1, 300))
+    val packedSmall = Similarity.packFineCells(fineFrame(2, 100))
+    assert(packedBig.select(size(col("subc"))).head().getInt(0) > 0)
+    assert(packedSmall.select(size(col("subc"))).head().getInt(0) == 0)
+    // queries: 40 hash-random vectors + 40 near-copies (1e-3 jitter)
+    val queries = spark.range(0, 40).selectExpr(
+      "id AS qid",
+      """transform(sequence(0, 63), d -> cast(
+          (pmod(xxhash64(id, d, 11), 2001) - 1000) / 500.0 as double))
+        AS q""",
+      """transform(sequence(0, 63), d -> cast(
+          (pmod(xxhash64(id, d, 11), 2001) - 1000) / 500.0
+          + (pmod(xxhash64(id, d, 13), 21) - 10) / 10000.0 as double))
+        AS qjit""")
+    def route(kAsk: Int, useSub: Boolean, qCol: String): Seq[Seq[Int]] =
+      queries.crossJoin(broadcast(packedBig))
+        .select(col("qid"), CellTopK.cell_topk(col(qCol), col("members"),
+          if (useSub) col("subc") else array().cast(
+            packedBig.schema("subc").dataType.sql), kAsk).as("labels"))
+        .orderBy("qid").collect().map(_.getSeq[Int](1)).toSeq
+    // exhaustive ask (k >= members): the walk must NOT engage — the
+    // "pFine >= max k2 => provably exact" oracle contract
+    assert(route(300, useSub = true, "q") == route(300, useSub = false, "q"))
+    // pool >= cell (want = 6*60 = 360 >= 300): flat again, exactly
+    assert(route(60, useSub = true, "q") == route(60, useSub = false, "q"))
+    // restricted walk (k = 5, pool 128 < 300): near-identical queries
+    // must produce IDENTICAL walks — the pair-recall argument is that
+    // both sides of a near-dup route the same way, not that either
+    // finds the globally nearest centroid
+    assert(route(5, useSub = true, "q") == route(5, useSub = true, "qjit"))
+    // the walk still fills all k slots from valid labels (it restricts
+    // WHICH members are scored, never how many are returned)
+    route(5, useSub = true, "q").foreach { w =>
+      assert(w.length == 5 && w.forall(l => l >= 1 && l <= 300), s"$w")
+    }
+  }
+
+  test("trainShardedCodebook recursive cell splitting (r9): an observed " +
+      "oversized cell is split, k2 stays bounded, dedup stays exact") {
+    // 1000 dim-16 vectors, 900 piled around one spread anchor region
+    // (noise ~30% of signal — geometrically splittable), 100 scattered.
+    // targetBucket=4, maxK2=16 => cellCap=64: the pile cell routes ~900
+    // rows, far past the cap, so the split rounds must fire.
+    val emb = spark.range(0, 1000).selectExpr(
+        "id AS vec_id",
+        """CASE WHEN id < 900 THEN
+            zip_with(
+              transform(sequence(0, 15), d -> cast(
+                (pmod(xxhash64(0L, d, 7), 2001) - 1000) / 500.0 as float)),
+              transform(sequence(0, 15), d -> cast(
+                (pmod(xxhash64(id, d, 8), 1201) - 600) / 1000.0 as float)),
+              (a, n) -> a + n)
+          ELSE transform(sequence(0, 15), d -> cast(
+            (pmod(xxhash64(id, d, 9), 2001) - 1000) / 500.0 as float))
+          END AS embedding""")
+    val maxK2 = 16
+    val (coarse, fine) = Similarity.trainShardedCodebook(emb, "vec_id",
+      "embedding", targetBucket = 4, maxK2 = maxK2)
+    // the pre-split k1 would have been max(√250, 1000/64) = 16 — the
+    // split promotes extra centroids past it
+    assert(coarse.count() > 16, s"no split happened: k1=${coarse.count()}")
+    val k2ByCell = fine.groupBy("cell").count().collect()
+      .map(r => r.getLong(1))
+    // the bound is SOFT (nearest-centroid geometry splits a dense ball
+    // approximately — see the scaladoc): within 2× of maxK2 where the
+    // unsplit pile would have sat at ~ceil(900/4) = 225
+    assert(k2ByCell.max <= 2L * maxK2,
+      s"split failed to bound k2: max=${k2ByCell.max}")
+    assert(k2ByCell.max < 225L / 4,
+      s"split barely moved the pile: max=${k2ByCell.max}")
+    // exhaustive probing over the split codebook must equal the exact
+    // O(n²) join — splitting may move cell boundaries, never pairs
+    val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exhaustive = every cell, every fine bucket: pFine must reach the
+    // MEASURED max k2 (the soft bound can sit a hair over maxK2)
+    val sharded = Dedup.cosineDupPairsShardedInt8(emb, coarse, fine,
+        "vec_id", "embedding", 0.9,
+        pCoarse = coarse.count().toInt, pFine = k2ByCell.max.toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact -- sharded).isEmpty && (sharded -- exact).isEmpty,
+      s"missing=${(exact -- sharded).size} extra=${(sharded -- exact).size}")
+  }
+
+  test("sharded int8 index (r9): cosineDupPairsFromShardedIndex == the " +
+      "in-query sharded run == exact, phase 1 reading only the store") {
+    val emb = plantedCorpus(2000)
+    val exact = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (coarse, fine) = Similarity.trainShardedCodebook(emb, "vec_id",
+      "embedding", targetBucket = 32)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shidx_spec").toString
+    graft.sources.IvfStore.writeShardedInt8(emb, coarse, fine, "vec_id",
+      "embedding", dir, pCoarse = 3, pFine = 3)
+    val fromIdx = Dedup.cosineDupPairsFromShardedIndex(spark, dir,
+        "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inQuery = Dedup.cosineDupPairsShardedInt8(emb, coarse, fine,
+        "vec_id", "embedding", 0.9, pCoarse = 3, pFine = 3, chunkSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIdx == inQuery, "stored probe lists diverge from in-query")
+    assert(fromIdx == exact)
+    // layout: residence partition dirs exist and the stored probe list
+    // leads with the residence bucket (probe_buckets(1) == dir)
+    val stored = spark.read.parquet(s"$dir/data")
+    assert(stored.filter(element_at(col("probe_buckets"), 1) =!=
+      col("bucket")).count() == 0)
+  }
+
   test("semanticDedup over the int8 pair graph == full-precision graph " +
       "(every cluster label and keep bit) on the sf0.001 corpus") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

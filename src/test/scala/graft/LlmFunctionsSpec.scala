@@ -78,6 +78,44 @@ class LlmFunctionsSpec extends AnyFunSuite {
       32.0, 0.015))
   }
 
+  test("dispatch probe density-leg guard (r9): a slice-degenerate " +
+      "boilerplate shingle cannot make the PROBE quadratic, and the " +
+      "decision stays prefix") {
+    // 12k docs, every one carrying the same boilerplate trigrams: the
+    // 1/16 probe slice holds ~750 occurrences of each — nearly 3× the
+    // 256-frequency cap, so the ungated pair self-join would emit
+    // ~750²/2 ≈ 280k probe pairs PER boilerplate shingle. The guard
+    // cuts those shingles from the density leg only; blowup (the freq
+    // leg) still sees them and screams, density measures the unique
+    // remainder (≈ 0), and auto picks prefix — the pinned decision for
+    // the boilerplate regime.
+    val boiler = (1 to 8).map(i => s"boiler$i").mkString(" ")
+    val degen = spark.range(0, 12000).selectExpr(
+      "id AS doc_id",
+      s"""concat('$boiler ', 'u', id, 'a u', id, 'b u', id, 'c u', id,
+          'd u', id, 'e') AS text""")
+    // the fixture provably crosses the cap on the slice the probe reads
+    val sliceBoilerFreq = graft.functions.Dedup.docShingles(
+        degen.filter(pmod(xxhash64(col("doc_id")), lit(16L)) === 0L),
+        "text", "doc_id", 3)
+      .filter(col("sh") === "boiler1 boiler2 boiler3")
+      .count()
+    assert(sliceBoilerFreq > Dedup.dispatchDensityFreqCap,
+      s"fixture too small: slice freq $sliceBoilerFreq")
+    val t0 = System.nanoTime()
+    val (blowup, density) =
+      Dedup.jaccardDispatchProbe(degen, "text", "doc_id", 3, 0.8)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(blowup > 32.0, s"blowup $blowup must still see the boilerplate")
+    assert(density < 0.015, s"density $density")
+    assert(Dedup.jaccardAutoPicksPrefix(degen, "text", "doc_id", 3, 0.8,
+      32.0, 0.015))
+    // generous wall bound — the point is sub-quadratic, not a race:
+    // the ungated join's ~2.2M pair rows per 8 shared shingles would
+    // blow far past this on the suite's 4-core session
+    assert(secs < 30.0, s"dispatch probe took ${secs}s — the guard is off")
+  }
+
   test("the fused dispatch probe runs ONE query execution (the r7 " +
       "dispatcher ran two) and agrees with the standalone estimators") {
     docs.count() // force the cache so no lazy action pollutes the count
@@ -363,6 +401,30 @@ class LlmFunctionsSpec extends AnyFunSuite {
     val spans = Dedup.repeatedKgramSpans(far, "text", "doc_id", k = 3)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(spans(10L) == 2 && spans(11L) == 2)
+  }
+
+  test("repeatedKgramSpans plans exactly ONE corpus k-gram explode " +
+      "(r9: the counted aggregation carries positions — no join back)") {
+    import spark.implicits._
+    // the r7 shape persisted + joined back (cache spill at 5M docs);
+    // the r8 shape recomputed the explode on both sides of the join
+    // (AQE broadcast-converted the filtered hashes, so no exchange was
+    // ever shared — a 3.7× sf0.1 regression). The r9 plan folds the
+    // occurrence payload into the count aggregation itself, so the
+    // optimized plan must contain exactly one PosExplode generator
+    // (the corpus shingle explode; the duplicated-occurrence re-explode
+    // is a plain Explode at output scale).
+    val d = Seq(1L -> "p q r s t u v", 2L -> "x y p q r z w")
+      .toDF("doc_id", "text")
+    val plan = Dedup.repeatedKgramSpans(d, "text", "doc_id", k = 3)
+      .queryExecution.optimizedPlan
+    val posExplodes = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generator.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PosExplode] => g
+    }
+    assert(posExplodes.size == 1,
+      s"expected ONE corpus k-gram posexplode, found ${posExplodes.size}")
   }
 
   test("scrubRepeatedSpans removes exactly the covered tokens") {

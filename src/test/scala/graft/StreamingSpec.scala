@@ -238,6 +238,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(rescore(trained) == exact)
   }
 
+  test("vector near-dup auto maxBucket sizes from codebook fill (r9): " +
+      "a small codebook gets a proportionally larger default cap") {
+    // the sizing rule maxBucket >= 8 * n/k, executable: at dupCodebook
+    // geometry (fill 128) the auto cap IS the old 1024 default; shrink
+    // k 4x over the same expected volume and the cap grows 4x — the
+    // regime the fixed default silently under-admitted
+    assert(SarStreaming.autoMaxBucket(1024, 131072) == 1024)
+    assert(SarStreaming.autoMaxBucket(256, 131072) == 4096)
+    assert(SarStreaming.autoMaxBucket(16, 131072) == 65536)
+    // no estimate (a stream has no row count to read) keeps the floor
+    assert(SarStreaming.autoMaxBucket(16, -1) == 1024)
+    // a huge codebook never drops below the floor's 8x headroom
+    assert(SarStreaming.autoMaxBucket(1 << 20, 131072) == 1024)
+  }
+
   test("vector near-dup state honors the membership cap and evicts idle " +
       "buckets at the event-time TTL") {
     import spark.implicits._
