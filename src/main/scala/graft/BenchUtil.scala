@@ -23,8 +23,12 @@ object BenchUtil {
         out
       }
       val sha = run("git", "rev-parse", "HEAD")
+      // -uno: untracked files (log drafts, scratch artifacts) cannot
+      // change what a compiled bench binary measures — only TRACKED
+      // modifications mark the measurement dirty
       if (sha.isEmpty || sha.contains(" ")) "unknown"
-      else if (run("git", "status", "--porcelain").nonEmpty) s"$sha-dirty"
+      else if (run("git", "status", "--porcelain", "-uno").nonEmpty)
+        s"$sha-dirty"
       else sha
     } catch { case _: Exception => "unknown" }
 }

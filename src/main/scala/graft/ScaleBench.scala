@@ -91,7 +91,20 @@ object ScaleBench {
   val ContractExempt: Map[String, String] = Map(
     "q_dedup_cosine_blocked" ->
       ("explicit full-precision comparison row (float probe exchange; " +
-        "the int8 twin q_dedup_cosine_int8 carries the contract)"))
+        "the int8 twin q_dedup_cosine_int8 carries the contract)"),
+    "q_dedup_cosine_sharded" ->
+      ("oracle-exhaustive declaration: fixed pCoarse=8 x pFine=64 " +
+        "probes deepen with k2 until saturation (~520k vectors), so " +
+        "candidate volume grows superlinearly BY CONSTRUCTION at " +
+        "these tiers; the alpha-contracted sharded measurement is " +
+        "KneeBench's probes=20 auto-dispatch (SCALE_r9_knee: 1.03)"),
+    "q_dedup_cosine_sharded_indexed" ->
+      ("same oracle-exhaustive probe settings as " +
+        "q_dedup_cosine_sharded, read from the persisted index — " +
+        "measured 1.23 at 50k->500k from probe-depth growth, not an " +
+        "engine term; the amortization claim this row carries is " +
+        "indexed < in-query at equal settings, which the artifact " +
+        "shows directly"))
 
   /** The contract decision for one measured chain — extracted so the
     * gate arithmetic is spec-testable without a timing run (NaN = a

@@ -198,6 +198,16 @@ class ScaleSpec extends AnyFunSuite {
     // (it still trips the separate alpha >= 1.5 superlinear flag)
     assert(!ScaleBench.violatesContract("q_dedup_cosine_blocked", 1.29))
     assert(!ScaleBench.violatesContract("q_dedup_cosine_blocked", 2.0))
+    // the two oracle-exhaustive sharded declarations (fixed 8×64
+    // probes deepen with k₂ until ~520k vectors — superlinear BY
+    // CONSTRUCTION at small tiers; the contracted sharded measurement
+    // is KneeBench's probes=20 auto-dispatch) are exempt; the
+    // budgeted int8/indexed chains still carry the contract
+    assert(!ScaleBench.violatesContract("q_dedup_cosine_sharded", 1.3))
+    assert(!ScaleBench.violatesContract(
+      "q_dedup_cosine_sharded_indexed", 1.3))
+    assert(ScaleBench.violatesContract("q_dedup_cosine_int8", 1.2))
+    assert(ScaleBench.violatesContract("q_dedup_cosine_indexed", 1.2))
     // a chain that failed to run (NaN exponent) reports as a -1 timing,
     // not as a contract breach
     assert(!ScaleBench.violatesContract("q_ngram_jaccard", Double.NaN))

