@@ -54,7 +54,8 @@ def invalidating_changes(sha, artifact):
         if p in MAINS:
             if any(fnmatch.fnmatch(artifact, pat) for pat in MAINS[p]):
                 bad.append(p)
-        elif p.startswith(("src/", "project/")) or p == "build.sbt":
+        elif (p.startswith(("src/main/", "project/"))
+              or p == "build.sbt"):  # tests can't change a measurement
             bad.append(p)
     return bad
 
