@@ -37,6 +37,18 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0 // failure marker: never report a broken query as a timing
+      } finally {
+        // cold-run discipline (r9 ADVICE medium): chains persist
+        // intermediates deliberately (e.g. the spans trio's shared
+        // span frame), and CacheManager matches canonicalized plans
+        // ACROSS queries — without a reset, later passes of a query
+        // time a cache read and the artifact presents it as an engine
+        // timing. ScaleBench has always cleared between chains; Bench
+        // now matches, so every reported run is a cold run. Disk-level
+        // amortization (persisted indexes, cached codebooks) is
+        // unaffected — those rows are declared amortized by name
+        // (*_indexed / *_amortized).
+        spark.catalog.clearCache()
       }
     }
 

