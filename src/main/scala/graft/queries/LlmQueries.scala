@@ -810,11 +810,44 @@ object LlmQueries extends QueryPack {
           "data/_SUCCESS") { tmp =>
         val (coarse, fine) = graft.functions.Similarity
           .trainShardedCodebook(emb, "vec_id", "embedding")
+        // targetBucket stamped so the r10 auto-dispatcher
+        // (q_dedup_cosine_auto, same cached layout) can accept it —
+        // 128 is the default the codebooks above were trained at
         IvfStore.writeShardedInt8(emb, coarse, fine, "vec_id",
-          "embedding", tmp, pCoarse = 8, pFine = 64)
+          "embedding", tmp, pCoarse = 8, pFine = 64, targetBucket = 128)
       }
       Dedup.cosineDupPairsFromShardedIndex(s, idx, "vec_id", "embedding",
           threshold = 0.45)
+        .orderBy("a", "b")
+    }, Some(cosineDupSql)),
+
+    // SEVENTH declared path — the r10 AUTO-DISPATCHER (VERDICT r9
+    // item 2) driven end-to-end through the oracle: the API default
+    // pointed at the SAME persisted sharded layout as the sixth path
+    // (shared cachedBuild key, so a suite pass builds it once). The
+    // dispatcher must read the stamped meta, match the corpus
+    // fingerprint + targetBucket + stored probe depths against this
+    // ask, and route to cosineDupPairsFromShardedIndex with ZERO
+    // training work. The oracle pins ACCEPTANCE correctness (a
+    // dispatcher that ever accepted a wrong-corpus index would emit
+    // wrong pairs and break the hash-match); a silent fall-back to the
+    // in-query path would still hash-match — correct but unamortized —
+    // which is why IndexLifecycleSpec additionally pins the branch
+    // label and the job-count gap.
+    QueryDef("q_dedup_cosine_auto", (s, dir) => {
+      import graft.sources.IvfStore
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = TempIndexDirs.jvmScoped("graft_shardedidx", dir)
+      val idx = IvfStore.cachedBuild(s, s"$base/shidx",
+          "data/_SUCCESS") { tmp =>
+        val (coarse, fine) = graft.functions.Similarity
+          .trainShardedCodebook(emb, "vec_id", "embedding")
+        IvfStore.writeShardedInt8(emb, coarse, fine, "vec_id",
+          "embedding", tmp, pCoarse = 8, pFine = 64, targetBucket = 128)
+      }
+      Dedup.cosineDupPairsTrainedInt8(emb, "vec_id", "embedding",
+          threshold = 0.45, probes = 20, targetBucket = 128,
+          indexPath = idx)
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
 
