@@ -968,11 +968,12 @@ object Dedup {
   def cosineDupPairsShardedInt8(df: DataFrame, coarse: DataFrame,
       fine: DataFrame, idCol: String, vecCol: String, threshold: Double,
       pCoarse: Int = 4, pFine: Int = 20, chunkSize: Int = 4096,
-      probeBatch: Int = 1024): DataFrame = {
+      probeBatch: Int = 0): DataFrame = {
     require(pCoarse >= 1 && pFine >= 1, "probe counts must be >= 1")
-    // routing (coarse probe + batched CellTopK cell scoring) is the
-    // shared Similarity.shardedProbeRoutes — see its scaladoc for the
-    // r10 batched-matrix shape (VERDICT r9 item 4)
+    // routing (coarse probe + CellTopK cell scoring) is the shared
+    // Similarity.shardedProbeRoutes — see its scaladoc for why the
+    // per-row shape is the measured default and the batched shape
+    // (probeBatch > 0) is the retained counterfactual (r10 A/B)
     val routed = Similarity.shardedProbeRoutes(df, coarse, fine, idCol,
         vecCol, pCoarse, pFine, probeBatch)
       .select(col("__a").as("a"),

