@@ -661,21 +661,26 @@ object Similarity {
     * HashPartitioning, so batching adds no exchange of the probe
     * volume) so one matrix serves a whole batch via a `transform`.
     * The A/B (`ShardBatchProfile`, SCALE_r10_batch.json: 500k tier,
-    * shared codebooks, pCoarse=8 × pFine=64, min-of-2) REFUTES the
-    * premise: shuffle write bytes are IDENTICAL (15.2 vs 15.2 GB —
-    * the matrix never rides an exchange in either shape) and the
-    * in-memory copy the hypothesis assumed does not exist — the join
-    * output REFERENCES the buffered build-side row (SMJ buffers one
-    * copy per cell per partition; the scoring projection reads
-    * `members` through that reference), so per-row cost was already
-    * just CellTopK's walk-bounded SCAN. Batching instead pays a real
-    * ObjectHashAggregate (collect_list of ~n·pCoarse pack structs) and
-    * an interpreted lambda shell: measured 150.7 s vs 98.9 s per-row —
-    * 1.52× SLOWER at identical output (hash-matched). Default is
-    * therefore the per-row shape (`probeBatch <= 0`); the batched
-    * shape stays behind the knob as the measured counterfactual and
-    * for geometries where a future join strategy does copy the build
-    * side (e.g. a broadcast fine layer). */
+    * shared codebooks, pCoarse=8 × pFine=64, min-of-2 campaigns)
+    * REFUTES the premise: shuffle write bytes are IDENTICAL (15.2 vs
+    * 15.2 GB, stable across campaigns — the matrix never rides an
+    * exchange in either shape) because the in-memory copy the
+    * hypothesis assumed does not exist — the join output REFERENCES
+    * the buffered build-side row (SMJ buffers one copy per cell per
+    * partition; the scoring projection reads `members` through that
+    * reference), so per-row cost was already just CellTopK's
+    * walk-bounded SCAN. Wall time is statistically INDISTINGUISHABLE:
+    * two same-protocol campaigns ordered opposite ways (98.9 vs
+    * 150.7 s per-row-favored, then 146.1 vs 108.8 s batched-favored) —
+    * the tier's documented ±30–40 % host band, not a shape effect.
+    * With no byte win and no wall signal, the default stays the
+    * per-row shape (`probeBatch <= 0`): structurally simpler — no
+    * ObjectHashAggregate state (collect_list of ~n·pCoarse pack
+    * structs), no interpreted lambda shell, scoring stays inside
+    * whole-stage codegen. The batched shape stays behind the knob as
+    * the measured counterfactual and for geometries where a future
+    * join strategy does copy the build side (e.g. a broadcast fine
+    * layer). */
   private[graft] def shardedProbeRoutes(df: DataFrame, coarse: DataFrame,
       fine: DataFrame, idCol: String, vecCol: String, pCoarse: Int,
       pFine: Int, probeBatch: Int = 0): DataFrame = {
