@@ -661,18 +661,18 @@ object Similarity {
     * HashPartitioning, so batching adds no exchange of the probe
     * volume) so one matrix serves a whole batch via a `transform`.
     * The A/B (`ShardBatchProfile`, SCALE_r10_batch.json: 500k tier,
-    * shared codebooks, pCoarse=8 × pFine=64, min-of-2 campaigns)
-    * REFUTES the premise: shuffle write bytes are IDENTICAL (15.2 vs
-    * 15.2 GB, stable across campaigns — the matrix never rides an
-    * exchange in either shape) because the in-memory copy the
+    * shared codebooks, pCoarse=8 × pFine=64, min-of-runs campaigns)
+    * REFUTES the premise: shuffle write bytes come out the SAME in
+    * both shapes (the artifact holds the numbers — the matrix never
+    * rides an exchange either way) because the in-memory copy the
     * hypothesis assumed does not exist — the join output REFERENCES
     * the buffered build-side row (SMJ buffers one copy per cell per
     * partition; the scoring projection reads `members` through that
     * reference), so per-row cost was already just CellTopK's
-    * walk-bounded SCAN. Wall time is statistically INDISTINGUISHABLE:
-    * two same-protocol campaigns ordered opposite ways (98.9 vs
-    * 150.7 s per-row-favored, then 146.1 vs 108.8 s batched-favored) —
-    * the tier's documented ±30–40 % host band, not a shape effect.
+    * walk-bounded SCAN. Wall time shows no stable ordering across
+    * same-protocol campaigns — this tier's documented ±30–40 % host
+    * band dominates any shape effect (again: the artifact holds the
+    * measured values).
     * With no byte win and no wall signal, the default stays the
     * per-row shape (`probeBatch <= 0`): structurally simpler — no
     * ObjectHashAggregate state (collect_list of ~n·pCoarse pack

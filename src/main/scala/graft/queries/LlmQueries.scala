@@ -851,6 +851,35 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
 
+    // EIGHTH declared path — INCREMENTAL APPEND (r10): the index is
+    // built from the EVEN vec_ids only, then the odd half rides
+    // IvfStore.appendShardedInt8 (routed through the persisted
+    // codebooks at the stamped depths — zero retraining), both inside
+    // one cachedBuild so the published layout IS the appended union.
+    // The seeded dup pairs are (id, id+parent) with parent odd-even
+    // mixed, so qualifying pairs cross the append boundary. Same
+    // exhaustive-at-this-SF probing and the same exact-join oracle as
+    // the other seven paths: append == same-codebook union build, bit
+    // for bit, is the claim this row gates through DuckDB.
+    QueryDef("q_dedup_cosine_appended", (s, dir) => {
+      import graft.sources.IvfStore
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = TempIndexDirs.jvmScoped("graft_appendidx", dir)
+      val idx = IvfStore.cachedBuild(s, s"$base/apidx",
+          "data/_SUCCESS") { tmp =>
+        val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val odd = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        val (coarse, fine) = graft.functions.Similarity
+          .trainShardedCodebook(even, "vec_id", "embedding")
+        IvfStore.writeShardedInt8(even, coarse, fine, "vec_id",
+          "embedding", tmp, pCoarse = 8, pFine = 64, targetBucket = 128)
+        IvfStore.appendShardedInt8(odd, "vec_id", "embedding", tmp)
+      }
+      Dedup.cosineDupPairsFromShardedIndex(s, idx, "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy("a", "b")
+    }, Some(cosineDupSql)),
+
     // ---- as-of join (align samples to latest preceding marker) ------
     QueryDef("q_asof_join", (s, dir) => {
       val ev = Tables.load(s, dir, "events")

@@ -113,13 +113,20 @@ object IvfStore {
   /** The meta map of a COMPLETE index at `path` (data/_SUCCESS present
     * and a readable meta dir) — None for absent/partial/pre-r10
     * layouts, never an exception: auto-dispatch degrades to in-query
-    * work on any doubt. */
+    * work on any doubt. A layout with a pending re-split stage
+    * (`data-resplit-tmp-cell*` — a maintenance run in progress or
+    * crashed; see [[healShardedIndex]]) is also reported incomplete:
+    * mid-swap its data dir can be missing resident rows, and a
+    * fingerprint check cannot see that (re-splits don't change counts
+    * or ids). */
   def readIndexMeta(spark: SparkSession, path: String)
       : Option[Map[String, String]] =
     try {
       val p = new org.apache.hadoop.fs.Path(s"$path/data/_SUCCESS")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) None
+      else if (fs.listStatus(new org.apache.hadoop.fs.Path(path)).exists(
+          _.getPath.getName.startsWith("data-resplit-tmp-cell"))) None
       else Some(spark.read.parquet(s"$path/meta").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -302,14 +309,24 @@ object IvfStore {
     * passes the exact rescore. Re-stamp-free: counts and ids are
     * unchanged, so the fingerprint stands.
     *
-    * NOT crash-atomic across partitions (delete-old-dirs then append —
-    * the same window Spark's own dynamic partition overwrite has): a
-    * crash mid-resplit can lose the cell's residents. Recovery is a
-    * rebuild ([[writeShardedInt8]]); production deployments should
-    * snapshot the index dir (it is immutable-but-for-maintenance)
-    * before running maintenance. Returns the re-split cell ids. */
+    * Crash safety (r10, staged snapshot + swap — the first cut's
+    * delete-then-append window could LOSE the cell's residents): the
+    * rebuilt rows are written to a DISK staging dir
+    * (`data-resplit-tmp-cell<id>`, sealed by an `_EPOCH` marker) before
+    * any live dir is touched, and the swap is pure directory renames.
+    * New fine labels are EPOCH-FRESH (offset past the cell's previous
+    * max — labels are carried by value in the fine structs, nothing
+    * assumes contiguity), so old and staged bucket-dir names are
+    * disjoint and the publish replays idempotently from any crash
+    * point. A layout with a pending stage is treated as INCOMPLETE by
+    * [[readIndexMeta]] (auto-dispatch falls back to in-query work,
+    * appends refuse) until [[healShardedIndex]] — run automatically at
+    * the start of every resplit — finishes the publish or discards the
+    * unsealed stage. At no point is the only copy of resident rows in
+    * JVM memory. Returns the re-split cell ids. */
   def resplitShardedCells(spark: SparkSession, path: String,
       targetBucket: Int, maxK2: Int = 1024, itersFine: Int = 2): Seq[Int] = {
+    healShardedIndex(spark, path) // finish/clear any crashed maintenance
     val cellCap = targetBucket.toLong * maxK2
     val over = shardedCellLoads(spark, path)
       .filter(col("n") > cellCap).collect()
@@ -332,16 +349,19 @@ object IvfStore {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // deepened per-cell codebook: k₂ = ⌈count/targetBucket⌉ via the
       // shared deterministic trainer (the cell is ≤ ~2·cellCap rows —
-      // comfortably inside the flat trainer's regime)
+      // comfortably inside the flat trainer's regime). Labels offset
+      // past the cell's previous max (epoch-fresh — see scaladoc).
       val k2 = math.max(1L, math.ceil(cnt.toDouble / targetBucket)
         .toLong).toInt
+      val fineLive = spark.read.parquet(s"$path/fine")
+      val epoch = fineLive.filter(col("cell") === cellId)
+        .agg(coalesce(max(col("flabel")) + 1, lit(0))).head().getInt(0)
       val cents = Similarity.trainCodebook(residents, idCol, vecCol,
         k2, itersFine)
       val newFine = cents.select(lit(cellId).as("cell"),
-        col("centroid_label").cast("int").as("flabel"),
+        (col("centroid_label").cast("int") + lit(epoch)).as("flabel"),
         transform(col("cvec"), _.cast("double")).as("cvec"))
-      val keptFine = spark.read.parquet(s"$path/fine")
-        .filter(col("cell") =!= cellId)
+      val keptFine = fineLive.filter(col("cell") =!= cellId)
       val tmpFine = s"$path/fine-resplit-tmp"
       keptFine.unionByName(newFine).write.mode("overwrite").parquet(tmpFine)
       // fresh full-depth probe lists for the residents over the
@@ -359,37 +379,140 @@ object IvfStore {
         .agg(array_sort(collect_list(col("pr"))).as("__pb"))
         .select(col("__a").as(idCol),
           transform(col("__pb"), _.getField("bucket")).as("probe_buckets"))
-      val rebuilt = residents
+      // STAGE: every rebuilt resident row lands durably on disk before
+      // any live dir is touched; `_EPOCH` (written after the parquet
+      // _SUCCESS) seals the stage and records the label watershed the
+      // publish needs to tell old dirs from staged ones
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$path/data-resplit-tmp-cell$cellId")
+      residents
         .join(probeLists, Seq(idCol))
         .withColumn("int8_pack",
           graft.expressions.Int8VecPack.int8_pack(col(vecCol)))
         .withColumn("bucket", element_at(col("probe_buckets"), 1))
         .repartition(col("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rebuilt.count() // materialize BEFORE deleting the source dirs
-      // swap: old cell dirs out, rebuilt rows in (see the scaladoc's
-      // crash-window note), then publish the widened fine layer
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
-        .foreach { st =>
-          val nm = st.getPath.getName
-          if (nm.startsWith("bucket=")) {
-            val v = nm.stripPrefix("bucket=").toLong
-            if (v >= lo && v < hi) fs.delete(st.getPath, true)
-          }
-        }
-      rebuilt.write.mode("append").partitionBy("bucket")
-        .parquet(s"$path/data")
-      rebuilt.unpersist()
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(stage.toString)
+      val out = fs.create(new org.apache.hadoop.fs.Path(stage, "_EPOCH"))
+      out.writeBytes(epoch.toString)
+      out.close()
       residents.unpersist()
-      val finePath = new org.apache.hadoop.fs.Path(s"$path/fine")
-      fs.delete(finePath, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmpFine), finePath))
-        throw new java.io.IOException(
-          s"resplit: failed to publish $tmpFine -> $finePath")
+      publishStagedResplit(fs, path, cellId, stage, epoch)
     }
     spark.catalog.refreshByPath(s"$path/data")
     spark.catalog.refreshByPath(s"$path/fine")
     over.map(_._1).toSeq
+  }
+
+  /** The swap half of [[resplitShardedCells]], replayable from any
+    * crash point: (1) publish the widened fine layer if its temp still
+    * exists (dir rename — atomic); (2) retire the cell's PRE-EPOCH
+    * bucket dirs (staged names are epoch-fresh, so this can never touch
+    * staged or already-moved data); (3) rename the staged dirs in;
+    * (4) drop the stage. Steps are individually idempotent, so
+    * [[healShardedIndex]] re-runs this verbatim after a crash. */
+  private def publishStagedResplit(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, cellId: Int, stage: org.apache.hadoop.fs.Path,
+      epoch: Int): Unit = {
+    val finePath = new org.apache.hadoop.fs.Path(s"$path/fine")
+    val tmpFine = new org.apache.hadoop.fs.Path(s"$path/fine-resplit-tmp")
+    if (fs.exists(tmpFine)) {
+      fs.delete(finePath, true)
+      if (!fs.rename(tmpFine, finePath))
+        throw new java.io.IOException(
+          s"resplit: failed to publish $tmpFine -> $finePath")
+    }
+    val lo = cellId.toLong << 40
+    val hi = (cellId.toLong + 1) << 40
+    val dataP = new org.apache.hadoop.fs.Path(s"$path/data")
+    fs.listStatus(dataP).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("bucket=")) {
+        val v = nm.stripPrefix("bucket=").toLong
+        if (v >= lo && v < hi && (v - lo) < epoch)
+          fs.delete(st.getPath, true)
+      }
+    }
+    fs.listStatus(stage).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("bucket=")) {
+        val dst = new org.apache.hadoop.fs.Path(dataP, nm)
+        if (fs.exists(dst)) fs.delete(dst, true) // defensive: replay
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"resplit: failed to publish $nm into $dataP")
+      }
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Recovery entry point for a sharded index whose maintenance
+    * crashed: a SEALED stage (`_EPOCH` present — rebuilt rows fully on
+    * disk) has its publish completed; an UNSEALED stage is discarded
+    * with the live index untouched. While any stage is pending,
+    * [[readIndexMeta]] reports the layout incomplete, so auto-dispatch
+    * and appends stay safe without ever healing concurrently with a
+    * live maintenance run. Called automatically at the start of every
+    * [[resplitShardedCells]]; operators can call it directly after a
+    * crash. Returns the cell ids whose publish was completed. */
+  def healShardedIndex(spark: SparkSession, path: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val tmpFine = new org.apache.hadoop.fs.Path(s"$path/fine-resplit-tmp")
+    val stages = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("data-resplit-tmp-cell"))
+    val healed = scala.collection.mutable.ArrayBuffer[Int]()
+    stages.foreach { st =>
+      val cellId = st.getPath.getName
+        .stripPrefix("data-resplit-tmp-cell").toInt
+      val epochP = new org.apache.hadoop.fs.Path(st.getPath, "_EPOCH")
+      if (!fs.exists(epochP)) {
+        // crashed mid-stage: the live index was never touched — drop
+        // the partial stage (and the retrained fine temp, which is
+        // derivable and will be rebuilt on the next trigger)
+        fs.delete(st.getPath, true)
+        if (fs.exists(tmpFine)) fs.delete(tmpFine, true)
+      } else {
+        val in = fs.open(epochP)
+        val epoch = try scala.io.Source.fromInputStream(in)
+          .mkString.trim.toInt finally in.close()
+        publishStagedResplit(fs, path, cellId, st.getPath, epoch)
+        healed += cellId
+      }
+    }
+    // a fine temp with no stage at all: retrain finished but staging
+    // never started — the live index is coherent, drop the temp
+    if (stages.isEmpty && fs.exists(tmpFine)) fs.delete(tmpFine, true)
+    if (healed.nonEmpty) {
+      spark.catalog.refreshByPath(s"$path/data")
+      spark.catalog.refreshByPath(s"$path/fine")
+    }
+    healed.toSeq
+  }
+
+  /** Ingest-side maintenance composite: [[appendShardedInt8]] the
+    * delta, then [[resplitShardedCells]] any cell the append pushed
+    * past `targetBucket`·`maxK2` — the shape a ledger'd incremental
+    * ingest calls after each accepted batch (the governance ledgers
+    * already know the delta; see CorpusIngest). `targetBucket` defaults
+    * to the index's own stamped build-time value. Returns (appended
+    * row count, re-split cell ids). */
+  def appendOrResplit(delta: DataFrame, idCol: String, vecCol: String,
+      path: String, targetBucket: Int = -1, maxK2: Int = 1024)
+      : (Long, Seq[Int]) = {
+    val spark = delta.sparkSession
+    val tb =
+      if (targetBucket > 0) targetBucket
+      else {
+        val stamped = readIndexMeta(spark, path)
+          .flatMap(_.get("target_bucket")).map(_.toInt).getOrElse(-1)
+        require(stamped > 0, s"index at $path has no stamped " +
+          "target_bucket; pass targetBucket explicitly")
+        stamped
+      }
+    val n = appendShardedInt8(delta, idCol, vecCol, path)
+    (n, resplitShardedCells(spark, path, tb, maxK2))
   }
 
   /** Build-once directory publication with [[codebookCached]]'s

@@ -282,4 +282,218 @@ class IndexLifecycleSpec extends AnyFunSuite {
     }
     assert(Dedup.spanCacheSize <= 4)
   }
+
+  // ------------------------------------------------- crash recovery
+  test("healShardedIndex: an UNSEALED stage is discarded (index " +
+      "untouched), and while any stage pends the dispatcher refuses " +
+      "the index") {
+    val emb = plantedCorpus(2000)
+    val exact = pairs(Dedup.cosineDupPairsExact(emb, "vec_id",
+      "embedding", 0.9).select("a", "b"))
+    val (coarse, fine) = Similarity.trainShardedCodebook(emb, "vec_id",
+      "embedding", targetBucket = 32)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_heal_unsealed").toString
+    IvfStore.writeShardedInt8(emb, coarse, fine, "vec_id", "embedding",
+      dir, pCoarse = 4, pFine = 5, targetBucket = 32)
+    // simulate a crash mid-stage: a partial stage dir (no _EPOCH seal)
+    // and a retrained fine temp, live index untouched
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data-resplit-tmp-cell0"))
+    spark.read.parquet(s"$dir/fine").write.mode("overwrite")
+      .parquet(s"$dir/fine-resplit-tmp")
+    // pending stage => incomplete layout: dispatch falls back in-query,
+    // append refuses
+    assert(IvfStore.readIndexMeta(spark, dir).isEmpty)
+    val (_, branch) = Dedup.cosineDupPairsTrainedInt8Branch(emb,
+      "vec_id", "embedding", 0.9, targetBucket = 32, indexPath = dir)
+    assert(branch == "flat", s"pending-stage index was accepted: $branch")
+    intercept[IllegalStateException] {
+      IvfStore.appendShardedInt8(emb.limit(1), "vec_id", "embedding", dir)
+    }
+    // heal: unsealed stage (and the derivable fine temp) are dropped,
+    // nothing was published, the index answers exactly again
+    assert(IvfStore.healShardedIndex(spark, dir).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/data-resplit-tmp-cell0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/fine-resplit-tmp")))
+    assert(IvfStore.readIndexMeta(spark, dir).nonEmpty)
+    assert(pairs(Dedup.cosineDupPairsFromShardedIndex(spark, dir,
+      "vec_id", "embedding", 0.9).select("a", "b")) == exact)
+  }
+
+  test("healShardedIndex: a SEALED stage's publish completes after a " +
+      "crash — from the crash-before-publish state AND from a " +
+      "half-published replay — landing bit-identical to the uncrashed " +
+      "re-split") {
+    // the resplit pile fixture (one overgrown cell) built TWICE:
+    // `done` re-splits normally; `crashed` is frozen at the sealed-
+    // stage-nothing-published crash point and must heal to `done`
+    def pile() = spark.range(0, 1000).selectExpr(
+        "id AS vec_id",
+        """CASE WHEN id < 900 THEN
+            zip_with(
+              transform(sequence(0, 15), d -> cast(
+                (pmod(xxhash64(0L, d, 7), 2001) - 1000) / 500.0 as float)),
+              transform(sequence(0, 15), d -> cast(
+                (pmod(xxhash64(id, d, 8), 1201) - 600) / 1000.0 as float)),
+              (a, n) -> a + n)
+          ELSE transform(sequence(0, 15), d -> cast(
+            (pmod(xxhash64(id, d, 9), 2001) - 1000) / 500.0 as float))
+          END AS embedding""")
+    val emb = pile()
+    val (coarse, fine) = Similarity.trainShardedCodebook(emb, "vec_id",
+      "embedding", targetBucket = 64, maxK2 = 1 << 20)
+    def build(): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_heal_sealed").toString
+      IvfStore.writeShardedInt8(emb, coarse, fine, "vec_id", "embedding",
+        d, pCoarse = coarse.count().toInt, pFine = 256, targetBucket = 64)
+      d
+    }
+    val done = build()
+    val crashed = build()
+    val split = IvfStore.resplitShardedCells(spark, done,
+      targetBucket = 4, maxK2 = 16)
+    assert(split.nonEmpty)
+    // freeze `crashed` at the crash point: one sealed stage per
+    // re-split cell, each containing exactly the dirs the publish
+    // renames in unchanged (= `done`'s post-split dirs for that cell)
+    // under an _EPOCH seal (= the staged label watershed); the fine
+    // temp is the retrained layer (= `done`'s published fine);
+    // `crashed`'s own data/fine are still pre-split
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val epochs = split.map { cell =>
+      val lo = cell.toLong << 40
+      val hi = (cell.toLong + 1) << 40
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$crashed/data-resplit-tmp-cell$cell")
+      fs.mkdirs(stage)
+      val staged = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$done/data"))
+        .filter { st =>
+          val nm = st.getPath.getName
+          nm.startsWith("bucket=") && {
+            val v = nm.stripPrefix("bucket=").toLong; v >= lo && v < hi }
+        }
+      assert(staged.nonEmpty)
+      staged.foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(stage, st.getPath.getName),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+      val epoch = staged.map(
+        _.getPath.getName.stripPrefix("bucket=").toLong - lo).min
+      val out = fs.create(new org.apache.hadoop.fs.Path(stage, "_EPOCH"))
+      out.writeBytes(epoch.toString); out.close()
+      cell -> epoch
+    }.toMap
+    spark.read.parquet(s"$done/fine").write.mode("overwrite")
+      .parquet(s"$crashed/fine-resplit-tmp")
+    assert(IvfStore.readIndexMeta(spark, crashed).isEmpty) // refused
+    // make the state ADVERSARIAL: half-publish the FIRST cell by hand
+    // (fine published, one old dir already retired, one staged dir
+    // already moved), then heal — the replay must finish idempotently
+    val cell0 = split.head
+    val lo0 = cell0.toLong << 40
+    val hi0 = (cell0.toLong + 1) << 40
+    val fineP = new org.apache.hadoop.fs.Path(s"$crashed/fine")
+    fs.delete(fineP, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$crashed/fine-resplit-tmp"),
+      fineP)
+    val oldDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$crashed/data"))
+      .filter { st =>
+        val nm = st.getPath.getName
+        nm.startsWith("bucket=") && {
+          val v = nm.stripPrefix("bucket=").toLong
+          v >= lo0 && v < hi0 && (v - lo0) < epochs(cell0) }
+      }
+    assert(oldDirs.nonEmpty)
+    fs.delete(oldDirs.head.getPath, true)
+    val stage0 = new org.apache.hadoop.fs.Path(
+      s"$crashed/data-resplit-tmp-cell$cell0")
+    val firstStaged = fs.listStatus(stage0)
+      .filter(_.getPath.getName.startsWith("bucket=")).head
+    fs.rename(firstStaged.getPath, new org.apache.hadoop.fs.Path(
+      s"$crashed/data/${firstStaged.getPath.getName}"))
+    val healed = IvfStore.healShardedIndex(spark, crashed)
+    assert(healed.toSet == split.toSet)
+    // healed state == the uncrashed re-split, row for row
+    def stored(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("vec_id"), col("probe_buckets"),
+        col("int8_pack.cnorm"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val sc2 = stored(crashed); val sd2 = stored(done)
+    assert(sc2 == sd2,
+      s"missing=${(sd2 -- sc2).toSeq.map(t => (t._1, t._4)).sorted.take(8)} " +
+        s"extra=${(sc2 -- sd2).toSeq.map(t => (t._1, t._4)).sorted.take(8)} " +
+        s"nMissing=${(sd2 -- sc2).size} nExtra=${(sc2 -- sd2).size}")
+    def fineSet(d: String) = spark.read.parquet(s"$d/fine")
+      .select("cell", "flabel").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(fineSet(crashed) == fineSet(done))
+    assert(IvfStore.readIndexMeta(spark, crashed).nonEmpty)
+    // and the healed index still answers exactly
+    val exact = pairs(Dedup.cosineDupPairsExact(emb, "vec_id",
+      "embedding", 0.9).select("a", "b"))
+    assert(pairs(Dedup.cosineDupPairsFromShardedIndex(spark, crashed,
+      "vec_id", "embedding", 0.9).select("a", "b")) == exact)
+  }
+
+  test("appendOrResplit: a delta that bloats a cell past the cap " +
+      "triggers the targeted re-split, using the index's stamped " +
+      "targetBucket by default") {
+    // base: 100 scattered vectors (no pile) => small cells everywhere;
+    // delta: a 900-vector pile that lands in one cell and blows the cap
+    def vecs(lo: Long, hi: Long, pile: Boolean) = {
+      val expr = if (pile)
+        """zip_with(
+             transform(sequence(0, 15), d -> cast(
+               (pmod(xxhash64(0L, d, 7), 2001) - 1000) / 500.0 as float)),
+             transform(sequence(0, 15), d -> cast(
+               (pmod(xxhash64(id, d, 8), 1201) - 600) / 1000.0 as float)),
+             (a, n) -> a + n) AS embedding"""
+      else
+        """transform(sequence(0, 15), d -> cast(
+             (pmod(xxhash64(id, d, 9), 2001) - 1000) / 500.0 as float))
+           AS embedding"""
+      spark.range(lo, hi).selectExpr("id AS vec_id", expr)
+    }
+    val base = vecs(0, 100, pile = false)
+    val delta = vecs(100, 1000, pile = true)
+    val (coarse, fine) = Similarity.trainShardedCodebook(base, "vec_id",
+      "embedding", targetBucket = 4, maxK2 = 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_append_resplit").toString
+    IvfStore.writeShardedInt8(base, coarse, fine, "vec_id", "embedding",
+      dir, pCoarse = coarse.count().toInt, pFine = 256, targetBucket = 4)
+    val (n, resplit) = IvfStore.appendOrResplit(delta, "vec_id",
+      "embedding", dir, maxK2 = 16) // targetBucket from the stamp (4)
+    assert(n == 900L)
+    assert(resplit.nonEmpty, "the pile cell was not re-split")
+    // loads: the pile cell holds >= 900 residents but its fine layer
+    // deepened to ceil(load/4) buckets
+    val loads = IvfStore.shardedCellLoads(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val fineAfter = spark.read.parquet(s"$dir/fine")
+    resplit.foreach { c =>
+      val k2 = fineAfter.filter(col("cell") === c).count()
+      assert(k2 == math.ceil(loads(c) / 4.0).toLong,
+        s"cell $c: k2=$k2 for load=${loads(c)}")
+    }
+    // fingerprint advanced to the union; exactness holds at the stored
+    // exhaustive depths
+    val union = base.unionByName(delta)
+    assert(IvfStore.readIndexMeta(spark, dir).get("fingerprint") ==
+      IvfStore.corpusFingerprint(union, "vec_id"))
+    val exact = pairs(Dedup.cosineDupPairsExact(union, "vec_id",
+      "embedding", 0.9).select("a", "b"))
+    assert(pairs(Dedup.cosineDupPairsFromShardedIndex(spark, dir,
+      "vec_id", "embedding", 0.9).select("a", "b")) == exact)
+  }
 }

@@ -46,7 +46,7 @@ MAINS = {
     "src/main/scala/graft/ScaleBench.scala": ["SCALE_r*_x5m.json",
                                               "SCALE_r*_sharded.json",
                                               "SCALE_r?.json"],
-    "src/main/scala/graft/KneeBench.scala": ["SCALE_r*_knee.json"],
+    "src/main/scala/graft/KneeBench.scala": ["SCALE_r*_knee*.json"],
     "src/main/scala/graft/ScaleGen.scala": ["SCALE_r*.json"],
     "src/main/scala/graft/SaltProfile.scala": [],
     "src/main/scala/graft/CosProfile.scala": [],
