@@ -62,6 +62,15 @@ object ShardBatchProfile {
       var now = shuffleBytes.get()
       while (now != last) { last = now; Thread.sleep(300); now = shuffleBytes.get() }
       val pairHash = h.getLong(0) ^ (if (h.isNullAt(1)) 0L else h.getLong(1))
+      // reclaim the run's shuffle files before the next one starts:
+      // each exhaustive-probe execution writes ~15 GB of shuffle, and
+      // without a GC the ShuffleDependencys stay reachable until the
+      // JVM exits — five accumulated runs filled the sandbox disk
+      // (measured ENOSPC). Same discipline as KneeBench/ScaleBench;
+      // the sleep gives the async ContextCleaner time to unlink.
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(5000)
       (secs, now - before, pairHash)
     }
 
