@@ -4,22 +4,33 @@
 # this script IS the protocol, one command per phase, reproducible).
 #
 # Usage:
-#   tools/knee_protocol.sh gen        # generate the tB=64 tiers
+#   tools/knee_protocol.sh gen        # generate the tB=48 tiers
 #   tools/knee_protocol.sh run OUT    # run KneeBench -> OUT (e.g. SCALE_r10_knee.json)
 #
-# Protocol (r10, targetBucket=64 — the second knee geometry; r9 ran the
+# Protocol (r10, targetBucket=48 — the second knee geometry; r9 ran the
 # same code at tB=32 over x1m/x2p5m/x6m):
-#   - tiers: x2p5m (2.5M vecs, FLAT side: 2.5M < 64*65536 = 4.19M),
-#     x5mv (5M vecs, sharded), x10m (10M vecs, sharded) — the top pair
-#     is sharded->sharded at ratio 2.0, both past the natural knee.
+#   - tiers: x2p5m (2.5M vecs, FLAT side: 2.5M < 48*65536 = 3.15M),
+#     x4m (4M vecs, sharded), x8m (8M vecs, sharded) — the top pair
+#     is sharded->sharded at ratio 2.0, both past the knee.
+#   - WHY NOT tB=64 with a 10M top tier (the first r10 attempt): one
+#     pass of the probes=20 chain at 10M vectors holds >61 GB of live
+#     shuffle (the probe exchange ships ~probes x n int8 packs, and
+#     every stage's output stays on disk until the job completes) —
+#     measured ENOSPC on this sandbox's 62 GB free
+#     (/tmp/knee_tb64_enospc.log; the 2.5M/5M tiers completed at
+#     608/924 s before the 10M tier died). 8M vectors peak ~50-56 GB,
+#     which fits with margin once the unused tiers are deleted. The
+#     knee POSITION is a configuration constant (tB x 65,536); the
+#     crossing machinery is identical at any tB — see KneeBench's
+#     scaladoc.
 #   - SPARK_GRAFT_SHUFFLE_CODEC=zstd  (shuffle bytes are the single-host
 #     wall; zstd cuts them ~25-40% vs lz4 — the r7 5M-tier protocol)
 #   - SPARK_DRIVER_MEM=64g            (default 8g heap GC/spill-poisons
 #     alphas — measured r7)
 #   - SPARK_GRAFT_SCALE_RUNS=1        (single cold pass per tier; the
-#     10M tier is ~1h, and min-of-2 would double a 3h campaign for a
-#     statistic the top-pair alpha doesn't need at this ratio)
-#   - KneeBench --tb=64 applies the same alpha <= ScaleBench.ContractAlpha
+#     8M tier is ~25-30 min, and min-of-2 would double the campaign for
+#     a statistic the top-pair alpha doesn't need at ratio 2.0)
+#   - KneeBench --tb=48 applies the same alpha <= ScaleBench.ContractAlpha
 #     gate as ScaleBench (exit 2 on breach; NaN = breach).
 # Generation uses plain java over the compiled classes (no sbt lock,
 # so it can run while sbt edits/compiles continue) — run `sbt compile`
@@ -44,15 +55,15 @@ case "${1:-}" in
     # docs tables are only warmup/ballast for KneeBench (it reads
     # embeddings alone) — sized n/10 like the r9 tiers
     java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
-      -cp "$CP" graft.ScaleGen scale/x5mv 500000 5000000 32
+      -cp "$CP" graft.ScaleGen scale/x4m 400000 4000000 32
     java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
-      -cp "$CP" graft.ScaleGen scale/x10m 1000000 10000000 64
+      -cp "$CP" graft.ScaleGen scale/x8m 800000 8000000 64
     ;;
   run)
     OUT="${2:?usage: knee_protocol.sh run OUT.json}"
     SPARK_GRAFT_SHUFFLE_CODEC=zstd SPARK_DRIVER_MEM=64g \
     SPARK_GRAFT_SCALE_RUNS=1 \
-      sbt -batch "runMain graft.KneeBench $OUT --tb=64 scale/x2p5m scale/x5mv scale/x10m"
+      sbt -batch "runMain graft.KneeBench $OUT --tb=48 scale/x2p5m scale/x4m scale/x8m"
     ;;
   *)
     echo "usage: $0 gen | run OUT.json" >&2; exit 1;;
