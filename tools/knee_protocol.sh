@@ -55,6 +55,8 @@ case "${1:-}" in
     # docs tables are only warmup/ballast for KneeBench (it reads
     # embeddings alone) — sized n/10 like the r9 tiers
     java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
+      -cp "$CP" graft.ScaleGen scale/x2p5m 250000 2500000 32
+    java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
       -cp "$CP" graft.ScaleGen scale/x4m 400000 4000000 32
     java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
       -cp "$CP" graft.ScaleGen scale/x8m 800000 8000000 64
