@@ -91,7 +91,7 @@ object AppendProfile {
       s"append != same-codebook rewrite (stored=$storedMatch, " +
         s"pairs=$pairsMatch, fingerprint=$fpMatch)")
     val json = s"""{
-  "commit": "${BenchUtil.gitHead()}",
+  ${BenchUtil.commitJsonFields()},
   "chain": "appendShardedInt8 10% delta vs full rebuild (pCoarse=4, pFine=8)",
   "dir": "$dir",
   "rebuild_retrained_secs": ${f"$tRebuild%.3f"},

@@ -85,7 +85,7 @@ object Bench {
     // failures stay visible per-query as -1 but must not subtract from
     // the headline total
     val total = medians.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"commit":"${BenchUtil.gitHead()}","queries":${toJson(medians)},"queries_min":${toJson(mins)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,${BenchUtil.commitJsonFields().replace(": ", ":")},"queries":${toJson(medians)},"queries_min":${toJson(mins)},"sf":"$sfDir"}"""
     println(line)
     // the single-line contract output is also written to a file: with
     // 120+ queries the line runs past typical log-capture tail windows

@@ -12,7 +12,16 @@ object BenchUtil {
     * `-dirty` when the working tree has uncommitted changes, so a
     * measurement over unpublished code is visibly unciteable. Returns
     * "unknown" outside a git checkout rather than failing the bench. */
-  def gitHead(): String =
+  def gitHead(): String = gitState()._1
+
+  /** [[gitHead]] plus the LIST of tracked-modified paths when the tree
+    * is dirty (r11 — VERDICT r10 item 1: a bare `-dirty` suffix cannot
+    * distinguish dirty DOCS from dirty ENGINE, so the r10 knee
+    * artifact needed a judge reading git to stay credible; with the
+    * path list stamped, `tools/check_artifacts.py` passes an artifact
+    * whose only dirt is outside the measured-code set and fails one
+    * whose dirt touches src/main or build config — mechanically). */
+  def gitState(): (String, Seq[String]) =
     try {
       def run(args: String*): String = {
         val p = new ProcessBuilder(args: _*)
@@ -23,12 +32,27 @@ object BenchUtil {
         out
       }
       val sha = run("git", "rev-parse", "HEAD")
-      // -uno: untracked files (log drafts, scratch artifacts) cannot
-      // change what a compiled bench binary measures — only TRACKED
-      // modifications mark the measurement dirty
-      if (sha.isEmpty || sha.contains(" ")) "unknown"
-      else if (run("git", "status", "--porcelain", "-uno").nonEmpty)
-        s"$sha-dirty"
-      else sha
-    } catch { case _: Exception => "unknown" }
+      if (sha.isEmpty || sha.contains(" ")) ("unknown", Seq.empty)
+      else {
+        // -uno: untracked files (log drafts, scratch artifacts) cannot
+        // change what a compiled bench binary measures — only TRACKED
+        // modifications mark the measurement dirty. Porcelain rename
+        // lines ("R  old -> new") contribute both sides.
+        val dirty = run("git", "status", "--porcelain", "-uno")
+          .linesIterator.filter(_.nonEmpty)
+          .flatMap(_.drop(3).split(" -> ").map(_.trim))
+          .filter(_.nonEmpty).toSeq.distinct.sorted
+        if (dirty.nonEmpty) (s"$sha-dirty", dirty) else (sha, Seq.empty)
+      }
+    } catch { case _: Exception => ("unknown", Seq.empty) }
+
+  /** The two artifact-identity JSON fields every bench main embeds:
+    * `"commit": …, "dirty_paths": […]` — splice with surrounding
+    * comma handling left to the caller. */
+  def commitJsonFields(): String = {
+    val (sha, dirty) = gitState()
+    s""""commit": "$sha", "dirty_paths": ${
+      dirty.map(p => "\"" + p.replace("\"", "\\\"") + "\"")
+        .mkString("[", ", ", "]")}"""
+  }
 }

@@ -33,16 +33,30 @@ import org.apache.spark.sql.functions._
   * passes (default 2), min-of-runs, cache cleared + GC between execs.
   * Alphas use EMBEDDING row counts (this chain never reads documents).
   *
-  *   runMain graft.KneeBench <outJson> [--tb=N] <dir1> <dir2> [... dirN]
+  * `--probes=N` (default 20) scales the probe budget — and with it the
+  * single-host shuffle wall, which is ~probes × n int8 packs: the
+  * NATURAL tb=128 knee (8.4M vectors) needs sharded tiers of 12M/24M
+  * vectors, whose probes=20 exchange (~150 GB) no single-host scratch
+  * here survives, but probes=5 quarters it into range. The α contract
+  * is probes-invariant (same budget at every tier of a campaign; the
+  * exponent measures how cost grows with n at FIXED per-vector work),
+  * so a reduced-probes crossing is a valid exponent measurement — the
+  * artifact records the budget so nobody mistakes it for the
+  * production-recall configuration.
+  *
+  *   runMain graft.KneeBench <outJson> [--tb=N] [--probes=N] <dir1> <dir2> [... dirN]
   */
 object KneeBench {
   def main(args: Array[String]): Unit = {
     val outJson = args(0)
     val targetBucket = args.drop(1).find(_.startsWith("--tb="))
       .map(_.stripPrefix("--tb=").toInt).getOrElse(32)
+    val probes = args.drop(1).find(_.startsWith("--probes="))
+      .map(_.stripPrefix("--probes=").toInt).getOrElse(20)
     val dirs = args.drop(1).filterNot(_.startsWith("--")).toSeq
     require(dirs.size >= 2, "need at least two scale dirs")
-    require(targetBucket >= 1, "targetBucket must be >= 1")
+    require(targetBucket >= 1 && probes >= 1,
+      "targetBucket and probes must be >= 1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,7 +73,7 @@ object KneeBench {
       try {
         graft.functions.Dedup.cosineDupPairsTrainedInt8(
             spark.read.parquet(s"$dir/embeddings.parquet"),
-            "vec_id", "embedding", threshold = 0.45, probes = 20,
+            "vec_id", "embedding", threshold = 0.45, probes = probes,
             targetBucket = targetBucket)
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
@@ -112,8 +126,9 @@ object KneeBench {
       else Seq.empty[String]
     val json =
       s"""{
-  "commit": "${BenchUtil.gitHead()}",
-  "chain": "q_dedup_cosine_int8 (API default, targetBucket=$targetBucket)",
+  ${BenchUtil.commitJsonFields()},
+  "chain": "q_dedup_cosine_int8 (API default, targetBucket=$targetBucket, probes=$probes)",
+  "probes": $probes,
   "knee_vectors": $knee,
   "top_pair_ratio": ${f"$ratio%.2f"},
   "top_pair_crossing": $crossing,

@@ -251,7 +251,7 @@ object ScaleBench {
       .mkString("{\n", ",\n", "\n  }")
     val json =
       s"""{
-  "commit": "${BenchUtil.gitHead()}",
+  ${BenchUtil.commitJsonFields()},
   "scales": ${dirs.map(d => s""""${nRows(d)}"""").mkString("[", ",", "]")},
   "top_pair_ratio": ${f"$ratio%.1f"},
   "queries": {

@@ -63,11 +63,12 @@ object ShardBatchProfile {
       while (now != last) { last = now; Thread.sleep(300); now = shuffleBytes.get() }
       val pairHash = h.getLong(0) ^ (if (h.isNullAt(1)) 0L else h.getLong(1))
       // reclaim the run's shuffle files before the next one starts:
-      // each exhaustive-probe execution writes ~15 GB of shuffle, and
+      // each exhaustive-probe campaign writes ~50 GB of shuffle at the
+      // 500k tier (see SCALE_r10_batch.json's shuffle_write_bytes), and
       // without a GC the ShuffleDependencys stay reachable until the
-      // JVM exits — five accumulated runs filled the sandbox disk
-      // (measured ENOSPC). Same discipline as KneeBench/ScaleBench;
-      // the sleep gives the async ContextCleaner time to unlink.
+      // JVM exits — accumulated runs filled the sandbox disk (measured
+      // ENOSPC). Same discipline as KneeBench/ScaleBench; the sleep
+      // gives the async ContextCleaner time to unlink.
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(5000)
@@ -86,7 +87,7 @@ object ShardBatchProfile {
     val violations = if (matches) Seq.empty[String]
       else Seq("batched-vs-per-row pair sets diverge")
     val json = s"""{
-  "commit": "${BenchUtil.gitHead()}",
+  ${BenchUtil.commitJsonFields()},
   "chain": "cosineDupPairsShardedInt8 pCoarse=8 pFine=64 (shared codebooks)",
   "dir": "$dir",
   "per_row":  {"secs": ${f"$tRow%.3f"}, "shuffle_write_bytes": $bRow},

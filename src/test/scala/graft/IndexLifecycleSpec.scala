@@ -496,4 +496,287 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(pairs(Dedup.cosineDupPairsFromShardedIndex(spark, dir,
       "vec_id", "embedding", 0.9).select("a", "b")) == exact)
   }
+
+  // ------------------------------------------- r11: fingerprint hardening
+  private def corpusWithIds(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("vec_id").selectExpr("vec_id",
+      """transform(sequence(0, 63), d -> cast(
+          (pmod(xxhash64(vec_id, d, 7), 2001) - 1000) / 500.0
+        as float)) AS embedding""")
+  }
+
+  test("corpusFingerprint v2: an id multiset that collides count+xor " +
+      "(the structured {a,a}->{b,b} edit) is rejected by the sum leg; " +
+      "a pre-v2 stamped index is rejected, never mis-accepted") {
+    // base ∪ {3,3} vs base ∪ {7,7}: identical-id PAIRS contribute
+    // nothing to XOR under any hash, so count and xor both collide —
+    // the r10 fingerprint would accept the stale index here
+    val idsA = (0L until 10L) ++ Seq(3L, 3L)
+    val idsB = (0L until 10L) ++ Seq(7L, 7L)
+    val (a, b) = (corpusWithIds(idsA), corpusWithIds(idsB))
+    def oldLegs(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(vec_id))")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(oldLegs(a) == oldLegs(b),
+      "fixture lost its xor collision — the test would prove nothing")
+    assert(IvfStore.corpusFingerprint(a, "vec_id") !=
+      IvfStore.corpusFingerprint(b, "vec_id"))
+    // end-to-end: an index built on A must NOT serve B
+    val (coarse, fine) = Similarity.trainShardedCodebook(a, "vec_id",
+      "embedding", targetBucket = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fp_v2").toString
+    IvfStore.writeShardedInt8(a, coarse, fine, "vec_id", "embedding",
+      dir, pCoarse = 4, pFine = 8, targetBucket = 4)
+    val (_, bBranch) = Dedup.cosineDupPairsTrainedInt8Branch(b, "vec_id",
+      "embedding", 0.9, targetBucket = 4, indexPath = dir)
+    assert(bBranch == "flat", s"xor-colliding corpus accepted: $bBranch")
+    val (_, aBranch) = Dedup.cosineDupPairsTrainedInt8Branch(a, "vec_id",
+      "embedding", 0.9, targetBucket = 4, indexPath = dir)
+    assert(aBranch == "indexed_sharded", s"own corpus rejected: $aBranch")
+    // pre-v2 stamp: rewrite the meta fingerprint to the r10 format
+    // (count+xor, no version, no sum). The dispatcher computes a v2
+    // string, so the stale stamp can never match — in-query fallback —
+    // and an append refuses loudly instead of silently re-stamping.
+    import spark.implicits._
+    val (n0, x0) = oldLegs(a)
+    val meta = IvfStore.readIndexMeta(spark, dir).get
+    (meta + ("fingerprint" -> s"n${n0}x$x0")).toSeq
+      .toDF("key", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val (_, preV2) = Dedup.cosineDupPairsTrainedInt8Branch(a, "vec_id",
+      "embedding", 0.9, targetBucket = 4, indexPath = dir)
+    assert(preV2 == "flat", s"pre-v2 index accepted: $preV2")
+    val e = intercept[IllegalStateException] {
+      IvfStore.appendShardedInt8(corpusWithIds(Seq(100L)), "vec_id",
+        "embedding", dir)
+    }
+    assert(e.getMessage.contains("pre-v2"), e.getMessage)
+  }
+
+  // ------------------------------------------- r11: stored_depth stamp
+  test("flat dispatch decides probe-depth coverage from meta alone: " +
+      "stored_depth is stamped at write time, and a too-shallow index " +
+      "is rejected without any data-dir read") {
+    val emb = plantedCorpus(2000)
+    val cents = Dedup.dupCodebook(emb, "vec_id", "embedding",
+      targetBucket = 32)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_depth").toString
+    IvfStore.writeInt8(emb, cents, "vec_id", "embedding", dir,
+      maxProbes = 20, targetBucket = 32)
+    val meta = IvfStore.readIndexMeta(spark, dir).get
+    assert(meta("stored_depth").toInt ==
+      math.min(20L, cents.count()).toInt, meta.toString)
+    // decision-only fixture: a layout whose data dir holds ONLY the
+    // _SUCCESS marker — unreadable as parquet. The r10 dispatcher read
+    // one data row to learn the depth and would throw here; the meta-
+    // only decision must cleanly REJECT (stored 2 < asked 20) into the
+    // in-query path without ever opening the data dir.
+    import spark.implicits._
+    val shallow = java.nio.file.Files
+      .createTempDirectory("graft_depth_shallow").toString
+    (meta + ("max_probes" -> "2") + ("stored_depth" -> "2")).toSeq
+      .toDF("key", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$shallow/meta")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$shallow/data"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$shallow/data/_SUCCESS")).close()
+    val (_, branch) = Dedup.cosineDupPairsTrainedInt8Branch(emb,
+      "vec_id", "embedding", 0.9, probes = 20, targetBucket = 32,
+      indexPath = shallow)
+    assert(branch == "flat", s"too-shallow index accepted: $branch")
+  }
+
+  // ------------------------------------------- r11: heal-forward append
+  test("a crashed append heals FORWARD: the sealed stage publishes to " +
+      "bit-identical state (even from a half-published replay), an " +
+      "unsealed stage is discarded, and mid-append the live index is " +
+      "NEVER polluted — the base corpus still dispatches to it") {
+    val emb = plantedCorpus(2000)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    val (coarse, fine) = Similarity.trainShardedCodebook(base, "vec_id",
+      "embedding", targetBucket = 32)
+    def build(): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_heal_append").toString
+      IvfStore.writeShardedInt8(base, coarse, fine, "vec_id",
+        "embedding", d, pCoarse = 4, pFine = 8, targetBucket = 32)
+      d
+    }
+    val done = build()
+    val crashed = build()
+    assert(IvfStore.appendShardedInt8(delta, "vec_id", "embedding",
+      done) == 1000L)
+    // freeze `crashed` exactly at the sealed-but-unpublished point
+    assert(IvfStore.stageAppend(delta, "vec_id", "embedding",
+      crashed) == 1000L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$crashed/data-append-tmp")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stage, "_APPEND")))
+    // THE r10 ADVICE BUG, now structurally impossible: mid-append the
+    // live data dir holds only base rows and the live meta only the
+    // base fingerprint — but the pending stage makes the layout
+    // incomplete, so neither the base corpus nor the union can
+    // dispatch to it, and a concurrent append refuses
+    assert(IvfStore.readIndexMeta(spark, crashed).isEmpty)
+    val (_, pend) = Dedup.cosineDupPairsTrainedInt8Branch(base, "vec_id",
+      "embedding", 0.9, targetBucket = 32, indexPath = crashed)
+    assert(pend == "flat", s"pending-append index accepted: $pend")
+    intercept[IllegalStateException] {
+      IvfStore.appendShardedInt8(delta.limit(1), "vec_id", "embedding",
+        crashed)
+    }
+    // adversarial replay state: half-publish one staged bucket by hand
+    val staged = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("bucket="))
+    assert(staged.nonEmpty)
+    val first = staged.head
+    val liveDst = new org.apache.hadoop.fs.Path(
+      s"$crashed/data/${first.getPath.getName}")
+    if (!fs.exists(liveDst)) fs.rename(first.getPath, liveDst)
+    else {
+      val f = fs.listStatus(first.getPath).head
+      fs.rename(f.getPath, new org.apache.hadoop.fs.Path(liveDst,
+        f.getPath.getName))
+    }
+    // heal finishes the publish; the result is bit-identical to the
+    // uncrashed append — rows, meta fingerprint, dispatch acceptance
+    IvfStore.healShardedIndex(spark, crashed)
+    assert(!fs.exists(stage))
+    def stored(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("vec_id"), col("probe_buckets"),
+        col("int8_pack.cnorm"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(stored(crashed) == stored(done))
+    assert(IvfStore.readIndexMeta(spark, crashed).get("fingerprint") ==
+      IvfStore.readIndexMeta(spark, done).get("fingerprint"))
+    val (_, healedBranch) = Dedup.cosineDupPairsTrainedInt8Branch(emb,
+      "vec_id", "embedding", 0.9, targetBucket = 32,
+      indexPath = crashed)
+    assert(healedBranch == "indexed_sharded")
+    val exact = pairs(Dedup.cosineDupPairsExact(emb, "vec_id",
+      "embedding", 0.9).select("a", "b"))
+    assert(pairs(Dedup.cosineDupPairsFromShardedIndex(spark, crashed,
+      "vec_id", "embedding", 0.9).select("a", "b")) == exact)
+    // an UNSEALED stage (crash before the seal) is discarded with the
+    // live index untouched — back to the base index, which the BASE
+    // corpus dispatches to again
+    val unsealed = build()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$unsealed/data-append-tmp/bucket=999"))
+    assert(IvfStore.readIndexMeta(spark, unsealed).isEmpty)
+    IvfStore.healShardedIndex(spark, unsealed)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$unsealed/data-append-tmp")))
+    val (_, baseBranch) = Dedup.cosineDupPairsTrainedInt8Branch(base,
+      "vec_id", "embedding", 0.9, targetBucket = 32,
+      indexPath = unsealed)
+    assert(baseBranch == "indexed_sharded")
+  }
+
+  // ------------------------------------------- r11: ledger'd ingest + index
+  test("ingestWithIndex: the ledger'd ingest loop keeps a registered " +
+      "sharded index current — survivors seal the ledgers AND append " +
+      "into the index, whose post-ingest state equals a from-scratch " +
+      "same-codebook build of (base ∪ survivors)") {
+    import graft.sources.{CorpusIngest, DedupLedger, NearDupLedger}
+    import graft.functions.Curation
+    // every doc: 12 per-id-unique words (no shared shingles => no
+    // cross-doc band collisions) + a planted near-dup embedding
+    def corpus(lo: Long, hi: Long) = spark.range(lo, hi).selectExpr(
+        "id AS doc_id",
+        """concat('alpha', id, ' beta', id, ' gamma', id, ' delta', id,
+           ' eps', id, ' zeta', id, ' eta', id, ' theta', id,
+           ' iota', id, ' kappa', id, ' lam', id, ' mu', id) AS text""",
+        """transform(sequence(0, 63), d -> cast(
+            (pmod(xxhash64(if(id % 20 = 19, id - 1, id), d, 7), 2001)
+              - 1000) / 500.0
+            + if(id % 20 = 19,
+                (pmod(xxhash64(id, d, 8), 21) - 10) / 1000.0, 0.0)
+          as float)) AS embedding""")
+    val base = corpus(0, 400)
+    val cleanDelta = corpus(400, 450)
+    // gate-fail junk (punct storm) + an exact-prefix copy of a seeded
+    // doc under a new id: both must be screened out and NEVER reach
+    // the ledgers or the index
+    val junk = corpus(450, 451).withColumn("text",
+      lit("junk words here ?!?!?!?!?!?!?!?!?!?!?!?!?!?!?!?!?!?!"))
+    val dup = corpus(7, 8).withColumn("doc_id", lit(451L))
+    val batch = cleanDelta.unionByName(junk).unionByName(dup)
+    val ex = java.nio.file.Files
+      .createTempDirectory("graft_ingidx_ex").toString
+    val nd = java.nio.file.Files
+      .createTempDirectory("graft_ingidx_nd").toString
+    DedupLedger.write(base, "text", ex, bucketChars = 1)
+    NearDupLedger.write(base, "text", "doc_id", nd, bucketChars = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ingidx_ivf").toString
+    val (coarse, fine) = Similarity.trainShardedCodebook(base, "doc_id",
+      "embedding", targetBucket = 32)
+    IvfStore.writeShardedInt8(base, coarse, fine, "doc_id", "embedding",
+      dir, pCoarse = 4, pFine = 8, targetBucket = 32)
+    val cfg = Curation.Config(lang = None)
+    val (fresh, n, _) = CorpusIngest.ingestWithIndex(spark, batch,
+      "text", "doc_id", "embedding", ex, nd, dir, cfg = cfg)
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (400L until 450L).toSet)
+    assert(n == 50L)
+    // index fingerprint advanced to base ∪ survivors, and the stored
+    // rows equal a from-scratch same-codebook union build
+    val union = base.unionByName(cleanDelta)
+    assert(IvfStore.readIndexMeta(spark, dir).get("fingerprint") ==
+      IvfStore.corpusFingerprint(union, "doc_id"))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_ingidx_scratch").toString
+    IvfStore.writeShardedInt8(union, coarse, fine, "doc_id", "embedding",
+      dir2, pCoarse = 4, pFine = 8, targetBucket = 32)
+    def stored(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("doc_id"), col("probe_buckets"),
+        col("int8_pack.cnorm"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(stored(dir) == stored(dir2))
+    val exact = pairs(Dedup.cosineDupPairsExact(union, "doc_id",
+      "embedding", 0.9).select("a", "b"))
+    assert(pairs(Dedup.cosineDupPairsFromShardedIndex(spark, dir,
+      "doc_id", "embedding", 0.9).select("a", "b")) == exact)
+    // the NEXT batch amortizes against it: auto-dispatch accepts the
+    // post-ingest index for the union corpus
+    val (_, branch) = Dedup.cosineDupPairsTrainedInt8Branch(union,
+      "doc_id", "embedding", 0.9, targetBucket = 32, indexPath = dir)
+    assert(branch == "indexed_sharded")
+    // replaying the SAME batch is a no-op end to end: the ledgers are
+    // sealed (empty survivor set) and the index stamp is unchanged
+    val (fresh2, n2, _) = CorpusIngest.ingestWithIndex(spark, batch,
+      "text", "doc_id", "embedding", ex, nd, dir, cfg = cfg)
+    assert(fresh2.count() == 0 && n2 == 0L)
+    assert(IvfStore.readIndexMeta(spark, dir).get("fingerprint") ==
+      IvfStore.corpusFingerprint(union, "doc_id"))
+  }
+
+  test("plain IvfStore.append refuses a fingerprint-stamped layout " +
+      "(it would land schema-poor rows under a stale stamp)") {
+    val emb = plantedCorpus(500)
+    val cents = Dedup.dupCodebook(emb, "vec_id", "embedding",
+      targetBucket = 32)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plain_append").toString
+    IvfStore.writeInt8(emb, cents, "vec_id", "embedding", dir,
+      maxProbes = 8, targetBucket = 32)
+    val e = intercept[IllegalStateException] {
+      IvfStore.append(plantedCorpus(510).filter(col("vec_id") >= 500),
+        "vec_id", "embedding", dir)
+    }
+    assert(e.getMessage.contains("stamped"), e.getMessage)
+  }
 }

@@ -15,12 +15,24 @@ measured, so it must not invalidate the knee artifact. Known blind
 spot, documented here: KneeBench reads ScaleBench.ContractAlpha — if
 that CONSTANT ever changes, re-run the knee by hand.
 
-The gate also fails any artifact that COMMITS a contract violation
-(VERDICT r9 item 8): a `contract_violations` list that is non-empty
-means the measurement itself reported a breach — checking only SHA
-drift would wave a red measurement through.
+Dirty stamps (r11 — VERDICT r10 item 1): BenchUtil now embeds the
+tracked-modified PATH LIST next to the `-dirty` SHA, so the gate can
+distinguish dirty DOCS (notes/artifacts edited while a campaign ran —
+harmless, the binary measured committed code) from dirty ENGINE (the
+r8 failure mode). A `-dirty` commit passes iff `dirty_paths` is
+present AND none of its paths is measured code for that artifact —
+same path filter as the SHA-drift check. A `-dirty` commit WITHOUT
+the list (pre-r11 stamp) still fails: unverifiable dirt is dirt.
 
-Usage: tools/check_artifacts.py [glob ...]   (default: SCALE_r10*.json,
+The gate also fails any artifact that COMMITS a contract violation
+(VERDICT r9 item 8), and — r11, the r10 ADVICE finding — any KNEE
+artifact whose top pair CROSSES the flat/sharded boundary
+(`top_pair_crossing: true`): a crossing pair skips the alpha contract
+entirely, so such an artifact would pass while verifying nothing
+about scaling. A deliberate crossing measurement must carry an
+explicit `"crossing_waiver": "<why>"` field to pass.
+
+Usage: tools/check_artifacts.py [glob ...]   (default: SCALE_r11*.json,
 BENCH_FULL.json)
 Exit 0 = every artifact's measured code state is HEAD's and its
 contract is clean; 1 otherwise.
@@ -31,7 +43,7 @@ import json
 import subprocess
 import sys
 
-DEFAULT = ["SCALE_r10*.json", "BENCH_FULL.json"]
+DEFAULT = ["SCALE_r11*.json", "BENCH_FULL.json"]
 
 # top-level harness mains: each affects only the artifacts it produces.
 # ScaleGen is mapped to every SCALE_* artifact (r9 ADVICE: a generator
@@ -75,10 +87,12 @@ def sha_in_repo(sha):
     return r.returncode == 0
 
 
-def invalidating_changes(sha, artifact):
-    out = run("git", "diff", "--name-only", f"{sha}..HEAD")
+def measured_code_paths(paths, artifact):
+    """The subset of `paths` the artifact's measurement depends on:
+    engine/build-config files, plus the artifact's own producing main
+    (other producers' files are gate metadata, not inputs)."""
     bad = []
-    for p in out.splitlines():
+    for p in paths:
         if p in MAINS:
             if any(fnmatch.fnmatch(artifact, pat) for pat in MAINS[p]):
                 bad.append(p)
@@ -86,6 +100,11 @@ def invalidating_changes(sha, artifact):
               or p == "build.sbt"):  # tests can't change a measurement
             bad.append(p)
     return bad
+
+
+def invalidating_changes(sha, artifact):
+    out = run("git", "diff", "--name-only", f"{sha}..HEAD")
+    return measured_code_paths(out.splitlines(), artifact)
 
 
 head = run("git", "rev-parse", "HEAD").strip()
@@ -97,10 +116,29 @@ for p in paths:
         commit = doc.get("commit", "<absent>")
         violations = doc.get("contract_violations", [])
     except Exception as e:  # unparseable artifact is also a failure
-        commit, violations = f"<unreadable: {e}>", []
-    if commit.endswith("-dirty") or not all(
-            c in "0123456789abcdef" for c in commit) or not commit:
-        print(f"FAIL {p}: commit {commit!r} (dirty or missing)")
+        print(f"FAIL {p}: unreadable artifact: {e}")
+        bad.append(p)
+        continue
+    dirty_note = ""
+    if commit.endswith("-dirty"):
+        dirty = doc.get("dirty_paths")
+        if not isinstance(dirty, list):
+            print(f"FAIL {p}: commit {commit!r} is dirty with no "
+                  "dirty_paths list (pre-r11 stamp) — unverifiable dirt")
+            bad.append(p)
+            continue
+        dirty_engine = measured_code_paths(dirty, p)
+        if dirty_engine:
+            print(f"FAIL {p}: dirty MEASURED code at stamp time: "
+                  f"{', '.join(dirty_engine[:5])}")
+            bad.append(p)
+            continue
+        dirty_note = (" [dirt outside measured code: "
+                      f"{', '.join(dirty[:3])}"
+                      f"{'…' if len(dirty) > 3 else ''}]")
+        commit = commit[: -len("-dirty")]
+    if not commit or not all(c in "0123456789abcdef" for c in commit):
+        print(f"FAIL {p}: commit {commit!r} (malformed or missing)")
         bad.append(p)
         continue
     if not sha_in_repo(commit):
@@ -109,6 +147,14 @@ for p in paths:
         continue
     if violations:
         print(f"FAIL {p}: committed contract violations: {violations}")
+        bad.append(p)
+        continue
+    if doc.get("top_pair_crossing") is True and \
+            not isinstance(doc.get("crossing_waiver"), str):
+        print(f"FAIL {p}: top pair crosses the flat/sharded boundary — "
+              "the alpha contract was skipped, so this artifact verifies "
+              "no scaling claim; add an explicit crossing_waiver or "
+              "measure a same-branch pair")
         bad.append(p)
         continue
     try:
@@ -123,7 +169,7 @@ for p in paths:
         bad.append(p)
     else:
         print(f"ok   {p}: {commit[:12]} (no measured-code change to HEAD, "
-              "contract clean)")
+              f"contract clean){dirty_note}")
 if not paths:
     print("FAIL: no artifacts matched", sys.argv[1:] or DEFAULT)
     sys.exit(1)
