@@ -78,11 +78,21 @@ case "${1:-}" in
     SPARK_GRAFT_SCALE_RUNS=1 \
       sbt -batch "runMain graft.KneeBench $OUT --tb=48 scale/x2p5m scale/x4m scale/x8m"
     ;;
+  run-top)
+    # top-pair variant: the x500k anchor replaces the 21-minute x2p5m
+    # flat tier as warmup+flat-branch witness (the full flat anchor's
+    # cold numbers live in SCALE_r11_knee_attempt2.log); the contract
+    # pair is unchanged (x4m -> x8m, both sharded).
+    OUT="${2:?usage: knee_protocol.sh run-top OUT.json}"
+    SPARK_GRAFT_SHUFFLE_CODEC=zstd SPARK_DRIVER_MEM=64g \
+    SPARK_GRAFT_SCALE_RUNS=1 \
+      sbt -batch "runMain graft.KneeBench $OUT --tb=48 scale/x500k scale/x4m scale/x8m"
+    ;;
   append)
     OUT="${2:?usage: knee_protocol.sh append OUT.json}"
     SPARK_GRAFT_SHUFFLE_CODEC=zstd SPARK_DRIVER_MEM=64g \
       sbt -batch "runMain graft.AppendProfile $OUT scale/x500k"
     ;;
   *)
-    echo "usage: $0 gen | run OUT.json | append OUT.json" >&2; exit 1;;
+    echo "usage: $0 gen | run OUT.json | run-top OUT.json | append OUT.json" >&2; exit 1;;
 esac
