@@ -63,13 +63,12 @@ object Bench {
       .map(_.name)
 
     // suite passes, alternating direction (see scaladoc)
-    val timings: Seq[(String, Seq[Double])] = {
-      val byPass = (0 until runs).map { p =>
-        val order = if (p % 2 == 0) names else names.reverse
-        order.map(n => n -> exec(n)).toMap
-      }
-      names.map(n => n -> byPass.map(_(n)))
+    val byPass: Seq[Map[String, Double]] = (0 until runs).map { p =>
+      val order = if (p % 2 == 0) names else names.reverse
+      order.map(n => n -> exec(n)).toMap
     }
+    val timings: Seq[(String, Seq[Double])] =
+      names.map(n => n -> byPass.map(_(n)))
 
     // any failed run marks the query -1 (a query that fails even once
     // is not a timing)
@@ -85,7 +84,17 @@ object Bench {
     // failures stay visible per-query as -1 but must not subtract from
     // the headline total
     val total = medians.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,${BenchUtil.commitJsonFields().replace(": ", ":")},"queries":${toJson(medians)},"queries_min":${toJson(mins)},"sf":"$sfDir"}"""
+    // per-pass totals + per-query pass times (r12 — VERDICT r11 item 6:
+    // a single outlier pass, e.g. disk contention during one index
+    // build, was only visible by min/median forensics; with the raw
+    // passes in the artifact the outlier is machine-readable)
+    val passTotals = byPass
+      .map(m => m.values.filter(_ >= 0).sum)
+      .mkString("[", ",", "]")
+    val passesJson = byPass
+      .map(m => toJson(names.map(n => n -> m(n))))
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,${BenchUtil.commitJsonFields(compact = true)},"queries":${toJson(medians)},"queries_min":${toJson(mins)},"pass_totals":$passTotals,"passes":$passesJson,"sf":"$sfDir"}"""
     println(line)
     // the single-line contract output is also written to a file: with
     // 120+ queries the line runs past typical log-capture tail windows

@@ -48,11 +48,19 @@ object BenchUtil {
 
   /** The two artifact-identity JSON fields every bench main embeds:
     * `"commit": …, "dirty_paths": […]` — splice with surrounding
-    * comma handling left to the caller. */
-  def commitJsonFields(): String = {
+    * comma handling left to the caller. `compact = true` emits the
+    * single-line `"k":v` spacing Bench's one-line contract output
+    * uses (r11 ADVICE: Bench post-processed the pretty form with
+    * `.replace(": ", ":")`, which would mangle a dirty path that
+    * itself contains ": " and silently depended on this method's
+    * exact spacing). */
+  def commitJsonFields(compact: Boolean = false): String = {
     val (sha, dirty) = gitState()
-    s""""commit": "$sha", "dirty_paths": ${
-      dirty.map(p => "\"" + p.replace("\"", "\\\"") + "\"")
-        .mkString("[", ", ", "]")}"""
+    val sep = if (compact) ":" else ": "
+    val listSep = if (compact) "," else ", "
+    s""""commit"$sep"$sha", "dirty_paths"$sep${
+      dirty.map(p => "\"" + p.replace("\\", "\\\\")
+          .replace("\"", "\\\"") + "\"")
+        .mkString("[", listSep, "]")}"""
   }
 }

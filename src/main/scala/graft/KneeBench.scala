@@ -79,8 +79,22 @@ object KneeBench {
     // superlinearly" (an engine defect) from "the host's memory/IO
     // cliff priced the big tier's constant up" (a deployment fact a
     // cluster spreads away). Recorded per tier + as a top-pair alpha.
+    //
+    // executorCpuTime rides the same listener (r12 — VERDICT r11 item
+    // 1: bytes-alpha alone is BLIND to a superlinear compute term at
+    // constant shuffle — within-cell candidate growth under occupancy
+    // skew grows pair comparisons quadratically in bucket size while
+    // shipping zero extra bytes). CPU time excludes I/O wait and GC
+    // stalls' wall component, so it is nearly as host-noise-free as
+    // bytes; the contract gates on BOTH exponents.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    // bumped LAST per event: a settle loop that watches this stamp has
+    // seen every counter of every drained event (r11 ADVICE: settling
+    // on shuffleBytes alone let late spill/cpu events leak into the
+    // next exec's before-snapshot)
+    val eventStamp = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -89,6 +103,8 @@ object KneeBench {
           shuffleBytes.addAndGet(
             s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
           spillBytes.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
+          cpuNanos.addAndGet(s.stageInfo.taskMetrics.executorCpuTime)
+          eventStamp.incrementAndGet()
         }
       })
 
@@ -101,64 +117,85 @@ object KneeBench {
     // (its two campaigns agreed to ±0.1%), so cache luck
     // systematically flatters SMALL tiers and inflates measured
     // alpha noise in one direction. At 100 TB nothing is page-cached;
-    // cold-per-tier is the deployment-relevant constant. Best-effort:
-    // requires root (this sandbox has it) — a failure is logged and
-    // the pass proceeds warm.
-    def dropPageCache(): Unit =
+    // cold-per-tier is the deployment-relevant constant. Best-effort
+    // (requires root), but the artifact's `page_cache_cold` stamp is
+    // COMPUTED from the outcomes (r12 — the r11 ADVICE finding: the
+    // stamp was a hardcoded `true`, so a non-root run would have
+    // claimed a cold measurement it never made).
+    def dropPageCache(): Boolean =
       try {
         val p = new ProcessBuilder("sh", "-c",
           "sync && echo 3 > /proc/sys/vm/drop_caches").start()
-        if (p.waitFor() != 0)
+        val ok = p.waitFor() == 0
+        if (!ok)
           System.err.println("[knee] drop_caches failed (non-root?) — " +
             "timed pass runs page-cache warm")
+        ok
       } catch { case e: Exception =>
         System.err.println(s"[knee] drop_caches unavailable: $e")
+        false
       }
 
-    def exec(dir: String): (Double, Long, Long) = {
-      dropPageCache()
-      val (before, beforeSpill) = (shuffleBytes.get(), spillBytes.get())
+    case class Pass(secs: Double, bytes: Long, spill: Long,
+      cpuSecs: Double, cold: Boolean)
+    def timed(dir: String): Pass = {
+      val cold = dropPageCache()
+      val (before, beforeSpill, beforeCpu) =
+        (shuffleBytes.get(), spillBytes.get(), cpuNanos.get())
       val t0 = System.nanoTime()
-      try {
-        graft.functions.Dedup.cosineDupPairsTrainedInt8(
-            spark.read.parquet(s"$dir/embeddings.parquet"),
-            "vec_id", "embedding", threshold = 0.45, probes = probes,
-            targetBucket = targetBucket)
-          .write.mode("overwrite").format("noop").save()
-        val secs = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously — settle before reading
-        var last = -1L
-        var now = shuffleBytes.get()
-        while (now != last) { last = now; Thread.sleep(300)
-          now = shuffleBytes.get() }
-        (secs, now - before, spillBytes.get() - beforeSpill)
-      } catch { case e: Throwable =>
-        System.err.println(s"[knee] $dir failed: ${e.getMessage}")
-        (-1.0, 0L, 0L)
-      } finally {
-        spark.catalog.clearCache()
-        System.gc()
-      }
+      val (secs, ok) =
+        try {
+          graft.functions.Dedup.cosineDupPairsTrainedInt8(
+              spark.read.parquet(s"$dir/embeddings.parquet"),
+              "vec_id", "embedding", threshold = 0.45, probes = probes,
+              targetBucket = targetBucket)
+            .write.mode("overwrite").format("noop").save()
+          ((System.nanoTime() - t0) / 1e9, true)
+        } catch { case e: Throwable =>
+          System.err.println(s"[knee] $dir failed: ${e.getMessage}")
+          (-1.0, false)
+        } finally {
+          // settle on the shared event stamp (bumped after ALL counters
+          // per event) in the finally, so a FAILED run also drains its
+          // residual async stage events before the next exec snapshots
+          // (r11 ADVICE: the old loop settled shuffleBytes only, and an
+          // exception skipped settling entirely)
+          var last = -1L
+          var now = eventStamp.get()
+          while (now != last) { last = now; Thread.sleep(300)
+            now = eventStamp.get() }
+          spark.catalog.clearCache()
+          System.gc()
+        }
+      if (!ok) Pass(-1.0, 0L, 0L, 0.0, cold)
+      else Pass(secs, shuffleBytes.get() - before,
+        spillBytes.get() - beforeSpill,
+        (cpuNanos.get() - beforeCpu) / 1e9, cold)
     }
 
-    exec(dirs.head) // warmup: codegen + file listing, untimed
-    val mins: Map[String, (Double, Long, Long)] = dirs.map { d =>
-      val ts = (0 until runs).map(_ => exec(d))
+    timed(dirs.head) // warmup: codegen + file listing, untimed
+    val failedPass = Pass(-1.0, 0L, 0L, 0.0, cold = false)
+    val mins: Map[String, Pass] = dirs.map { d =>
+      val ts = (0 until runs).map(_ => timed(d))
       // min wall time and ITS run's bytes (bytes are deterministic per
-      // plan; runs differ only by noise in the counter's stage set)
-      d -> (if (ts.exists(_._1 < 0)) (-1.0, 0L, 0L) else ts.minBy(_._1))
+      // plan; runs differ only by noise in the counter's stage set);
+      // coldness is the AND across the tier's timed passes — one warm
+      // pass taints the tier's min
+      d -> (if (ts.exists(_.secs < 0)) failedPass
+            else ts.minBy(_.secs).copy(cold = ts.forall(_.cold)))
     }.toMap
+    val allCold = mins.values.forall(_.cold)
+    val dropFailures = mins.values.count(!_.cold)
 
     val (dSmall, dBig) = (dirs(dirs.size - 2), dirs.last)
     val ratio = nVecs(dBig).toDouble / nVecs(dSmall)
-    val (a, b) = (mins(dSmall)._1, mins(dBig)._1)
-    val alpha =
-      if (a <= 0 || b <= 0) Double.NaN
-      else math.log(b / a) / math.log(ratio)
-    val (bytesSmall, bytesBig) = (mins(dSmall)._2, mins(dBig)._2)
-    val bytesAlpha =
-      if (bytesSmall <= 0 || bytesBig <= 0) Double.NaN
-      else math.log(bytesBig.toDouble / bytesSmall) / math.log(ratio)
+    def pairAlpha(small: Double, big: Double): Double =
+      if (small <= 0 || big <= 0) Double.NaN
+      else math.log(big / small) / math.log(ratio)
+    val alpha = pairAlpha(mins(dSmall).secs, mins(dBig).secs)
+    val bytesAlpha = pairAlpha(mins(dSmall).bytes.toDouble,
+      mins(dBig).bytes.toDouble)
+    val cpuAlpha = pairAlpha(mins(dSmall).cpuSecs, mins(dBig).cpuSecs)
     // the knee predicate is Dedup's own (r8 advisor: a locally
     // recomputed constant would mislabel the branch if the dispatch
     // formula ever moved)
@@ -166,18 +203,29 @@ object KneeBench {
     def branch(d: String): String =
       if (nVecs(d) > knee) "sharded" else "flat"
     val rows = dirs.map { d =>
-      val (secs, bytes, spill) = mins(d)
-      println(f"[knee] ${nVecs(d)}%9d vecs (${branch(d)}%7s)  $secs%8.2fs" +
-        f"  ${bytes / 1e9}%7.2f GB shuffle  ${spill / 1e9}%7.2f GB spill")
-      s"""    "${nVecs(d)}": {"secs": ${f"$secs%.3f"}, """ +
-        s""""shuffle_write_bytes": $bytes, "disk_spill_bytes": $spill, """ +
+      val p = mins(d)
+      println(f"[knee] ${nVecs(d)}%9d vecs (${branch(d)}%7s)  " +
+        f"${p.secs}%8.2fs  ${p.cpuSecs}%9.2fs cpu" +
+        f"  ${p.bytes / 1e9}%7.2f GB shuffle  ${p.spill / 1e9}%7.2f GB spill")
+      s"""    "${nVecs(d)}": {"secs": ${f"${p.secs}%.3f"}, """ +
+        s""""cpu_secs": ${f"${p.cpuSecs}%.3f"}, """ +
+        s""""shuffle_write_bytes": ${p.bytes}, """ +
+        s""""disk_spill_bytes": ${p.spill}, """ +
+        s""""page_cache_cold": ${p.cold}, """ +
         s""""branch": "${branch(d)}"}"""
     }
     // The α-contract gate (VERDICT r8 item 1: the knee row must be
     // gate-checked, not eyeballed), r11 revision after two
     // page-cache-cold campaigns (SCALE_r11_knee_attempt{1,2}.log): the
     // ENGINE contract is the BYTES exponent, the wall exponent is
-    // recorded and loudly disclosed when it exceeds the bound.
+    // recorded and loudly disclosed when it exceeds the bound. r12
+    // adds the CPU exponent as a second contract leg (VERDICT r11
+    // item 1): bytes are blind to a superlinear compute term at
+    // constant shuffle — within-cell candidate growth under occupancy
+    // skew grows pair comparisons quadratically in bucket size while
+    // shipping zero extra bytes — and executorCpuTime excludes the
+    // I/O wait that makes single-host wall unusable, so the gate is
+    // max(bytes-α, cpu-α) < contract.
     //
     // Why: wall time on a single host conflates the engine with the
     // host's RAM boundary. Measured, same code: the 8M tier costs
@@ -204,36 +252,41 @@ object KneeBench {
     // explicit waiver.
     val crossing = branch(dSmall) != branch(dBig)
     val violations =
-      if (alpha.isNaN || bytesAlpha.isNaN ||
-          (!crossing && bytesAlpha >= ScaleBench.ContractAlpha))
+      if (alpha.isNaN || bytesAlpha.isNaN || cpuAlpha.isNaN ||
+          (!crossing && math.max(bytesAlpha, cpuAlpha) >=
+            ScaleBench.ContractAlpha))
         Seq("q_dedup_cosine_int8(sharded top pair)")
       else Seq.empty[String]
     val wallExceeds = !crossing && !alpha.isNaN &&
       alpha >= ScaleBench.ContractAlpha
+    def num(v: Double): String = if (v.isNaN) "null" else f"$v%.3f"
     val json =
       s"""{
   ${BenchUtil.commitJsonFields()},
   "chain": "q_dedup_cosine_int8 (API default, targetBucket=$targetBucket, probes=$probes)",
   "probes": $probes,
-  "page_cache_cold": true,
+  "page_cache_cold": $allCold,
+  "warm_tiers": $dropFailures,
   "knee_vectors": $knee,
   "top_pair_ratio": ${f"$ratio%.2f"},
   "top_pair_crossing": $crossing,
   "tiers": {
 ${rows.mkString(",\n")}
   },
-  "alpha_top_pair": ${if (alpha.isNaN) "null" else f"$alpha%.3f"},
-  "bytes_alpha_top_pair": ${
-        if (bytesAlpha.isNaN) "null" else f"$bytesAlpha%.3f"},
+  "alpha_top_pair": ${num(alpha)},
+  "bytes_alpha_top_pair": ${num(bytesAlpha)},
+  "cpu_alpha_top_pair": ${num(cpuAlpha)},
   "contract_alpha": ${ScaleBench.ContractAlpha},
-  "contract_on": "bytes_alpha_top_pair",
+  "contract_on": "max(bytes_alpha_top_pair, cpu_alpha_top_pair)",
   "wall_alpha_exceeds_contract": $wallExceeds,
   "contract_violations": ${violations.map(n => s""""$n"""")
         .mkString("[", ",", "]")}
 }
 """
     Files.writeString(Paths.get(outJson), json)
-    println(f"[knee] wrote $outJson; alpha(top pair) = $alpha%.3f")
+    println(s"[knee] wrote $outJson; top pair wall-alpha=${num(alpha)} " +
+      s"bytes-alpha=${num(bytesAlpha)} cpu-alpha=${num(cpuAlpha)} " +
+      s"cold=$allCold")
     if (violations.nonEmpty) {
       System.err.println(
         s"[knee] CONTRACT FAILURE: ${violations.mkString(", ")}")

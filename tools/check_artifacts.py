@@ -43,7 +43,7 @@ import json
 import subprocess
 import sys
 
-DEFAULT = ["SCALE_r11*.json", "BENCH_FULL.json"]
+DEFAULT = ["SCALE_r12*.json", "BENCH_FULL.json"]
 
 # top-level harness mains: each affects only the artifacts it produces.
 # ScaleGen is mapped to every SCALE_* artifact (r9 ADVICE: a generator
@@ -168,8 +168,19 @@ for p in paths:
               f"{', '.join(changed[:5])}")
         bad.append(p)
     else:
+        # r12 (r11 ADVICE): a wall-alpha overage at linear bytes/cpu is
+        # a pass (single-host I/O constant, not an engine term) but must
+        # be VISIBLE in gate output, not only inside the JSON
+        warn = ""
+        if doc.get("wall_alpha_exceeds_contract") is True:
+            warn = (" [WARN: wall-alpha exceeds contract at in-contract "
+                    "bytes/cpu alphas — single-host I/O overage, "
+                    f"alpha_top_pair={doc.get('alpha_top_pair')}]")
+        if doc.get("page_cache_cold") is False:
+            warn += (" [WARN: not page-cache cold — "
+                     f"warm_tiers={doc.get('warm_tiers')}]")
         print(f"ok   {p}: {commit[:12]} (no measured-code change to HEAD, "
-              f"contract clean){dirty_note}")
+              f"contract clean){dirty_note}{warn}")
 if not paths:
     print("FAIL: no artifacts matched", sys.argv[1:] or DEFAULT)
     sys.exit(1)
