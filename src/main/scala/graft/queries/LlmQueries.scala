@@ -1147,6 +1147,89 @@ object LlmQueries extends QueryPack {
                   AND b.doc_id % 2 = 0)
           ORDER BY g.doc_id""")),
 
+    // ---- NINTH embedding path — the ledger'd ingest loop end-to-end --
+    // (r12, VERDICT r11 item 7: ingestWithIndex was library+spec only.)
+    // The full lifecycle in one declared row: ledgers seeded and a
+    // sharded index built on the even-id half of the (documents ⋈
+    // embeddings) corpus, then the WHOLE corpus ingested — survivors
+    // pass the gate and both ledgers, seal them, and APPEND into the
+    // index through the staged crash-safe path (fingerprint advanced
+    // compositionally, zero retraining). The declared result is the
+    // API-default dedup over the post-ingest corpus (seeds ∪
+    // survivors), which the auto-dispatcher must serve FROM the
+    // ingest-maintained index (IndexLifecycleSpec pins the branch; a
+    // silent in-query fallback would still hash-match). The oracle
+    // recomputes the survivor set (gate ∧ no exact-prefix ancestor ∧
+    // no band collision vs the even seeds) and the exact cosine pairs
+    // from scratch in SQL. The whole mutating lifecycle runs ONCE per
+    // corpus per JVM inside cachedBuild — replaying an ingest against
+    // sealed ledgers screens everything out, and replaying the append
+    // would break its disjoint-ids contract — so repeated passes read
+    // the published state, the amortized steady shape of the loop.
+    QueryDef("q_ingest_with_index", (s, dir) => {
+      import graft.sources.{CorpusIngest, DedupLedger, IvfStore,
+        NearDupLedger}
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      // the ingest corpus: documents that carry an embedding row
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("source"),
+          col("embedding"))
+      val evens = corpus.filter(col("doc_id") % 2 === 0)
+      val root = TempIndexDirs.jvmScoped("graft_ingivf", dir)
+      val built = IvfStore.cachedBuild(s, s"$root/built", "_DONE") {
+        tmp =>
+          DedupLedger.write(evens, "text", s"$tmp/ex", bucketChars = 1)
+          NearDupLedger.write(evens, "text", "doc_id", s"$tmp/nd",
+            bucketChars = 1)
+          val (coarse, fine) = graft.functions.Similarity
+            .trainShardedCodebook(evens, "doc_id", "embedding")
+          IvfStore.writeShardedInt8(evens, coarse, fine, "doc_id",
+            "embedding", s"$tmp/ivf", pCoarse = 8, pFine = 64,
+            targetBucket = 128)
+          val (fresh, _, _) = CorpusIngest.ingestWithIndex(s, corpus,
+            "text", "doc_id", "embedding", s"$tmp/ex", s"$tmp/nd",
+            s"$tmp/ivf")
+          fresh.select("doc_id").write.mode("overwrite")
+            .parquet(s"$tmp/survivors")
+          // the _DONE marker seals the WHOLE lifecycle (ivf/data's own
+          // _SUCCESS lands mid-build, before the ingest appends)
+          new org.apache.hadoop.fs.Path(tmp)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+            .create(new org.apache.hadoop.fs.Path(s"$tmp/_DONE"))
+            .close()
+      }
+      val union = corpus.select(col("doc_id"), col("embedding"))
+        .join(s.read.parquet(s"$built/survivors")
+            .unionByName(evens.select("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+      Dedup.cosineDupPairsTrainedInt8(union, "doc_id", "embedding",
+          threshold = 0.45, probes = 20, targetBucket = 128,
+          indexPath = s"$built/ivf")
+        .orderBy("a", "b")
+    }, Some(
+      s"""WITH ${OracleSql.curationGateCtes},
+          k AS (SELECT doc_id,
+              md5(coalesce(array_to_string(
+                (string_split_regex(text, '\\s+'))[1:8], ' '), '')) AS key
+            FROM documents),
+          ${OracleSql.docShingleCte},
+          ${OracleSql.minhashBandsCtes},
+          surv AS (SELECT g.doc_id FROM gate g JOIN k USING (doc_id)
+            WHERE k.key NOT IN (SELECT key FROM k WHERE doc_id % 2 = 0)
+              AND g.doc_id NOT IN (
+                SELECT a.doc_id FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                    AND b.doc_id % 2 = 0)),
+          uni AS (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % 2 = 0
+               OR vec_id IN (SELECT doc_id FROM surv))
+          SELECT a.vec_id AS a, b.vec_id AS b,
+            round(${cosSqlD("a.embedding", "b.embedding")}, 4) AS cos
+          FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+          WHERE round(${cosSqlD("a.embedding", "b.embedding")}, 4) >= 0.45
+          ORDER BY a, b""")),
+
     // ---- multimodal binary plumbing ---------------------------------
     QueryDef("q_multimodal_meta", (s, dir) => {
       val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)

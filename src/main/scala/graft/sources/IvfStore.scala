@@ -195,6 +195,120 @@ object IvfStore {
     * the layout incomplete to every reader. */
   private val AppendStageName = "data-append-tmp"
 
+  // ---- single-writer maintenance lease (r12 — VERDICT r11 item 5:
+  // stageAppend/resplitShardedCells/appendOrResplit assumed a single
+  // maintenance operator by DOCUMENTATION; two concurrent appends
+  // raced on the shared stage dir. The lease turns the contract into
+  // a refusal.) ---------------------------------------------------------
+
+  /** Lease file guarding index maintenance: exactly one maintenance
+    * operator (append / re-split / heal) per index at a time. */
+  private val LeaseName = "maintenance.lease"
+
+  /** Disambiguates lease owners beyond the pid (pids recycle). */
+  private val JvmNonce = java.util.UUID.randomUUID().toString
+
+  /** Per-index monitors: same-JVM maintenance threads SERIALIZE here
+    * (safe — each sees the other's completed state), so the lease file
+    * only ever arbitrates CROSS-JVM writers. */
+  private val leaseMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Reentrancy depth per held lease: [[appendOrResplit]] holds the
+    * lease across its nested append + re-split + heal calls. */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Run `body` holding the index's maintenance lease. Cross-JVM: a
+    * lease file (`maintenance.lease`, created exclusively, content
+    * `pid:nonce`) refuses a second live writer LOUDLY; a lease whose
+    * pid is no longer alive is a crashed run's residue and is taken
+    * over (the taker's first act — every maintenance entry point —
+    * is [[healShardedIndex]], which finishes or discards the crashed
+    * stage). Pid liveness is host-scoped, the only scope where these
+    * local layouts exist (same caveat as [[sweepDeadTemps]]); on HDFS
+    * the exclusive create is atomic, on the local FS the check-create
+    * window is narrowed by a settle-retry on an empty lease (a
+    * concurrent creator between create and content write). Same-JVM
+    * racers never reach the file: they serialize on a per-path
+    * monitor. Reentrant within the owning call chain. */
+  private def withMaintenanceLease[T](spark: SparkSession, path: String)
+      (body: => T): T = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return body // nothing to guard; body reports
+    val key = fs.makeQualified(root).toString
+    val monitor = leaseMonitors.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val depth = heldLeases.getOrDefault(key, 0)
+      if (depth > 0) { // reentrant: owned by this call chain
+        heldLeases.put(key, depth + 1)
+        try body finally heldLeases.put(key, heldLeases.get(key) - 1)
+      } else {
+        val leaseP = new org.apache.hadoop.fs.Path(root, LeaseName)
+        acquireLease(fs, leaseP)
+        heldLeases.put(key, 1)
+        try body finally {
+          heldLeases.remove(key)
+          try fs.delete(leaseP, false)
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+      }
+    }
+  }
+
+  /** The create-exclusive + liveness-check half of
+    * [[withMaintenanceLease]]. Refusal is an exception, never a wait:
+    * maintenance is an operator action, and silently queueing behind
+    * an unknown foreign writer hides the contention the contract
+    * exists to surface. */
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      leaseP: org.apache.hadoop.fs.Path): Unit = {
+    val token = s"${ProcessHandle.current().pid()}:$JvmNonce"
+    var emptyRetried = false
+    while (true) {
+      val created =
+        try {
+          val out = fs.create(leaseP, false) // overwrite=false: exclusive
+          out.writeBytes(token)
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) return
+      val owner =
+        try {
+          val in = fs.open(leaseP)
+          try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "" }
+      val pid = owner.takeWhile(_.isDigit)
+      val ownerAlive = pid.nonEmpty && pid.toLongOption.exists(id =>
+        ProcessHandle.of(id).map[Boolean](_.isAlive).orElse(false))
+      if (ownerAlive)
+        throw new IllegalStateException(s"maintenance lease $leaseP is " +
+          s"held by live pid $pid — a concurrent maintenance run is in " +
+          "progress; retry after it finishes (single-writer contract)")
+      if (owner.isEmpty) {
+        // possibly a concurrent creator between create and content
+        // write — settle once, then refuse rather than steal a lease
+        // we cannot attribute
+        if (emptyRetried)
+          throw new IllegalStateException(s"maintenance lease $leaseP " +
+            "is empty after settle — a concurrent creator mid-write or " +
+            "a corrupt lease; inspect and remove it by hand")
+        emptyRetried = true
+        Thread.sleep(200)
+      } else {
+        // dead owner: crashed run's residue — take over (the exclusive
+        // create re-arbitrates if another taker races this delete)
+        System.err.println(s"[ivf] taking over stale maintenance lease " +
+          s"$leaseP (owner pid $pid is dead)")
+        try fs.delete(leaseP, false)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+    }
+  }
+
   /** SHARDED int8 dedup index (r9 — VERDICT r8 item 5): [[writeInt8]]'s
     * amortization applied to the PAST-KNEE two-level routing
     * (Similarity.trainShardedCodebook +
@@ -289,6 +403,12 @@ object IvfStore {
     * point, and [[healShardedIndex]] FINISHES a sealed stage (heal-
     * forward — no rebuild) or discards an unsealed one untouched.
     *
+    * Single-writer contract (r12 — mechanical, not documentary): the
+    * whole stage+publish runs under the index's maintenance lease
+    * ([[withMaintenanceLease]]) — a second concurrent maintenance run
+    * from another JVM refuses loudly instead of racing on the shared
+    * stage dir; a crashed run's stale lease is taken over and healed.
+    *
     * Caller contract: delta ids are disjoint from the index's (same as
     * any append). What appends do NOT do is re-split: appended mass
     * can push a cell past the builder's targetBucket·maxK2 cap —
@@ -296,28 +416,36 @@ object IvfStore {
     * [[resplitShardedCells]] the targeted maintenance op. Returns the
     * appended row count. */
   def appendShardedInt8(delta: DataFrame, idCol: String, vecCol: String,
-      path: String): Long = {
+      path: String, extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = delta.sparkSession
-    val n = stageAppend(delta, idCol, vecCol, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    publishStagedAppend(fs, path)
-    // the publish lands by RENAME, which no DataFrame writer tells the
-    // catalog about — refresh both affected paths or later readers can
-    // serve a stale file listing
-    spark.catalog.refreshByPath(s"$path/data")
-    spark.catalog.refreshByPath(s"$path/meta")
-    n
+    withMaintenanceLease(spark, path) {
+      val n = stageAppend(delta, idCol, vecCol, path, extraMeta)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      publishStagedAppend(fs, path)
+      // the publish lands by RENAME, which no DataFrame writer tells the
+      // catalog about — refresh both affected paths or later readers can
+      // serve a stale file listing
+      spark.catalog.refreshByPath(s"$path/data")
+      spark.catalog.refreshByPath(s"$path/meta")
+      n
+    }
   }
 
   /** The stage half of [[appendShardedInt8]]: route the delta through
     * the persisted codebooks and land (rows + advanced meta + `_APPEND`
     * seal) in `data-append-tmp`, touching NOTHING live. Split out so
     * the crash-injection spec can freeze an append exactly at the
-    * sealed-but-unpublished point. Returns the staged row count. */
+    * sealed-but-unpublished point. `extraMeta` entries ride the staged
+    * meta and publish ATOMICALLY with the rows (r12 — the streaming
+    * face's epoch watermark commits with its epoch's append, so a
+    * replayed micro-batch can never double-append; `fingerprint` is
+    * reserved and always computed). Returns the staged row count. */
   private[graft] def stageAppend(delta: DataFrame, idCol: String,
-      vecCol: String, path: String): Long = {
+      vecCol: String, path: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = delta.sparkSession
+    withMaintenanceLease(spark, path) {
     val meta = readIndexMeta(spark, path).getOrElse(throw new
       IllegalStateException(s"no complete sharded index at $path"))
     require(meta.get("kind").contains("sharded_int8"),
@@ -353,12 +481,13 @@ object IvfStore {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(stage)
     writeMeta(spark, s"$stage/meta",
-      (meta + ("fingerprint" -> newFp)).toSeq)
+      (meta ++ extraMeta + ("fingerprint" -> newFp)).toSeq)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(s"$stage/_APPEND"))
     out.writeBytes("sealed")
     out.close()
     n
+    }
   }
 
   /** The publish half of [[appendShardedInt8]], replayable from any
@@ -467,7 +596,8 @@ object IvfStore {
     * unsealed stage. At no point is the only copy of resident rows in
     * JVM memory. Returns the re-split cell ids. */
   def resplitShardedCells(spark: SparkSession, path: String,
-      targetBucket: Int, maxK2: Int = 1024, itersFine: Int = 2): Seq[Int] = {
+      targetBucket: Int, maxK2: Int = 1024, itersFine: Int = 2): Seq[Int] =
+      withMaintenanceLease(spark, path) {
     healShardedIndex(spark, path) // finish/clear any crashed maintenance
     val cellCap = targetBucket.toLong * maxK2
     val over = shardedCellLoads(spark, path)
@@ -544,7 +674,7 @@ object IvfStore {
     spark.catalog.refreshByPath(s"$path/data")
     spark.catalog.refreshByPath(s"$path/fine")
     over.map(_._1).toSeq
-  }
+    }
 
   /** The swap half of [[resplitShardedCells]], replayable from any
     * crash point: (1) publish the widened fine layer if its temp still
@@ -601,7 +731,8 @@ object IvfStore {
     * call it directly after a crash. Returns the cell ids whose
     * re-split publish was completed (an append heal contributes no
     * cell ids). */
-  def healShardedIndex(spark: SparkSession, path: String): Seq[Int] = {
+  def healShardedIndex(spark: SparkSession, path: String): Seq[Int] =
+      withMaintenanceLease(spark, path) {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
@@ -644,7 +775,7 @@ object IvfStore {
       spark.catalog.refreshByPath(s"$path/fine")
     }
     healed.toSeq
-  }
+    }
 
   /** Ingest-side maintenance composite: [[appendShardedInt8]] the
     * delta, then [[resplitShardedCells]] any cell the append pushed
@@ -654,9 +785,11 @@ object IvfStore {
     * to the index's own stamped build-time value. Returns (appended
     * row count, re-split cell ids). */
   def appendOrResplit(delta: DataFrame, idCol: String, vecCol: String,
-      path: String, targetBucket: Int = -1, maxK2: Int = 1024)
+      path: String, targetBucket: Int = -1, maxK2: Int = 1024,
+      extraMeta: Map[String, String] = Map.empty)
       : (Long, Seq[Int]) = {
     val spark = delta.sparkSession
+    withMaintenanceLease(spark, path) {
     // a crashed earlier append/re-split heals FORWARD here instead of
     // making this call refuse on a pending stage
     healShardedIndex(spark, path)
@@ -669,8 +802,9 @@ object IvfStore {
           "target_bucket; pass targetBucket explicitly")
         stamped
       }
-    val n = appendShardedInt8(delta, idCol, vecCol, path)
+    val n = appendShardedInt8(delta, idCol, vecCol, path, extraMeta)
     (n, resplitShardedCells(spark, path, tb, maxK2))
+    }
   }
 
   /** Build-once directory publication with [[codebookCached]]'s
@@ -805,11 +939,34 @@ object IvfStore {
     // writeShardedInt8 index it would land schema-poor rows under a
     // stale fingerprint — exactly the polluted-index state the staged
     // append exists to prevent. Those layouts append via
-    // [[appendShardedInt8]] or rebuild.
-    readIndexMeta(spark, path).flatMap(_.get("kind")).foreach { k =>
-      throw new IllegalStateException(s"index at $path is a stamped " +
-        s"'$k' layout — plain append() would pollute it; use " +
-        "appendShardedInt8 (sharded) or rebuild (flat int8)")
+    // [[appendShardedInt8]] or rebuild. The check reads the layout
+    // DIRECTLY rather than through [[readIndexMeta]] (r11 ADVICE:
+    // readIndexMeta reports None while an append/re-split stage is
+    // pending, so the old guard let plain append() through in exactly
+    // the crash window — polluting data/ under the stamp a later heal
+    // then publishes). Only the stamped writers create `<path>/meta`,
+    // and maintenance stages exist only on stamped layouts, so either
+    // marker means refuse.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val stamped = fs.exists(new org.apache.hadoop.fs.Path(root, "meta"))
+      val staged = fs.listStatus(root).exists { st =>
+        val nm = st.getPath.getName
+        nm.startsWith("data-resplit-tmp-cell") || nm == AppendStageName
+      }
+      if (stamped || staged) {
+        val kind =
+          try spark.read.parquet(s"$path/meta").collect()
+            .collectFirst { case r if r.getString(0) == "kind" =>
+              r.getString(1) }.getOrElse("unknown")
+          catch { case scala.util.control.NonFatal(_) => "unknown" }
+        throw new IllegalStateException(s"index at $path is a stamped " +
+          s"'$kind' layout" +
+          (if (staged) " with a pending maintenance stage" else "") +
+          " — plain append() would pollute it; use appendShardedInt8" +
+          " (sharded) or rebuild (flat int8)")
+      }
     }
     val n = emb.count()
     val routed = Similarity

@@ -764,6 +764,72 @@ class IndexLifecycleSpec extends AnyFunSuite {
       IvfStore.corpusFingerprint(union, "doc_id"))
   }
 
+  // ------------------------------------------- r12: single-writer lease
+  test("maintenance lease: a second concurrent maintenance run refuses " +
+      "loudly; a crashed run's stale lease is taken over, healed, and " +
+      "the lease is released after") {
+    val emb = plantedCorpus(2000)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    val (coarse, fine) = Similarity.trainShardedCodebook(base, "vec_id",
+      "embedding", targetBucket = 32)
+    def build(): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_lease").toString
+      IvfStore.writeShardedInt8(base, coarse, fine, "vec_id",
+        "embedding", d, pCoarse = 4, pFine = 8, targetBucket = 32)
+      d
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def plantLease(dir: String, pid: Long): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/maintenance.lease"), false)
+      out.writeBytes(s"$pid:foreign-nonce")
+      out.close()
+    }
+    // (1) live foreign writer => refusal, not a race on the stage dir.
+    // Our own pid stands in for the live foreign process: this JVM's
+    // call chain does not hold the lease, so the file reads as another
+    // live writer's.
+    val held = build()
+    plantLease(held, ProcessHandle.current().pid())
+    val e = intercept[IllegalStateException] {
+      IvfStore.appendShardedInt8(delta, "vec_id", "embedding", held)
+    }
+    assert(e.getMessage.contains("lease"), e.getMessage)
+    // the refused append must not have staged anything
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$held/data-append-tmp")))
+    // after the foreign writer releases, the append proceeds
+    fs.delete(new org.apache.hadoop.fs.Path(s"$held/maintenance.lease"),
+      false)
+    assert(IvfStore.appendShardedInt8(delta, "vec_id", "embedding",
+      held) == 1000L)
+    // ...and releases its own lease on the way out
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$held/maintenance.lease")))
+    // (2) crashed run: sealed stage + stale lease (dead pid). The next
+    // maintenance entry takes the lease over, heals FORWARD, proceeds.
+    val crashed = build()
+    assert(IvfStore.stageAppend(delta, "vec_id", "embedding",
+      crashed) == 1000L)
+    plantLease(crashed, 9999999999L) // no such pid => dead owner
+    val (n, _) = IvfStore.appendOrResplit(
+      emb.filter(col("vec_id") === 1L)
+        .withColumn("vec_id", lit(5000L)), "vec_id", "embedding",
+      crashed, targetBucket = 32)
+    assert(n == 1L)
+    // the heal published the crashed append first: union fingerprint
+    // advanced over BOTH the healed delta and the new row
+    val union = emb.unionByName(emb.filter(col("vec_id") === 1L)
+      .withColumn("vec_id", lit(5000L)))
+    assert(IvfStore.readIndexMeta(spark, crashed).get("fingerprint") ==
+      IvfStore.corpusFingerprint(union, "vec_id"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$crashed/maintenance.lease")))
+  }
+
   test("plain IvfStore.append refuses a fingerprint-stamped layout " +
       "(it would land schema-poor rows under a stale stamp)") {
     val emb = plantedCorpus(500)
@@ -778,5 +844,38 @@ class IndexLifecycleSpec extends AnyFunSuite {
         "vec_id", "embedding", dir)
     }
     assert(e.getMessage.contains("stamped"), e.getMessage)
+    // r12 (r11 ADVICE): the guard must hold in the maintenance CRASH
+    // WINDOW too. The old guard read readIndexMeta, which reports None
+    // while a stage pends — so plain append() mid-append/mid-resplit
+    // slipped schema-poor rows into data/ under the stamp a later heal
+    // then published. The direct layout check refuses in every window:
+    // (a) stage pending, live meta present
+    val emb2 = plantedCorpus(1000)
+    val base2 = emb2.filter(col("vec_id") % 2 === 0)
+    val (coarse2, fine2) = Similarity.trainShardedCodebook(base2,
+      "vec_id", "embedding", targetBucket = 32)
+    val sharded = java.nio.file.Files
+      .createTempDirectory("graft_plain_append_window").toString
+    IvfStore.writeShardedInt8(base2, coarse2, fine2, "vec_id",
+      "embedding", sharded, pCoarse = 4, pFine = 8, targetBucket = 32)
+    IvfStore.stageAppend(emb2.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", sharded)
+    val e2 = intercept[IllegalStateException] {
+      IvfStore.append(plantedCorpus(1010).filter(col("vec_id") >= 1000),
+        "vec_id", "embedding", sharded)
+    }
+    assert(e2.getMessage.contains("stamped"), e2.getMessage)
+    // (b) the narrowest window: live meta deleted, staged meta not yet
+    // renamed in (publish step 2 mid-crash) — only the stage dir marks
+    // the layout stamped
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sharded/meta"), true)
+    val e3 = intercept[IllegalStateException] {
+      IvfStore.append(plantedCorpus(1010).filter(col("vec_id") >= 1000),
+        "vec_id", "embedding", sharded)
+    }
+    assert(e3.getMessage.contains("pending maintenance stage"),
+      e3.getMessage)
   }
 }

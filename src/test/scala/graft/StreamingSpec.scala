@@ -481,4 +481,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(metrics.map(_.getAs[Long]("expected_vectors")).distinct ==
       Seq(4096L))
   }
+
+  // ---------------------------------- r12: streaming -> index append
+  test("streaming vector index append: a corpus streamed in epochs " +
+      "lands bit-identical to the batch append, the fingerprint " +
+      "advances per epoch, and replayed/crashed epochs never " +
+      "double-append") {
+    import graft.functions.{Dedup, Similarity}
+    import graft.sources.IvfStore
+    // the lifecycle planted-dup fixture: every 20th vector near-copies
+    // its predecessor, so every qualifying pair crosses the base/delta
+    // parity split — the adversarial shape for an append path
+    val emb = spark.range(0, 2000).selectExpr(
+        "id AS vec_id",
+        "if(id % 20 = 19, id - 1, id) AS sid")
+      .selectExpr("vec_id",
+        """transform(sequence(0, 63), d -> cast(
+            (pmod(xxhash64(sid, d, 7), 2001) - 1000) / 500.0
+            + if(vec_id % 20 = 19,
+                (pmod(xxhash64(vec_id, d, 8), 21) - 10) / 1000.0, 0.0)
+          as float)) AS embedding""")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val d1 = emb.filter(col("vec_id") % 4 === 1)
+    val d2 = emb.filter(col("vec_id") % 4 === 3)
+    val (coarse, fine) = Similarity.trainShardedCodebook(base, "vec_id",
+      "embedding", targetBucket = 32)
+    def build(tag: String): String = {
+      val d = Files.createTempDirectory(s"graft_stream_ivf_$tag").toString
+      IvfStore.writeShardedInt8(base, coarse, fine, "vec_id",
+        "embedding", d, pCoarse = 4, pFine = 8, targetBucket = 32)
+      d
+    }
+    def stored(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("vec_id"), col("probe_buckets"),
+        col("int8_pack.cnorm"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+        r.getDouble(2), r.getLong(3))).toSet
+    // ---- the real stream: two one-file micro-batches into index A
+    val streamed = build("a")
+    val srcDir = Files.createTempDirectory("graft_stream_ivf_src").toString
+    d1.coalesce(1).write.mode("append").parquet(srcDir)
+    d2.coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(srcDir).schema, srcDir,
+      Map("maxFilesPerTrigger" -> "1"))
+    val ckpt = Files.createTempDirectory("graft_stream_ivf_ckpt").toString
+    val q = SarStreaming.vectorIndexAppendSink(stream, "vec_id",
+        "embedding", streamed)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    // ---- batch comparator: one appendShardedInt8 of the whole delta
+    // into index B over the SAME codebooks
+    val batch = build("b")
+    IvfStore.appendShardedInt8(d1.unionByName(d2), "vec_id",
+      "embedding", batch)
+    assert(stored(streamed) == stored(batch),
+      "streamed index diverged from the batch append")
+    // fingerprint reached the union; auto-dispatch accepts it; the
+    // dedup answer off the streamed index is the exact join's
+    val unionFp = IvfStore.corpusFingerprint(emb, "vec_id")
+    val metaA = IvfStore.readIndexMeta(spark, streamed).get
+    assert(metaA("fingerprint") == unionFp)
+    assert(metaA(SarStreaming.StreamEpochKey).toLong >= 1L)
+    val (_, branch) = Dedup.cosineDupPairsTrainedInt8Branch(emb,
+      "vec_id", "embedding", 0.9, targetBucket = 32,
+      indexPath = streamed)
+    assert(branch == "indexed_sharded")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.cosineDupPairsExact(emb, "vec_id",
+      "embedding", 0.9).select("a", "b"))
+    assert(pairs(Dedup.cosineDupPairsFromShardedIndex(spark, streamed,
+      "vec_id", "embedding", 0.9).select("a", "b")) == exact)
+    // ---- epoch mechanics on a fresh index C, driven manually
+    val manual = build("c")
+    assert(SarStreaming.appendIndexEpoch(d1, 0L, "vec_id", "embedding",
+      manual) == 500L)
+    // fingerprint advanced to base ∪ d1 after epoch 0 alone
+    assert(IvfStore.readIndexMeta(spark, manual).get("fingerprint") ==
+      IvfStore.corpusFingerprint(base.unionByName(d1), "vec_id"))
+    // at-least-once replay of epoch 0 is a no-op
+    assert(SarStreaming.appendIndexEpoch(d1, 0L, "vec_id", "embedding",
+      manual) == 0L)
+    assert(IvfStore.readIndexMeta(spark, manual).get("fingerprint") ==
+      IvfStore.corpusFingerprint(base.unionByName(d1), "vec_id"))
+    // crashed epoch 1: sealed stage (rows + watermark staged together),
+    // nothing published — the REPLAY heals it forward and then no-ops,
+    // so the epoch's rows land exactly once
+    IvfStore.stageAppend(d2, "vec_id", "embedding", manual,
+      extraMeta = Map(SarStreaming.StreamEpochKey -> "1"))
+    assert(SarStreaming.appendIndexEpoch(d2, 1L, "vec_id", "embedding",
+      manual) == 0L)
+    val metaC = IvfStore.readIndexMeta(spark, manual).get
+    assert(metaC("fingerprint") == unionFp)
+    assert(metaC(SarStreaming.StreamEpochKey) == "1")
+    assert(stored(manual) == stored(batch))
+  }
 }

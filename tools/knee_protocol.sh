@@ -59,6 +59,27 @@ done
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 
 case "${1:-}" in
+  gen-p5)
+    # r12: the NATURAL tb=128 knee (8.39M vectors) crossed at reduced
+    # probe budget — probes=5 quarters the ~150 GB probes=20 exchange
+    # into this sandbox's scratch (NOTES_r11 §8; the alpha contract is
+    # probes-invariant at fixed budget across tiers). Tiers 12M/24M are
+    # both PAST the natural knee => sharded->sharded top pair at ratio
+    # 2.0. Requires the x2p5m/x4m/x8m tiers deleted first (disk: the
+    # 24M tier peak is ~36 GB tier + ~40 GB live shuffle).
+    java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
+      -cp "$CP" graft.ScaleGen scale/x12m 1200000 12000000 96
+    java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
+      -cp "$CP" graft.ScaleGen scale/x24m 2400000 24000000 192
+    ;;
+  run-p5)
+    # x500k rides along as warmup + flat-branch witness (cheap); the
+    # contract pair is x12m -> x24m, both sharded at tb=128.
+    OUT="${2:?usage: knee_protocol.sh run-p5 OUT.json}"
+    SPARK_GRAFT_SHUFFLE_CODEC=zstd SPARK_DRIVER_MEM=64g \
+    SPARK_GRAFT_SCALE_RUNS=1 \
+      sbt -batch "runMain graft.KneeBench $OUT --tb=128 --probes=5 scale/x500k scale/x12m scale/x24m"
+    ;;
   gen)
     # docs tables are only warmup/ballast for KneeBench (it reads
     # embeddings alone) — sized n/10 like the r9 tiers
