@@ -44,7 +44,16 @@ import org.apache.spark.sql.functions._
   * artifact records the budget so nobody mistakes it for the
   * production-recall configuration.
   *
-  *   runMain graft.KneeBench <outJson> [--tb=N] [--probes=N] <dir1> <dir2> [... dirN]
+  * `--reclaim=dir1[,dir2]` deletes a listed tier's table files right
+  * after its LAST timed pass (r12): a tier is never read again once
+  * its passes finish (row counts are taken up front), so on a
+  * single-host scratch disk the measured-and-done small tier can make
+  * room for the big tier's live shuffle — the r12 scout measured the
+  * 12M tier's probes=5 exchange alone at ~40 GB live, which with both
+  * tiers resident left the 24M pass no headroom. The top tier is
+  * never reclaimed, and the artifact records what was freed.
+  *
+  *   runMain graft.KneeBench <outJson> [--tb=N] [--probes=N] [--reclaim=d1,d2] <dir1> <dir2> [... dirN]
   */
 object KneeBench {
   def main(args: Array[String]): Unit = {
@@ -53,7 +62,12 @@ object KneeBench {
       .map(_.stripPrefix("--tb=").toInt).getOrElse(32)
     val probes = args.drop(1).find(_.startsWith("--probes="))
       .map(_.stripPrefix("--probes=").toInt).getOrElse(20)
+    val reclaim = args.drop(1).find(_.startsWith("--reclaim="))
+      .map(_.stripPrefix("--reclaim=").split(",").toSet)
+      .getOrElse(Set.empty[String])
     val dirs = args.drop(1).filterNot(_.startsWith("--")).toSeq
+    require(!reclaim.contains(dirs.last),
+      "the top tier is never reclaimed (it is the contract pair's big side)")
     require(dirs.size >= 2, "need at least two scale dirs")
     require(targetBucket >= 1 && probes >= 1,
       "targetBucket and probes must be >= 1")
@@ -177,6 +191,14 @@ object KneeBench {
     val failedPass = Pass(-1.0, 0L, 0L, 0.0, cold = false)
     val mins: Map[String, Pass] = dirs.map { d =>
       val ts = (0 until runs).map(_ => timed(d))
+      // this tier is measured and will never be read again — free its
+      // scratch for the bigger tiers' live shuffle if asked (scaladoc)
+      if (reclaim.contains(d)) {
+        println(s"[knee] reclaiming measured tier $d")
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
       // min wall time and ITS run's bytes (bytes are deterministic per
       // plan; runs differ only by noise in the counter's stage set);
       // coldness is the AND across the tier's timed passes — one warm
@@ -267,6 +289,8 @@ object KneeBench {
   "probes": $probes,
   "page_cache_cold": $allCold,
   "warm_tiers": $dropFailures,
+  "reclaimed_tiers": ${reclaim.toSeq.sorted.map(d => s""""$d"""")
+        .mkString("[", ",", "]")},
   "knee_vectors": $knee,
   "top_pair_ratio": ${f"$ratio%.2f"},
   "top_pair_crossing": $crossing,

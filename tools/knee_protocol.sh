@@ -72,13 +72,25 @@ case "${1:-}" in
     java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
       -cp "$CP" graft.ScaleGen scale/x24m 2400000 24000000 192
     ;;
-  run-p5)
+  run-p4)
     # x500k rides along as warmup + flat-branch witness (cheap); the
     # contract pair is x12m -> x24m, both sharded at tb=128.
-    OUT="${2:?usage: knee_protocol.sh run-p5 OUT.json}"
+    #
+    # WHY probes=4, not 5 (the r12 scout, /tmp/scout_knee.log): the
+    # probe budget maps to pCoarse=4 x pFine=ceil(probes/4) bucket-
+    # probes, so probes=5 is EIGHT bucket-probes per vector — measured
+    # ~40 GB of live shuffle at the 12M tier alone (the scout ENOSPC'd
+    # there with 44 GB free), which puts the 24M pass at ~80 GB:
+    # impossible on this scratch at any tier pair meaningfully past
+    # the 8.39M natural knee. probes=4 is the next rung down the
+    # ladder (pFine=1, 4 bucket-probes — the alpha contract is
+    # probes-invariant at fixed budget across tiers), and
+    # --reclaim=scale/x12m frees the measured 12M tier before the 24M
+    # pass needs the headroom.
+    OUT="${2:?usage: knee_protocol.sh run-p4 OUT.json}"
     SPARK_GRAFT_SHUFFLE_CODEC=zstd SPARK_DRIVER_MEM=64g \
     SPARK_GRAFT_SCALE_RUNS=1 \
-      sbt -batch "runMain graft.KneeBench $OUT --tb=128 --probes=5 scale/x500k scale/x12m scale/x24m"
+      sbt -batch "runMain graft.KneeBench $OUT --tb=128 --probes=4 --reclaim=scale/x12m scale/x500k scale/x12m scale/x24m"
     ;;
   gen)
     # docs tables are only warmup/ballast for KneeBench (it reads
