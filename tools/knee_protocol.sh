@@ -59,38 +59,39 @@ done
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 
 case "${1:-}" in
-  gen-p5)
-    # r12: the NATURAL tb=128 knee (8.39M vectors) crossed at reduced
-    # probe budget — probes=5 quarters the ~150 GB probes=20 exchange
-    # into this sandbox's scratch (NOTES_r11 §8; the alpha contract is
-    # probes-invariant at fixed budget across tiers). Tiers 12M/24M are
-    # both PAST the natural knee => sharded->sharded top pair at ratio
-    # 2.0. Requires the x2p5m/x4m/x8m tiers deleted first (disk: the
-    # 24M tier peak is ~36 GB tier + ~40 GB live shuffle).
+  gen-r12)
+    # r12 tiers: x6m/x12m for the tb=64 campaign below (x12m was first
+    # generated for the tb=128 attempt — see run-r12's WHY).
+    java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
+      -cp "$CP" graft.ScaleGen scale/x6m 600000 6000000 48
     java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
       -cp "$CP" graft.ScaleGen scale/x12m 1200000 12000000 96
-    java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
-      -cp "$CP" graft.ScaleGen scale/x24m 2400000 24000000 192
     ;;
-  run-p4)
-    # x500k rides along as warmup + flat-branch witness (cheap); the
-    # contract pair is x12m -> x24m, both sharded at tb=128.
+  run-r12)
+    # The r12 campaign: tb=64 (knee 4.19M), tiers 6M/12M — both PAST
+    # the knee, sharded->sharded top pair at ratio 2.0, probes=4,
+    # measured-tier reclaim. The FOURTH measured geometry (tb=32 r9,
+    # tb=48 r10+r11), now carrying the r12 cpu-alpha contract leg.
     #
-    # WHY probes=4, not 5 (the r12 scout, /tmp/scout_knee.log): the
-    # probe budget maps to pCoarse=4 x pFine=ceil(probes/4) bucket-
-    # probes, so probes=5 is EIGHT bucket-probes per vector — measured
-    # ~40 GB of live shuffle at the 12M tier alone (the scout ENOSPC'd
-    # there with 44 GB free), which puts the 24M pass at ~80 GB:
-    # impossible on this scratch at any tier pair meaningfully past
-    # the 8.39M natural knee. probes=4 is the next rung down the
-    # ladder (pFine=1, 4 bucket-probes — the alpha contract is
-    # probes-invariant at fixed budget across tiers), and
-    # --reclaim=scale/x12m frees the measured 12M tier before the 24M
-    # pass needs the headroom.
-    OUT="${2:?usage: knee_protocol.sh run-p4 OUT.json}"
+    # WHY NOT the natural tb=128 knee (12M/24M) — two MEASURED
+    # refutations this round, not an assumption:
+    #   1. probes=5 scout (SCALE_r12_knee_scout_enospc.log): the probe
+    #      budget maps to pCoarse=4 x pFine=ceil(p/4) = 8 bucket-probes;
+    #      the 12M tier alone accumulated ~40 GB live shuffle and
+    #      ENOSPC'd the 44 GB scratch => a 24M pass needs ~80 GB.
+    #   2. probes=4 campaign attempt (killed mid-x12m): even at FOUR
+    #      bucket-probes the 12M pass held ~36 GB live (blockmgr du) —
+    #      the dominant exchange is the fine-training cell shuffle,
+    #      which ships float vectors and is PROBES-INDEPENDENT. So no
+    #      probe budget fits a 24M tier: live(24M) ~ 70+ GB vs at most
+    #      ~56 GB free with every other tier reclaimed.
+    # The natural-knee crossing needs a real cluster's scratch (where
+    # it spreads over executors); on this host it stays design-
+    # extrapolated, now with four measured geometries at alpha ~ 1.
+    OUT="${2:?usage: knee_protocol.sh run-r12 OUT.json}"
     SPARK_GRAFT_SHUFFLE_CODEC=zstd SPARK_DRIVER_MEM=64g \
     SPARK_GRAFT_SCALE_RUNS=1 \
-      sbt -batch "runMain graft.KneeBench $OUT --tb=128 --probes=4 --reclaim=scale/x12m scale/x500k scale/x12m scale/x24m"
+      sbt -batch "runMain graft.KneeBench $OUT --tb=64 --probes=4 --reclaim=scale/x6m scale/x500k scale/x6m scale/x12m"
     ;;
   gen)
     # docs tables are only warmup/ballast for KneeBench (it reads
