@@ -23,21 +23,27 @@ object BenchUtil {
     * whose dirt touches src/main or build config — mechanically). */
   def gitState(): (String, Seq[String]) =
     try {
+      // NO whole-output trim (r12 bug, caught by its own artifact: a
+      // porcelain first line " M NOTES_r12.md" lost its leading space
+      // to trim, so drop(3) ate the first path character — and a
+      // mangled "rc/main/…" would have dodged check_artifacts'
+      // dirty-ENGINE prefix test). Trim is applied per use instead.
       def run(args: String*): String = {
         val p = new ProcessBuilder(args: _*)
           .redirectErrorStream(false).start()
         val out = new String(p.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
+          java.nio.charset.StandardCharsets.UTF_8)
         p.waitFor()
         out
       }
-      val sha = run("git", "rev-parse", "HEAD")
+      val sha = run("git", "rev-parse", "HEAD").trim
       if (sha.isEmpty || sha.contains(" ")) ("unknown", Seq.empty)
       else {
         // -uno: untracked files (log drafts, scratch artifacts) cannot
         // change what a compiled bench binary measures — only TRACKED
         // modifications mark the measurement dirty. Porcelain rename
-        // lines ("R  old -> new") contribute both sides.
+        // lines ("R  old -> new") contribute both sides; the XY status
+        // prefix is exactly two chars + a space on every line.
         val dirty = run("git", "status", "--porcelain", "-uno")
           .linesIterator.filter(_.nonEmpty)
           .flatMap(_.drop(3).split(" -> ").map(_.trim))
