@@ -104,6 +104,24 @@ object KneeBench {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Per-JOB byte attribution (r12 end — built for the r13 contract
+    // fix the parked SCALE_r12_knee_attempt1.log motivates): the
+    // aggregate bytes exponent cannot distinguish "a bounded training
+    // step (re-split re-route) straddled the tier pair" from "the
+    // pair engine ships superlinear candidates". The chain's Spark
+    // JOBS are deterministic in count and order — training actions
+    // first, the pair-engine exchange inside the final noop write —
+    // so recording shuffle bytes PER JOB per tier lets a step be
+    // aligned to its leg across tiers (an extra training job at the
+    // big tier is then an explained integer, and the FINAL job's
+    // bytes-alpha is the pair-engine contract candidate). Semantic
+    // job-group tagging needs engine-side setJobGroup calls; deferred
+    // so this round's gate-checked artifacts keep their measured code
+    // untouched.
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[
+      Integer, Integer]()
+    val jobBytes = new java.util.concurrent.ConcurrentHashMap[
+      Integer, java.util.concurrent.atomic.AtomicLong]()
     // bumped LAST per event: a settle loop that watches this stamp has
     // seen every counter of every drained event (r11 ADVICE: settling
     // on shuffleBytes alone let late spill/cpu events leak into the
@@ -111,16 +129,30 @@ object KneeBench {
     val eventStamp = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          j.stageIds.foreach(s => stageToJob.put(s, j.jobId))
+          eventStamp.incrementAndGet()
+        }
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted)
             : Unit = {
-          shuffleBytes.addAndGet(
-            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          val bytes =
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          shuffleBytes.addAndGet(bytes)
           spillBytes.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
           cpuNanos.addAndGet(s.stageInfo.taskMetrics.executorCpuTime)
+          jobBytes.computeIfAbsent(
+              stageToJob.getOrDefault(s.stageInfo.stageId, -1),
+              _ => new java.util.concurrent.atomic.AtomicLong(0L))
+            .addAndGet(bytes)
           eventStamp.incrementAndGet()
         }
       })
+    def jobBytesNow(): Map[Int, Long] = {
+      import scala.jdk.CollectionConverters._
+      jobBytes.asScala.map { case (k, v) => (k.intValue, v.get) }.toMap
+    }
 
     // Every timed pass starts PAGE-CACHE COLD (r11 protocol fix): the
     // first r11 campaign ran its 4M tier over freshly-generated,
@@ -151,9 +183,11 @@ object KneeBench {
       }
 
     case class Pass(secs: Double, bytes: Long, spill: Long,
-      cpuSecs: Double, cold: Boolean)
+      cpuSecs: Double, cold: Boolean,
+      jobs: Seq[(Int, Long)] = Seq.empty)
     def timed(dir: String): Pass = {
       val cold = dropPageCache()
+      val beforeJobs = jobBytesNow()
       val (before, beforeSpill, beforeCpu) =
         (shuffleBytes.get(), spillBytes.get(), cpuNanos.get())
       val t0 = System.nanoTime()
@@ -184,7 +218,10 @@ object KneeBench {
       if (!ok) Pass(-1.0, 0L, 0L, 0.0, cold)
       else Pass(secs, shuffleBytes.get() - before,
         spillBytes.get() - beforeSpill,
-        (cpuNanos.get() - beforeCpu) / 1e9, cold)
+        (cpuNanos.get() - beforeCpu) / 1e9, cold,
+        jobBytesNow().map { case (j, b) =>
+          (j, b - beforeJobs.getOrElse(j, 0L))
+        }.filter(_._2 > 0).toSeq.sortBy(_._1))
     }
 
     timed(dirs.head) // warmup: codegen + file listing, untimed
@@ -234,6 +271,10 @@ object KneeBench {
         s""""shuffle_write_bytes": ${p.bytes}, """ +
         s""""disk_spill_bytes": ${p.spill}, """ +
         s""""page_cache_cold": ${p.cold}, """ +
+        // per-job bytes in job order: the leg-attribution raw data
+        // (training actions first, the pair-engine job last)
+        s""""job_shuffle_bytes": ${p.jobs.map(_._2)
+          .mkString("[", ",", "]")}, """ +
         s""""branch": "${branch(d)}"}"""
     }
     // The α-contract gate (VERDICT r8 item 1: the knee row must be
