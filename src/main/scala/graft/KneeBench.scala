@@ -66,9 +66,16 @@ object KneeBench {
       .map(_.stripPrefix("--reclaim=").split(",").toSet)
       .getOrElse(Set.empty[String])
     val dirs = args.drop(1).filterNot(_.startsWith("--")).toSeq
+    // size first (r12 ADVICE: dirs.last on an empty list crashed with
+    // NoSuchElementException before the intended message), then the
+    // reclaim checks — a typo'd --reclaim entry must fail loudly, not
+    // leave the tier resident and re-invite the ENOSPC the flag avoids
+    require(dirs.size >= 2, "need at least two scale dirs")
+    require(reclaim.subsetOf(dirs.toSet),
+      s"--reclaim entries not among the scale dirs: " +
+        s"${(reclaim -- dirs).toSeq.sorted.mkString(", ")}")
     require(!reclaim.contains(dirs.last),
       "the top tier is never reclaimed (it is the contract pair's big side)")
-    require(dirs.size >= 2, "need at least two scale dirs")
     require(targetBucket >= 1 && probes >= 1,
       "targetBucket and probes must be >= 1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
@@ -104,22 +111,27 @@ object KneeBench {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-    // Per-JOB byte attribution (r12 end — built for the r13 contract
-    // fix the parked SCALE_r12_knee_attempt1.log motivates): the
-    // aggregate bytes exponent cannot distinguish "a bounded training
-    // step (re-split re-route) straddled the tier pair" from "the
-    // pair engine ships superlinear candidates". The chain's Spark
-    // JOBS are deterministic in count and order — training actions
-    // first, the pair-engine exchange inside the final noop write —
-    // so recording shuffle bytes PER JOB per tier lets a step be
-    // aligned to its leg across tiers (an extra training job at the
-    // big tier is then an explained integer, and the FINAL job's
-    // bytes-alpha is the pair-engine contract candidate). Semantic
-    // job-group tagging needs engine-side setJobGroup calls; deferred
-    // so this round's gate-checked artifacts keep their measured code
-    // untouched.
+    // Per-JOB byte attribution (r12) + SEMANTIC legs (r13 — VERDICT
+    // r12 item 2): the aggregate bytes exponent cannot distinguish "a
+    // bounded training step straddled the tier pair" from "the pair
+    // engine ships superlinear candidates" — the exact ambiguity the
+    // parked r12 campaign hit (bytes-α 1.189 with cpu-α 1.018). The
+    // engine now stamps its internal training actions with
+    // `graft.functions.JobLeg` job-group tags (train-coarse /
+    // train-split:{detectN,rN} / train-fine), and this harness wraps
+    // the timed chain in a `pair` tag — so the dispatch count, the
+    // probe routing, and the pair-engine exchange (one fused noop-
+    // write job, inseparable at job granularity and all
+    // probes-dependent serve-path work) land in `pair`, while each
+    // bounded training leg is its own series. The CONTRACT gates the
+    // pair leg's bytes exponent (the term that must be linear at any
+    // scale) plus cpu; training-leg bytes are reported per leg with
+    // the observed split-round count, so a step is an explained
+    // integer, not a silent 19 %.
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[
       Integer, Integer]()
+    val jobGroup = new java.util.concurrent.ConcurrentHashMap[
+      Integer, String]()
     val jobBytes = new java.util.concurrent.ConcurrentHashMap[
       Integer, java.util.concurrent.atomic.AtomicLong]()
     // bumped LAST per event: a settle loop that watches this stamp has
@@ -132,6 +144,9 @@ object KneeBench {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           j.stageIds.foreach(s => stageToJob.put(s, j.jobId))
+          jobGroup.put(j.jobId, Option(j.properties)
+            .map(_.getProperty("spark.jobGroup.id")).flatMap(Option(_))
+            .getOrElse(""))
           eventStamp.incrementAndGet()
         }
         override def onStageCompleted(
@@ -183,8 +198,9 @@ object KneeBench {
       }
 
     case class Pass(secs: Double, bytes: Long, spill: Long,
-      cpuSecs: Double, cold: Boolean,
-      jobs: Seq[(Int, Long)] = Seq.empty)
+      cpuSecs: Double, cold: Boolean, failed: Boolean = false,
+      jobs: Seq[(Int, Long)] = Seq.empty,
+      legs: Map[String, Long] = Map.empty, splitRounds: Int = 0)
     def timed(dir: String): Pass = {
       val cold = dropPageCache()
       val beforeJobs = jobBytesNow()
@@ -193,11 +209,16 @@ object KneeBench {
       val t0 = System.nanoTime()
       val (secs, ok) =
         try {
-          graft.functions.Dedup.cosineDupPairsTrainedInt8(
-              spark.read.parquet(s"$dir/embeddings.parquet"),
-              "vec_id", "embedding", threshold = 0.45, probes = probes,
-              targetBucket = targetBucket)
-            .write.mode("overwrite").format("noop").save()
+          // `pair` = everything the ENGINE's training tags don't claim:
+          // the dispatch count, probe routing, and the pair exchange —
+          // the serve-path whose bytes must be linear at any scale
+          graft.functions.JobLeg.tagged(spark, "pair") {
+            graft.functions.Dedup.cosineDupPairsTrainedInt8(
+                spark.read.parquet(s"$dir/embeddings.parquet"),
+                "vec_id", "embedding", threshold = 0.45, probes = probes,
+                targetBucket = targetBucket)
+              .write.mode("overwrite").format("noop").save()
+          }
           ((System.nanoTime() - t0) / 1e9, true)
         } catch { case e: Throwable =>
           System.err.println(s"[knee] $dir failed: ${e.getMessage}")
@@ -215,17 +236,31 @@ object KneeBench {
           spark.catalog.clearCache()
           System.gc()
         }
-      if (!ok) Pass(-1.0, 0L, 0L, 0.0, cold)
-      else Pass(secs, shuffleBytes.get() - before,
-        spillBytes.get() - beforeSpill,
-        (cpuNanos.get() - beforeCpu) / 1e9, cold,
-        jobBytesNow().map { case (j, b) =>
+      if (!ok) Pass(-1.0, 0L, 0L, 0.0, cold, failed = true)
+      else {
+        val jobs = jobBytesNow().map { case (j, b) =>
           (j, b - beforeJobs.getOrElse(j, 0L))
-        }.filter(_._2 > 0).toSeq.sortBy(_._1))
+        }.filter(_._2 > 0).toSeq.sortBy(_._1)
+        val groupsOf = jobs.map { case (j, b) =>
+          (jobGroup.getOrDefault(j, ""), b) }
+        val legs = groupsOf.groupBy { case (g, _) =>
+          graft.functions.JobLeg.legOf(g).getOrElse("untagged") }
+          .map { case (l, js) => l -> js.map(_._2).sum }
+        val splitRounds = groupsOf.map(_._1)
+          .filter(g =>
+            graft.functions.JobLeg.legOf(g).contains("train-split"))
+          .flatMap(g => graft.functions.JobLeg.qualifierOf(g))
+          .filter(q => q.startsWith("r") && q.drop(1).forall(_.isDigit))
+          .distinct.size
+        Pass(secs, shuffleBytes.get() - before,
+          spillBytes.get() - beforeSpill,
+          (cpuNanos.get() - beforeCpu) / 1e9, cold, failed = false,
+          jobs, legs, splitRounds)
+      }
     }
 
     timed(dirs.head) // warmup: codegen + file listing, untimed
-    val failedPass = Pass(-1.0, 0L, 0L, 0.0, cold = false)
+    val failedPass = Pass(-1.0, 0L, 0L, 0.0, cold = false, failed = true)
     val mins: Map[String, Pass] = dirs.map { d =>
       val ts = (0 until runs).map(_ => timed(d))
       // this tier is measured and will never be read again — free its
@@ -243,8 +278,12 @@ object KneeBench {
       d -> (if (ts.exists(_.secs < 0)) failedPass
             else ts.minBy(_.secs).copy(cold = ts.forall(_.cold)))
     }.toMap
-    val allCold = mins.values.forall(_.cold)
-    val dropFailures = mins.values.count(!_.cold)
+    // warm counts only SUCCESSFUL tiers (r12 ADVICE: a failed tier was
+    // mapped cold=false and inflated warm_tiers, misreporting the
+    // cause); failures get their own field and always gate via NaN
+    val failedTiers = mins.values.count(_.failed)
+    val warmTiers = mins.values.count(p => !p.failed && !p.cold)
+    val allCold = failedTiers == 0 && warmTiers == 0
 
     val (dSmall, dBig) = (dirs(dirs.size - 2), dirs.last)
     val ratio = nVecs(dBig).toDouble / nVecs(dSmall)
@@ -255,6 +294,16 @@ object KneeBench {
     val bytesAlpha = pairAlpha(mins(dSmall).bytes.toDouble,
       mins(dBig).bytes.toDouble)
     val cpuAlpha = pairAlpha(mins(dSmall).cpuSecs, mins(dBig).cpuSecs)
+    // per-leg bytes exponents over the top pair (r13): the `pair` leg
+    // is the contract candidate; training legs are reported so a
+    // bounded step (e.g. one extra split round at the big tier) is an
+    // explained integer instead of an unattributable aggregate bump
+    val legAlpha: Seq[(String, Double)] =
+      (mins(dSmall).legs.keySet ++ mins(dBig).legs.keySet).toSeq.sorted
+        .map(l => l -> pairAlpha(
+          mins(dSmall).legs.getOrElse(l, 0L).toDouble,
+          mins(dBig).legs.getOrElse(l, 0L).toDouble))
+    val pairLegAlpha = legAlpha.toMap.getOrElse("pair", Double.NaN)
     // the knee predicate is Dedup's own (r8 advisor: a locally
     // recomputed constant would mislabel the branch if the dispatch
     // formula ever moved)
@@ -275,6 +324,11 @@ object KneeBench {
         // (training actions first, the pair-engine job last)
         s""""job_shuffle_bytes": ${p.jobs.map(_._2)
           .mkString("[", ",", "]")}, """ +
+        // semantic legs (r13): engine JobLeg tags aggregated per tier
+        s""""leg_shuffle_bytes": ${p.legs.toSeq.sortBy(_._1)
+          .map { case (l, b) => s""""$l": $b""" }
+          .mkString("{", ", ", "}")}, """ +
+        s""""split_rounds": ${p.splitRounds}, """ +
         s""""branch": "${branch(d)}"}"""
     }
     // The α-contract gate (VERDICT r8 item 1: the knee row must be
@@ -313,15 +367,27 @@ object KneeBench {
     // a growth term — recorded as `top_pair_crossing: true`, gated on
     // NaN alone, and check_artifacts.py refuses it without an
     // explicit waiver.
+    // r13 contract revision (VERDICT r12 item 2, justified by the
+    // parked r12 campaign — bytes-α 1.189 aggregate at cpu-α 1.018 and
+    // the cause a bounded, probes-independent TRAINING step): the
+    // bytes leg of the gate is the PAIR-ENGINE leg's exponent — the
+    // serve-path bytes that must be linear at every scale, the term
+    // the aggregate could not isolate. Aggregate bytes-α stays
+    // recorded with a loud disclosure flag when it exceeds the bound
+    // (like wall), and training legs ride per-leg with the observed
+    // split-round count, so a bounded step is explained, never hidden.
     val crossing = branch(dSmall) != branch(dBig)
     val violations =
       if (alpha.isNaN || bytesAlpha.isNaN || cpuAlpha.isNaN ||
-          (!crossing && math.max(bytesAlpha, cpuAlpha) >=
+          pairLegAlpha.isNaN ||
+          (!crossing && math.max(pairLegAlpha, cpuAlpha) >=
             ScaleBench.ContractAlpha))
         Seq("q_dedup_cosine_int8(sharded top pair)")
       else Seq.empty[String]
     val wallExceeds = !crossing && !alpha.isNaN &&
       alpha >= ScaleBench.ContractAlpha
+    val bytesAggExceeds = !crossing && !bytesAlpha.isNaN &&
+      bytesAlpha >= ScaleBench.ContractAlpha
     def num(v: Double): String = if (v.isNaN) "null" else f"$v%.3f"
     val json =
       s"""{
@@ -329,7 +395,8 @@ object KneeBench {
   "chain": "q_dedup_cosine_int8 (API default, targetBucket=$targetBucket, probes=$probes)",
   "probes": $probes,
   "page_cache_cold": $allCold,
-  "warm_tiers": $dropFailures,
+  "warm_tiers": $warmTiers,
+  "failed_tiers": $failedTiers,
   "reclaimed_tiers": ${reclaim.toSeq.sorted.map(d => s""""$d"""")
         .mkString("[", ",", "]")},
   "knee_vectors": $knee,
@@ -341,9 +408,14 @@ ${rows.mkString(",\n")}
   "alpha_top_pair": ${num(alpha)},
   "bytes_alpha_top_pair": ${num(bytesAlpha)},
   "cpu_alpha_top_pair": ${num(cpuAlpha)},
+  "leg_bytes_alpha_top_pair": ${legAlpha
+        .map { case (l, a) => s""""$l": ${num(a)}""" }
+        .mkString("{", ", ", "}")},
+  "pair_leg_bytes_alpha": ${num(pairLegAlpha)},
   "contract_alpha": ${ScaleBench.ContractAlpha},
-  "contract_on": "max(bytes_alpha_top_pair, cpu_alpha_top_pair)",
+  "contract_on": "max(pair_leg_bytes_alpha, cpu_alpha_top_pair)",
   "wall_alpha_exceeds_contract": $wallExceeds,
+  "bytes_alpha_exceeds_contract": $bytesAggExceeds,
   "contract_violations": ${violations.map(n => s""""$n"""")
         .mkString("[", ",", "]")}
 }
@@ -351,7 +423,7 @@ ${rows.mkString(",\n")}
     Files.writeString(Paths.get(outJson), json)
     println(s"[knee] wrote $outJson; top pair wall-alpha=${num(alpha)} " +
       s"bytes-alpha=${num(bytesAlpha)} cpu-alpha=${num(cpuAlpha)} " +
-      s"cold=$allCold")
+      s"pair-leg-bytes-alpha=${num(pairLegAlpha)} cold=$allCold")
     if (violations.nonEmpty) {
       System.err.println(
         s"[knee] CONTRACT FAILURE: ${violations.mkString(", ")}")

@@ -465,9 +465,15 @@ object Similarity {
     *
     * Cost: the coarse train (k₁-scale sample), ONE corpus shuffle for
     * the per-cell ranking window, and itersFine joins over the bounded
-    * sample (≤ samplePerCentroid·n/targetBucket ≈ 0.31·n rows). All of
-    * it is index-BUILD cost — persist both frames (IvfStore) and every
-    * later dedup/search pass pays routing only. */
+    * sample (≤ samplePerCentroid·n/targetBucket ≈ 0.31·n rows). A
+    * split round (rare — observed-oversized cells only) adds
+    * Θ(split-cell ids) exchanged bytes, never a corpus-scale re-route
+    * (r13 — see the split-loop comment). All of it is index-BUILD
+    * cost — persist both frames (IvfStore) and every later
+    * dedup/search pass pays routing only. Internal actions carry
+    * [[JobLeg]] tags (`train-coarse` / `train-split:*` /
+    * `train-fine`) so the scale harnesses attribute shuffle bytes per
+    * semantic leg. */
   def trainShardedCodebook(df: DataFrame, idCol: String, vecCol: String,
       targetBucket: Int = 128, itersCoarse: Int = 5, itersFine: Int = 2,
       samplePerCentroid: Int = 40, knownN: Long = -1L,
@@ -491,8 +497,9 @@ object Similarity {
     val k1 = math.max(4L, math.min(65536L, math.ceil(math.max(
       math.sqrt(n.toDouble / targetBucket),
       n.toDouble / cellCap)).toLong)).toInt
-    var coarse = trainCodebook(df, idCol, vecCol, k1, itersCoarse,
-      samplePerCentroid, n)
+    var coarse = JobLeg.tagged(spark, "train-coarse") {
+      trainCodebook(df, idCol, vecCol, k1, itersCoarse,
+        samplePerCentroid, n) }
     def route(cb: DataFrame): DataFrame =
       assignNearest(df, cb, idCol, vecCol)
         .select(col(idCol).as("__id"),
@@ -505,45 +512,70 @@ object Similarity {
     // exceeds targetBucket·maxK2, promotes ⌈2·count/cap⌉−1 of the
     // cell's own rows (its (md5(id), id)-ranked heads — deterministic,
     // and hash-random WITHIN the cell, so they land spread across its
-    // mass) to NEW coarse centroids, and re-routes the corpus over the
-    // widened codebook — the dense mass re-partitions among the
-    // original centroid and its promoted neighbors by plain nearest-
-    // centroid geometry. Re-routing is GLOBAL (a widened codebook can
-    // regrow a previously-fine cell), so convergence is not monotone:
-    // up to THREE rounds; the loop exits early when nothing is
-    // oversized — every corpus at or below the 134 G-vector
-    // expected-bound never enters it.
+    // mass) to NEW coarse centroids, and re-assigns the SPLIT CELLS'
+    // members among each cell's local family — its old centroid plus
+    // its promoted seeds — by the same CellTopK cosine scoring every
+    // routing path uses.
     //
-    // Routing-pass accounting (r9 advisor: the earlier comment claimed
-    // one extra pass per round while the unpersisted `routed` frame was
-    // actually evaluated twice per round plus twice after the loop):
-    // once the FIRST count proves the split regime, `routed` persists
-    // for the remainder — the first round's seed collect populates the
-    // cache, every later round's count/seed pair and the final k2 +
-    // sample consumers read it. Total routing passes in the split
-    // regime: 2 in round one, then 1 per re-route. The NON-split path
-    // (every corpus below the expected bound) is untouched — no
-    // corpus-scale cache write is added to the measured knee chain.
-    // Honest limit: EXACTLY-coincident vectors are geometrically
-    // unsplittable (every copy still routes to one centroid); that
-    // regime is a hot BUCKET, not a hot cell, and is what the pair
-    // join's (bucket, chunk) salt is for.
+    // TARGETED, not global (r13 — the r12 tb=64 probes=4 knee campaign
+    // read bytes-α 1.189 RED, and the step was THIS loop's per-round
+    // cost: the seed-ranking window shipped every split-cell row's
+    // full float vector (~2 KB/row ≈ the observed ~9.6 GB excess for
+    // one extra round at 12M), and the global re-route recomputed
+    // every vector's assignment per round. Now a round's exchange is
+    // Θ(split-cell ids): the seed rank rides an id-only window
+    // (~tens of bytes/row), the Σ⌈2cn/cap⌉−1 surviving seeds
+    // (codebook scale) fetch their vectors back by id in one narrow
+    // pass over the cached corpus, and non-split cells' members never
+    // move — the in-training analogue of the targeted
+    // Θ(oversized-mass) work IvfStore.resplitShardedCells does
+    // post-build. Convergence is MONOTONE under targeted re-assignment
+    // (only split and promoted cells change counts; a previously-fine
+    // cell can never regrow), still capped at three rounds; every
+    // corpus at or below the 134 G-vector expected-bound never enters
+    // the loop.
+    //
+    // Honest approximation, stated: a non-split cell's member may sit
+    // nearer a PROMOTED centroid than its own — training residence
+    // keeps it where it was, while query-time routing (assignTopK over
+    // the widened codebook) is exact nearest and may send it to the
+    // promoted cell. Training assignment is a SAMPLING device (it
+    // decides which rows train which fine codebooks), so the mismatch
+    // costs fine-centroid quality at split boundaries, never pair
+    // recall: candidate pairs pass the exact rescore, and both sides
+    // of a near-dup route identically at query time. Index-time
+    // overfill of a promoted cell beyond its training count is
+    // resplitShardedCells' job, exactly like append bloat. EXACTLY-
+    // coincident vectors remain geometrically unsplittable (every copy
+    // still routes to one centroid); that regime is a hot BUCKET, not
+    // a hot cell, and is what the pair join's (bucket, chunk) salt is
+    // for.
+    //
+    // Caching: the frame that first enters the split regime persists
+    // ONCE (cacheRoot); each round's generation is a lazy
+    // filter/broadcast-join/union stack over it — ≤ 3 narrow layers
+    // recomputed per consumer pass, instead of a second corpus-scale
+    // cache per generation (two resident 12M generations ≈ 49 GB
+    // would crowd the 62 GB scratch the knee campaigns run against).
+    // The NON-split path (every corpus below the expected bound) is
+    // untouched — no corpus-scale cache write is added to the
+    // measured knee chain.
     var splitRound = 0
     var splitDone = false
-    var splitRegime = false
+    var cacheRoot: DataFrame = null
     while (splitRound < 3 && !splitDone) {
-      if (splitRegime) // rounds >= 2: the count populates the cache
-        routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val over = routed.groupBy("cell").agg(count(lit(1)).as("__cn"))
-        .filter(col("__cn") > cellCap)
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val over = JobLeg.tagged(spark, s"train-split:detect$splitRound") {
+        routed.groupBy("cell").agg(count(lit(1)).as("__cn"))
+          .filter(col("__cn") > cellCap)
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1) }
       if (over.isEmpty) splitDone = true
-      else {
-        if (!splitRegime) { // round 1: the seed collect populates it
-          splitRegime = true
-          routed.persist(
+      else JobLeg.tagged(spark, s"train-split:r${splitRound + 1}") {
+        if (cacheRoot == null) {
+          cacheRoot = routed
+          cacheRoot.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
+        val splitCells: Seq[Int] = over.map(_._1).toSeq
         // 2× overshoot: nearest-centroid geometry splits a pile
         // UNEVENLY (a seed near the pile's core captures a multiple of
         // its fair share), so promoting exactly the deficit left cells
@@ -556,25 +588,46 @@ object Similarity {
           (c, math.ceil(2.0 * cn / cellCap).toInt - 1) }
         val w0 = Window.partitionBy(col("cell"))
           .orderBy(md5(col("__id").cast("string")), col("__id"))
-        val extra = routed
+        val seedIds = routed
           .join(broadcast(seedCounts.toDF("cell", "__m")), Seq("cell"))
+          .select(col("cell"), col("__m"), col("__id"))
           .withColumn("__rk", row_number().over(w0))
           .filter(col("__rk") <= col("__m"))
-          .select(col("cell"), col("__rk"), col("__v"))
-          .collect() // Σ⌈cn/cap⌉ rows — codebook scale by construction
+          .select(col("cell"), col("__rk"), col("__id"))
+          .collect() // Σ⌈2cn/cap⌉−1 rows — codebook scale
           .sortBy(r => (r.getInt(0), r.getInt(1)))
+        val vecById = routed
+          .filter(col("__id").isin(seedIds.map(_.get(2)).toSeq: _*))
+          .select(col("__id"), col("__v"))
+          .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
         val maxLbl = coarse.agg(max(col("centroid_label"))).head().getInt(0)
-        val promoted = extra.zipWithIndex.map { case (r, i) =>
-          (maxLbl + 1 + i, r.getSeq[Double](2)) }.toSeq
-        coarse = coarse.unionByName(promoted.toDF("centroid_label", "cvec"))
-        routed.unpersist()
-        routed = route(coarse)
+        val promoted = seedIds.zipWithIndex.map { case (r, i) =>
+          (r.getInt(0), maxLbl + 1 + i, vecById(r.get(2))) }.toSeq
+        val oldCents = coarse
+          .filter(col("centroid_label").isin(splitCells: _*))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        coarse = coarse.unionByName(promoted
+          .map { case (_, l, v) => (l, v) }.toDF("centroid_label", "cvec"))
+        // local family per split cell: the old centroid keeps its own
+        // label, promoted seeds carry theirs — CellTopK's winning
+        // flabel IS the member's new coarse cell
+        val family = (splitCells.map(c => (c, c, oldCents(c))) ++
+          promoted).toDF("cell", "flabel", "cvec")
+        val packedFam = broadcast(packFineCells(family))
+        val reassigned = routed
+          .filter(col("cell").isin(splitCells: _*))
+          .join(packedFam, Seq("cell"))
+          .select(col("__id"), col("__v"),
+            coalesce(element_at(graft.expressions.CellTopK.cell_topk(
+              col("__v"), col("members"), col("subc"), 1), 1).cast("int"),
+              col("cell")).as("cell"))
+        routed = routed.filter(!col("cell").isin(splitCells: _*))
+          .select(col("__id"), col("__v"), col("cell"))
+          .unionByName(reassigned)
         splitRound += 1
       }
     }
-    if (splitRegime && // final routed: k2 populates, the sample window
-        routed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fineOut = JobLeg.tagged(spark, "train-fine") {
     val k2 = routed.groupBy("cell").agg(count(lit(1)).as("__cn"))
       .select(col("cell"), greatest(lit(1L),
         ceil(col("__cn").cast("double") / targetBucket).cast("long"))
@@ -617,8 +670,10 @@ object Similarity {
           coalesce(col("__next"), col("cvec")).as("cvec")))
     }
     sample.unpersist()
-    routed.unpersist() // no-op outside the split regime
-    (coarse, fine)
+    fine
+    }
+    if (cacheRoot != null) cacheRoot.unpersist()
+    (coarse, fineOut)
   }
 
   /** One packed row per coarse cell: the cell's fine centroids as a

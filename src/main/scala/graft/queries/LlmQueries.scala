@@ -71,6 +71,18 @@ object LlmQueries extends QueryPack {
         WHERE round(${cosSqlD("a.embedding", "b.embedding")}, 4) >= 0.45
         ORDER BY a, b"""
 
+  /** Oracle for the delta screen (q_dedup_cosine_delta): the exact
+    * join restricted to pairs TOUCHING the odd-id delta — delta×index
+    * and delta×delta, never index×index. */
+  private val cosineDeltaSql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+          round(${cosSqlD("a.embedding", "b.embedding")}, 4) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(${cosSqlD("a.embedding", "b.embedding")}, 4) >= 0.45
+          AND (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
+        ORDER BY a, b"""
+
   def queries: Seq[QueryDef] = Seq(
 
     // ---- token counting ---------------------------------------------
@@ -879,6 +891,36 @@ object LlmQueries extends QueryPack {
           threshold = 0.45)
         .orderBy("a", "b")
     }, Some(cosineDupSql)),
+
+    // TENTH declared path — the DELTA SCREEN (r13, VERDICT r12 item 5):
+    // the incremental-ingest primitive "which arriving vectors
+    // near-duplicate the indexed corpus or each other", answered
+    // against a persisted index WITHOUT a full-corpus pair pass
+    // (partition-pruned resident scan + the stored-probe-list leg —
+    // Dedup.cosineDupPairsDeltaIndexInt8). Index = even vec_ids,
+    // delta = odd; at this SF the stamped depths are exhaustive
+    // (k₁ = 4 cells even at sf0.1), so the screen provably equals the
+    // exact join RESTRICTED to pairs touching the delta — which is
+    // what the oracle recomputes from scratch. The streaming
+    // vectorIngestSink drives exactly this screen per epoch
+    // (StreamingSpec capstone).
+    QueryDef("q_dedup_cosine_delta", (s, dir) => {
+      import graft.sources.IvfStore
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = TempIndexDirs.jvmScoped("graft_deltaidx", dir)
+      val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val idx = IvfStore.cachedBuild(s, s"$base/dsidx",
+          "data/_SUCCESS") { tmp =>
+        val (coarse, fine) = graft.functions.Similarity
+          .trainShardedCodebook(even, "vec_id", "embedding")
+        IvfStore.writeShardedInt8(even, coarse, fine, "vec_id",
+          "embedding", tmp, pCoarse = 8, pFine = 64, targetBucket = 128)
+      }
+      Dedup.cosineDupPairsDeltaIndexInt8(s, idx, odd, "vec_id",
+          "embedding", threshold = 0.45)
+        .orderBy("a", "b")
+    }, Some(cosineDeltaSql)),
 
     // ---- as-of join (align samples to latest preceding marker) ------
     QueryDef("q_asof_join", (s, dir) => {

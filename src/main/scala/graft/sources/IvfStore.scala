@@ -274,7 +274,27 @@ object IvfStore {
           out.close()
           true
         } catch { case _: java.io.IOException => false }
-      if (created) return
+      if (created) {
+        // The local FS's create(overwrite=false) is CHECK-then-create,
+        // not atomic (r12 ADVICE): two cross-JVM racers can interleave
+        // the existence check, both "create", and the second truncates
+        // the first's token. Read the lease back and require OUR token
+        // — whichever racer's content survived proceeds, the other
+        // refuses, so the nonce is load-bearing. Interleaved/garbled
+        // content (or a failed read-back) refuses BOTH — conservative,
+        // an operator retries.
+        val echo =
+          try {
+            val in = fs.open(leaseP)
+            try scala.io.Source.fromInputStream(in).mkString.trim
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => "" }
+        if (echo == token) return
+        throw new IllegalStateException(s"maintenance lease $leaseP " +
+          s"was overwritten by a concurrent creator (read back " +
+          s"'$echo', wrote '$token') — another maintenance run won " +
+          "the race; retry after it finishes (single-writer contract)")
+      }
       val owner =
         try {
           val in = fs.open(leaseP)

@@ -453,6 +453,22 @@ object SarStreaming {
     * sharded index's stamp — see [[vectorIndexAppendSink]]. */
   private[graft] val StreamEpochKey = "stream_epoch"
 
+  /** Meta key carrying the OWNING streaming query's stable id next to
+    * [[StreamEpochKey]] (r13 — VERDICT r12 item 3 / ADVICE: foreachBatch
+    * epoch ids are CHECKPOINT-relative, so `epochId <= committed` alone
+    * cannot tell an at-least-once replay from a fresh-checkpoint stream
+    * whose epochs restart at 0 — the latter silently no-opped real
+    * micro-batches, data loss with no error. The query `id` is stable
+    * across restarts from the same checkpoint and fresh for a new one,
+    * so it is exactly the replay-lineage identity). Empty value =
+    * detached. */
+  private[graft] val StreamQueryKey = "stream_query_id"
+
+  /** Spark's thread-local streaming-query-id property, set on the
+    * micro-batch thread foreachBatch runs on
+    * (`StreamExecution.QUERY_ID_KEY`). */
+  private val QueryIdProp = "sql.streaming.queryId"
+
   /** Streaming face of the persisted-index lifecycle (r12 — VERDICT
     * r11 item 5): each micro-batch of (id, vector) rows flushes into a
     * REGISTERED sharded int8 index through the SAME staged, crash-safe
@@ -474,9 +490,14 @@ object SarStreaming {
     * staged-append rename (`extraMeta`). A replayed epoch reads
     * `stream_epoch >= epochId` and no-ops; a crash INSIDE the append
     * leaves a stage the next epoch's heal-forward completes — rows and
-    * watermark land together or not at all. One index serves one
-    * stream at a time (the epoch key is unqualified), matching the
-    * single-maintenance-writer lease contract.
+    * watermark land together or not at all. The watermark is QUALIFIED
+    * by the owning query's stable id (r13): a non-advancing epoch from
+    * a DIFFERENT query id — a fresh checkpoint against an already-
+    * watermarked index, the case `epochId <= committed` alone cannot
+    * tell from a replay — refuses loudly instead of silently dropping
+    * the batch, and an identity change at ANY epoch refuses until the
+    * operator explicitly [[detachIndexStream]]s: one index serves one
+    * stream lineage at a time, mechanically.
     *
     * Pair with [[vectorNearDupCandidates]] / the governance ledgers
     * UPSTREAM to screen near-dups before they reach the sink (the same
@@ -490,37 +511,200 @@ object SarStreaming {
     vecs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+          // the stable query id rides a thread-local on the micro-batch
+          // thread; its absence means this closure is not running under
+          // a StreamExecution — refuse rather than stamp a fabricated
+          // identity the next run would trust
+          val sid = Option(batch.sparkSession.sparkContext
+              .getLocalProperty(QueryIdProp))
+            .getOrElse(throw new IllegalStateException(
+              "no streaming query id on the foreachBatch thread — " +
+                "vectorIndexAppendSink must run under writeStream"))
           appendIndexEpoch(batch.toDF(), epochId, idCol, vecCol,
-            indexPath, maxK2)
+            indexPath, sid, maxK2)
           ()
       }
 
   /** One epoch of [[vectorIndexAppendSink]], split out so the replay
-    * spec can re-deliver an epoch deterministically. Returns the rows
-    * appended (0 for a replayed epoch). */
+    * spec can re-deliver an epoch deterministically. `streamId` is the
+    * delivering query's stable id (same across restarts from one
+    * checkpoint, fresh for a new one). Returns the rows appended (0
+    * for a same-lineage replayed epoch); throws on an identity
+    * mismatch — a replay can only come from the lineage that committed
+    * the watermark, so a foreign id with a non-advancing epoch is a
+    * checkpoint reset about to drop data, and a foreign id with an
+    * advancing epoch is two streams interleaving on one index. */
   private[graft] def appendIndexEpoch(batch: DataFrame, epochId: Long,
-      idCol: String, vecCol: String, indexPath: String,
-      maxK2: Int = 1024): Long = {
+      idCol: String, vecCol: String, indexPath: String, streamId: String,
+      maxK2: Int = 1024): Long =
+    if (!guardStreamEpoch(batch.sparkSession, indexPath, epochId,
+        streamId)) 0L // same-lineage at-least-once replay
+    else graft.sources.IvfStore.appendOrResplit(
+      batch.select(col(idCol), col(vecCol)), idCol, vecCol, indexPath,
+      maxK2 = maxK2,
+      extraMeta = Map(StreamEpochKey -> epochId.toString,
+        StreamQueryKey -> streamId))._1
+
+  /** Shared epoch/identity guard of the index-mutating streaming sinks
+    * ([[appendIndexEpoch]] / [[ingestIndexEpoch]]): heal forward so the
+    * watermark is readable, verify the delivering query OWNS the
+    * index's stream lineage, and answer "should this epoch run?" —
+    * false = same-lineage replay, land nothing. Identity violations
+    * throw (see [[appendIndexEpoch]]'s scaladoc for the matrix). */
+  private def guardStreamEpoch(spark: SparkSession, indexPath: String,
+      epochId: Long, streamId: String): Boolean = {
     import graft.sources.IvfStore
-    val spark = batch.sparkSession
+    require(streamId.nonEmpty, "streamId must be non-empty")
     // a crashed prior epoch left a pending stage: heal FORWARD first so
     // the meta (and its epoch watermark) is readable — the healed stage
     // already carries ITS epoch's watermark, so the replay check below
     // stays exact
     IvfStore.healShardedIndex(spark, indexPath)
-    val committed = IvfStore.readIndexMeta(spark, indexPath)
+    val meta = IvfStore.readIndexMeta(spark, indexPath)
       .getOrElse(throw new IllegalStateException(
         s"no complete sharded index at $indexPath — build it with " +
           "IvfStore.writeShardedInt8 before streaming into it"))
-      .get(StreamEpochKey).map(_.toLong).getOrElse(-1L)
-    if (epochId <= committed) 0L // at-least-once replay: already landed
-    else {
-      val (n, _) = IvfStore.appendOrResplit(
-        batch.select(col(idCol), col(vecCol)), idCol, vecCol, indexPath,
-        maxK2 = maxK2,
-        extraMeta = Map(StreamEpochKey -> epochId.toString))
-      n
-    }
+    val committed = meta.get(StreamEpochKey).map(_.toLong).getOrElse(-1L)
+    val owner = meta.get(StreamQueryKey).filter(_.nonEmpty)
+    if (owner.exists(_ != streamId))
+      throw new IllegalStateException(
+        s"index $indexPath is attached to streaming query " +
+          s"${owner.get} (committed epoch $committed) but query " +
+          s"$streamId delivered epoch $epochId — a fresh checkpoint " +
+          "restarts epochs at 0 and is indistinguishable from a " +
+          "replay, so appending would silently drop or double data. " +
+          "Resume from the original checkpoint, or run " +
+          "SarStreaming.detachIndexStream(spark, indexPath) to " +
+          "explicitly hand the index to a new stream")
+    if (committed >= 0 && owner.isEmpty)
+      throw new IllegalStateException(
+        s"index $indexPath carries stream_epoch=$committed with no " +
+          "owning query id (pre-r13 stamp) — " +
+          "detachIndexStream(spark, indexPath) once to re-attach")
+    epochId > committed
+  }
+
+  /** Explicit operator handover of a watermarked index to a NEW stream
+    * lineage: resets [[StreamEpochKey]] to −1 and clears
+    * [[StreamQueryKey]], so the next stream (fresh checkpoint, epochs
+    * from 0) attaches cleanly. Rides the staged zero-row append — the
+    * reset publishes atomically (meta-swap by rename, heal-forward on
+    * any crash, maintenance lease held), the fingerprint is unchanged
+    * (zero rows ⇒ compositional identity), and no live dir is touched
+    * outside the publish. Deliberately NOT automatic: after a detach a
+    * replay of the OLD stream's uncommitted epochs would double-append
+    * — detaching asserts the old stream is done, an operator fact no
+    * watermark can infer. */
+  def detachIndexStream(spark: SparkSession, indexPath: String): Unit = {
+    import graft.sources.IvfStore
+    IvfStore.healShardedIndex(spark, indexPath)
+    val meta = IvfStore.readIndexMeta(spark, indexPath)
+      .getOrElse(throw new IllegalStateException(
+        s"no complete sharded index at $indexPath"))
+    if (!meta.contains(StreamEpochKey) && !meta.contains(StreamQueryKey))
+      return // never streamed into — nothing to detach
+    val (idCol, vecCol) = (meta("id_col"), meta("vec_col"))
+    val none = spark.read.parquet(s"$indexPath/data")
+      .select(col(idCol), col(vecCol)).limit(0)
+    IvfStore.appendShardedInt8(none, idCol, vecCol, indexPath,
+      extraMeta = Map(StreamEpochKey -> "-1", StreamQueryKey -> ""))
+    ()
+  }
+
+  /** The streaming-CURATION capstone (r13 — VERDICT r12 item 5): each
+    * micro-batch of (id, vector) rows is SCREENED against the
+    * registered index — the vector twin of the ingest loop's ledgers —
+    * and only the survivors flush in, so the index doubles as the
+    * pipeline's near-dup memory and its ANN store, exactly the
+    * amortized structure a 100 TB stream needs (per-epoch cost follows
+    * the buckets the batch touches, not the corpus — see
+    * [[graft.functions.Dedup.cosineDupPairsDeltaIndexInt8]]).
+    *
+    * Drop rule, shared with the batch star-edge dedups: a batch row
+    * loses to ANY qualifying partner already in the index (history
+    * keeps, like a ledger-sealed ancestor), and to any SMALLER-ID
+    * batch peer (pairs are normalized a < b, so the in-batch loser is
+    * always `b`) — the same non-transitive loser-set semantics as
+    * `q_ngram_dedup`'s exact-Jaccard star edges. Exactly-once rides
+    * the SAME epoch watermark + lineage identity as
+    * [[vectorIndexAppendSink]]: a replayed epoch no-ops, a foreign
+    * query id refuses loudly, and a crash inside an epoch heals
+    * forward with rows and watermark landing together — re-screening
+    * a replayed epoch is safe precisely because the screen is PURE
+    * (the ledger'd text ingest cannot replay a re-screen,
+    * CorpusIngest's crash contract; the index-as-ledger face can,
+    * which is why this sink needs no manifest).
+    *
+    * Streaming == batch by construction: N epochs land the identical
+    * index state (rows, fingerprint, watermark aside) as N sequential
+    * [[graft.functions.Dedup.cosineDupPairsDeltaIndexInt8]]-screened
+    * `IvfStore.appendOrResplit` calls with the same batch boundaries —
+    * the StreamingSpec capstone pins it, plus the survivor set against
+    * an exact-join oracle at exhaustive depths. In-batch semantics
+    * follow the batch boundary (as with CorpusIngest): one epoch's
+    * near-dup peers screen against each other, split epochs screen
+    * sequentially. */
+  def vectorIngestSink(vecs: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, threshold: Double, maxK2: Int = 1024)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+          val sid = Option(batch.sparkSession.sparkContext
+              .getLocalProperty(QueryIdProp))
+            .getOrElse(throw new IllegalStateException(
+              "no streaming query id on the foreachBatch thread — " +
+                "vectorIngestSink must run under writeStream"))
+          ingestIndexEpoch(batch.toDF(), epochId, idCol, vecCol,
+            indexPath, threshold, sid, maxK2)
+          ()
+      }
+
+  /** One epoch of [[vectorIngestSink]], split out for deterministic
+    * spec delivery (same shape as [[appendIndexEpoch]]). Returns
+    * (survivors appended, batch rows screened out); (0, 0) for a
+    * same-lineage replay. */
+  private[graft] def ingestIndexEpoch(batch: DataFrame, epochId: Long,
+      idCol: String, vecCol: String, indexPath: String,
+      threshold: Double, streamId: String, maxK2: Int = 1024)
+      : (Long, Long) = {
+    import graft.functions.Dedup
+    import graft.sources.IvfStore
+    val spark = batch.sparkSession
+    if (!guardStreamEpoch(spark, indexPath, epochId, streamId))
+      return (0L, 0L)
+    val pairs = Dedup.cosineDupPairsDeltaIndexInt8(spark, indexPath,
+      batch, idCol, vecCol, threshold)
+    // pairs are normalized a < b and every pair touches the batch, so
+    // the batch-side loser is: `a` when only `a` is a batch row paired
+    // against an (always-kept) index resident, else `b` — which covers
+    // both "b is the batch row, a is index history" and "both are
+    // batch rows, bigger id loses"
+    val bIds = batch.select(col(idCol)).distinct()
+    val losers = pairs
+      .join(broadcast(bIds.withColumnRenamed(idCol, "a")
+        .withColumn("__ina", lit(true))), Seq("a"), "left")
+      .join(broadcast(bIds.withColumnRenamed(idCol, "b")
+        .withColumn("__inb", lit(true))), Seq("b"), "left")
+      .select(when(coalesce(col("__ina"), lit(false)) &&
+          !coalesce(col("__inb"), lit(false)), col("a"))
+        .otherwise(col("b")).as(idCol))
+      .distinct()
+    // seal the loser set before its two consumers (count + anti-join):
+    // its lineage is the whole screen, which must not re-run per reader
+    val loserIds =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        losers.checkpoint(eager = true)
+      else losers.localCheckpoint(eager = true)
+    val survivors = batch.join(loserIds, Seq(idCol), "left_anti")
+    val dropped = loserIds.count()
+    val (n, _) = IvfStore.appendOrResplit(
+      survivors.select(col(idCol), col(vecCol)), idCol, vecCol,
+      indexPath, maxK2 = maxK2,
+      extraMeta = Map(StreamEpochKey -> epochId.toString,
+        StreamQueryKey -> streamId))
+    (n, dropped)
   }
 
   /** Drive a stream to completion against a memory sink and return the

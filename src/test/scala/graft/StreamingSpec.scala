@@ -556,13 +556,13 @@ class StreamingSpec extends AnyFunSuite {
     // ---- epoch mechanics on a fresh index C, driven manually
     val manual = build("c")
     assert(SarStreaming.appendIndexEpoch(d1, 0L, "vec_id", "embedding",
-      manual) == 500L)
+      manual, "manual-q") == 500L)
     // fingerprint advanced to base ∪ d1 after epoch 0 alone
     assert(IvfStore.readIndexMeta(spark, manual).get("fingerprint") ==
       IvfStore.corpusFingerprint(base.unionByName(d1), "vec_id"))
     // at-least-once replay of epoch 0 is a no-op
     assert(SarStreaming.appendIndexEpoch(d1, 0L, "vec_id", "embedding",
-      manual) == 0L)
+      manual, "manual-q") == 0L)
     assert(IvfStore.readIndexMeta(spark, manual).get("fingerprint") ==
       IvfStore.corpusFingerprint(base.unionByName(d1), "vec_id"))
     // crashed epoch 1: sealed stage (rows + watermark staged together),
@@ -571,10 +571,218 @@ class StreamingSpec extends AnyFunSuite {
     IvfStore.stageAppend(d2, "vec_id", "embedding", manual,
       extraMeta = Map(SarStreaming.StreamEpochKey -> "1"))
     assert(SarStreaming.appendIndexEpoch(d2, 1L, "vec_id", "embedding",
-      manual) == 0L)
+      manual, "manual-q") == 0L)
     val metaC = IvfStore.readIndexMeta(spark, manual).get
     assert(metaC("fingerprint") == unionFp)
     assert(metaC(SarStreaming.StreamEpochKey) == "1")
     assert(stored(manual) == stored(batch))
+  }
+
+  // ------------------- r13: stream-identity-qualified epoch watermark
+  test("index epoch watermark is stream-identity-qualified (r13): a " +
+      "fresh-checkpoint stream refuses loudly with nothing appended, " +
+      "same-lineage replay still no-ops, and detachIndexStream hands " +
+      "the index to a new lineage") {
+    import graft.functions.Similarity
+    import graft.sources.IvfStore
+    val emb = spark.range(0, 400).selectExpr(
+        "id AS vec_id",
+        "if(id % 10 = 9, id - 1, id) AS sid")
+      .selectExpr("vec_id",
+        """transform(sequence(0, 31), d -> cast(
+            (pmod(xxhash64(sid, d, 7), 2001) - 1000) / 500.0
+            + if(vec_id % 10 = 9,
+                (pmod(xxhash64(vec_id, d, 8), 21) - 10) / 1000.0, 0.0)
+          as float)) AS embedding""")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val d1 = emb.filter(col("vec_id") % 4 === 1)
+    val d2 = emb.filter(col("vec_id") % 4 === 3)
+    val (coarse, fine) = Similarity.trainShardedCodebook(base, "vec_id",
+      "embedding", targetBucket = 32)
+    val dir = Files.createTempDirectory("graft_sid_ivf").toString
+    IvfStore.writeShardedInt8(base, coarse, fine, "vec_id", "embedding",
+      dir, pCoarse = 4, pFine = 8, targetBucket = 32)
+    // ---- manual matrix first: owner qA commits epoch 0
+    assert(SarStreaming.appendIndexEpoch(d1, 0L, "vec_id", "embedding",
+      dir, "qA") == 100L)
+    val fpAfterA = IvfStore.readIndexMeta(spark, dir).get("fingerprint")
+    // same lineage, same epoch: replay no-op
+    assert(SarStreaming.appendIndexEpoch(d1, 0L, "vec_id", "embedding",
+      dir, "qA") == 0L)
+    // FOREIGN lineage at a non-advancing epoch: the silent-data-loss
+    // case — must throw, not no-op, and must append nothing
+    val e1 = intercept[IllegalStateException] {
+      SarStreaming.appendIndexEpoch(d2, 0L, "vec_id", "embedding",
+        dir, "qB")
+    }
+    assert(e1.getMessage.contains("attached to streaming query"))
+    // foreign lineage even at an ADVANCING epoch: two interleaved
+    // streams on one index refuse until an explicit detach
+    intercept[IllegalStateException] {
+      SarStreaming.appendIndexEpoch(d2, 7L, "vec_id", "embedding",
+        dir, "qB")
+    }
+    assert(IvfStore.readIndexMeta(spark, dir)
+      .get("fingerprint") == fpAfterA)
+    // explicit handover: epoch resets, owner clears, fingerprint
+    // untouched (zero-row append = compositional identity), then the
+    // new lineage's epoch 0 lands
+    SarStreaming.detachIndexStream(spark, dir)
+    val metaD = IvfStore.readIndexMeta(spark, dir).get
+    assert(metaD(SarStreaming.StreamEpochKey) == "-1")
+    assert(metaD(SarStreaming.StreamQueryKey) == "")
+    assert(metaD("fingerprint") == fpAfterA)
+    assert(SarStreaming.appendIndexEpoch(d2, 0L, "vec_id", "embedding",
+      dir, "qB") == 100L)
+    assert(IvfStore.readIndexMeta(spark, dir).get("fingerprint") ==
+      IvfStore.corpusFingerprint(emb, "vec_id"))
+    // ---- end-to-end: a REAL fresh-checkpoint stream against the
+    // watermarked index dies with the refusal, not silent data loss
+    val srcDir = Files.createTempDirectory("graft_sid_src").toString
+    emb.filter(col("vec_id") % 2 === 0).limit(0) // schema only
+      .write.mode("overwrite").parquet(srcDir)
+    spark.range(1000, 1010).selectExpr("id AS vec_id",
+        """transform(sequence(0, 31), d -> cast(
+            (pmod(xxhash64(id, d, 7), 2001) - 1000) / 500.0 as float))
+          AS embedding""")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(srcDir).schema, srcDir)
+    val ckpt = Files.createTempDirectory("graft_sid_ckpt").toString
+    val q = SarStreaming.vectorIndexAppendSink(stream, "vec_id",
+        "embedding", dir)
+      .option("checkpointLocation", ckpt).start()
+    val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(err).contains("attached to streaming query"))
+    assert(IvfStore.readIndexMeta(spark, dir).get("fingerprint") ==
+      IvfStore.corpusFingerprint(emb, "vec_id"),
+      "the refused stream must append NOTHING")
+  }
+
+  // -------------------------- r13: streaming-curation capstone (item 5)
+  test("vectorIngestSink capstone (r13): a stream screened against the " +
+      "registered index == the batch screen-and-append loop == the " +
+      "exact-join keep-first oracle; replays land nothing") {
+    import graft.functions.{Dedup, Similarity}
+    import graft.sources.IvfStore
+    // clusters {10k, 10k+5, 10k+7, 10k+8, 10k+9} (tiny per-id jitter):
+    // 10k and 10k+8 are even -> BASE (indexed at build); the odd
+    // members alternate between d1 (id%4==1) and d2 (id%4==3) with k's
+    // parity, so the screen sees batch-vs-index, batch-vs-earlier-
+    // epoch-survivor AND in-batch pairs across the two epochs
+    val emb = spark.range(0, 600).selectExpr(
+        "id AS vec_id",
+        "if(id % 10 in (5, 7, 8, 9), id - id % 10, id) AS sid")
+      .selectExpr("vec_id",
+        """transform(sequence(0, 31), d -> cast(
+            (pmod(xxhash64(sid, d, 7), 2001) - 1000) / 500.0
+            + if(sid <> vec_id,
+                (pmod(xxhash64(vec_id, d, 8), 21) - 10) / 1000.0, 0.0)
+          as float)) AS embedding""")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val d1 = emb.filter(col("vec_id") % 4 === 1)
+    val d2 = emb.filter(col("vec_id") % 4 === 3)
+    val threshold = 0.9
+    val (coarse, fine) = Similarity.trainShardedCodebook(base, "vec_id",
+      "embedding", targetBucket = 32)
+    // exhaustive depths (k1 is small on this fixture), so the screen's
+    // recall provably equals the exact join and the oracle is exact
+    def build(tag: String): String = {
+      val d = Files.createTempDirectory(s"graft_ingest_ivf_$tag").toString
+      IvfStore.writeShardedInt8(base, coarse, fine, "vec_id",
+        "embedding", d, pCoarse = coarse.count().toInt, pFine = 64,
+        targetBucket = 32)
+      d
+    }
+    def storedIds(d: String): Set[Long] =
+      spark.read.parquet(s"$d/data").select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+    def stored(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("vec_id"), col("probe_buckets"),
+        col("int8_pack.cnorm"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+        r.getDouble(2), r.getLong(3))).toSet
+    // ---- the exact-join oracle, applied with the documented loser
+    // rule: batch row loses to any qualifying indexed partner and to
+    // any smaller-id batch peer (pairs normalized a < b)
+    val exactPairs = Dedup.cosineDupPairsExact(emb, "vec_id",
+        "embedding", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def exactStep(indexed: Set[Long], bids: Set[Long]): Set[Long] = {
+      val losers = exactPairs.collect {
+        case (a, b) if bids(a) && indexed(b) => a
+        case (a, b) if bids(b) && (indexed(a) || bids(a)) => b
+      }
+      bids -- losers
+    }
+    val baseIds = base.collect().map(_.getLong(0)).toSet
+    val d1Ids = d1.collect().map(_.getLong(0)).toSet
+    val d2Ids = d2.collect().map(_.getLong(0)).toSet
+    val surv1 = exactStep(baseIds, d1Ids)
+    val surv2 = exactStep(baseIds ++ surv1, d2Ids)
+    assert(surv1 != d1Ids && surv2 != d2Ids,
+      "fixture must actually screen something out")
+    assert((d1Ids -- surv1).nonEmpty && (d2Ids -- surv2).nonEmpty)
+    // ---- batch loop: the same screen+append composition, driven
+    // directly (independent reimplementation of the loser rule)
+    val batchIdx = build("b")
+    def batchStep(batch: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val bids = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+      val pairs = Dedup.cosineDupPairsDeltaIndexInt8(spark, batchIdx,
+          batch, "vec_id", "embedding", threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val losers = pairs.map { case (a, b) =>
+        if (bids(a) && !bids(b)) a else b }
+      val surv = bids -- losers
+      IvfStore.appendShardedInt8(
+        batch.filter(col("vec_id").isin(surv.toSeq: _*)),
+        "vec_id", "embedding", batchIdx)
+      surv
+    }
+    assert(batchStep(d1) == surv1,
+      "batch screen diverged from the exact oracle on epoch 1")
+    assert(batchStep(d2) == surv2,
+      "batch screen diverged from the exact oracle on epoch 2")
+    assert(storedIds(batchIdx) == baseIds ++ surv1 ++ surv2)
+    // ---- the real stream: two one-file micro-batches into a twin
+    val streamIdx = build("s")
+    val srcDir = Files.createTempDirectory("graft_ingest_src").toString
+    d1.coalesce(1).write.mode("append").parquet(srcDir)
+    d2.coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = SarStreaming.readEvents(spark,
+      spark.read.parquet(srcDir).schema, srcDir,
+      Map("maxFilesPerTrigger" -> "1"))
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    val q = SarStreaming.vectorIngestSink(stream, "vec_id", "embedding",
+        streamIdx, threshold)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(storedIds(streamIdx) == baseIds ++ surv1 ++ surv2,
+      "streamed survivor set diverged")
+    assert(stored(streamIdx) == stored(batchIdx),
+      "streamed index state diverged from the batch loop")
+    assert(IvfStore.readIndexMeta(spark, streamIdx).get("fingerprint")
+      == IvfStore.readIndexMeta(spark, batchIdx).get("fingerprint"))
+    // auto-dispatch accepts the ingest-maintained index for the
+    // SURVIVOR corpus it now holds
+    val survCorpus = emb.filter(
+      col("vec_id").isin((baseIds ++ surv1 ++ surv2).toSeq: _*))
+    val (_, branch) = Dedup.cosineDupPairsTrainedInt8Branch(survCorpus,
+      "vec_id", "embedding", threshold, targetBucket = 32,
+      indexPath = streamIdx)
+    assert(branch == "indexed_sharded")
+    // ---- replay: re-delivering a committed epoch lands NOTHING
+    val owner = IvfStore.readIndexMeta(spark, streamIdx).get
+      .get(SarStreaming.StreamQueryKey)
+    assert(owner.exists(_.nonEmpty))
+    assert(SarStreaming.ingestIndexEpoch(d2, 1L, "vec_id", "embedding",
+      streamIdx, threshold, owner.get) == ((0L, 0L)))
+    assert(stored(streamIdx) == stored(batchIdx))
   }
 }

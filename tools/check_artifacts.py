@@ -43,7 +43,7 @@ import json
 import subprocess
 import sys
 
-DEFAULT = ["SCALE_r12*.json", "BENCH_FULL.json"]
+DEFAULT = ["SCALE_r13*.json", "BENCH_FULL.json"]
 
 # top-level harness mains: each affects only the artifacts it produces.
 # ScaleGen is mapped to every SCALE_* artifact (r9 ADVICE: a generator
@@ -176,9 +176,18 @@ for p in paths:
             warn = (" [WARN: wall-alpha exceeds contract at in-contract "
                     "bytes/cpu alphas — single-host I/O overage, "
                     f"alpha_top_pair={doc.get('alpha_top_pair')}]")
+        # r13: the knee contract gates the PAIR leg's bytes exponent;
+        # an aggregate-bytes overage with the pair leg green means a
+        # bounded training step straddled the pair — disclosed, like wall
+        if doc.get("bytes_alpha_exceeds_contract") is True:
+            warn += (" [WARN: aggregate bytes-alpha exceeds contract at "
+                     "an in-contract pair leg — training-step overage, "
+                     f"bytes_alpha={doc.get('bytes_alpha_top_pair')}, "
+                     f"pair_leg={doc.get('pair_leg_bytes_alpha')}]")
         if doc.get("page_cache_cold") is False:
             warn += (" [WARN: not page-cache cold — "
-                     f"warm_tiers={doc.get('warm_tiers')}]")
+                     f"warm_tiers={doc.get('warm_tiers')}, "
+                     f"failed_tiers={doc.get('failed_tiers')}]")
         print(f"ok   {p}: {commit[:12]} (no measured-code change to HEAD, "
               f"contract clean){dirty_note}{warn}")
 if not paths:

@@ -59,6 +59,27 @@ done
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 
 case "${1:-}" in
+  gen-r13)
+    # r13 re-generates ONLY x6m (reclaimed by the r12 campaign's
+    # --reclaim); x12m and x500k are resident. Same sizes/seeds as
+    # gen-r12, so the tier is bit-compatible with the r12 readings.
+    java -Xmx24g $ADD_OPENS -Dspark.ui.enabled=false \
+      -cp "$CP" graft.ScaleGen scale/x6m 600000 6000000 48
+    ;;
+  run-r13)
+    # The r13 campaign: SAME geometry and protocol as run-r12 (tb=64,
+    # 6M/12M, probes=4, cold, --reclaim=scale/x6m) re-run at the r13
+    # engine, which (a) made trainShardedCodebook's split rounds ship
+    # Θ(split-cell ids) instead of full vectors — the measured ~9.6 GB
+    # step behind the r12 parked red bytes-alpha 1.189 — and (b) tags
+    # every training action with JobLeg job groups so KneeBench gates
+    # the PAIR-ENGINE leg's bytes exponent and reports training legs
+    # with their split-round count (VERDICT r12 items 1+2).
+    OUT="${2:?usage: knee_protocol.sh run-r13 OUT.json}"
+    SPARK_GRAFT_SHUFFLE_CODEC=zstd SPARK_DRIVER_MEM=64g \
+    SPARK_GRAFT_SCALE_RUNS=1 \
+      sbt -batch "runMain graft.KneeBench $OUT --tb=64 --probes=4 --reclaim=scale/x6m scale/x500k scale/x6m scale/x12m"
+    ;;
   gen-r12)
     # r12 tiers: x6m/x12m for the tb=64 campaign below (x12m was first
     # generated for the tb=128 attempt — see run-r12's WHY).
