@@ -930,17 +930,28 @@ object Dedup {
     *     its stamped (pCoarse, pFine) — identical routing to what its
     *     rows would get if appended;
     *   - direction 1 (delta probes cover an index resident): index
-    *     rows are read ONLY from the delta's probed buckets —
-    *     `bucket` is the layout's partition column, so this is a
-    *     PARTITION-PRUNED scan of Θ(touched buckets);
-    *   - direction 2 (an index row's STORED probes cover a delta
-    *     residence): one shuffle-free columnar scan of the index's
-    *     (id, probe_buckets, pack) columns intersecting each stored
-    *     list against the delta's residence buckets — the stored
-    *     lists exist precisely so this direction needs no re-scoring.
-    *     This leg reads Θ(index) COLUMNS per call (embarrassingly
-    *     parallel, no exchange); callers batching many small deltas
-    *     should coalesce epochs if it dominates;
+    *     rows — INCLUDING their float vectors for the re-score — are
+    *     read ONLY from the delta's probed buckets; `bucket` is the
+    *     layout's partition column and the predicate is a pure
+    *     partition-column IN, so this scan is PARTITION-PRUNED to
+    *     Θ(touched buckets). (The two directions are deliberately TWO
+    *     scans: OR-ing the stored-list predicate into this one would
+    *     defeat pruning — an OR with a non-partition disjunct can
+    *     match any partition — and drag the fat embedding column
+    *     through the full-index leg.);
+    *   - direction 2 (an UNTOUCHED index row's STORED probes cover a
+    *     delta residence): one shuffle-free columnar scan of the
+    *     index's (id, bucket, probe_buckets, pack) columns — no
+    *     embedding column, ~an order of magnitude narrower at dim
+    *     256 — intersecting each stored list against the delta's
+    *     residence buckets; the stored lists exist precisely so this
+    *     direction needs no re-scoring. This leg reads Θ(index) of
+    *     those NARROW columns per call (embarrassingly parallel, no
+    *     exchange); callers batching many small deltas should
+    *     coalesce epochs if it dominates. The matched rows' re-score
+    *     vectors are fetched after the fact by a second
+    *     partition-pruned scan over their own (known) residence
+    *     buckets — match-scale, never Θ(index);
     *   - both feed the SAME chunk-salted [[int8PairsFromRouted]]
     *     engine and exact re-score, then pairs are restricted to
     *     those touching a delta id.
@@ -983,21 +994,30 @@ object Dedup {
     val touched = bkts.map(_.getLong(0))
     val resBuckets = bkts.filter(_.getInt(1) == 0).map(_.getLong(0))
     val idx = spark.read.parquet(s"$path/data")
-    // direction-1 residents + re-score vectors, partition-pruned; the
-    // arrays_overlap branch additionally admits direction-2 rows (their
-    // vectors must be joinable at re-score time)
-    val idxTouched = idx.filter(col("bucket").isin(touched.toSeq: _*) ||
-        arrays_overlap(col("probe_buckets"),
-          lit(resBuckets))).persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SCAN A — direction-1 residents + their re-score vectors: a pure
+    // partition-column IN, genuinely pruned to the touched buckets
+    val idxTouched = idx.filter(col("bucket").isin(touched.toSeq: _*))
+      .select(col(idCol), col("bucket"), col("probe_buckets"),
+        col("int8_pack"), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idxRes = idxTouched
-      .filter(col("bucket").isin(touched.toSeq: _*))
       .select(col(idCol).as("a"), lit(0).as("pos"), col("bucket"),
         col("int8_pack").as("__p"))
+    // SCAN B — direction-2 rows from UNTOUCHED buckets: the full-index
+    // leg, but over the narrow (id, bucket, probe_buckets, pack)
+    // columns only — the embedding column stays unread here
+    val idxFar = idx.filter(!col("bucket").isin(touched.toSeq: _*) &&
+        arrays_overlap(col("probe_buckets"), lit(resBuckets)))
+      .select(col(idCol), col("bucket"), col("probe_buckets"),
+        col("int8_pack"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // direction 2: stored probe entries into a delta residence bucket
-    // (the row's own residence is excluded — it already rides as pos 0
-    // when touched, and an untouched residence has no delta partner)
-    val idxProbes = idxTouched
+    // (the row's own residence is excluded — a touched row already
+    // rides as pos 0, and an untouched residence has no delta partner).
+    // Touched rows contribute probe entries too: their probes into a
+    // DIFFERENT delta-residence bucket pair them with residents the
+    // delta side's own probes need not cover.
+    def probeEntries(f: DataFrame): DataFrame = f
       .select(col(idCol).as("a"), lit(1).as("pos"),
         explode(array_intersect(
           array_except(col("probe_buckets"), array(col("bucket"))),
@@ -1005,9 +1025,19 @@ object Dedup {
         col("int8_pack").as("__p"))
     val routedAll = deltaRouted
       .unionByName(idxRes.select("a", "pos", "bucket", "__p"))
-      .unionByName(idxProbes.select("a", "pos", "bucket", "__p"))
+      .unionByName(probeEntries(idxTouched))
+      .unionByName(probeEntries(idxFar))
+    // SCAN C — re-score vectors for the direction-2 matches: their
+    // residence buckets are known from scan B, so this is a second
+    // partition-pruned scan (match-scale; reads whole far buckets,
+    // bounded by |far buckets| × bucket occupancy)
+    val farBuckets = idxFar.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val farVecs = idx.filter(col("bucket").isin(farBuckets.toSeq: _*))
+      .select(col(idCol), col(vecCol))
     val corpus = delta.select(col(idCol), col(vecCol))
       .unionByName(idxTouched.select(col(idCol), col(vecCol)))
+      .unionByName(farVecs)
     val pairs = int8PairsFromRouted(routedAll, corpus, idCol, vecCol,
       threshold, chunkSize)
     // keep only pairs touching the delta (bucket-local index-index
