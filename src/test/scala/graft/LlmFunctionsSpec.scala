@@ -133,6 +133,12 @@ class LlmFunctionsSpec extends AnyFunSuite {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
+    // drain events already queued by the reference actions above: the
+    // bus delivers asynchronously, so under full-suite load an earlier
+    // action's success event can otherwise arrive AFTER registration
+    // and be counted against the probe (observed flake, r13)
+    org.apache.spark.GraftListenerBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext)
     spark.listenerManager.register(listener)
     try {
       val (blowup, density) =

@@ -62,6 +62,7 @@ MAINS = {
     "src/main/scala/graft/ScaleGen.scala": ["SCALE_r*.json"],
     "src/main/scala/graft/SaltProfile.scala": [],
     "src/main/scala/graft/CosProfile.scala": [],
+    "src/main/scala/graft/QueryProfile.scala": [],
     "src/main/scala/graft/ShardBatchProfile.scala": ["SCALE_r*_batch.json"],
     "src/main/scala/graft/AppendProfile.scala": ["SCALE_r*_append.json"],
 }
