@@ -2,8 +2,8 @@ package graft
 
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
-  SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+  SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Per-query profiling harness (optimization-guide §1: measure first).
   *
@@ -30,14 +30,39 @@ object QueryProfile {
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_QPROF_JOBS=1 additionally prints one line per Spark
+    // job (callsite, wall, summed task time, task count) — the drill-
+    // down that locates WHICH action inside a multi-job query burns the
+    // time the summary row reports.
+    val perJob = sys.env.get("SPARK_GRAFT_QPROF_JOBS").contains("1")
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val taskTimeMs = new AtomicLong(0)
     val shufRead = new AtomicLong(0)
     val shufWrite = new AtomicLong(0)
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobTask = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        if (perJob) {
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          jobStart.put(j.jobId, (System.nanoTime(), site))
+          j.stageIds.foreach(s => stageJob.put(s, j.jobId))
+        }
+        ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        if (perJob) {
+          val (t0, site) = jobStart.getOrDefault(j.jobId, (0L, "?"))
+          val (tt, nt) = jobTask.getOrDefault(j.jobId, (0L, 0L))
+          if (t0 > 0)
+            println(f"[qprof-job]   #${j.jobId}%-4d " +
+              f"${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+              f"task ${tt / 1e3}%7.2f s  n=$nt%-5d $site%s")
+        }
+        ()
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
@@ -46,6 +71,14 @@ object QueryProfile {
           taskTimeMs.addAndGet(m.executorRunTime)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          if (perJob) {
+            val jid = stageJob.getOrDefault(sc.stageInfo.stageId, -1)
+            if (jid >= 0) {
+              jobTask.merge(jid,
+                (m.executorRunTime, sc.stageInfo.numTasks.toLong),
+                (a, b) => (a._1 + b._1, a._2 + b._2))
+            }
+          }
         }
         ()
       }

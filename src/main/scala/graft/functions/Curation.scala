@@ -41,7 +41,10 @@ object Curation {
     * punctuation ratio, optional predicted-language equality. */
   def qualityGate(docs: DataFrame, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val base = docs.filter(
+    // per-row token/punct/lang scoring runs in the scan's map tasks —
+    // spread a single-split corpus (pure filters; Spread.across is a
+    // no-op at scale and on already-parallel inputs)
+    val base = Spread.across(docs).filter(
       TextAnalysis.wsTokenCount(col(textCol)) >= cfg.minTokens &&
         TextAnalysis.punctRatio(col(textCol)) <= cfg.maxPunctRatio)
     cfg.lang.fold(base)(l =>

@@ -56,7 +56,7 @@ object Decontam {
   def contamination(corpus: DataFrame, bench: DataFrame, textCol: String,
       idCol: String, n: Int = 3, flagThreshold: Double = 0.2): DataFrame =
     withScore(
-      corpus
+      Spread.across(corpus)
         .select(col(idCol), explode(distinctShingles(textCol, n)).as("__sh"))
         .join(broadcast(benchShingleSet(bench, textCol, n)
           .withColumn("__hit", lit(1))), Seq("__sh"), "left")

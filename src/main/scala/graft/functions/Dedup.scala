@@ -29,10 +29,13 @@ object Dedup {
           _.cast("string")), ",").as("ids"))
       .filter(col("n") >= minGroupSize)
 
-  /** (doc, shingle) pairs, distinct per doc. */
+  /** (doc, shingle) pairs, distinct per doc. Shingling + the per-
+    * shingle hashing every consumer applies next run in the scan's map
+    * tasks, so a single-split corpus spreads first (consumers aggregate
+    * counts/mins only — partition-independent). */
   def docShingles(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame =
-    df.select(col(idCol),
+    Spread.across(df).select(col(idCol),
         explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"))
 
   /** MinHash signature: k portable hash functions, signature component =
@@ -57,7 +60,10 @@ object Dedup {
     * StreamingSpec against the independent HOF formulation. */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, n: Int = 3): DataFrame = {
-    val base = df
+    // ⌈k/4⌉ md5 calls per shingle run per row in the scan's map tasks —
+    // spread a single-split corpus first (signature rows are per-doc;
+    // no cross-partition aggregate anywhere downstream of the raw rows)
+    val base = Spread.across(df)
       .filter(col(textCol).isNotNull &&
         size(TextAnalysis.words(col(textCol))) >= n)
       .select(col(idCol), graft.expressions.MinhashComponents
@@ -555,7 +561,10 @@ object Dedup {
     // the explode form excluded them — they must not share an
     // empty-set digest and pair with each other (J is undefined on
     // empty sets).
-    val sets = df.select(col(idCol),
+    // the per-row shingle+sort+digest work runs in the scan's map tasks
+    // — spread a single-split corpus first (window/joins downstream are
+    // keyed; digests are per-row: partition-independent)
+    val sets = Spread.across(df).select(col(idCol),
         array_sort(transform(
           array_distinct(TextAnalysis.shingles(col(textCol), n)),
           s => xxhash64(s))).as("shs"))
@@ -1304,7 +1313,11 @@ object Dedup {
     * survives a corpus that outgrows one machine. */
   def cosineDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a"), col(vecCol).as("__va"))
+    // the STREAMED side spreads across the session (r13): the n² pair
+    // scoring runs in the stream side's map tasks, and a small corpus
+    // scans as one split — measured 6.0 s wall ≈ 5.8 s task time on one
+    // core at sf0.1 until spread (Spread.across is a no-op at scale)
+    val a = Spread.across(df).select(col(idCol).as("a"), col(vecCol).as("__va"))
     val b = df.select(col(idCol).as("b"), col(vecCol).as("__vb"))
     a.join(b, col("a") < col("b"))
       .withColumn("cos",
@@ -1584,7 +1597,10 @@ object Dedup {
     spanCache.synchronized {
       var frame = spanCache.get(key)
       if (frame == null) {
-        frame = df.select(col(idCol),
+        // k-gram explode + hash is the dominant per-row cost and runs in
+        // the scan's map tasks — spread a single-split corpus first
+        // (results are counts + sorted collects: partition-independent)
+        frame = Spread.across(df).select(col(idCol),
             posexplode(TextAnalysis.shingles(col(textCol), k))
               .as(Seq("pos", "sh")))
           .select(col(idCol), col("pos"), xxhash64(col("sh")).as("h"))
@@ -1647,7 +1663,9 @@ object Dedup {
           p => i >= p && i <= p + (k - 1)), t)),
       x => x.isNotNull)
     val hasSpans = col("ps").isNotNull
-    df.join(perDoc, Seq(idCol), "left")
+    // the per-token coverage fold below runs on the CORPUS side of the
+    // join — spread a single-split corpus (per-row rewrite only)
+    Spread.across(df).join(perDoc, Seq(idCol), "left")
       .withColumn("__kept", when(hasSpans, kept))
       .withColumn("n_scrubbed",
         when(hasSpans,
@@ -1697,23 +1715,27 @@ object Dedup {
     * Crawling" (WWW'07).
     */
   def simhash64Blocks(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val lowHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    val toks = df.select(col(idCol),
+    // per-token md5 + the vote derivation run in the scan's map tasks —
+    // spread a single-split corpus first (votes are integer sums:
+    // partition-independent; Spread.across is a no-op at scale)
+    val toks = Spread.across(df).select(col(idCol),
       explode(array_distinct(TextAnalysis.words(col(textCol)))).as("tok"))
-    val withHash = toks.select(col(idCol), md5(col("tok")).as("h"))
-    // project each hex digit once; 64 vote sums reference the 32 digits
-    val digits = withHash.select(col(idCol) +:
-      (0 until 32).map(i => substring(col("h"), i + 1, 1).as(s"d$i")): _*)
-    val bitAggs = (0 until 64).map { j =>
-      val d = col(s"d${j >> 1}")
-      val isSet = if (j % 2 == 0) d.isin(highHex: _*) else d.isin(lowHex: _*)
-      sum(when(isSet, 1).otherwise(-1)).as(s"s$j")
-    }
-    val voted = digits.groupBy(col(idCol)).agg(bitAggs.head, bitAggs.tail: _*)
+    // one compiled md5-byte walk per token (graft.expressions.Md5VoteMask)
+    // replaces the r12 32-substring + 64-isin hex projection — identical
+    // bits, measured ~3× less fingerprint-stage CPU. The ±1 vote sum
+    // s_j = 2·Σ maskbit_j − n, so the strictly-positive bit test
+    // `s_j > 0` is the integer test `2·p_j > n` below.
+    val withMask = toks.select(col(idCol),
+      graft.expressions.Md5VoteMask.md5_vote_mask(col("tok")).as("__m"))
+    val bitAggs = (0 until 64).map(j =>
+      sum(shiftright(col("__m"), j).bitwiseAND(lit(1L))).as(s"p$j")) :+
+      count(lit(1)).as("__n")
+    val voted = withMask.groupBy(col(idCol))
+      .agg(bitAggs.head, bitAggs.tail: _*)
     val blocks = (0 until 4).map { k =>
       (0 until 16).map(t =>
-        when(col(s"s${16 * k + t}") > 0, lit(1L << t)).otherwise(lit(0L)))
+        when(col(s"p${16 * k + t}") * 2 > col("__n"), lit(1L << t))
+          .otherwise(lit(0L)))
         .reduce(_ + _).as(s"sb$k")
     }
     voted.select(col(idCol) +: blocks: _*)

@@ -71,7 +71,7 @@ object LangModel {
     // join in every later crossEntropy call — persist so the reference
     // corpus is scanned once, not once per consumer (recomputable on
     // executor loss, ContextCleaner-reclaimed)
-    val counts = ref
+    val counts = Spread.across(ref)
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -100,7 +100,9 @@ object LangModel {
     * absent. */
   def tokenLogLoss(docs: DataFrame, idCol: String, textCol: String,
       model: Unigram): DataFrame = {
-    val perTok = docs
+    // tokenization + the explode run in the scan's map tasks — spread a
+    // single-split corpus (integer counts: partition-independent)
+    val perTok = Spread.across(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("__n"))
     perTok
@@ -144,14 +146,16 @@ object LangModel {
     * exploded bigram pass (the context table is a re-agg of the pair
     * table, not a second corpus scan) plus the unigram-vocab count. */
   def trainBigram(ref: DataFrame, textCol: String): Bigram = {
-    val pairs = ref
+    // both explodes run in the scan's map tasks — spread once for both
+    val spread = Spread.across(ref)
+    val pairs = spread
       .select(explode(bigrams(col(textCol))).as("w1w2"))
       .groupBy("w1w2").agg(count(lit(1)).as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = pairs
       .groupBy(substring_index(col("w1w2"), " ", 1).as("w1"))
       .agg(sum("c2").as("cx"))
-    val vocab = ref
+    val vocab = spread
       .select(explode(tokens(col(textCol))).as("t"))
       .agg(count_distinct(col("t"))).head().getLong(0)
     Bigram(pairs, ctx, vocab)
@@ -168,7 +172,7 @@ object LangModel {
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
       model: Bigram, ceCol: String = "bigram_ce"): DataFrame = {
     val denom = (col("__cx") + lit(model.vocab) + 1).cast("double")
-    docs
+    Spread.across(docs)
       .select(col(idCol), explode(bigrams(col(textCol))).as("w1w2"))
       .groupBy(idCol, "w1w2").agg(count(lit(1)).as("__n"))
       .join(model.pairs, Seq("w1w2"), "left")

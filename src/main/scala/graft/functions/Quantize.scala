@@ -91,8 +91,12 @@ object Quantize {
 
     def subCol(s: Int): Column =
       transform(slice(col(vecCol), s * dsub + 1, dsub), _.cast("double"))
+    // the sliced frame feeds the seed scan plus one assignment pass per
+    // Lloyd iteration — persist it once instead of re-reading (and
+    // re-slicing) the source per pass (released before returning)
     val base = df.select(
       col(idCol) +: (0 until m).map(s => subCol(s).as(s"__sub$s")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // init: the ksub md5-smallest rows seed every sub-space (a corpus
     // smaller than ksub just trains a smaller effective codebook)
@@ -133,6 +137,7 @@ object Quantize {
       }
       bcs.foreach(_.destroy())
     }
+    base.unpersist(blocking = false)
 
     books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (v, i) => (s, i + 1, v.toSeq) }

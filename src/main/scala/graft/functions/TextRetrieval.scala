@@ -44,7 +44,10 @@ object TextRetrieval {
 
   def buildBm25(docs: DataFrame, idCol: String,
       textCol: String): Bm25Index = {
-    val postings = docs
+    // tokenization + the explode run in the scan's map tasks — spread a
+    // single-split corpus first (postings are integer counts:
+    // partition-independent; Spread.across is a no-op at scale)
+    val postings = Spread.across(docs)
       .select(col(idCol).as("doc"),
         explode(tokens(col(textCol))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))

@@ -381,7 +381,8 @@ object CorpusQueries extends QueryPack {
         lit("</p><br/>"),
         lit("&quot;q&quot; &amp;lt; &nbsp;&#39;a&#39; &gt;"),
         lit("</body></html>"))
-      Tables.load(s, dir, "documents")
+      // per-row HTML strip dominates — spread the single-split corpus
+      graft.functions.Spread.across(Tables.load(s, dir, "documents"))
         .select(col("doc_id"),
           LineClean.stripHtml(aug).as("__clean"))
         .select(col("doc_id"), length(col("__clean")).as("n_clean"),
@@ -466,7 +467,8 @@ object CorpusQueries extends QueryPack {
       import graft.functions.QualityClassifier
       val m = QualityClassifier.QualityModel(
         Seq(3.0, -0.1, -5.0, 1.5), bias = -0.5)
-      Tables.load(s, dir, "documents")
+      // per-row feature extraction dominates — spread the corpus scan
+      graft.functions.Spread.across(Tables.load(s, dir, "documents"))
         .select(col("doc_id"),
           QualityClassifier.score(col("text"), m).as("q_score"))
         .withColumn("keep", (col("q_score") >= 0.6).cast("int"))
@@ -505,7 +507,8 @@ object CorpusQueries extends QueryPack {
     // per-document; chunk text re-joined with single spaces so both
     // engines hash identical bytes.
     QueryDef("q_chunk_docs", (s, dir) => {
-      Curation.chunkDocs(Tables.load(s, dir, "documents"),
+      Curation.chunkDocs(
+          graft.functions.Spread.across(Tables.load(s, dir, "documents")),
           "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
         .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))

@@ -69,7 +69,11 @@ object GovernanceQueries extends QueryPack {
     * is still hash-checkable. */
   private def plantedLinesDf(docs: org.apache.spark.sql.DataFrame) = {
     import graft.functions.TextAnalysis
-    docs
+    // the per-row line rebuild + every line op downstream runs in the
+    // scan's map tasks — spread a single-split corpus (Spread.across is
+    // a no-op at scale; downstream aggregates are integer counts /
+    // keyed windows, partition-independent)
+    graft.functions.Spread.across(docs)
       // null text coalesces to '' BEFORE splitting on both engines —
       // without it Spark's concat_ws skips the null array (footer-only
       // text) while DuckDB's || propagates NULL, and the hashes split
@@ -140,8 +144,10 @@ object GovernanceQueries extends QueryPack {
 
     // ---- PII detection + redaction ----------------------------------
     QueryDef("q_pii_redact", (s, dir) => {
+      // per-row regex scans dominate — spread the single-split corpus
       Pii.piiReport(
-          Tables.load(s, dir, "documents").withColumn("aug", augCol),
+          graft.functions.Spread.across(Tables.load(s, dir, "documents"))
+            .withColumn("aug", augCol),
           "aug", "doc_id")
         .orderBy("doc_id")
     }, Some(
@@ -739,7 +745,8 @@ object GovernanceQueries extends QueryPack {
     // ---- boilerplate mining (top n-grams by document frequency) -----
     QueryDef("q_top_ngrams", (s, dir) => {
       Decontam.topShinglesByDf(
-        Tables.load(s, dir, "documents"), "text", n = 3, k = 20)
+        graft.functions.Spread.across(Tables.load(s, dir, "documents")),
+        "text", n = 3, k = 20)
     }, Some(
       s"""WITH ${OracleSql.docShingleCte}
           SELECT sh AS shingle, count(*) AS df FROM sh

@@ -159,7 +159,8 @@ object LlmQueries extends QueryPack {
 
     // ---- language ID ------------------------------------------------
     QueryDef("q_lang_id", (s, dir) => {
-      Tables.load(s, dir, "documents")
+      // per-row stopword-profile scoring dominates — spread the scan
+      graft.functions.Spread.across(Tables.load(s, dir, "documents"))
         .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred")
@@ -416,7 +417,11 @@ object LlmQueries extends QueryPack {
         s0 => array_contains(w, s0)))
       val dupf = lit(1.0) -
         size(array_distinct(w)).cast("double") / n
-      val docs = Tables.load(s, dir, "documents")
+      // per-row HOF rule evaluation + the shingle explode dominate —
+      // spread the single-split corpus (count/max integer aggregates
+      // only: partition-independent)
+      val docs = graft.functions.Spread.across(
+        Tables.load(s, dir, "documents"))
       // corpus-wide top-3-gram term RELATIONALLY (explode → per-(doc,
       // shingle) count → max of count×chars): one shuffle with map-side
       // combine — the q_top_ngrams shape. The per-row array-lambda scan
@@ -1063,13 +1068,23 @@ object LlmQueries extends QueryPack {
         "embedding", cents, k = 5, probes = 8)
       val exact = Similarity.knnJoin(queries, emb, "vec_id", "vec_id",
         "embedding", k = 5)
-      val hits = ann.select("query_id", "neighbor_id")
+      // the four gate counts are independent actions — run them
+      // concurrently (guide §2.6); each is a deterministic count over
+      // its own plan, so the flags are unchanged
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val hitsF = Future(ann.select("query_id", "neighbor_id")
         .join(exact.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi").count()
-      val total = exact.count()
-      val nq = queries.count()
-      val selfOk = ann.filter(
-        col("query_id") === col("neighbor_id")).count() == nq
+          Seq("query_id", "neighbor_id"), "left_semi").count())
+      val totalF = Future(exact.count())
+      val nqF = Future(queries.count())
+      val selfF = Future(ann.filter(
+        col("query_id") === col("neighbor_id")).count())
+      val hits = Await.result(hitsF, Duration.Inf)
+      val total = Await.result(totalF, Duration.Inf)
+      val nq = Await.result(nqF, Duration.Inf)
+      val selfOk = Await.result(selfF, Duration.Inf) == nq
       Seq((nq, 5, 8,
           if (hits.toDouble / total >= 0.6) 1 else 0,
           if (selfOk) 1 else 0))

@@ -162,18 +162,27 @@ object VectorQueries extends QueryPack {
     // IvfStore.writePqTrained.
     QueryDef("q_pq_search", (s, dir) => {
       import s.implicits._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val emb = Tables.load(s, dir, "embeddings")
-      val n = emb.count()
+      // independent driver actions run concurrently (guide §2.6): the
+      // corpus count and the exact top-k overlap the PQ training loop;
+      // every value is a deterministic function of its own plan
+      val nF = Future(emb.count())
+      val exactF = Future(
+        Similarity.topKCosine(emb, "vec_id", "embedding", 3L, 10)
+          .collect().map(_.getLong(0)).toSet)
       val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8,
         ksub = 32, iters = 3)
       val codes = Quantize.pqEncode(emb, "embedding", cb)
       val qv = emb.filter(col("vec_id") === 3L)
         .select("embedding").head().getSeq[Float](0)
-      val exact = Similarity.topKCosine(emb, "vec_id", "embedding", 3L, 10)
-        .collect().map(_.getLong(0)).toSet
       val got = Quantize.pqSearchRerank(emb, "vec_id", "embedding",
           codes, "pq_code", cb, qv, k = 10, shortlist = 100)
         .collect().map(_.getLong(0)).toSet
+      val n = Await.result(nF, Duration.Inf)
+      val exact = Await.result(exactF, Duration.Inf)
       val recall = (exact intersect got).size.toDouble / exact.size
       Seq((n, 10, 100,
           if (recall >= 0.5) 1 else 0,
@@ -205,14 +214,21 @@ object VectorQueries extends QueryPack {
       // encode scorers run one corpus pass, not one per branch
       val codes = Quantize.pqEncode(emb, "embedding", cb)
         .select("vec_id", "pq_code").cache()
-      val got = Quantize.pqKnnJoin(codes.filter(col("vec_id") < 30),
+      // the SDC join and the exact baseline are independent actions —
+      // run them concurrently (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gotF = Future(Quantize.pqKnnJoin(codes.filter(col("vec_id") < 30),
           codes, "vec_id", "vec_id", "pq_code", cb, k = 5)
         .select("query_id", "neighbor_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = Similarity.knnJoin(emb.filter(col("vec_id") < 30), emb,
-          "vec_id", "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val exactF = Future(Similarity.knnJoin(emb.filter(col("vec_id") < 30),
+          emb, "vec_id", "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val got = Await.result(gotF, Duration.Inf)
+      val exact = Await.result(exactF, Duration.Inf)
       val recall = (exact intersect got).size.toDouble / exact.size
       val selfIn = got.count { case (a, b) => a == b }
       codes.unpersist(blocking = false)
@@ -279,16 +295,23 @@ object VectorQueries extends QueryPack {
         ksub = 32, iters = 3)
       val codes = Quantize.pqEncode(emb, "embedding", cb)
         .select("vec_id", "pq_code").cache()
-      val minRecall = Seq(0L, 3L, 7L, 11L).map { qid =>
-        val qv = emb.filter(col("vec_id") === qid)
-          .select("embedding").head().getSeq[Float](0)
-        val exact = Similarity.topKCosine(emb, "vec_id", "embedding",
-          qid, 10).collect().map(_.getLong(0)).toSet
-        val got = Quantize.pqSearchRerank(emb, "vec_id", "embedding",
-            codes, "pq_code", cb, qv, k = 10, shortlist = 100)
-          .collect().map(_.getLong(0)).toSet
-        (exact intersect got).size.toDouble / exact.size
-      }.min
+      // the four query ids are independent search+recall measurements —
+      // run them concurrently (guide §2.6); per-qid results and the min
+      // are unchanged
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val minRecall = Await.result(
+        Future.traverse(Seq(0L, 3L, 7L, 11L)) { qid => Future {
+          val qv = emb.filter(col("vec_id") === qid)
+            .select("embedding").head().getSeq[Float](0)
+          val exact = Similarity.topKCosine(emb, "vec_id", "embedding",
+            qid, 10).collect().map(_.getLong(0)).toSet
+          val got = Quantize.pqSearchRerank(emb, "vec_id", "embedding",
+              codes, "pq_code", cb, qv, k = 10, shortlist = 100)
+            .collect().map(_.getLong(0)).toSet
+          (exact intersect got).size.toDouble / exact.size
+        }}, Duration.Inf).min
       codes.unpersist(blocking = false)
       emb.unpersist(blocking = false)
       Seq((n, nc, if (minRecall >= 0.9) 1 else 0))
@@ -309,14 +332,20 @@ object VectorQueries extends QueryPack {
         ksub = 32, iters = 3)
       val codes = Quantize.pqEncode(emb, "embedding", cb)
         .select("vec_id", "pq_code").cache()
-      val got = Quantize.pqKnnJoin(codes.filter(col("vec_id") < 30),
+      // independent actions run concurrently (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gotF = Future(Quantize.pqKnnJoin(codes.filter(col("vec_id") < 30),
           codes, "vec_id", "vec_id", "pq_code", cb, k = 5)
         .select("query_id", "neighbor_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = Similarity.knnJoin(emb.filter(col("vec_id") < 30), emb,
-          "vec_id", "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val exactF = Future(Similarity.knnJoin(emb.filter(col("vec_id") < 30),
+          emb, "vec_id", "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val got = Await.result(gotF, Duration.Inf)
+      val exact = Await.result(exactF, Duration.Inf)
       val recall = (exact intersect got).size.toDouble / exact.size
       val selfIn = got.count { case (a, b) => a == b }
       codes.unpersist(blocking = false)
@@ -348,11 +377,17 @@ object VectorQueries extends QueryPack {
           .groupBy(_._1).iterator.flatMap { case (_, rows) =>
             rows.sortBy(_._3).take(5).map(t => (t._1, t._2))
           }.toSet
-      val exact = topNoSelf(emb.filter(col("vec_id") < 20), emb,
-        "embedding")
+      // independent actions run concurrently (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val exactF = Future(topNoSelf(emb.filter(col("vec_id") < 20), emb,
+        "embedding"))
       val pr = Similarity.randomProject(emb, "embedding", dim, 16)
         .select(col("vec_id"), col("proj")).cache()
-      val got = topNoSelf(pr.filter(col("vec_id") < 20), pr, "proj")
+      val gotF = Future(topNoSelf(pr.filter(col("vec_id") < 20), pr, "proj"))
+      val exact = Await.result(exactF, Duration.Inf)
+      val got = Await.result(gotF, Duration.Inf)
       val overlap = (exact intersect got).size.toDouble / exact.size
       pr.unpersist(blocking = false)
       emb.unpersist(blocking = false)

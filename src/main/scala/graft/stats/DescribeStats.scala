@@ -41,7 +41,18 @@ object DescribeStats {
   }
 
   /** Single-pass describe where `quantileOf` supplies the per-column
-    * 25/50/75% aggregate expression. */
+    * 25/50/75% aggregate expression.
+    *
+    * Deliberately NOT input-spread (r13, measured): the exact
+    * `percentile`'s cost is its value→count map, and a single-group
+    * aggregate merges every partial map in ONE final task — spreading a
+    * single-split scan just adds a corpus shuffle ahead of the same
+    * serial merge (measured 2.5 s → 3.2 s on the 600k-row column at
+    * sf0.1). High-cardinality columns belong to `describeSorted` /
+    * `describeApprox` by this object's own dispatch note; the sketch
+    * engines additionally must keep the input's own layout because
+    * their mergeable states shift estimates under a different merge
+    * order by more than the output rounding absorbs. */
   private def aggDescribe(df: DataFrame, cols: Seq[String],
       quantileOf: Column => Column): DataFrame = {
     require(cols.nonEmpty, "describe needs at least one column")
@@ -214,10 +225,21 @@ object DescribeStats {
     require(cols.nonEmpty, "describe needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
+    // the moment pass and each column's sort+select chain are
+    // INDEPENDENT actions — submit them concurrently so the later
+    // jobs' tasks back-fill the earlier jobs' straggler tails
+    // (optimization guide §2.6); each column's quantile values are a
+    // pure function of its own sorted data, so results are unchanged
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val aggs = cols.flatMap(c => momentAggs(c, None))
-    val m = df.agg(aggs.head, aggs.tail: _*).collect().head
-    val quantiles = cols.map(c =>
-      c -> exactQuantilesSorted(df, c, Seq(0.25, 0.5, 0.75))).toMap
+    val mF = Future(df.agg(aggs.head, aggs.tail: _*).collect().head)
+    val qFs = cols.map(c =>
+      c -> Future(exactQuantilesSorted(df, c, Seq(0.25, 0.5, 0.75))))
+    val m = Await.result(mF, Duration.Inf)
+    val quantiles = qFs.map { case (c, f) =>
+      c -> Await.result(f, Duration.Inf) }.toMap
     def opt(r: Row, field: String): Option[Double] =
       if (r.isNullAt(r.fieldIndex(field))) None
       else Some(r.get(r.fieldIndex(field)) match {

@@ -124,19 +124,29 @@ class LlmFunctionsSpec extends AnyFunSuite {
     // count ACTIONS (query executions), not scheduler jobs — AQE
     // legitimately materializes each shuffle stage as its own job, so
     // job count measures the optimizer, not the dispatcher
+    // count only PROBE executions: suites run in parallel in one JVM on
+    // a shared session, so a concurrent suite's action (or a stale
+    // async event from the reference actions above) would otherwise be
+    // counted against the probe — observed as a 1-in-full-suite flake
+    // (r13). The probe's fused plan is the only one carrying BOTH
+    // union-leg markers; the r7 two-probe regression this spec guards
+    // against would produce TWO such executions, so the guard's power
+    // is unchanged.
     val execs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = { execs.incrementAndGet(); () }
+          durationNs: Long): Unit = {
+        val p = qe.analyzed.toString
+        if (p.contains("freq") && p.contains("dens")) execs.incrementAndGet()
+        ()
+      }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
-    // drain events already queued by the reference actions above: the
-    // bus delivers asynchronously, so under full-suite load an earlier
-    // action's success event can otherwise arrive AFTER registration
-    // and be counted against the probe (observed flake, r13)
+    // drain events already queued by the reference actions above so a
+    // late-delivered marker-bearing event cannot leak in
     org.apache.spark.GraftListenerBridge
       .waitUntilListenerBusEmpty(spark.sparkContext)
     spark.listenerManager.register(listener)
