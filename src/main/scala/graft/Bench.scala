@@ -102,6 +102,16 @@ object Bench {
     // queries_min stat were lost), and a file survives truncation
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_FULL.json")
+    // Compact FINAL summary line (r14 — VERDICT r13 item 1): with 130+
+    // queries the full contract line above runs ~20 KB, and the driver's
+    // log capture keeps only a ~2000-char tail, so BENCH_r10–r13 all
+    // shipped `parsed: null` (a headless JSON fragment). This second
+    // line is ≤300 chars — it survives any tail window — and repeats
+    // the headline fields (total seconds, pass/query counts, commit,
+    // sf); per-query medians/mins/passes stay in the full line above
+    // and in the `queries_file` artifact. Nothing was removed from the
+    // full line, so existing consumers are unchanged.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"n_queries":${names.length},${BenchUtil.commitJsonFields(compact = true)},"pass_totals":$passTotals,"queries_file":"$outPath","sf":"$sfDir"}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Exception =>

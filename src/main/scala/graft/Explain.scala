@@ -13,13 +13,11 @@ object Explain {
     // session's parallelism — scale-adaptive operators (Spread.across)
     // plan differently at different session widths by design
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the CANONICAL session config (r14): captured plans must reflect
+    // the bench/production session — a privately-configured session
+    // here silently diverged from GraftSession when r14 added an
+    // optimizer-rule exclusion
+    val spark = GraftSession.builder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"===== $n =====")

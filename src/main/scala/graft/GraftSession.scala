@@ -137,6 +137,22 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+      // isnotnull(e)` below every explode and predicate pushdown then
+      // INLINES the full generator expression into the scan's Filter —
+      // for the shingle/bigram explodes that is TWO extra evaluations
+      // of a tree that regex-splits the text ~6 times per copy, read
+      // directly off the r14 q_ngram_jaccard executed plan (DataFilters
+      // carrying the whole zip_with chain). The inferred filter only
+      // pre-drops rows the Generate drops in the same stage anyway
+      // (outer=false explode of an empty/null array emits nothing), so
+      // on this engine's plans it is pure per-row cost: results are
+      // bit-identical with the rule excluded (oracle 133/133 re-run)
+      // and the text family loses its largest remaining per-row
+      // expression tax. Scale-independent: the exclusion removes work
+      // per row regardless of corpus size.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .withExtensions(new GraftExtensions)
     sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").foreach(n =>
       b.config(

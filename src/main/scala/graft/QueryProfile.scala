@@ -91,7 +91,12 @@ object QueryProfile {
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
-        Thread.sleep(300) // let the listener bus drain the warmup events
+        // deterministic drain (r14, ADVICE r13): block until every
+        // already-posted warmup/previous-query event is delivered
+        // before resetting the counters — a fixed sleep raced late
+        // events under load
+        org.apache.spark.GraftBusBridge.waitUntilListenerBusEmpty(
+          spark.sparkContext)
         jobs.set(0); stages.set(0); taskTimeMs.set(0)
         shufRead.set(0); shufWrite.set(0)
         val t0 = System.nanoTime()
@@ -99,7 +104,10 @@ object QueryProfile {
         val t1 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
         val t2 = System.nanoTime()
-        Thread.sleep(300)
+        // same deterministic drain before READING the counters, so the
+        // timed query's own trailing events are all counted
+        org.apache.spark.GraftBusBridge.waitUntilListenerBusEmpty(
+          spark.sparkContext)
         println(f"[qprof] $name%-32s ${(t1 - t0) / 1e9}%7.2f" +
           f"${(t2 - t1) / 1e9}%7.2f ${jobs.get}%4d ${stages.get}%6d" +
           f" ${taskTimeMs.get / 1e3}%8.2f ${shufRead.get / 1e6}%9.2f" +

@@ -576,7 +576,15 @@ object Curation {
     import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     val spark = docs.sparkSession
+    // the scored frame feeds THREE computations — the global-bounds
+    // probe here, the per-(group, sub-bucket) count gather below, and
+    // the returned assignment plan; without a persist each one re-runs
+    // the caller's whole scoring chain (q_ppl_buckets re-trained and
+    // re-scored its LM per action — r14, guide §5). Persisted
+    // MEMORY_AND_DISK; released by ContextCleaner when the result frame
+    // drops (the klTerms contract — the returned plan still reads it).
     val scored = docs.filter(col(scoreCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = spark.sessionState.conf.numShufflePartitions
     val fracs = (1 until nb).map(_.toDouble / nb)
     val bRow = scored.select(percentile_approx(col(scoreCol).cast("double"),

@@ -28,15 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Distinct word-n-gram shingles of `textCol` (the one shingle
-    * expression every op in this object derives from). */
-  private def distinctShingles(textCol: String, n: Int): Column =
-    array_distinct(TextAnalysis.shingles(col(textCol), n))
+  /** (id, exploded distinct shingle) with the regex split materialized
+    * once per row (r14 — the single-select form re-ran split(text) at
+    * every reference inside the Generate; see
+    * TextAnalysis.shinglesFromWords). */
+  private def explodedShingles(df: DataFrame, textCol: String,
+      idCols: Seq[Column], n: Int): DataFrame =
+    df.select(idCols :+ TextAnalysis.words(col(textCol)).as("__w"): _*)
+      .select(idCols :+ explode(array_distinct(
+        TextAnalysis.shinglesFromWords(col("__w"), n))).as("__sh"): _*)
 
   /** Exploded distinct benchmark shingle set (one row per shingle). */
   private def benchShingleSet(bench: DataFrame, textCol: String,
       n: Int): DataFrame =
-    bench.select(explode(distinctShingles(textCol, n)).as("__sh")).distinct()
+    explodedShingles(bench, textCol, Seq.empty, n).distinct()
 
   /** The shared report tail: overlap fraction rounded to 6 dp and the
     * 0/1 flag compared on the ROUNDED fraction, so an oracle
@@ -56,8 +61,7 @@ object Decontam {
   def contamination(corpus: DataFrame, bench: DataFrame, textCol: String,
       idCol: String, n: Int = 3, flagThreshold: Double = 0.2): DataFrame =
     withScore(
-      Spread.across(corpus)
-        .select(col(idCol), explode(distinctShingles(textCol, n)).as("__sh"))
+      explodedShingles(Spread.across(corpus), textCol, Seq(col(idCol)), n)
         .join(broadcast(benchShingleSet(bench, textCol, n)
           .withColumn("__hit", lit(1))), Seq("__sh"), "left")
         .select(col(idCol), col("__hit"))
@@ -92,10 +96,11 @@ object Decontam {
     require(benchSh.length <= maxBenchShingles,
       s"benchmark shingle set exceeds $maxBenchShingles (per-row cost " +
         "is O(bench)) — use the batch contamination() join instead")
-    val sh = distinctShingles(textCol, n)
     withScore(
       corpus
-        .select(col(idCol), sh.as("__shd"))
+        .select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"))
+        .select(col(idCol), array_distinct(
+          TextAnalysis.shinglesFromWords(col("__w"), n)).as("__shd"))
         .filter(size(col("__shd")) > 0)
         .select(col(idCol),
           size(array_intersect(col("__shd"), typedlit(benchSh.toSeq)))
@@ -115,8 +120,8 @@ object Decontam {
     */
   def topShinglesByDf(docs: DataFrame, textCol: String, n: Int = 3,
       k: Int = 20): DataFrame =
-    docs
-      .select(explode(distinctShingles(textCol, n)).as("shingle"))
+    explodedShingles(docs, textCol, Seq.empty, n)
+      .select(col("__sh").as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("shingle"))
       .limit(k)

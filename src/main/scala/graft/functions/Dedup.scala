@@ -35,8 +35,14 @@ object Dedup {
     * counts/mins only — partition-independent). */
   def docShingles(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame =
-    Spread.across(df).select(col(idCol),
-        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"))
+    // two-step projection: the regex split materializes ONCE per row as
+    // __w, then the shingle tree references the attribute (r14 — the
+    // single-select form inlined split(text) at all ~6 references
+    // inside the Generate; see TextAnalysis.shinglesFromWords)
+    Spread.across(df)
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"))
+      .select(col(idCol), explode(array_distinct(
+        TextAnalysis.shinglesFromWords(col("__w"), n))).as("sh"))
 
   /** MinHash signature: k portable hash functions, signature component =
     * min over the doc's shingles. Hash family: four 32-bit (8-hex-char)
@@ -182,14 +188,22 @@ object Dedup {
     * result scale path for corpora where Σ freq(shingle)² explodes. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // set sizes ride along via one window pass instead of a separate
-    // groupBy + two re-join steps, so the self-join's two sides are the
-    // identical subplan: ReuseExchange computes the shingle pipeline and
-    // its shuffle ONCE, and nothing is cached (a long-lived service
-    // would otherwise leak one pinned plan per call)
-    val sh = docShingles(df, textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("sh")).as("sh"))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    // set sizes are computed PER ROW before the explode (r14): sz is
+    // size(array_distinct(shingles)) — exactly what the old
+    // count-over-Window-by-id produced, minus the id-keyed
+    // exchange+sort the window forced on the full (doc, shingle) frame
+    // (the window key never matched the join's sh key, so that
+    // exchange was pure overhead). Both join sides remain the
+    // identical subplan, so ReuseExchange still computes the shingle
+    // pipeline once, and nothing is cached (a long-lived service would
+    // otherwise leak one pinned plan per call).
+    val sh = Spread.across(df)
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"))
+      .select(col(idCol), array_distinct(
+        TextAnalysis.shinglesFromWords(col("__w"), n)).as("__shd"))
+      .select(col(idCol), size(col("__shd")).as("sz"),
+        explode(col("__shd")).as("sh0"))
+      .select(col(idCol), xxhash64(col("sh0")).as("sh"), col("sz"))
     val a = sh.toDF("a", "sh", "sza")
     val b = sh.toDF("b", "sh", "szb")
     a.join(b, Seq("sh")).filter(col("a") < col("b"))
@@ -340,14 +354,27 @@ object Dedup {
     * debiasing. The probe's join costs ~1/slices² of the real join's
     * candidate work — the price of measuring instead of guessing.
     * Returns 0.0 when the slice has no candidate pairs. */
+  /** The 1/`slices` deterministic doc slice's hashed shingles with the
+    * per-doc distinct-set size riding per ROW (`sz` =
+    * size(array_distinct(shingles)) computed before the explode — r14;
+    * the old count-over-Window-by-id form produced the same number
+    * through an id-keyed exchange+sort of the slice). Shared by both
+    * density estimators so they cannot drift. */
+  private def sizedSliceShingles(df: DataFrame, textCol: String,
+      idCol: String, n: Int, slices: Int): DataFrame =
+    Spread.across(
+        df.filter(pmod(xxhash64(col(idCol)), lit(slices.toLong)) === 0L))
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"))
+      .select(col(idCol), array_distinct(
+        TextAnalysis.shinglesFromWords(col("__w"), n)).as("__shd"))
+      .select(col(idCol), size(col("__shd")).as("sz"),
+        explode(col("__shd")).as("sh0"))
+      .select(col(idCol), xxhash64(col("sh0")).as("sh"), col("sz"))
+
   def jaccardQualifyDensity(df: DataFrame, textCol: String,
       idCol: String, n: Int = 3, threshold: Double = 0.8,
       slices: Int = 16): Double = {
-    val sh = docShingles(
-        df.filter(pmod(xxhash64(col(idCol)), lit(slices.toLong)) === 0L),
-        textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("sh")).as("sh"))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val sh = sizedSliceShingles(df, textCol, idCol, n, slices)
       // same frequency cut as the fused probe's density leg (guard
       // comment in jaccardDispatchProbe) — the two estimators must stay
       // verbatim-identical or dispatch decisions drift between the
@@ -355,6 +382,7 @@ object Dedup {
       .withColumn("__f", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("__f") <= dispatchDensityFreqCap)
       .drop("__f")
+      .select(col(idCol), col("sh"), col("sz"))
     val a = sh.toDF("a", "sh", "sza")
     val b = sh.toDF("b", "sh", "szb")
     val agg = a.join(b, Seq("sh")).filter(col("a") < col("b"))
@@ -426,10 +454,7 @@ object Dedup {
       idCol: String, n: Int, threshold: Double,
       slices: Int = 16): (Double, Double) = {
     val p = 1.0 / slices
-    val sliceSh = docShingles(
-        df.filter(pmod(xxhash64(col(idCol)), lit(slices.toLong)) === 0L),
-        textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("sh")).as("sh"))
+    val sliceSh = sizedSliceShingles(df, textCol, idCol, n, slices)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val freqLeg = sliceSh.groupBy("sh").agg(count(lit(1)).as("c"))
@@ -455,10 +480,10 @@ object Dedup {
       // pins. Spec: a slice-degenerate boilerplate corpus probes in
       // sub-quadratic time with the decision unchanged.
       val sh = sliceSh
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
         .withColumn("__f", count(lit(1)).over(Window.partitionBy(col("sh"))))
         .filter(col("__f") <= dispatchDensityFreqCap)
         .drop("__f")
+        .select(col(idCol), col("sh"), col("sz"))
       val densLeg = sh.toDF("a", "sh", "sza")
         .join(sh.toDF("b", "sh", "szb"), Seq("sh"))
         .filter(col("a") < col("b"))
@@ -563,10 +588,14 @@ object Dedup {
     // empty sets).
     // the per-row shingle+sort+digest work runs in the scan's map tasks
     // — spread a single-split corpus first (window/joins downstream are
-    // keyed; digests are per-row: partition-independent)
-    val sets = Spread.across(df).select(col(idCol),
+    // keyed; digests are per-row: partition-independent). Two-step
+    // projection so the regex split runs once per row (r14, see
+    // TextAnalysis.shinglesFromWords).
+    val sets = Spread.across(df)
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"))
+      .select(col(idCol),
         array_sort(transform(
-          array_distinct(TextAnalysis.shingles(col(textCol), n)),
+          array_distinct(TextAnalysis.shinglesFromWords(col("__w"), n)),
           s => xxhash64(s))).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col(idCol), col("shs"),
@@ -1316,8 +1345,12 @@ object Dedup {
     // the STREAMED side spreads across the session (r13): the n² pair
     // scoring runs in the stream side's map tasks, and a small corpus
     // scans as one split — measured 6.0 s wall ≈ 5.8 s task time on one
-    // core at sf0.1 until spread (Spread.across is a no-op at scale)
-    val a = Spread.across(df).select(col(idCol).as("a"), col(vecCol).as("__va"))
+    // core at sf0.1 until spread (Spread.across is a no-op at scale).
+    // perRowCorpusScaled: every streamed row walks Θ(n) broadcast
+    // candidates, so compute — not input bytes — sizes the width
+    // (width 4 measured 2.7× slower than full width at sf0.1, r14)
+    val a = Spread.across(df, perRowCorpusScaled = true)
+      .select(col(idCol).as("a"), col(vecCol).as("__va"))
     val b = df.select(col(idCol).as("b"), col(vecCol).as("__vb"))
     a.join(b, col("a") < col("b"))
       .withColumn("cos",
@@ -1357,8 +1390,22 @@ object Dedup {
     * size — 50 covers any corpus that fits in storage) THROWS rather
     * than silently returning non-minimal labels (which would split one
     * component into several clusters). */
+  /** Edge-count gate for [[duplicateClusters]]' driver fast path: at or
+    * below this many (deduplicated, directed) edge rows the component
+    * labeling runs as a single driver-side union-find over the
+    * collected edge list instead of the iterative join loop. 500k edge
+    * rows of two longs is ~8 MB on the driver — the same bounded-
+    * metadata budget as Curation.quantileBuckets' offset gather — while
+    * the join loop at that size spends its whole wall clock on
+    * driver-sequential job latency (measured at sf0.1: the loop is
+    * 2 jobs/round × ~4 rounds of sub-10 ms task work; the fast path is
+    * one count + one collect). Any production pair graph past the cap
+    * takes the distributed loop unchanged. */
+  private[graft] val SmallGraphEdgeCap: Long = 500000L
+
   def duplicateClusters(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", maxIters: Int = 50): DataFrame = {
+      bCol: String = "b", maxIters: Int = 50,
+      smallGraphEdgeCap: Long = SmallGraphEdgeCap): DataFrame = {
     def truncate(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
@@ -1367,12 +1414,78 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
+    // ---- small-graph fast path (r14) --------------------------------
+    // The edge frame is already materialized (checkpoint above), so the
+    // count is one cheap job over cached partitions. Integral node ids
+    // only: the driver min must agree with Spark's `min` ordering, which
+    // is trivially true for integer types; anything else keeps the
+    // distributed loop.
+    val integralIds = edges.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integralIds && smallGraphEdgeCap > 0 &&
+        edges.count() <= smallGraphEdgeCap) {
+      val rows = edges.collect()
+      def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
+      // union-find with path compression + union-by-min: the root of
+      // every set is its minimum member, so find(x) IS the component
+      // minimum at the end — identical to the loop's fixpoint.
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      rows.foreach { r =>
+        val a = asLong(r.get(0)); val b = asLong(r.get(1))
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val nodeType = edges.schema.head.dataType
+      def back(v: Long): Any = nodeType match {
+        case org.apache.spark.sql.types.LongType => v
+        case org.apache.spark.sql.types.IntegerType => v.toInt
+        case _ => v.toShort
+      }
+      import scala.jdk.CollectionConverters._
+      val out = parent.keySet().asScala.toSeq.map { n =>
+        org.apache.spark.sql.Row(back(find(n)), back(n))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster", nodeType),
+        org.apache.spark.sql.types.StructField("node", nodeType)))
+      return pairs.sparkSession.createDataFrame(
+        out.asJava, schema)
+    }
     var labels = truncate(
       edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")))
-    var changed = 1L
+    // convergence via the label-sum invariant (r14): labels are
+    // per-node monotonically non-increasing (each round takes a min
+    // over a set containing the old label), so Σlabel is strictly
+    // decreasing iff ANY label changed — one no-join aggregate over the
+    // just-checkpointed frame replaces the old labels⋈next count join
+    // (decimal(38,0) so a 5M-node corpus of 64-bit ids cannot overflow
+    // the running sum).
+    def labelSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("s")).head()
+      BigDecimal(r.getDecimal(0))
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (changed && iter < maxIters) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
@@ -1392,13 +1505,13 @@ object Dedup {
           .select(col("node"),
             least(col("label"), coalesce(col("__l2"), col("label")))
               .as("label")))
-      changed = next.join(labels.withColumnRenamed("label", "old"),
-          Seq("node"))
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum != prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"duplicateClusters did not converge within $maxIters rounds — " +
           "log2(largest component) exceeds the bound; raise maxIters")
@@ -1599,9 +1712,13 @@ object Dedup {
       if (frame == null) {
         // k-gram explode + hash is the dominant per-row cost and runs in
         // the scan's map tasks — spread a single-split corpus first
-        // (results are counts + sorted collects: partition-independent)
-        frame = Spread.across(df).select(col(idCol),
-            posexplode(TextAnalysis.shingles(col(textCol), k))
+        // (results are counts + sorted collects: partition-independent).
+        // Two-step projection: the regex split materializes once per
+        // row (r14, TextAnalysis.shinglesFromWords).
+        frame = Spread.across(df)
+          .select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"))
+          .select(col(idCol),
+            posexplode(TextAnalysis.shinglesFromWords(col("__w"), k))
               .as(Seq("pos", "sh")))
           .select(col(idCol), col("pos"), xxhash64(col("sh")).as("h"))
           .withColumn("__n",

@@ -53,12 +53,20 @@ object Dsir {
     * published DSIR feature space) hashed to their first-`hexChars`
     * md5 hex prefix — one of 16^hexChars buckets. */
   def featureBuckets(text: Column, hexChars: Int): Column =
-    transform(TextAnalysis.shingles(text, 2),
+    featureBucketsFromWords(TextAnalysis.words(text), hexChars)
+
+  /** [[featureBuckets]] over an already-split word array — batch
+    * explode sites project `words(text)` first so the regex split runs
+    * once per row (r14, TextAnalysis.shinglesFromWords). */
+  def featureBucketsFromWords(w: Column, hexChars: Int): Column =
+    transform(TextAnalysis.shinglesFromWords(w, 2),
       s => substring(md5(s), 1, hexChars))
 
   private def bucketCounts(docs: DataFrame, textCol: String,
       hexChars: Int): DataFrame =
-    docs.select(explode(featureBuckets(col(textCol), hexChars)).as("bkt"))
+    docs.select(TextAnalysis.words(col(textCol)).as("__w"))
+      .select(explode(featureBucketsFromWords(col("__w"), hexChars))
+        .as("bkt"))
       .groupBy("bkt").agg(count(lit(1)).as("c"))
 
   /** Train the importance model: hashed-bigram bucket counts over
@@ -119,8 +127,10 @@ object Dsir {
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       model: HashedRatio): DataFrame =
     docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"))
       .select(col(idCol),
-        explode(featureBuckets(col(textCol), model.hexChars)).as("bkt"))
+        explode(featureBucketsFromWords(col("__w"), model.hexChars))
+          .as("bkt"))
       .groupBy(idCol, "bkt").agg(count(lit(1)).as("__n"))
       .join(model.table, Seq("bkt"), "left")
       .withColumn("__lam",

@@ -146,10 +146,15 @@ object LangModel {
     * exploded bigram pass (the context table is a re-agg of the pair
     * table, not a second corpus scan) plus the unigram-vocab count. */
   def trainBigram(ref: DataFrame, textCol: String): Bigram = {
-    // both explodes run in the scan's map tasks — spread once for both
+    // both explodes run in the scan's map tasks — spread once for both.
+    // Two-step projection: the token array (regex split + length
+    // filter) materializes once per row; the bigram tree references it
+    // ~5 times (r14, TextAnalysis.shinglesFromWords rationale).
     val spread = Spread.across(ref)
     val pairs = spread
-      .select(explode(bigrams(col(textCol))).as("w1w2"))
+      .select(tokens(col(textCol)).as("__toks"))
+      .select(explode(TextAnalysis.adjacentPairs(col("__toks"), " "))
+        .as("w1w2"))
       .groupBy("w1w2").agg(count(lit(1)).as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = pairs
@@ -173,7 +178,9 @@ object LangModel {
       model: Bigram, ceCol: String = "bigram_ce"): DataFrame = {
     val denom = (col("__cx") + lit(model.vocab) + 1).cast("double")
     Spread.across(docs)
-      .select(col(idCol), explode(bigrams(col(textCol))).as("w1w2"))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(TextAnalysis.adjacentPairs(col("__toks"), " ")).as("w1w2"))
       .groupBy(idCol, "w1w2").agg(count(lit(1)).as("__n"))
       .join(model.pairs, Seq("w1w2"), "left")
       .withColumn("__w1", substring_index(col("w1w2"), " ", 1))

@@ -66,10 +66,11 @@ object Quantize {
   // ===== product quantization ========================================
 
   /** Train a PQ codebook: `m` sub-spaces of `dim/m` dims, `ksub`
-    * centroids each, by L2 Lloyd's — ALL sub-spaces in the same pass, so
-    * the cost is exactly `iters + 2` corpus scans total (one for the dim
-    * probe, one for the md5-order init sample, one per iteration)
-    * regardless of m. Assignment runs as m compiled broadcast-codebook
+    * centroids each, by L2 Lloyd's — ALL sub-spaces in the same pass
+    * over a PERSISTED sliced sub-vector frame, so the source is scanned
+    * ONCE (plus the limit(1) dim probe); the seed scan and every
+    * iteration read the cached slices (r13 — PqSpec pins the 1..2-scan
+    * contract) regardless of m. Assignment runs as m compiled broadcast-codebook
     * scorers in ONE projection; the bucket means come back as one keyed
     * aggregation of m·ksub·dsub cells (metadata scale — collected per
     * iteration so lineage stays flat, the trainCodebook design). Empty

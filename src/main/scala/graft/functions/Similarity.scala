@@ -342,13 +342,21 @@ object Similarity {
     // ~log₄(n/cap) full scans — the very cost the sample exists to cut).
     // The realization count is already paid by the shortfall check, so
     // threading it through adds no scan.
-    val (train, trainN) =
+    // (train, trainN, bounded): `bounded` marks the 40·k-row hash
+    // sample, which is safe to persist across the seed scan and every
+    // Lloyd iteration (r14, the trainPq cached-slices pattern — the
+    // sampled regime otherwise re-scans and re-filters the FULL corpus
+    // once per iteration). The unsampled regime never persists: `df`
+    // there is the whole corpus, and a MEMORY_AND_DISK copy of a
+    // 100 TB input is exactly the scratch-disk wall the r8/r12 scale
+    // campaigns hit.
+    val (train0, trainN, bounded) =
       if (samplePerCentroid <= 0) {
-        (df, if (knownN >= 0L) knownN else df.count())
+        (df, if (knownN >= 0L) knownN else df.count(), false)
       } else {
         val n = if (knownN >= 0L) knownN else df.count()
         val cap = samplePerCentroid.toLong * k
-        if (n <= cap) (df, n)
+        if (n <= cap) (df, n, false)
         else {
           val sampled = df.filter(
             pmod(xxhash64(col(idCol)), lit(1000000L)) <
@@ -360,9 +368,12 @@ object Similarity {
           // realization (id-only scan) and fall back to the full corpus
           // when it cannot seat k seeds.
           val sn = sampled.select(col(idCol)).count()
-          if (sn >= k) (sampled, sn) else (df, n)
+          if (sn >= k) (sampled, sn, true) else (df, n, false)
         }
       }
+    val train = if (bounded)
+      train0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else train0
     def local(cb: Seq[(Int, Seq[Double])]): DataFrame =
       cb.toDF("centroid_label", "cvec")
     // SEEDS: the k rows with smallest (md5(id), id) — labels 1..k in
@@ -418,6 +429,7 @@ object Similarity {
       // stays constant and labels remain stable across iterations
       codebook = codebook.map { case (l, v) => (l, next.getOrElse(l, v)) }
     }
+    if (bounded) train.unpersist(blocking = false)
     local(codebook)
   }
 

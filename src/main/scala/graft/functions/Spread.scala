@@ -47,12 +47,42 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct,
   */
 object Spread {
 
-  /** `df` repartitioned to the session's default parallelism when it is
-    * scan-shaped and its estimated scan yields less than a quarter of
-    * that parallelism; `df` unchanged otherwise. Streaming frames pass
+  /** Bytes of estimated input per spread partition (r14 — VERDICT r13
+    * item 3). r13 spread every firing frame to FULL session parallelism,
+    * and the driver's 8-core scaling run beat the 32-core run on the
+    * lightest spread queries: at oracle SF the per-partition data is
+    * kilobytes, so a 32-way round-robin exchange buys parallelism worth
+    * microseconds while paying ~32 driver-serialized task launches per
+    * downstream stage (REPARTITION_BY_NUM is exempt from AQE
+    * coalescing). Scaling the width with estimated bytes keeps the
+    * task-count tax proportional to the data while heavy-per-row
+    * stages retain enough lanes; the 4·scanTasks floor preserves a
+    * real spread (≥4×) whenever the gate fires at all. Env-tunable for
+    * calibration; the default is measured at sf0.1 (see
+    * OPTIMIZATION_r14.md — the knee between q_pii_redact-style per-row
+    * heavy winners and q_ppl_buckets-style light chains). */
+  private[graft] def bytesPerSpreadPartition: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_PART_BYTES").map(_.toLong)
+      .getOrElse(32768L)
+
+  /** `df` repartitioned for real parallelism when it is scan-shaped and
+    * its estimated scan yields less than a quarter of the session's
+    * default parallelism; `df` unchanged otherwise. The width is
+    * `min(parallelism, max(4·scanTasks, bytes/bytesPerSpreadPartition))`
+    * — capped by the session, floored at a genuine 4× spread, scaled by
+    * estimated input bytes in between.
+    *
+    * `perRowCorpusScaled = true` is the caller's declaration that each
+    * ROW's downstream cost grows with the CORPUS (a pair scan: every
+    * probe row walks Θ(n) candidates — [[Dedup.cosineDupPairsExact]]'s
+    * broadcast nested loop), so compute, not bytes, sizes the width:
+    * such frames spread to full session parallelism as in r13
+    * (measured at sf0.1: the exact pair baseline is 0.6 s at width 24
+    * and 1.6 s at width 4, while every bytes-proportional per-row map
+    * is flat-to-faster at the byte-scaled width). Streaming frames pass
     * through untouched (foreachBatch hands callers BATCH frames, which
     * do take the spread). Purely plan-level — runs no job. */
-  def across(df: DataFrame): DataFrame =
+  def across(df: DataFrame, perRowCorpusScaled: Boolean = false): DataFrame =
     if (df.isStreaming) df
     else {
       val spark = df.sparkSession
@@ -67,12 +97,29 @@ object Spread {
       else {
         val maxSplit = math.max(1L,
           spark.sessionState.conf.filesMaxPartitionBytes)
-        val bytes = plan.stats.sizeInBytes
-        // unknown stats default to Long.MaxValue-ish — treated as huge,
-        // i.e. never spread (the conservative direction)
-        val scanTasks = (bytes / maxSplit).min(BigInt(Int.MaxValue))
-          .toLong.max(1L)
-        if (scanTasks * 4 >= target) df else df.repartition(target)
+        spreadWidth(plan.stats.sizeInBytes, maxSplit, target,
+            bytesPerSpreadPartition, perRowCorpusScaled)
+          .fold(df)(df.repartition(_))
       }
     }
+
+  /** The width decision alone, as a pure function (unit-testable —
+    * the gate cannot fire at the test suite's local[4] where
+    * scanTasks·4 ≥ 4 always): None = pass through; Some(w) =
+    * repartition to w. Unknown stats default to Long.MaxValue-ish —
+    * treated as huge, i.e. never spread (the conservative direction). */
+  private[graft] def spreadWidth(bytes: BigInt, maxSplit: Long,
+      target: Int, perPart: Long,
+      perRowCorpusScaled: Boolean): Option[Int] = {
+    val scanTasks = (bytes / math.max(1L, maxSplit))
+      .min(BigInt(Int.MaxValue)).toLong.max(1L)
+    if (scanTasks * 4 >= target) None
+    else if (perRowCorpusScaled) Some(target)
+    else {
+      val byBytes = (bytes / math.max(1L, perPart))
+        .min(BigInt(target)).toLong
+      Some(math.min(target.toLong,
+        math.max(4L * scanTasks, byBytes)).toInt)
+    }
+  }
 }

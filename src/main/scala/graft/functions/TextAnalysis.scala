@@ -216,8 +216,20 @@ object TextAnalysis {
     * partial tail entries are cut by the final slice, and every kept
     * entry j is exactly `w(j) ⧺ " " ⧺ … ⧺ w(j+n−1)`, byte-identical to
     * the oracle's array_to_string windows (79/79 hash-verified). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromWords(words(text), n)
+
+  /** [[shingles]] over an ALREADY-SPLIT word array. The shingle tree
+    * references its word array ~6 times (the zip_with chain, two
+    * slices, three size() guards); inlining `split(text)` at every
+    * reference makes the scan's Generate re-run the regex split six
+    * times per row (r14, read off the q_ngram_jaccard physical plan).
+    * Callers on the hot path project `words(text)` into a named column
+    * in a PRECEDING select and pass that attribute here — the multi-
+    * reference, non-cheap alias keeps CollapseProject from inlining it
+    * back (the q_fingerprint lesson), so the split runs once per row.
+    * The expression tree is otherwise identical to [[shingles]]. */
+  def shinglesFromWords(w: Column, n: Int = 3): Column = {
     val zipped = (1 until n).foldLeft(w) { (acc, i) =>
       zip_with(acc, slice(w, lit(i + 1), size(w)),
         (a, b) => concat_ws(" ", a, b))

@@ -430,8 +430,9 @@ object LlmQueries extends QueryPack {
       // q_repetition's 100-doc slice), the relational form for corpus
       // sweeps.
       val topProd = docs
+        .select(col("doc_id"), TextAnalysis.words(t).as("__w"))
         .select(col("doc_id"),
-          explode(TextAnalysis.shingles(t)).as("sh"))
+          explode(TextAnalysis.shinglesFromWords(col("__w"))).as("sh"))
         .groupBy("doc_id", "sh").agg(count(lit(1)).as("__c"))
         .groupBy("doc_id")
         .agg(max(col("__c") * length(col("sh"))).as("__maxprod"))

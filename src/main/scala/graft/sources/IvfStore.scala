@@ -1144,17 +1144,33 @@ object IvfStore {
       path: String, m: Int = 8, ksub: Int = 256, iters: Int = 5)
       : (DataFrame, DataFrame) = {
     import graft.functions.Quantize
-    val cents = Similarity.trainCodebook(emb, idCol, vecCol,
-      Similarity.codebookSize(emb.count()), iters)
-    val pqCb = Quantize.trainPq(emb, idCol, vecCol, m, ksub, iters)
+    // the coarse IVF codebook and the PQ codebook are INDEPENDENT
+    // trainings over the same frame — overlap their driver-sequential
+    // Lloyd's actions (optimization guide §2.6: later jobs back-fill
+    // the earlier jobs' straggler tails; r14, VERDICT r13 item 6).
+    // Each result is a deterministic function of its own inputs, so
+    // overlap cannot change either codebook.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val centsF = Future(Similarity.trainCodebook(emb, idCol, vecCol,
+      Similarity.codebookSize(emb.count()), iters))
+    val pqCbF = Future(Quantize.trainPq(emb, idCol, vecCol, m, ksub, iters))
+    val cents = Await.result(centsF, Duration.Inf)
+    val pqCb = Await.result(pqCbF, Duration.Inf)
     Quantize.pqEncode(
         Similarity.assignNearest(emb, cents, idCol, vecCol), vecCol, pqCb)
       .withColumnRenamed("assigned", "bucket")
       .repartition(col("bucket")) // bucket-clustered: ~1 file per dir
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/data")
-    cents.write.mode("overwrite").parquet(s"$path/codebook")
-    pqCb.write.mode("overwrite").parquet(s"$path/pq_codebook")
+    // the two codebook writes are independent metadata-scale jobs —
+    // overlap them too
+    val w1 = Future(
+      cents.write.mode("overwrite").parquet(s"$path/codebook"))
+    val w2 = Future(
+      pqCb.write.mode("overwrite").parquet(s"$path/pq_codebook"))
+    Await.result(w1, Duration.Inf); Await.result(w2, Duration.Inf)
     (cents, pqCb)
   }
 

@@ -75,10 +75,59 @@ object DescribeStats {
     one.select(explode(array(rows: _*)).as("s")).select("s.*")
   }
 
-  /** One output row per metric column, exact quantiles (see object doc). */
-  def describe(df: DataFrame, cols: Seq[String]): DataFrame =
-    aggDescribe(df, cols,
-      c => percentile(c, array(lit(0.25), lit(0.5), lit(0.75))))
+  /** One output row per metric column, exact quantiles (see object doc).
+    *
+    * r14 (VERDICT r13 item 5): the old single aggregation computed the
+    * exact `percentile` inline with the moments, which funnels EVERY
+    * partial value→count map into ONE final merge task — at sf0.1 that
+    * serial merge was the whole 3.6 s query, and at corpus scale that
+    * single task is the query. Now the percentile input is pre-reduced
+    * by a value-keyed aggregation (`groupBy(value).count()` — partial
+    * maps per partition, merged DISTRIBUTED through the value-hashed
+    * exchange), and the final exact percentile runs over one row per
+    * DISTINCT value with its frequency (`percentile(v, ps, cnt)` —
+    * Spark's exact percentile with a frequency column computes
+    * identically to the row-at-a-time form, so the result is
+    * bit-identical and the same oracle SQL gates it). The moments stay
+    * a one-pass aggregate; both subtrees are leaves of one plan, so
+    * their scans schedule concurrently. The final merge task now
+    * handles |distinct| pre-counted rows per column instead of every
+    * partial map of every row. */
+  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describe needs at least one column")
+    val aggs = cols.flatMap(c => momentAggs(c, None))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val momentRows = cols.map { c =>
+      struct(
+        lit(c).as("metric"),
+        col(s"${c}__count").cast("double").as("count"),
+        col(s"${c}__null_count").cast("double").as("null_count"),
+        col(s"${c}__mean").as("mean"),
+        col(s"${c}__std").as("std"),
+        col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"))
+    }
+    val moments = one.select(explode(array(momentRows: _*)).as("s"))
+      .select("s.*")
+    // (metric, value) → count for all columns in ONE scan; nulls are
+    // dropped exactly as the percentile aggregate drops them
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("metric"),
+          col(c).cast("double").as("v"))): _*)).as("p"))
+      .select(col("p.metric").as("metric"), col("p.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("metric", "v").agg(count(lit(1)).as("cnt"))
+    val quantiles = pairs.groupBy("metric")
+      .agg(percentile(col("v"),
+        array(lit(0.25), lit(0.5), lit(0.75)), col("cnt")).as("__q"))
+    moments.join(quantiles, Seq("metric"), "left")
+      .select(col("metric"), col("count"), col("null_count"),
+        col("mean"), col("std"), col("min"),
+        element_at(col("__q"), 1).as("p25"),
+        element_at(col("__q"), 2).as("p50"),
+        element_at(col("__q"), 3).as("p75"),
+        col("max"))
+  }
 
   /** Per-group describe of one column — the grouped form of
     * [[describe]]: one row per group key, same moments and exact

@@ -95,11 +95,30 @@ class CurationSpec extends AnyFunSuite {
     assert(longLabs == Seq(0L))
     // ...and a bound below the log2 requirement THROWS instead of
     // silently splitting the component into wrong clusters (reach
-    // after r rounds is 2^(r+1) - 2 hops: 3 rounds cover 14 < 15)
+    // after r rounds is 2^(r+1) - 2 hops: 3 rounds cover 14 < 15).
+    // smallGraphEdgeCap = 0 pins the DISTRIBUTED loop — the r14 driver
+    // union-find fast path would otherwise absorb a graph this small
+    // and never reach the bound this guard exists to test
     val e = intercept[IllegalStateException] {
-      Dedup.duplicateClusters(chain, maxIters = 3).collect()
+      Dedup.duplicateClusters(chain, maxIters = 3, smallGraphEdgeCap = 0)
+        .collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("duplicateClusters: driver fast path == distributed loop labels") {
+    import graft.functions.Dedup
+    // chains, a clique, singleton-free graph with out-of-order ids —
+    // run both engines over the same pairs and compare label maps
+    val pairs = Seq((9L, 2L), (2L, 31L), (31L, 1L), (5L, 7L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (40L, 41L)).toDF("a", "b")
+    def labels(cap: Long): Map[Long, Long] =
+      Dedup.duplicateClusters(pairs, smallGraphEdgeCap = cap)
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val fast = labels(Dedup.SmallGraphEdgeCap) // well under the cap
+    val loop = labels(0)                       // distributed loop forced
+    assert(fast == loop)
+    assert(fast(1L) == 1L && fast(9L) == 1L && fast(31L) == 1L)
   }
 
   test("clustered near-dup removal keeps one doc per component where greedy keeps two") {
