@@ -270,9 +270,18 @@ object Dedup {
     // four branches differ, so exchange reuse cannot share them.
     // materializeShingles=false opts back into pure recompute for
     // callers that cannot tolerate the transient pinned blocks.
-    val sh = if (materializeShingles)
-      shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else shBase
+    val sh = if (materializeShingles) {
+      val p = shBase
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager materialization: the four consumer branches are SIBLING
+      // stages of one plan, and AQE runs them concurrently — parallel
+      // first-touch of a lazily-cached frame re-computes the explode
+      // in every branch (work is duplicated even though storage
+      // dedups; see simhashNearDupPairs). One count() pays the
+      // explode once, serially, before the branches.
+      p.count()
+      p
+    } else shBase
 
     // global rarest-first order: per-shingle document frequency, then
     // hash for a total order; broadcast is not assumed — it's a keyed
@@ -1038,6 +1047,12 @@ object Dedup {
       .select(col(idCol), col("bucket"), col("probe_buckets"),
         col("int8_pack"), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: three sibling branches of the one returned plan consume
+    // this frame (residence rows, probe entries, the re-score union) —
+    // AQE runs sibling stages concurrently and a lazily-cached frame
+    // is recomputed by every concurrent first-toucher (see
+    // simhashNearDupPairs). Touched-bucket scale, never corpus scale.
+    idxTouched.count()
     val idxRes = idxTouched
       .select(col(idCol).as("a"), lit(0).as("pos"), col("bucket"),
         col("int8_pack").as("__p"))
@@ -1913,6 +1928,17 @@ object Dedup {
     val sb = (0 until 4).map(k => s"sb$k")
     val fp = simhash64Blocks(df, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER materialization (r14): the fingerprint frame feeds several
+    // SIBLING stages of the one returned plan (rep + both verify
+    // sides), and AQE schedules independent query stages concurrently —
+    // parallel first-touch of a lazily-cached frame makes EVERY sibling
+    // stage compute the uncached partitions (block-manager last-write
+    // dedups the STORAGE, not the work; the bench logs' "Block rdd_N
+    // already exists" warnings are exactly this). Measured: the
+    // 64-vote fingerprint aggregation re-ran ~5× inside one job,
+    // ~7 s of duplicated task time per copy at sf0.1. One count()
+    // materializes the cache once, serially, before the branches.
+    fp.count()
 
     // FINGERPRINT COMPRESSION: candidate generation and Hamming
     // verification run over DISTINCT fingerprints, not documents. A
@@ -1928,6 +1954,7 @@ object Dedup {
     val rep = fp.groupBy(sb.map(col): _*)
       .agg(min(col(idCol)).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rep.count() // eager — same sibling-stage rationale as fp above
     // (member id, its fingerprint's representative)
     val members = fp.join(rep, sb)
       .select(col(idCol).as("__m"), col("rep"))

@@ -63,7 +63,7 @@ object Spread {
     * heavy winners and q_ppl_buckets-style light chains). */
   private[graft] def bytesPerSpreadPartition: Long =
     sys.env.get("SPARK_GRAFT_SPREAD_PART_BYTES").map(_.toLong)
-      .getOrElse(32768L)
+      .getOrElse(131072L)
 
   /** `df` repartitioned for real parallelism when it is scan-shaped and
     * its estimated scan yields less than a quarter of the session's
