@@ -465,11 +465,6 @@ object Dedup {
     val p = 1.0 / slices
     val sliceSh = sizedSliceShingles(df, textCol, idCol, n, slices)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager: the freq leg and the density leg are sibling branches of
-    // ONE union collect — AQE materializes them concurrently and a
-    // lazily-cached frame is computed by both (see
-    // simhashNearDupPairs); one count() pays the slice explode once
-    sliceSh.count()
     try {
       val freqLeg = sliceSh.groupBy("sh").agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(col("c")), lit(0L)).cast("double").as("v1"),

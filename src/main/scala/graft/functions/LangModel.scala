@@ -157,12 +157,6 @@ object LangModel {
         .as("w1w2"))
       .groupBy("w1w2").agg(count(lit(1)).as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager: the scorer's plan joins `pairs` AND the `ctx` re-agg of it
-    // as SIBLING branches — AQE materializes them concurrently and a
-    // lazily-cached frame is computed by both (see
-    // Dedup.simhashNearDupPairs); one count() pays the bigram
-    // aggregation once
-    pairs.count()
     val ctx = pairs
       .groupBy(substring_index(col("w1w2"), " ", 1).as("w1"))
       .agg(sum("c2").as("cx"))

@@ -214,12 +214,6 @@ object VectorQueries extends QueryPack {
       // encode scorers run one corpus pass, not one per branch
       val codes = Quantize.pqEncode(emb, "embedding", cb)
         .select("vec_id", "pq_code").cache()
-      // eager: the cross-join's two sides are sibling stages of one
-      // action — a lazily-cached frame is materialized by BOTH
-      // concurrently (AQE sibling-stage duplication, r14; see
-      // Dedup.simhashNearDupPairs), re-running the m compiled encode
-      // scorers the cache exists to amortize
-      codes.count()
       // the SDC join and the exact baseline are independent actions —
       // run them concurrently (guide §2.6)
       import scala.concurrent.{Await, Future}
@@ -301,7 +295,6 @@ object VectorQueries extends QueryPack {
         ksub = 32, iters = 3)
       val codes = Quantize.pqEncode(emb, "embedding", cb)
         .select("vec_id", "pq_code").cache()
-      codes.count() // eager — four concurrent qid sweeps consume it
       // the four query ids are independent search+recall measurements —
       // run them concurrently (guide §2.6); per-qid results and the min
       // are unchanged
@@ -339,7 +332,6 @@ object VectorQueries extends QueryPack {
         ksub = 32, iters = 3)
       val codes = Quantize.pqEncode(emb, "embedding", cb)
         .select("vec_id", "pq_code").cache()
-      codes.count() // eager — sibling/concurrent consumers (see above)
       // independent actions run concurrently (guide §2.6)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
@@ -389,12 +381,10 @@ object VectorQueries extends QueryPack {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      emb.count() // eager — exact join sides + the projection read it
       val exactF = Future(topNoSelf(emb.filter(col("vec_id") < 20), emb,
         "embedding"))
       val pr = Similarity.randomProject(emb, "embedding", dim, 16)
         .select(col("vec_id"), col("proj")).cache()
-      pr.count() // eager — both sides of the projected knn join read it
       val gotF = Future(topNoSelf(pr.filter(col("vec_id") < 20), pr, "proj"))
       val exact = Await.result(exactF, Duration.Inf)
       val got = Await.result(gotF, Duration.Inf)
