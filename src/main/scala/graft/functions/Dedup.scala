@@ -1972,16 +1972,38 @@ object Dedup {
       col("bk.combo").as("combo") :+ col("bk.key").as("key"): _*)
 
     // distinct-fp candidate pairs, Hamming-verified on the spot (the
-    // fingerprint blocks ride along — no re-join against fp needed)
+    // fingerprint blocks ride along — no re-join against fp needed).
+    // FIRST-INTACT-COMBO dedup (r14, guide §2.4): a qualifying pair is
+    // intact on 1..nBlocks combos and used to surface once per intact
+    // combo, deduped by a distinct() — a full pair-stream exchange +
+    // two hash aggregates. A joined row exists exactly when its combo
+    // is intact (key equality ⟺ all selected blocks equal), so keeping
+    // only the row whose combo is the pair's MINIMAL intact combo
+    // keeps exactly one row per qualifying pair: the per-row predicate
+    // "no earlier combo is intact" replaces the distinct outright.
+    // Block equality is recomputed from the riding sb columns, so no
+    // extra bytes cross the join.
+    val sideBlocks: String => Seq[Column] = p =>
+      if (nBlocks == 4) sb.map(n => col(s"$p.$n"))
+      else (0 until 4).flatMap(k => Seq(
+        col(s"$p.sb$k").bitwiseAND(lit(255L)),
+        shiftright(col(s"$p.sb$k"), 8)))
+    val aB = sideBlocks("a")
+    val bB = sideBlocks("b")
+    val intact: Seq[Column] = combos.map { case (sel, _) =>
+      sel.map(k => aB(k) === bB(k)).reduce(_ && _) }
+    val firstIntact: Column = combos.map { case (_, ci) =>
+      if (ci == 0) col("a.combo") === lit(0)
+      else col("a.combo") === lit(ci) && !intact.take(ci).reduce(_ || _)
+    }.reduce(_ || _)
     val fpPairs = keyed.as("a").join(keyed.as("b"),
         col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
-          col("a.rep") < col("b.rep"))
+          col("a.rep") < col("b.rep") && firstIntact)
       .select(col("a.rep").as("ra"), col("b.rep").as("rb"),
         (0 until 4).map(k => bit_count(col(s"a.sb$k")
           .bitwiseXOR(col(s"b.sb$k")))).reduce(_ + _).cast("int")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
 
     // expand: cross-fp qualifying pairs (each unordered doc pair
     // appears via exactly one rep pair — groups are disjoint — so no
