@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-pipeline step that flags
@@ -240,17 +239,14 @@ object Decontam {
     * D = max |CDF_p(v) − CDF_q(v)| across the union of observed
     * values — the distribution-shift test for COUNT-like signals
     * (token counts, line counts, integer lengths) where token KL does
-    * not apply. Scope: the column must be LOW-CARDINALITY — a
-    * continuous score (e.g. a raw quality float) has ~one distinct
-    * value per row, which collapses the cumulative window below into
-    * a single reducer over the whole corpus; pre-bucket such columns
-    * onto a fixed grid (`round(col * 100)`) before calling.
-    * Exact: cumulative counts are integers, each CDF difference is
-    * one double division pair floored to the 10⁻⁶ grid before the
-    * max. The running sum windows over the DISTINCT-VALUE table —
-    * bounded by distinct magnitudes, not rows (metadata-scale for
-    * count-like columns), which is why a single-partition window is
-    * acceptable here and nowhere else. Evaluates EAGERLY (the result
+    * not apply. Exact: cumulative counts are integers, each CDF
+    * difference is one double division pair floored to the 10⁻⁶ grid
+    * before the max. The running sums sweep the DISTINCT-VALUE table
+    * via a range-sorted two-pass prefix-offset walk (r14) — no task
+    * ever holds the full distinct-value set, so high-cardinality
+    * columns (continuous scores with ~one distinct value per row) are
+    * safe too; pre-bucketing remains a cost optimization, not a
+    * correctness requirement. Evaluates EAGERLY (the result
     * is one row; the intermediate is released before returning) and
     * THROWS when either sample has no non-null value — a silent null
     * D would read as "no drift" for exactly the most-drifted case, a
@@ -262,28 +258,61 @@ object Decontam {
       df.select(col(valueCol).cast("double").as("v"))
         .filter(col("v").isNotNull)
         .groupBy("v").agg(count(lit(1)).as(as))
-    // persisted: feeds the totals aggregate AND the cumulative window
-    val u = cnts(p, "ca").join(cnts(q, "cb"), Seq("v"), "full_outer")
+    // DISTRIBUTED cumulative sweep (r14): the single-partition
+    // `Window.orderBy(v)` this replaces held every distinct value in
+    // ONE task — metadata-scale for count-like columns, but a
+    // high-cardinality double column at corpus scale made that task
+    // the query. Same two-pass offset technique as the exact-percentile
+    // selection in DescribeStats: range-sort the distinct-value rows by
+    // v, pass 1 collects per-partition (Σca, Σcb) subtotals (which also
+    // yield the totals — the separate totals aggregate is gone), the
+    // driver prefix-sums them into per-partition cumulative offsets,
+    // and pass 2 computes each partition's local cumulative sums plus
+    // its offset and reports the partition's max grid-floored |D| term.
+    // Cumulative sums are INTEGER (exact under any partitioning) and
+    // the per-row double math reproduces the old column expression op
+    // for op (long→double casts, division by the same totals,
+    // halfUpFloor's floor(x·10⁶ + 0.5)/10⁶ grid), so D is identical.
+    import spark.implicits._
+    val sortedRdd = cnts(p, "ca").join(cnts(q, "cb"), Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions("v")
+      .as[(Double, Long, Long)]
+      .rdd
+    sortedRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val t = u.agg(sum(col("ca")), sum(col("cb"))).head()
-      require(!t.isNullAt(0) && t.getLong(0) > 0 &&
-        !t.isNullAt(1) && t.getLong(1) > 0,
+      val subs = sortedRdd.mapPartitionsWithIndex { (idx, it) =>
+        var a = 0L; var b = 0L
+        it.foreach { case (_, ca, cb) => a += ca; b += cb }
+        Iterator.single((idx, a, b))
+      }.collect().sortBy(_._1)
+      val na = subs.map(_._2).sum
+      val nb = subs.map(_._3).sum
+      require(na > 0 && nb > 0,
         "ksStatistic: both samples need at least one non-null value")
-      val (na, nb) = (t.getLong(0), t.getLong(1))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ks = u.withColumn("cpa", sum(col("ca")).over(w))
-        .withColumn("cpb", sum(col("cb")).over(w))
-        .select(TextAnalysis.halfUpFloor(abs(
-          col("cpa").cast("double") / lit(na.toDouble) -
-            col("cpb").cast("double") / lit(nb.toDouble)), 6).as("d"))
-        .agg(max(col("d"))).head().getDouble(0)
-      import spark.implicits._
+      val offA = subs.map(_._1).zip(
+        subs.scanLeft(0L)(_ + _._2).init).toMap
+      val offB = subs.map(_._1).zip(
+        subs.scanLeft(0L)(_ + _._3).init).toMap
+      val grid = 1000000.0
+      val ks = sortedRdd.mapPartitionsWithIndex { (idx, it) =>
+        var ca = offA(idx)
+        var cb = offB(idx)
+        var best = Double.NegativeInfinity
+        var any = false
+        it.foreach { case (_, a, b) =>
+          ca += a; cb += b; any = true
+          val d = math.floor(math.abs(
+            ca.toDouble / na.toDouble - cb.toDouble / nb.toDouble) *
+            grid + 0.5) / grid
+          if (d > best) best = d
+        }
+        if (any) Iterator.single(best) else Iterator.empty
+      }.collect().max
       Seq((na, nb, ks)).toDF("n_p", "n_q", "ks")
-    } finally u.unpersist(blocking = false)
+    } finally { sortedRdd.unpersist(blocking = false); () }
   }
 
   /** One micro-nat KL term: p̂·(ln p̂ − ln q̂) on add-one rationals,
