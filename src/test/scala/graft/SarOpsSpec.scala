@@ -135,6 +135,40 @@ class SarOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("describe quantiles are bit-identical to Spark's exact percentile") {
+    // pins the r14 distributed weighted-rank selection to the builtin
+    // exact `percentile` aggregate it replaced: same values to the
+    // LAST BIT (==, no tolerance) across sizes that exercise every
+    // interpolation branch — single row (position 0), two rows
+    // (fractional positions), heavy ties (equal lower/higher keys),
+    // all-equal columns, negatives, nulls, and a size where the
+    // range-sorted frame spans several partitions
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit, percentile}
+    val rnd = new scala.util.Random(14)
+    for (n <- Seq(1, 2, 3, 7, 1000)) {
+      val vals: Seq[Option[Double]] = (0 until n).map { i =>
+        if (n > 2 && i % 11 == 3) None // nulls are dropped by both paths
+        else Some(rnd.nextInt(1 + n / 3).toDouble - 2.0 +
+          (if (i % 2 == 0) 0.25 else 0.0))
+      }
+      val df = vals.toDF("x")
+      val expect = df
+        .agg(percentile(col("x"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+        .collect().head.getSeq[Double](0)
+      val got = DescribeStats.describe(df, Seq("x")).collect().head
+      for (i <- 0 until 3)
+        assert(got.getDouble(6 + i) == expect(i),
+          s"n=$n p${Seq(25, 50, 75)(i)}: ${got.getDouble(6 + i)} " +
+            s"vs ${expect(i)}")
+    }
+    // all-equal column: every quantile is the value itself
+    val eq = Seq.fill(50)(3.25).toDF("x")
+    val r = DescribeStats.describe(eq, Seq("x")).collect().head
+    assert((6 to 8).forall(r.getDouble(_) == 3.25))
+  }
+
   test("describeSorted matches percentile-agg describe") {
     val li = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
