@@ -343,8 +343,22 @@ object Curation {
   def packSequencesByCost(docs: DataFrame, idCol: String, cost: Column,
       seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val (withCum, _) = withRunningCost(docs, idCol, cost.cast("long"))
+    // COST CHAIN COMPUTED ONCE (r14): the bucket-offset pass inside
+    // withRunningCost is an eager take(), and the returned plan
+    // re-executes the same upstream chain — for the BPE packer that
+    // chain is the tokenizer's two corpus passes, paid TWICE. The
+    // packing output only needs (id, cost), so project that narrow
+    // frame and persist it across both executions (doc-scale,
+    // ~16 B/row — the fingerprint-frame rule; never the raw corpus).
+    // The offset take() is the serial materializing action, so no
+    // sibling-stage race exists; the ContextCleaner reclaims the
+    // blocks with the dropped result (the klTerms contract), and the
+    // bench's cold-run clearCache() evicts between runs.
+    val narrow = docs.select(col(idCol), cost.cast("long").as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (withCum, _) = withRunningCost(narrow, idCol, col("__c"))
     withCum
+      .drop("__c")
       .filter(col("__toks") > 0L)
       .withColumn("__start", col("__cum") - col("__toks"))
       .withColumn("seq_id", explode(sequence(
