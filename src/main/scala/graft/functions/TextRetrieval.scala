@@ -52,11 +52,25 @@ object TextRetrieval {
         explode(tokens(col(textCol))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lens and docFreq are CACHED AGGREGATES, not lazy derivations
+    // (r14): left lazy, every search re-aggregated them from the full
+    // postings cache — profiled three ~full-postings cache scans per
+    // q_bm25 execution (~11 s summed task time each at sf0.1) where
+    // the search itself needs one. Both are far smaller than postings
+    // (one row per doc / per distinct token); materializing them at
+    // build time leaves the search exactly one postings scan (its own
+    // token-filtered join side). The totals action materializes lens
+    // and, through it, postings — serially, so no sibling stage races
+    // the explode — then docFreq aggregates the already-cached
+    // postings once.
     val lens = postings.groupBy("doc").agg(sum("tf").as("len"))
-    val withLen = postings.join(lens, Seq("doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = postings.groupBy("token").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withLen = postings.join(lens, Seq("doc"))
     val totals = lens.agg(count(lit(1)), coalesce(sum("len"), lit(0L)))
       .head()
+    docFreq.count()
     Bm25Index(withLen, docFreq, totals.getLong(0), totals.getLong(1))
   }
 
